@@ -1,0 +1,66 @@
+"""Test-data catalog: register the driver's parquet tables as views.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under an sf-dir.
+
+At cluster scale these would be partitioned parquet/Delta datasets;
+the access pattern is identical (`spark.read.parquet` → Catalyst gets
+pushdown + pruning for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor
+# (region=5 rows, nation=25 rows always; supplier/part/customer grow
+# with sf but stay << fact tables).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Runtime session settings the engine depends on, applied even when
+    the caller (e.g. the verify driver) built its own SparkSession:
+    UTC session timezone (oracle comparisons are naive-UTC) and Arrow
+    for pandas interchange."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every test table and register `<name>` temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TPCH_TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects outright; read it as raw nanos and truncate to micros
+        # (integer div — a double division would lose precision at 1e18).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,211 @@
+"""Analytic (OVER) window functions, as-of join, sessionization.
+
+Reference surface: delegated SQL window functions
+(/root/reference/risingwave/core.py:183-212 pass-through); as-of /
+sessionization are the streaming-analytics patterns the reference's
+demos gesture at (tick analytics, demo.py:91-106), expressed here as
+scalable batch operators.
+
+Scale notes: every window spec partitions by a high-cardinality key
+(custkey / user_id) so state per partition is bounded; orderings are
+made total (tie-break on a unique key) so results are deterministic
+under any shuffle layout. The as-of join is the union-scan pattern —
+one shuffle by user, one sort, NO join — which beats a range join at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.operators.relational import money
+from risingwave_py_spark.registry import register
+
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / lag / lead over per-customer order history."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w_price).alias("price_rank"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame (decimal-exact)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation (streaming Top-N analogue,
+    RisingWave's `ROW_NUMBER() ... WHERE rn <= k` idiom)."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_ntile_percentrank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ntile(4) OVER u AS quartile,
+           percent_rank() OVER u AS pct_rank,
+           cume_dist() OVER u AS cdist
+    FROM orders
+    WINDOW u AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over a global total order. (Single-
+    partition window — fine at dashboard cardinalities; at 100 TB this
+    becomes a range-partitioned sort + two-pass rank offset.)"""
+    o = table(spark, sf_dir, "orders")
+    u = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(u).alias("quartile"),
+        F.percent_rank().over(u).alias("pct_rank"),
+        F.cume_dist().over(u).alias("cdist"),
+    )
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+    FROM events
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each purchase picks up the most
+    recent earlier click's value for the same user.
+
+    Implemented as the union-scan pattern: one hash shuffle by user_id
+    + one sort by time, then `last(..., ignorenulls)` over an
+    unbounded-preceding frame. No join, no per-row probe — this is the
+    at-scale formulation (a merge_asof equivalent without pairwise
+    matching)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        ev.withColumn("last_click_value", F.last(click_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "last_click_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag → new-session flag →
+    running sum = session id → per-session aggregate. One shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

@@ -1,0 +1,815 @@
+"""Relational operator inventory (SURVEY.md §2.2-2.7).
+
+The reference delegates all of these to its PG-compatible server via
+SQL pass-through (/root/reference/risingwave/core.py:161-212); here
+each is expressed Spark-first with the DataFrame API so Catalyst gets
+pushdown / pruning / join selection / AQE for free.
+
+Scale notes (100 TB):
+  - fact-side filters appear BEFORE joins so they reach the parquet
+    scan (PushedFilters) and prune row groups;
+  - dimension sides of joins are broadcast() explicitly when they are
+    bounded (region/nation always; customer/supplier/part at any sf
+    they remain << lineitem) — no shuffle of the fact table for them;
+  - aggregations are expressed as single groupBy.agg so Tungsten does
+    partial (map-side) aggregation before the shuffle;
+  - every top-k is window-or-orderBy+limit with a total deterministic
+    ordering (ties broken by key) so results are stable under any
+    partitioning.
+
+Determinism vs the DuckDB oracle: money columns go through
+DECIMAL(12,2) arithmetic (exact in both engines) and are only cast to
+DOUBLE at the end — bit-identical results regardless of partitioning
+or accumulation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.registry import register
+
+
+def money(c) -> F.Column:
+    """Exact 2-decimal fixed-point view of a double money column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(12,2)")
+
+
+def dsum(c) -> F.Column:
+    """Decimal-exact sum of a money column, surfaced as DOUBLE."""
+    return F.sum(money(c)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters (SURVEY §2.1-2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_quantity > 45.0
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + range/comparison filter; both reach the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+        & (F.col("l_quantity") > 45.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "predicate_algebra",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_size
+    FROM part
+    WHERE p_type IN ('ECONOMY', 'PROMO')
+      AND p_name LIKE '%bolt%'
+      AND p_size BETWEEN 5 AND 40
+      AND NOT (p_brand = 'Brand#13')
+    """,
+)
+def predicate_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / LIKE / BETWEEN / NOT predicate combination."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").isin("ECONOMY", "PROMO")
+        & F.col("p_name").like("%bolt%")
+        & F.col("p_size").between(5, 40)
+        & ~(F.col("p_brand") == "Brand#13")
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+@register(
+    "project_computed",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           CAST(round(o_totalprice, 1) AS DOUBLE) AS price_r,
+           o_totalprice * 0.9 AS discounted
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed projection with aliasing (cf. reference demo.py:98)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.round("o_totalprice", 1).cast("double").alias("price_r"),
+        (F.col("o_totalprice") * 0.9).alias("discounted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the flagship scan→filter→agg pipeline.
+
+    Map-side partial aggregation collapses ~6 M rows/partition to 6
+    groups before the shuffle — the plan scales linearly with input.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    disc_price = money("l_extendedprice") * (one - money("l_discount"))
+    charge = disc_price * (one + money("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_basic_stats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate: count / count-distinct / sum / min / max."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_group_having",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 5
+    """,
+)
+def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .filter(F.col("n") > 5)
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS hi_disc_rev,
+           SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_bulk,
+           COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_taxfree
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause-style conditional aggregation (sum/count over CASE)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, money("l_extendedprice")))
+        .cast("double")
+        .alias("hi_disc_rev"),
+        F.sum(F.when(F.col("l_quantity") > 25.0, 1).otherwise(0)).alias("n_bulk"),
+        F.count(F.when(F.col("l_tax") == 0.0, 1)).alias("n_taxfree"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("rev"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
+    "agg_stddev_exact",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS sd_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact decimal sums (deterministic across engines,
+    unlike the built-in streaming stddev whose FP accumulation order varies)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = money("l_quantity")
+    n = F.count("*")
+    s = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sqrt((s2 - s * s / n) / (n - F.lit(1))).alias("sd_qty"),
+    )
+
+
+@register(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (groupBy().pivot()) — Catalyst rewrites to conditional aggs,
+    the same shape the oracle spells out."""
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(money("l_quantity")).cast("double"))
+    )
+    return out.withColumnRenamed("O", "qty_open").withColumnRenamed("F", "qty_filled")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_basic",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000.0
+    """,
+)
+def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; customer side broadcast (dimension << fact)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 300000.0)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(money("o_totalprice")), F.lit(0)).cast("double").alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderstatus") == "P"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 200000.0),
+        c.c_custkey == o.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return (
+        cn.join(sn, "nk", "full")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s AS status FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) t
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    o = table(spark, sf_dir, "orders")
+    statuses = o.select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(statuses).select("r_name", "status")
+
+
+@register(
+    "join_non_equi_theta",
+    oracle="""
+    SELECT a.p_brand, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_retailprice > b.p_retailprice
+    GROUP BY a.p_brand
+    """,
+)
+def join_non_equi_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi on brand (hash-joinable) + non-equi residual —
+    Catalyst keeps the equi key for the hash join and applies the
+    inequality as a post-filter, so this does NOT degrade to a
+    nested-loop cross product at scale."""
+    a = table(spark, sf_dir, "part").alias("a")
+    b = table(spark, sf_dir, "part").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_retailprice") > F.col("b.p_retailprice")),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'FURNITURE'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filters pushed below the joins,
+    dimension (filtered customer) broadcast; top-10 with total order."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = money("l_extendedprice") * (one - money("l_discount"))
+    # orders is fact-sized: lineitem⋈orders is a shuffle join on the
+    # orderkey; only the filtered customer dimension is broadcast.
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dimensions broadcast, the
+    single shuffle is the final groupBy on n_name (25 groups)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = money("l_extendedprice") * (one - money("l_discount"))
+    # lineitem⋈orders shuffles on orderkey (both fact-sized); every
+    # other side is a bounded dimension → broadcast, zero extra shuffle.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = money("l_extendedprice") * (one - money("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / set ops / distinct (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orderby_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def orderby_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark executes as TakeOrderedAndProject — per-
+    partition heap + driver merge, no full sort at scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice", "o_orderdate").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    ).limit(15)
+
+
+@register(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s)
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_u,
+           lower(p_brand) AS brand_l,
+           substring(p_name, 1, 5) AS name_5,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_us,
+           trim(concat('  ', p_name, '  ')) AS name_trim,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_u"),
+        F.lower("p_brand").alias("brand_l"),
+        F.substring("p_name", 1, 5).alias("name_5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_case_coalesce",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 40.0 THEN 'bulk'
+                WHEN l_quantity > 20.0 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_neg,
+           l_orderkey % 7 AS bucket
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+)
+def scalar_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 40.0, "bulk")
+        .when(F.col("l_quantity") > 20.0, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_neg"
+        ),
+        (F.col("l_orderkey") % 7).alias("bucket"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice, 0) AS DOUBLE) AS price_round,
+           abs(o_totalprice - 200000.0) AS dist_from_200k,
+           CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_k_ceil,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_k_floor,
+           CAST(sqrt(o_totalprice) AS DOUBLE) AS price_sqrt
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 400).select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).cast("double").alias("price_round"),
+        F.abs(F.col("o_totalprice") - 200000.0).alias("dist_from_200k"),
+        F.ceil(F.col("o_totalprice") / 1000.0).alias("price_k_ceil"),
+        F.floor(F.col("o_totalprice") / 1000.0).alias("price_k_floor"),
+        F.sqrt("o_totalprice").cast("double").alias("price_sqrt"),
+    )

@@ -1,0 +1,54 @@
+"""SparkSession construction for the engine.
+
+The reference SDK bootstraps a local server process when no connection
+options are given (/root/reference/risingwave/core.py:575-606). Our
+engine is in-process: ``RisingWave()`` builds (or reuses) a local
+SparkSession instead of spawning a subprocess.
+
+Tuned for local[N] testing but shaped for cluster scale: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing),
+Arrow on (pandas interchange is the SDK's wire format), UTC session
+timezone (deterministic vs naive-UTC oracles).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "risingwave_py_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine's SparkSession.
+
+    On a real cluster the caller passes ``master=None`` and lets
+    spark-submit decide; locally we default to ``local[N]`` with
+    N = SPARK_GRAFT_CPUS (default 32).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if master or not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(master or f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

