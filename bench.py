@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ...}.
+
+Each query is executed once after a session warm-up; timing includes
+plan + execution + collect (the driver-visible latency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family that matters at scale.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "agg_distinct_multi",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_sum",
+    "tumble_events_15m",
+    "hop_events_30m_15m",
+    "sessionize_events",
+    "asof_join_last_click",
+    "events_json_extract",
+    # M6 extension operators (registered later rounds):
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_scores",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from risingwave_py_spark import registry
+    from risingwave_py_spark.session import build_session
+
+    registry.load_all()
+    spark = build_session("bench")
+    # Warm the JVM + parquet footer caches with a trivial action so the
+    # first timed query doesn't pay session bring-up.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench {name} FAILED: {exc}", file=sys.stderr)
+            continue
+        el = round(time.perf_counter() - t0, 3)
+        timings[name] = el
+        total += el
+        print(f"bench {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
