@@ -1,0 +1,465 @@
+"""Public SDK: the reference's exact API surface on a Spark backend.
+
+Parity target: ``RisingWave, RisingWaveConnOptions, RisingWaveConnection,
+MaterializedView, Subscription, OutputFormat`` with the signatures of
+/root/reference/risingwave/core.py (cited per method). Differences are
+deliberate fixes of reference bugs (SURVEY.md §2.10): insert contexts
+are keyed by schema-qualified name, ``close()`` works, and no SQL is
+built by string interpolation of values.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from enum import Enum
+from typing import Any
+
+import pandas as pd
+
+from risingwave_py_spark.engine import SparkEngine
+from risingwave_py_spark.plans import rewrite as RW
+
+logger = logging.getLogger(__name__)
+
+# Reference defaults (core.py:20, core.py:68, core.py:368, core.py:372).
+DEFAULT_CURSOR_IDLE_INTERVAL_MS = 100
+DEFAULT_BUF_SIZE = 5
+
+SubscriptionHandler = Callable[[Any], None]
+
+
+class OutputFormat(Enum):  # core.py:150-152
+    RAW = 1
+    DATAFRAME = 2
+
+
+class RisingWaveConnOptions:
+    """Connection options (core.py:125-147). The Spark engine is
+    in-process, so these only shape the session (kept for API parity)."""
+
+    def __init__(self, conn_str: str = ""):
+        self.dsn = conn_str
+
+    @classmethod
+    def from_connection_info(
+        cls, host: str = "localhost", port: int = 4566, user: str = "root",
+        password: str = "", database: str = "dev", ssl: str = "disable",
+    ) -> "RisingWaveConnOptions":
+        return cls(f"postgresql://{user}:{password}@{host}:{port}/{database}?sslmode={ssl}")
+
+
+def extract_rw_version(sql_version_output: str) -> str:
+    """Parse 'PostgreSQL …-RisingWave-x.y.z …' → 'x.y.z' (core.py:40-59)."""
+    import re
+
+    m = re.search(r"RisingWave-(\d+\.\d+\.\d+)", sql_version_output)
+    return m.group(1) if m else "1.7.0"
+
+
+def _retry(f, interval_ms: int, times: int):  # core.py:24-37 behavior
+    for i in range(times):
+        try:
+            return f()
+        except Exception as e:  # noqa: BLE001
+            if i == times - 1:
+                raise
+            logger.warning("retrying after error: %s", e)
+            time.sleep(interval_ms / 1000)
+    return None
+
+
+class InsertContext:
+    """Buffered multi-row insert machinery (core.py:62-122).
+
+    Differences from the reference: the buffer is keyed by
+    schema-qualified name by the caller (bug fix, §2.10), no SQL string
+    rendering/quoting — rows go through ``spark.createDataFrame`` with
+    the table's schema (injection-free, type-checked)."""
+
+    def __init__(self, engine: SparkEngine, table_name: str,
+                 schema_name: str = "public", buf_size: int = DEFAULT_BUF_SIZE):
+        self.engine = engine
+        self.schema_name = schema_name
+        self.table_name = table_name
+        self.fq = engine.qualify(table_name, schema_name)
+        self.cols: list[str] = engine.list_columns(table_name, schema_name)
+        self.schema = engine.table_schema(table_name, schema_name)
+        self.data_buf: list[dict] = []
+        self.buf_size = buf_size
+
+        def bulk_insert(**cols):
+            self.data_buf.append(cols)
+            if len(self.data_buf) >= self.buf_size:
+                self.flush()
+
+        def insert(**cols):
+            self.data_buf.append(cols)
+            self.flush()
+
+        self.bulk_insert_func = bulk_insert
+        self.insert_func = insert
+
+    def flush(self) -> None:
+        if not self.data_buf:
+            return
+        rows = []
+        for row in self.data_buf:
+            vals = {}
+            for col in self.cols:
+                if col in row:
+                    vals[col] = row[col]
+                else:
+                    logger.warning("column %s not found in row, set to null", col)
+                    vals[col] = None
+            rows.append(vals)
+        df = self.engine.spark.createDataFrame(
+            [tuple(r[c] for c in self.cols) for r in rows], self.schema
+        )
+        self.engine.insert_df(self.table_name, df, self.schema_name)
+        self.data_buf = []
+        self.engine.flush()  # read-your-writes barrier (core.py:121)
+
+
+class RisingWaveConnection:
+    """Query/ingest surface (core.py:155-427)."""
+
+    def __init__(self, engine: SparkEngine, rw_version: str | None = None):
+        self.engine = engine
+        self.rw_version = rw_version or extract_rw_version(engine.version_string)
+        self._insert_ctx: dict[str, InsertContext] = {}
+
+    # -- query path (EP1, SURVEY §3) ----------------------------------
+
+    def execute(self, sql: str, *args) -> None:
+        """Run a statement for effect (core.py:161-181)."""
+        self._dispatch(sql)
+
+    def fetch(self, sql: str, format: OutputFormat = OutputFormat.RAW, *args):
+        """Run a query, return all rows (core.py:183-212)."""
+        result = self._dispatch(sql)
+        if result is None:
+            result = ([], [])
+        cols, rows = result
+        if format == OutputFormat.DATAFRAME:
+            return pd.DataFrame(data=rows, columns=cols)
+        return rows
+
+    def fetchone(self, sql: str, format: OutputFormat = OutputFormat.RAW, *args):
+        """Run a query, return the first row or None (core.py:215-243)."""
+        cols, rows = self._dispatch(sql) or ([], [])
+        if not rows:
+            return None
+        if format == OutputFormat.DATAFRAME:
+            return pd.DataFrame(data=rows[:1], columns=cols)
+        return rows[0]
+
+    def _dispatch(self, sql: str):
+        """Route a statement: engine-protocol commands vs Spark SQL."""
+        eng = self.engine
+        cmd = RW.classify(sql)
+        k, p = cmd.kind, cmd.params
+        if k == "FLUSH":
+            eng.flush()
+            return None
+        if k == "CREATE_SCHEMA":
+            eng.create_schema(p["name"])
+            return None
+        if k == "DROP_SCHEMA":
+            eng.drop_schema(p["name"])
+            return None
+        if k == "CREATE_TABLE":
+            cols, pks = RW.parse_columns(p["cols"])
+            eng.create_table(
+                p["name"], cols, pk_cols=pks or None, version_col=p.get("vcol"),
+                ignore_exist="ine" in p,
+            )
+            return None
+        if k == "DROP_TABLE":
+            eng.drop_table(p["name"])
+            return None
+        if k == "CREATE_MV":
+            eng.create_mv(p["name"], p["stmt"], ignore_exist="ine" in p)
+            return None
+        if k == "DROP_MV":
+            eng.drop_mv(p["name"])
+            return None
+        if k == "CREATE_SUB":
+            retention = p.get("retention", "86400s")
+            eng.create_subscription(
+                p["name"], p["from"],
+                retention_s=int(str(retention).rstrip("s") or 86400),
+                ignore_exist="ine" in p,
+            )
+            return None
+        if k == "DROP_SUB":
+            eng.drop_subscription(p["name"])
+            return None
+        if k == "DECLARE_CURSOR":
+            since = int(p["since"]) if "since" in p else None
+            eng.declare_cursor(p["name"], p["sub"], since)
+            return None
+        if k == "FETCH_CURSOR":
+            return eng.fetch_cursor(p["name"], int(p["n"]))
+        if k == "INSERT":
+            fq = eng.qualify(p["name"])
+            rest = p["rest"]
+            if rest.upper().startswith("VALUES"):
+                names = (
+                    [c.strip() for c in p["cols"].split(",")]
+                    if p.get("cols")
+                    else eng.list_columns(p["name"])
+                )
+                src = eng.sql(f"SELECT * FROM ({rest}) AS __v({', '.join(names)})")
+            else:
+                src = eng.sql(rest)
+                names = src.columns
+            # align to full table schema (missing cols → NULL)
+            full = eng.list_columns(p["name"])
+            from pyspark.sql import functions as F
+
+            src = src.select(
+                *[
+                    (F.col(c) if c in names else F.lit(None)).alias(c)
+                    for c in full
+                ]
+            )
+            target_schema = eng.table_schema(p["name"])
+            src = src.select(
+                *[F.col(f.name).cast(f.dataType) for f in target_schema.fields]
+            )
+            eng.insert_df(p["name"], src)
+            return None
+        # plain query
+        df = eng.sql(sql)
+        rows = df.collect()
+        return df.columns, [tuple(r) for r in rows]
+
+    # -- ingest path (EP3, SURVEY §3) ----------------------------------
+
+    def insert(self, data: pd.DataFrame, table_name: str,
+               schema_name: str = "public", force_flush: bool = False) -> None:
+        """Append a pandas DataFrame, creating the table if absent
+        (core.py:245-293)."""
+        key = f"{schema_name}.{table_name}"
+        if key in self._insert_ctx:
+            self._insert_ctx[key].flush()
+        sdf = self.engine.spark.createDataFrame(data)
+        self.engine.insert_df(table_name, sdf, schema_name)
+        if force_flush:
+            self.engine.flush()
+
+    def insert_row(self, table_name: str, schema_name: str = "public",
+                   force_flush: bool = False, **cols) -> None:
+        """Buffered single-row insert (core.py:295-336); flushes every
+        ``buf_size`` rows (default 5) or immediately on force_flush."""
+        key = f"{schema_name}.{table_name}"  # consistent keying (§2.10 fix)
+        if key not in self._insert_ctx:
+            self._insert_ctx[key] = InsertContext(self.engine, table_name, schema_name)
+        ctx = self._insert_ctx[key]
+        if force_flush:
+            ctx.insert_func(**cols)
+        else:
+            ctx.bulk_insert_func(**cols)
+
+    # -- catalog -------------------------------------------------------
+
+    def check_exist(self, name: str, schema_name: str = "public") -> bool:
+        """information_schema-backed existence check (core.py:338-352)."""
+        result = self.fetch(
+            f"SELECT * FROM information_schema.tables WHERE table_name = '{name}' "
+            f"and table_schema = '{schema_name}'"
+        )
+        return result is not None and len(result) > 0
+
+    def close(self) -> None:
+        pass  # in-process engine; nothing to close (reference bug §2.10 fixed)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        self.close()
+
+    # -- subscriptions (EP2, SURVEY §3) ---------------------------------
+
+    def on_change(
+        self,
+        subscribe_from: str,
+        handler: SubscriptionHandler,
+        max_batch_size: int = 10,
+        schema_name: str = "public",
+        sub_name: str = "",
+        output_format: OutputFormat = OutputFormat.RAW,
+        retention_seconds: int = 86400,
+        persist_progress: bool = False,
+        error_if_not_exist: bool = False,
+        _stop_when_idle: bool = False,
+        _stop_event=None,
+    ) -> None:
+        """Blocking changelog consumption loop (core.py:364-427).
+
+        ``_stop_when_idle`` / ``_stop_event`` are engine extensions
+        (not in the reference): return when the changelog is drained /
+        when the event is set — the reference offers only
+        KeyboardInterrupt to leave the loop (core.py:558-560)."""
+        if tuple(map(int, self.rw_version.split("."))) < (2, 0, 0):
+            raise RuntimeError(
+                "on_change is not supported in RisingWave version < 2.0.0. "
+                "Please upgrade RisingWave."
+            )
+
+        def check():
+            if not self.check_exist(name=subscribe_from, schema_name=schema_name):
+                raise RuntimeError(
+                    f"table {subscribe_from} does not exist in schema {schema_name}. "
+                    "Please create the table first."
+                )
+
+        if error_if_not_exist:
+            check()
+        else:
+            _retry(check, 1000, 60)
+
+        if sub_name == "":
+            sub_name = f"{subscribe_from}_sub"  # core.py:415-416
+
+        sub = Subscription(
+            conn=self, handler=handler, schema_name=schema_name, sub_name=sub_name,
+            subscribe_from=subscribe_from, retention_seconds=retention_seconds,
+            persist_progress=persist_progress,
+        )
+        sub._run(output_format, max_batch_size, stop_when_idle=_stop_when_idle,
+                 stop_event=_stop_event)
+
+
+class MaterializedView:
+    """Continuously maintained query result (core.py:430-480)."""
+
+    def __init__(self, conn: RisingWaveConnection, schema_name: str, name: str,
+                 stmt: str, rw_version: str):
+        self.conn = conn
+        self.schema_name = schema_name
+        self.name = name
+        self.stmt = stmt
+        self.rw_version = rw_version
+
+    def _create(self, ignore_exist: bool = True) -> None:
+        ine = "IF NOT EXISTS " if ignore_exist else ""
+        self.conn.execute(
+            f"CREATE MATERIALIZED VIEW {ine}{self.schema_name}.{self.name} AS {self.stmt}"
+        )
+
+    def _delete(self) -> None:
+        self.conn.execute(f"DROP MATERIALIZED VIEW {self.schema_name}.{self.name}")
+
+    def on_change(self, handler: SubscriptionHandler,
+                  output_format: OutputFormat = OutputFormat.RAW, sub_name: str = "",
+                  retention_seconds: int = 86400, persist_progress: bool = False,
+                  max_batch_size: int = 10, _stop_when_idle: bool = False) -> None:
+        self.conn.on_change(
+            subscribe_from=self.name, schema_name=self.schema_name, handler=handler,
+            sub_name=sub_name, retention_seconds=retention_seconds,
+            persist_progress=persist_progress, output_format=output_format,
+            max_batch_size=max_batch_size, _stop_when_idle=_stop_when_idle,
+        )
+
+
+class Subscription:
+    """Durable changelog reader (core.py:483-560)."""
+
+    def __init__(self, conn: RisingWaveConnection, handler: SubscriptionHandler,
+                 schema_name: str, sub_name: str, subscribe_from: str,
+                 retention_seconds: int, persist_progress: bool = True):
+        self.conn = conn
+        self.sub_name = sub_name
+        self.schema_name = schema_name
+        self.handler = handler
+        self.persist_progress = persist_progress
+        _retry(
+            lambda: self.conn.execute(
+                f"CREATE SUBSCRIPTION IF NOT EXISTS {schema_name}.{sub_name} "
+                f"FROM {schema_name}.{subscribe_from} WITH (retention = '{retention_seconds}s')"
+            ),
+            1000, 5,
+        )
+        if self.persist_progress:
+            _retry(
+                lambda: self.conn.execute(
+                    "CREATE TABLE IF NOT EXISTS risingwave_py_sub_progress "
+                    "(sub_name STRING PRIMARY KEY, progress BIGINT) "
+                    "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(progress)"
+                ),
+                1000, 5,
+            )
+
+    def _run(self, output_format: OutputFormat, max_batch_size: int,
+             wait_interval_ms: int = DEFAULT_CURSOR_IDLE_INTERVAL_MS,
+             cursor_name: str = "default", stop_when_idle: bool = False,
+             stop_event=None) -> None:
+        cursor = f"{self.schema_name}.risingwave_py_cursor_{cursor_name}_{self.sub_name}"
+        fq_sub = f"{self.schema_name}.{self.sub_name}"
+
+        progress_row = None
+        if self.persist_progress:
+            progress_row = self.conn.fetchone(
+                f"SELECT progress FROM risingwave_py_sub_progress "
+                f"WHERE sub_name = '{fq_sub}'"
+            )
+        if progress_row is not None:
+            self.conn.execute(
+                f"DECLARE {cursor} subscription cursor for {fq_sub} SINCE {progress_row[0]}"
+            )
+        else:
+            self.conn.execute(f"DECLARE {cursor} subscription cursor for {fq_sub}")
+
+        while True:
+            if stop_event is not None and stop_event.is_set():
+                break
+            try:
+                data = self.conn.fetch(
+                    f"FETCH {max_batch_size} FROM {cursor}", format=output_format
+                )
+                if data is None or len(data) == 0:
+                    if stop_when_idle:
+                        break
+                    time.sleep(wait_interval_ms / 1000)
+                    continue
+                self.handler(data)
+                if self.persist_progress:
+                    if output_format == OutputFormat.DATAFRAME:
+                        progress = data["rw_timestamp"].iloc[-1]
+                    else:
+                        progress = data[-1][-1]
+                    self.conn.execute(
+                        f"INSERT INTO risingwave_py_sub_progress (sub_name, progress) "
+                        f"VALUES ('{fq_sub}', {progress})"
+                    )
+            except KeyboardInterrupt:
+                logger.info("subscription %s is interrupted", fq_sub)
+                break
+
+
+class RisingWave(RisingWaveConnection):
+    """Entry point (core.py:563-648). No conn options → in-process Spark
+    engine (the reference would spawn a local server, core.py:575-606)."""
+
+    def __init__(self, conn_options: RisingWaveConnOptions | None = None,
+                 spark=None):
+        self.options = conn_options
+        self.engine_backend = SparkEngine(spark=spark)
+        super().__init__(self.engine_backend)
+        self.local_risingwave = None
+
+    def getconn(self) -> RisingWaveConnection:
+        return RisingWaveConnection(self.engine_backend, self.rw_version)
+
+    def close(self) -> None:
+        pass
+
+    def mv(self, stmt: str, name: str, schema_name: str = "public") -> MaterializedView:
+        """Create a materialized view (core.py:622-648)."""
+        mv = MaterializedView(self.getconn(), schema_name, name, stmt, self.rw_version)
+        mv._create()
+        return mv

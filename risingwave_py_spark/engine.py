@@ -1,0 +1,510 @@
+"""SparkEngine: the server the reference SDK talks to, re-imagined
+in-process on Spark (SURVEY.md §3-§4, §7 M0-M3).
+
+Responsibilities (all server-side in the reference, delegated via SQL
+strings — /root/reference/risingwave/core.py:161-212, 453-455,
+500-560):
+
+  - catalog: PG-style ``schema.table`` namespaces → Spark databases +
+    managed parquet tables; ``information_schema`` views;
+  - ingest: append rows/DataFrames with read-your-writes (FLUSH);
+  - upsert tables (``ON CONFLICT DO UPDATE … WITH VERSION COLUMN``,
+    core.py:507-513) → append-only log + latest-by-version view (no
+    in-place mutation — the scalable formulation);
+  - changelog: every relation gets an append-only change table
+    ``(…cols…, op, rw_timestamp)`` with a monotonically increasing
+    epoch, matching the subscription row contract (core.py:551-554,
+    demo.py:50);
+  - materialized views: result table + changelog delta emission on
+    every flush (Insert/Delete/UpdateInsert/UpdateDelete);
+  - subscriptions + cursors: DECLARE/FETCH protocol with SINCE resume
+    (core.py:515-560).
+
+Scale notes: tables and changelogs are plain parquet datasets —
+appends are new files (no rewrite); upsert resolution is a window
+function (shuffle by pk) computed at read; MV refresh is snapshot
+diff — at production scale the same contract would be served by
+Structured Streaming update-mode aggregation writing the changelog
+from ``foreachBatch``, which streaming/materialized_view.py provides
+for aggregation MVs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import shutil
+import threading
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from risingwave_py_spark.plans import rewrite as RW
+
+logger = logging.getLogger(__name__)
+
+OP_INSERT = "Insert"
+OP_DELETE = "Delete"
+OP_UPDATE_INSERT = "UpdateInsert"
+OP_UPDATE_DELETE = "UpdateDelete"
+
+ENGINE_VERSION = "2.1.0"
+
+
+def _split_fq(name: str, default_schema: str = "public") -> tuple[str, str]:
+    if "." in name:
+        db, tbl = name.split(".", 1)
+        return db, tbl
+    return default_schema, name
+
+
+class MVState:
+    def __init__(self, fq: str, stmt: str, key_cols: list[str] | None):
+        self.fq = fq
+        self.stmt = stmt
+        self.key_cols = key_cols
+
+
+class SparkEngine:
+    """One logical 'server' instance. Multiple instances share the
+    underlying SparkSession (and therefore the catalog)."""
+
+    def __init__(self, spark: SparkSession | None = None, default_schema: str = "public"):
+        if spark is None:
+            from risingwave_py_spark.session import build_session
+
+            spark = build_session()
+        self.spark = spark
+        self.default_schema = default_schema
+        self._lock = threading.RLock()
+        self._epoch = 0
+        self.mvs: dict[str, MVState] = {}
+        self.upsert_meta: dict[str, dict] = {}  # fq -> {pk, version_col}
+        self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
+        self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
+
+    # -- naming ------------------------------------------------------------
+
+    def qualify(self, name: str, schema_name: str | None = None) -> str:
+        db, tbl = _split_fq(name, schema_name or self.default_schema)
+        return f"{db}.{tbl}"
+
+    @staticmethod
+    def changelog_name(fq: str) -> str:
+        db, tbl = _split_fq(fq)
+        return f"{db}.__rw_changelog__{tbl}"
+
+    @staticmethod
+    def log_name(fq: str) -> str:
+        db, tbl = _split_fq(fq)
+        return f"{db}.__rw_upsertlog__{tbl}"
+
+    # -- epochs ------------------------------------------------------------
+
+    def next_epoch(self) -> int:
+        with self._lock:
+            self._epoch += 1
+            return self._epoch
+
+    @property
+    def current_epoch(self) -> int:
+        return self._epoch
+
+    @property
+    def version_string(self) -> str:
+        return (
+            f"PostgreSQL 13.14.0-RisingWave-{ENGINE_VERSION} "
+            f"(risingwave_py_spark on Apache Spark {self.spark.version})"
+        )
+
+    # -- catalog -----------------------------------------------------------
+
+    def table_exists(self, name: str, schema_name: str | None = None) -> bool:
+        return self.spark.catalog.tableExists(self.qualify(name, schema_name))
+
+    def list_columns(self, name: str, schema_name: str | None = None) -> list[str]:
+        fq = self.qualify(name, schema_name)
+        if not self.spark.catalog.tableExists(fq):
+            raise RuntimeError(f"table {fq} does not exist")
+        return [f.name for f in self.spark.table(fq).schema.fields]
+
+    def table_schema(self, name: str, schema_name: str | None = None) -> T.StructType:
+        return self.spark.table(self.qualify(name, schema_name)).schema
+
+    def create_schema(self, name: str) -> None:
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+    def drop_schema(self, name: str) -> None:
+        self.spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+
+    def refresh_info_schema(self) -> None:
+        """Materialize information_schema.{tables,columns} from the Spark
+        catalog into temp views the rewrite layer points queries at."""
+        tables: list[Row] = []
+        columns: list[Row] = []
+        for db in self.spark.catalog.listDatabases():
+            for t in self.spark.catalog.listTables(db.name):
+                if t.namespace is None or len(t.namespace) == 0 or t.name.startswith("__rw_"):
+                    continue
+                schema = ".".join(t.namespace)
+                kind = "VIEW" if t.tableType == "VIEW" else "BASE TABLE"
+                tables.append(
+                    Row(table_catalog="spark_catalog", table_schema=schema,
+                        table_name=t.name, table_type=kind)
+                )
+                for i, f in enumerate(self.spark.table(f"{schema}.{t.name}").schema.fields):
+                    columns.append(
+                        Row(table_catalog="spark_catalog", table_schema=schema,
+                            table_name=t.name, column_name=f.name,
+                            ordinal_position=i + 1, data_type=f.dataType.simpleString())
+                    )
+        t_schema = "table_catalog string, table_schema string, table_name string, table_type string"
+        c_schema = (
+            "table_catalog string, table_schema string, table_name string, "
+            "column_name string, ordinal_position int, data_type string"
+        )
+        self.spark.createDataFrame(tables, t_schema).createOrReplaceTempView(
+            "rw_information_schema_tables"
+        )
+        self.spark.createDataFrame(columns, c_schema).createOrReplaceTempView(
+            "rw_information_schema_columns"
+        )
+
+    def _clear_stale_location(self, fq: str) -> None:
+        """The session catalog is in-memory but managed-table data dirs
+        persist on disk; a table absent from the catalog whose location
+        survives (prior process) must be cleared before re-creating."""
+        if self.spark.catalog.tableExists(fq):
+            return
+        db, tbl = _split_fq(fq)
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = re.sub(r"^file:", "", wh)
+        path = os.path.join(wh, f"{db}.db", tbl)
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_table(
+        self,
+        name: str,
+        cols: list[tuple[str, str]],
+        pk_cols: list[str] | None = None,
+        version_col: str | None = None,
+        ignore_exist: bool = True,
+        schema_name: str | None = None,
+    ) -> None:
+        fq = self.qualify(name, schema_name)
+        if self.spark.catalog.tableExists(fq):
+            if ignore_exist:
+                return
+            raise RuntimeError(f"table {fq} already exists")
+        col_sql = ", ".join(f"`{n}` {t}" for n, t in cols)
+        if version_col and pk_cols:
+            # Upsert table: physical append log + latest-by-version view.
+            log = self.log_name(fq)
+            self._clear_stale_location(log)
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {log} ({col_sql}, `__rw_epoch` BIGINT) USING PARQUET"
+            )
+            pk_sql = ", ".join(f"`{c}`" for c in pk_cols)
+            user_cols = ", ".join(f"`{n}`" for n, _ in cols)
+            self.spark.sql(
+                f"CREATE OR REPLACE VIEW {fq} AS "
+                f"SELECT {user_cols} FROM ("
+                f"  SELECT *, row_number() OVER ("
+                f"    PARTITION BY {pk_sql} "
+                f"    ORDER BY `{version_col}` DESC NULLS LAST, `__rw_epoch` DESC) AS __rw_rn "
+                f"  FROM {log}) WHERE __rw_rn = 1"
+            )
+            self.upsert_meta[fq] = {"pk": pk_cols, "version_col": version_col}
+        else:
+            self._clear_stale_location(fq)
+            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {fq} ({col_sql}) USING PARQUET")
+        self._ensure_changelog(fq)
+
+    def drop_table(self, name: str, schema_name: str | None = None) -> None:
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta:
+            self.spark.sql(f"DROP VIEW IF EXISTS {fq}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.log_name(fq)}")
+            del self.upsert_meta[fq]
+        else:
+            self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.changelog_name(fq)}")
+
+    def _ensure_changelog(self, fq: str) -> None:
+        cl = self.changelog_name(fq)
+        if not self.spark.catalog.tableExists(cl):
+            self._clear_stale_location(cl)
+            base = self.spark.table(fq)
+            empty = base.withColumn("op", F.lit("x")).withColumn(
+                "rw_timestamp", F.lit(0).cast("bigint")
+            ).limit(0)
+            empty.write.format("parquet").saveAsTable(cl)
+
+    # -- ingest ------------------------------------------------------------
+
+    def insert_df(self, name: str, df: DataFrame, schema_name: str | None = None) -> int:
+        """Append a DataFrame to a table (creating it if absent — the
+        reference's pandas ``to_sql(if_exists='append')`` semantics,
+        core.py:283-290). Returns the epoch of the write."""
+        fq = self.qualify(name, schema_name)
+        epoch = self.next_epoch()
+        if fq in self.upsert_meta:
+            self.spark.catalog.refreshTable(self.log_name(fq))
+            df.withColumn("__rw_epoch", F.lit(epoch)).write.mode("append").saveAsTable(
+                self.log_name(fq)
+            )
+        else:
+            if not self.spark.catalog.tableExists(fq):
+                self._clear_stale_location(fq)
+                df.limit(0).write.format("parquet").saveAsTable(fq)
+                self._ensure_changelog(fq)
+            df.write.mode("append").insertInto(fq)
+        self._ensure_changelog(fq)
+        self._append_changelog(fq, df, OP_INSERT, epoch)
+        return epoch
+
+    def _append_changelog(self, fq: str, df: DataFrame, op: str, epoch: int) -> None:
+        cl = self.changelog_name(fq)
+        out = df.withColumn("op", F.lit(op)).withColumn(
+            "rw_timestamp", F.lit(epoch).cast("bigint")
+        )
+        out.write.mode("append").insertInto(cl)
+
+    # -- flush / MV maintenance -------------------------------------------
+
+    def flush(self) -> None:
+        """Read-your-writes barrier (reference FLUSH, core.py:121):
+        base-table writes are already synchronous; this refreshes every
+        registered MV so MVs + their changelogs observe prior writes."""
+        for state in list(self.mvs.values()):
+            self.refresh_mv(state)
+
+    def sql(self, sql: str) -> DataFrame:
+        self.spark.catalog.setCurrentDatabase(self.default_schema)
+        if re.search(r"\binformation_schema\.", sql, re.I):
+            self.refresh_info_schema()
+        return self.spark.sql(RW.rewrite_query(sql, self.version_string))
+
+    _GROUP_BY = re.compile(
+        r"\bGROUP\s+BY\s+(?P<cols>.+?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)", re.I | re.S
+    )
+
+    def _infer_key_cols(self, stmt: str, out_cols: list[str]) -> list[str] | None:
+        m = self._GROUP_BY.search(stmt)
+        if not m:
+            return None
+        keys = []
+        for part in m.group("cols").split(","):
+            ident = part.strip().strip(";")
+            if not re.fullmatch(r"[\w.]+", ident):
+                return None  # expression group key → fall back to bag diff
+            ident = ident.split(".")[-1]
+            if ident not in out_cols:
+                return None
+            keys.append(ident)
+        return keys or None
+
+    def create_mv(
+        self,
+        name: str,
+        stmt: str,
+        ignore_exist: bool = True,
+        schema_name: str | None = None,
+    ) -> None:
+        fq = self.qualify(name, schema_name)
+        if fq in self.mvs or self.spark.catalog.tableExists(fq):
+            if ignore_exist:
+                if fq not in self.mvs and self.spark.catalog.tableExists(fq):
+                    # table exists from a previous engine instance; re-register
+                    rewritten = RW.rewrite_query(stmt, self.version_string)
+                    out_cols = [f.name for f in self.spark.table(fq).schema.fields]
+                    self.mvs[fq] = MVState(fq, rewritten, self._infer_key_cols(stmt, out_cols))
+                return
+            raise RuntimeError(f"materialized view {fq} already exists")
+        self.spark.catalog.setCurrentDatabase(self.default_schema)
+        rewritten = RW.rewrite_query(stmt, self.version_string)
+        df = self.spark.sql(rewritten)
+        self._clear_stale_location(fq)
+        df.write.format("parquet").saveAsTable(fq)
+        self._ensure_changelog(fq)
+        self.mvs[fq] = MVState(fq, rewritten, self._infer_key_cols(stmt, df.columns))
+
+    def drop_mv(self, name: str, schema_name: str | None = None) -> None:
+        fq = self.qualify(name, schema_name)
+        self.mvs.pop(fq, None)
+        self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.changelog_name(fq)}")
+
+    def refresh_mv(self, state: MVState) -> None:
+        """Recompute the MV and emit changelog deltas.
+
+        Snapshot-diff derivation (SURVEY §7 'what's hard' #1): new
+        result vs stored result. With inferable group keys we emit
+        RisingWave-style UpdateDelete/UpdateInsert pairs for changed
+        groups; otherwise a null-safe bag diff emits Insert/Delete
+        with multiplicity."""
+        spark = self.spark
+        spark.catalog.setCurrentDatabase(self.default_schema)
+        fq = state.fq
+        db, tbl = _split_fq(fq)
+        stage = f"{db}.__rw_stage__{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        spark.sql(RW.rewrite_query(state.stmt, self.version_string)).write.format(
+            "parquet"
+        ).saveAsTable(stage)
+
+        old = spark.table(fq)
+        new = spark.table(stage)
+        cols = old.columns
+        epoch = self.next_epoch()
+
+        if state.key_cols:
+            keys = state.key_cols
+            vals = [c for c in cols if c not in keys]
+            o = old.alias("o").withColumn("__o", F.lit(1))
+            n = new.alias("n").withColumn("__n", F.lit(1))
+            cond = None
+            for k in keys:
+                e = o[k].eqNullSafe(n[k])
+                cond = e if cond is None else (cond & e)
+            j = o.join(n, cond, "full_outer")
+            same = None
+            for v in vals:
+                e = o[v].eqNullSafe(n[v])
+                same = e if same is None else (same & e)
+            if same is None:
+                same = F.lit(True)
+            inserts = j.filter(o["__o"].isNull()).select(*[n[c] for c in cols])
+            deletes = j.filter(n["__n"].isNull()).select(*[o[c] for c in cols])
+            changed = j.filter(o["__o"].isNotNull() & n["__n"].isNotNull() & ~same)
+            upd_del = changed.select(*[o[c] for c in cols])
+            upd_ins = changed.select(*[n[c] for c in cols])
+            batches = [
+                (deletes, OP_DELETE),
+                (upd_del, OP_UPDATE_DELETE),
+                (upd_ins, OP_UPDATE_INSERT),
+                (inserts, OP_INSERT),
+            ]
+        else:
+            oc = old.groupBy(*cols).agg(F.count("*").alias("__oc"))
+            nc = new.groupBy(*cols).agg(F.count("*").alias("__nc"))
+            cond = None
+            for k in cols:
+                e = oc[k].eqNullSafe(nc[k])
+                cond = e if cond is None else (cond & e)
+            j = oc.join(nc, cond, "full_outer")
+            pick = [
+                F.coalesce(oc[c], nc[c]).alias(c) for c in cols
+            ] + [
+                (F.coalesce(nc["__nc"], F.lit(0)) - F.coalesce(oc["__oc"], F.lit(0))).alias(
+                    "__delta"
+                )
+            ]
+            d = j.select(*pick).filter(F.col("__delta") != 0)
+            expand = d.withColumn(
+                "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__delta"))))
+            )
+            inserts = expand.filter(F.col("__delta") > 0).select(*cols)
+            deletes = expand.filter(F.col("__delta") < 0).select(*cols)
+            batches = [(deletes, OP_DELETE), (inserts, OP_INSERT)]
+
+        self._ensure_changelog(fq)
+        any_change = False
+        for df, op in batches:
+            rows = df.collect()
+            if rows:
+                any_change = True
+                delta = spark.createDataFrame(rows, old.schema)
+                self._append_changelog(fq, delta, op, epoch)
+
+        if any_change:
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+    # -- subscriptions -----------------------------------------------------
+
+    def create_subscription(
+        self, name: str, from_rel: str, retention_s: int = 86400, ignore_exist: bool = True
+    ) -> None:
+        fq = self.qualify(name)
+        rel = self.qualify(from_rel)
+        if fq in self.subscriptions:
+            if ignore_exist:
+                return
+            raise RuntimeError(f"subscription {fq} already exists")
+        if not self.spark.catalog.tableExists(rel):
+            raise RuntimeError(f"relation {rel} does not exist")
+        self._ensure_changelog(rel)
+        self.subscriptions[fq] = {"rel": rel, "retention_s": retention_s}
+
+    def drop_subscription(self, name: str) -> None:
+        self.subscriptions.pop(self.qualify(name), None)
+
+    def declare_cursor(self, cursor: str, sub: str, since: int | None = None) -> None:
+        fq_sub = self.qualify(sub)
+        if fq_sub not in self.subscriptions:
+            raise RuntimeError(f"subscription {fq_sub} does not exist")
+        rel = self.subscriptions[fq_sub]["rel"]
+        # No SINCE → changes from now; SINCE p → resume strictly after p.
+        pos = self.current_epoch if since is None else since
+        self.cursors[cursor] = {"sub": fq_sub, "rel": rel, "pos": pos}
+
+    def fetch_cursor(self, cursor: str, n: int) -> tuple[list[str], list[tuple]]:
+        """FETCH n: deliver whole epochs, never splitting one across
+        batches (the batch may exceed n only when a single epoch does).
+        Returns (columns, rows) with rw_timestamp as the LAST column
+        (progress-extraction contract, core.py:551-554)."""
+        st = self.cursors[cursor]
+        cl = self.changelog_name(st["rel"])
+        self.spark.catalog.refreshTable(cl)
+        pending = self.spark.table(cl).filter(F.col("rw_timestamp") > st["pos"])
+        epochs = (
+            pending.groupBy("rw_timestamp")
+            .agg(F.count("*").alias("n"))
+            .orderBy("rw_timestamp")
+            .limit(max(n, 1))
+            .collect()
+        )
+        if not epochs:
+            return [], []
+        cum, last_epoch = 0, None
+        for r in epochs:
+            if last_epoch is not None and cum + r["n"] > n:
+                break
+            cum += r["n"]
+            last_epoch = r["rw_timestamp"]
+        batch = (
+            pending.filter(F.col("rw_timestamp") <= last_epoch)
+            .orderBy("rw_timestamp")
+            .collect()
+        )
+        st["pos"] = last_epoch
+        cols = list(batch[0].__fields__)
+        # move op just before rw_timestamp, rw_timestamp last (contract)
+        assert cols[-2:] == ["op", "rw_timestamp"], cols
+        return cols, [tuple(r) for r in batch]
+
+    def vacuum_changelogs(self) -> None:
+        """Apply subscription retention: compact each changelog to the
+        epochs newer than (current - retention). Epochs are logical
+        (not wall-clock); retention is applied against epoch count —
+        a full implementation would stamp wall time per epoch."""
+        for sub in self.subscriptions.values():
+            cl = self.changelog_name(sub["rel"])
+            if not self.spark.catalog.tableExists(cl):
+                continue
+            keep_from = self._epoch - sub["retention_s"]
+            df = self.spark.table(cl).filter(F.col("rw_timestamp") > keep_from)
+            rows = df.collect()
+            if rows:
+                snap = self.spark.createDataFrame(rows, df.schema)
+                snap.write.mode("overwrite").saveAsTable(cl)

@@ -1,0 +1,240 @@
+"""RisingWave-dialect SQL → Spark SQL rewrite pre-pass (SURVEY.md §4).
+
+The reference SDK ships SQL strings verbatim to a PG-compatible
+server (/root/reference/risingwave/core.py:161-212). Our engine runs
+them on Spark SQL, which covers almost the whole surface natively;
+this module handles the dialect deltas:
+
+  - ``tumble(rel, col, interval '…')`` TVF (demo.py:98-100) →
+    epoch-aligned bucket arithmetic producing window_start/window_end;
+  - ``version()`` → engine-branded literal parseable by the SDK's
+    ``RisingWave-(\\d+\\.\\d+\\.\\d+)`` regex (core.py:40-59);
+  - ``information_schema.{tables,columns}`` (core.py:70-76, 350-352)
+    → catalog-backed temp views;
+  - command classification (FLUSH / DDL / subscription protocol) so
+    the engine can route statements Spark has no notion of.
+
+Everything else passes through to ``spark.sql`` untouched — Catalyst
+is the optimizer, we add no custom rules.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# ---------------------------------------------------------------------------
+# Statement classification
+# ---------------------------------------------------------------------------
+
+CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("FLUSH", re.compile(r"^\s*FLUSH\s*;?\s*$", re.I)),
+    (
+        "CREATE_SCHEMA",
+        re.compile(r"^\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "DROP_SCHEMA",
+        re.compile(r"^\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "CREATE_MV",
+        re.compile(
+            r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+(?P<stmt>.*)$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "DROP_MV",
+        re.compile(r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "CREATE_SUB",
+        re.compile(
+            r"^\s*CREATE\s+SUBSCRIPTION\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+FROM\s+(?P<from>[\w.]+)"
+            r"(\s+WITH\s*\(\s*retention\s*=\s*'(?P<retention>\w+)'\s*\))?\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "DROP_SUB",
+        re.compile(r"^\s*DROP\s+SUBSCRIPTION\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "DECLARE_CURSOR",
+        re.compile(
+            r"^\s*DECLARE\s+(?P<name>[\w.]+)\s+subscription\s+cursor\s+for\s+(?P<sub>[\w.]+)"
+            r"(\s+SINCE\s+(?P<since>\d+))?\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "FETCH_CURSOR",
+        re.compile(r"^\s*FETCH\s+(?P<n>\d+)\s+FROM\s+(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        # upsert variant must come first: the plain pattern's greedy
+        # column group would swallow the ON CONFLICT clause
+        "CREATE_TABLE",
+        re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*"
+            r"ON\s+CONFLICT\s+DO\s+UPDATE\s+IF\s+NOT\s+NULL\s+WITH\s+VERSION\s+COLUMN\s*\(\s*(?P<vcol>\w+)\s*\)\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "CREATE_TABLE",
+        re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "DROP_TABLE",
+        re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "INSERT",
+        re.compile(
+            r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s*(\((?P<cols>[\w\s,]+)\))?\s*(?P<rest>(VALUES|SELECT)\s+.*)$",
+            re.I | re.S,
+        ),
+    ),
+]
+
+
+@dataclass
+class Command:
+    kind: str  # one of the CMD_PATTERNS keys, or "QUERY"
+    sql: str
+    params: dict = field(default_factory=dict)
+
+
+def classify(sql: str) -> Command:
+    for kind, pat in CMD_PATTERNS:
+        m = pat.match(sql)
+        if m:
+            return Command(kind, sql, {k: v for k, v in m.groupdict().items() if v is not None})
+    return Command("QUERY", sql)
+
+
+# ---------------------------------------------------------------------------
+# PG type → Spark type (CREATE TABLE DDL, SURVEY §1.2)
+# ---------------------------------------------------------------------------
+
+PG_TO_SPARK_TYPES = {
+    "STRING": "STRING",
+    "VARCHAR": "STRING",
+    "TEXT": "STRING",
+    "TIMESTAMPTZ": "TIMESTAMP",
+    "TIMESTAMP": "TIMESTAMP",
+    "DATE": "DATE",
+    "FLOAT": "DOUBLE",  # RW FLOAT ≡ float8
+    "FLOAT8": "DOUBLE",
+    "FLOAT4": "FLOAT",
+    "REAL": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "DOUBLE PRECISION": "DOUBLE",
+    "INT": "INT",
+    "INTEGER": "INT",
+    "INT4": "INT",
+    "SMALLINT": "SMALLINT",
+    "BIGINT": "BIGINT",
+    "INT8": "BIGINT",
+    "BOOLEAN": "BOOLEAN",
+    "BOOL": "BOOLEAN",
+    "DECIMAL": "DECIMAL(38,10)",
+    "NUMERIC": "DECIMAL(38,10)",
+    "JSONB": "STRING",
+    "BYTEA": "BINARY",
+}
+
+_COLDEF = re.compile(r"^\s*(?P<name>\w+)\s+(?P<type>[\w ]+?)(?P<pk>\s+PRIMARY\s+KEY)?\s*$", re.I)
+
+
+def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """Parse a CREATE TABLE column list → ([(name, spark_type)], pk_cols)."""
+    cols: list[tuple[str, str]] = []
+    pks: list[str] = []
+    for part in cols_sql.split(","):
+        m = _COLDEF.match(part)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        name = m.group("name")
+        pg_t = " ".join(m.group("type").split()).upper()
+        spark_t = PG_TO_SPARK_TYPES.get(pg_t)
+        if spark_t is None:
+            raise ValueError(f"unsupported type {pg_t!r} in column {name!r}")
+        cols.append((name, spark_t))
+        if m.group("pk"):
+            pks.append(name)
+    return cols, pks
+
+
+# ---------------------------------------------------------------------------
+# Query-text rewrites
+# ---------------------------------------------------------------------------
+
+_TUMBLE = re.compile(
+    r"tumble\s*\(\s*(?P<rel>[\w.]+)\s*,\s*(?P<col>\w+)\s*,\s*interval\s+'(?P<ival>[^']+)'\s*\)",
+    re.I,
+)
+
+_INTERVAL_UNITS = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def interval_to_micros(spec: str) -> int:
+    m = re.match(r"^\s*(\d+)\s*(\w+)\s*$", spec)
+    if not m or m.group(2).lower() not in _INTERVAL_UNITS:
+        raise ValueError(f"unsupported interval: {spec!r}")
+    return int(m.group(1)) * _INTERVAL_UNITS[m.group(2).lower()]
+
+
+def rewrite_tumble(sql: str) -> str:
+    """``FROM tumble(rel, col, interval 'X')`` → derived table with
+    epoch-aligned window_start / window_end columns.
+
+    Spelled as integer bucket arithmetic on microseconds — identical
+    semantics to Spark's window() TVF for tumbling windows, but usable
+    anywhere a relation is expected (and dialect-stable)."""
+
+    def sub(m: re.Match) -> str:
+        rel, col = m.group("rel"), m.group("col")
+        us = interval_to_micros(m.group("ival"))
+        return (
+            f"(SELECT *, "
+            f"timestamp_micros(CAST(floor(unix_micros({col}) / {us}) AS BIGINT) * {us}) AS window_start, "
+            f"timestamp_micros(CAST(floor(unix_micros({col}) / {us}) AS BIGINT) * {us} + {us}) AS window_end "
+            f"FROM {rel})"
+        )
+
+    return _TUMBLE.sub(sub, sql)
+
+
+def rewrite_version(sql: str, version_string: str) -> str:
+    return re.sub(r"\bversion\s*\(\s*\)", f"'{version_string}'", sql, flags=re.I)
+
+
+def rewrite_information_schema(sql: str) -> str:
+    """Point information_schema refs at engine-maintained temp views."""
+    sql = re.sub(r"\binformation_schema\.tables\b", "rw_information_schema_tables", sql, flags=re.I)
+    sql = re.sub(
+        r"\binformation_schema\.columns\b", "rw_information_schema_columns", sql, flags=re.I
+    )
+    return sql
+
+
+def rewrite_query(sql: str, version_string: str) -> str:
+    sql = rewrite_tumble(sql)
+    sql = rewrite_version(sql, version_string)
+    sql = rewrite_information_schema(sql)
+    return sql

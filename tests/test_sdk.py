@@ -1,0 +1,135 @@
+"""SDK API-parity tests: the reference's four canonical usage patterns
+(/root/reference/README.md:29-123) plus the §2.1 ingest machinery."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from risingwave_py_spark import OutputFormat
+
+
+def test_insert_dataframe_auto_create_and_fetch(rw):
+    # README.md:45-55 — insert into a never-created table, then fetch
+    df = pd.DataFrame({"product": ["foo", "bar"], "price": [123.45, 0.11]})
+    rw.insert(data=df, table_name="t_sdk_product", force_flush=True)
+    out = rw.fetch("SELECT * FROM t_sdk_product", format=OutputFormat.DATAFRAME)
+    assert sorted(out.columns) == ["price", "product"]
+    assert len(out) == 2
+    raw = rw.fetch("SELECT * FROM t_sdk_product ORDER BY product")
+    assert raw == [("bar", 0.11), ("foo", 123.45)]
+
+
+def test_fetchone(rw):
+    row = rw.fetchone("SELECT 1 AS a, 'x' AS b")
+    assert row == (1, "x")
+    assert rw.fetchone("SELECT 1 WHERE 1 = 0") is None
+
+
+def test_version_parseable(rw):
+    (v,) = rw.fetchone("SELECT version()")
+    assert "RisingWave-2.1.0" in v
+    assert rw.rw_version == "2.1.0"
+
+
+def test_check_exist(rw):
+    assert rw.check_exist("t_sdk_product")
+    assert not rw.check_exist("definitely_missing_table")
+
+
+def test_create_table_ddl_and_insert_row_buffering(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_tick")
+    rw.execute(
+        "CREATE TABLE IF NOT EXISTS t_sdk_tick "
+        "(symbol STRING, ts TIMESTAMPTZ, close FLOAT)"
+    )
+    for i in range(7):
+        rw.insert_row(
+            table_name="t_sdk_tick", symbol="eth",
+            ts=datetime.datetime(2024, 1, 1, 0, 0, i), close=100.0 + i,
+        )
+    # buf_size=5 → first 5 flushed, 2 still buffered (core.py:68 parity)
+    assert len(rw.fetch("SELECT * FROM t_sdk_tick")) == 5
+    rw.insert_row(table_name="t_sdk_tick", symbol="eth",
+                  ts=datetime.datetime(2024, 1, 1, 0, 1), close=1.0, force_flush=True)
+    assert len(rw.fetch("SELECT * FROM t_sdk_tick")) == 8
+
+
+def test_insert_row_null_fill(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_nulls")
+    rw.execute("CREATE TABLE t_sdk_nulls (a INT, b STRING, c DOUBLE)")
+    rw.insert_row(table_name="t_sdk_nulls", a=1, force_flush=True)
+    assert rw.fetch("SELECT * FROM t_sdk_nulls") == [(1, None, None)]
+
+
+def test_mv_create_query_drop(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_sales")
+    rw.insert(
+        data=pd.DataFrame({"product": ["a", "a", "b"], "price": [1.0, 3.0, 10.0]}),
+        table_name="t_sdk_sales", force_flush=True,
+    )
+    mv = rw.mv(
+        stmt="SELECT product, avg(price) AS avg_price FROM t_sdk_sales GROUP BY product",
+        name="t_sdk_sales_mv",
+    )
+    got = sorted(rw.fetch("SELECT * FROM t_sdk_sales_mv"))
+    assert got == [("a", 2.0), ("b", 10.0)]
+    # MV refreshes on flush after new inserts
+    rw.insert(data=pd.DataFrame({"product": ["b"], "price": [20.0]}),
+              table_name="t_sdk_sales", force_flush=True)
+    got = sorted(rw.fetch("SELECT * FROM t_sdk_sales_mv"))
+    assert got == [("a", 2.0), ("b", 15.0)]
+    mv._delete()
+    assert not rw.check_exist("t_sdk_sales_mv")
+
+
+def test_upsert_table_version_column(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_progress")
+    rw.execute(
+        "CREATE TABLE IF NOT EXISTS t_sdk_progress "
+        "(sub_name STRING PRIMARY KEY, progress BIGINT) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(progress)"
+    )
+    rw.execute("INSERT INTO t_sdk_progress (sub_name, progress) VALUES ('s1', 10)")
+    rw.execute("INSERT INTO t_sdk_progress (sub_name, progress) VALUES ('s1', 25)")
+    rw.execute("INSERT INTO t_sdk_progress (sub_name, progress) VALUES ('s2', 5)")
+    # stale version must NOT win
+    rw.execute("INSERT INTO t_sdk_progress (sub_name, progress) VALUES ('s1', 7)")
+    got = sorted(rw.fetch("SELECT * FROM t_sdk_progress"))
+    assert got == [("s1", 25), ("s2", 5)]
+
+
+def test_schema_namespaces(rw):
+    rw.execute("CREATE SCHEMA IF NOT EXISTS t_sdk_ns")
+    rw.insert(data=pd.DataFrame({"x": [1, 2]}), table_name="nums",
+              schema_name="t_sdk_ns", force_flush=True)
+    assert rw.check_exist("nums", schema_name="t_sdk_ns")
+    assert len(rw.fetch("SELECT * FROM t_sdk_ns.nums")) == 2
+
+
+def test_tumble_rewrite(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_tumble")
+    rows = pd.DataFrame({
+        "sym": ["a", "a", "a"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:03", "2024-01-01 00:00:07",
+                               "2024-01-01 00:00:14"]),
+        "v": [1.0, 2.0, 10.0],
+    })
+    rw.insert(data=rows, table_name="t_sdk_tumble", force_flush=True)
+    got = rw.fetch(
+        "SELECT window_start, window_end, sym, avg(v) AS av "
+        "FROM tumble(t_sdk_tumble, ts, interval '10 seconds') "
+        "GROUP BY window_start, window_end, sym ORDER BY window_start"
+    )
+    assert len(got) == 2
+    assert got[0][3] == 1.5 and got[1][3] == 10.0
+    assert got[0][1] == got[1][0]  # adjacent windows
+
+
+def test_output_formats(rw):
+    df = rw.fetch("SELECT 1 AS a", format=OutputFormat.DATAFRAME)
+    assert isinstance(df, pd.DataFrame) and df["a"].iloc[0] == 1
+    raw = rw.fetch("SELECT 1 AS a", format=OutputFormat.RAW)
+    assert raw == [(1,)]

@@ -1,0 +1,153 @@
+"""Changelog / subscription semantics tests (SURVEY.md §5 item 3):
+scripted insert sequences → expected op sequences; progress
+persistence and SINCE resume; at-least-once behavior."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pandas as pd
+import pytest
+
+from risingwave_py_spark import OutputFormat
+
+
+def _ops(rows):
+    return sorted((r[0], r[-2]) for r in rows)
+
+
+def test_agg_mv_changelog_ops(rw):
+    """Mirrors demo.py:50 — an agg MV emits Insert for new groups and
+    UpdateDelete/UpdateInsert pairs for changed groups."""
+    rw.execute("DROP TABLE IF EXISTS t_ch_sales")
+    rw.insert(data=pd.DataFrame({"p": ["x", "y"], "v": [1.0, 2.0]}),
+              table_name="t_ch_sales", force_flush=True)
+    rw.mv(stmt="SELECT p, sum(v) AS total FROM t_ch_sales GROUP BY p",
+          name="t_ch_mv")
+    rw.execute(
+        "CREATE SUBSCRIPTION IF NOT EXISTS public.t_ch_sub FROM public.t_ch_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute("DECLARE t_ch_cur subscription cursor for public.t_ch_sub SINCE 0")
+
+    # change x (update), add z (insert)
+    rw.insert(data=pd.DataFrame({"p": ["x", "z"], "v": [9.0, 5.0]}),
+              table_name="t_ch_sales", force_flush=True)
+    cols, rows = rw.engine.fetch_cursor("t_ch_cur", 100)
+    assert cols[-2:] == ["op", "rw_timestamp"]
+    assert _ops(rows) == [
+        ("x", "UpdateDelete"), ("x", "UpdateInsert"), ("z", "Insert"),
+    ]
+    old_x = [r for r in rows if r[0] == "x" and r[1] == 1.0]
+    new_x = [r for r in rows if r[0] == "x" and r[1] == 10.0]
+    assert old_x[0][-2] == "UpdateDelete"
+    assert new_x[0][-2] == "UpdateInsert"
+
+
+def test_epochs_monotonic_and_batched(rw):
+    rw.execute("DROP TABLE IF EXISTS t_ch_mono")
+    rw.insert(data=pd.DataFrame({"k": [1], "v": [1.0]}),
+              table_name="t_ch_mono", force_flush=True)
+    rw.execute(
+        "CREATE SUBSCRIPTION IF NOT EXISTS public.t_ch_mono_sub FROM public.t_ch_mono "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute("DECLARE t_ch_mono_cur subscription cursor for public.t_ch_mono_sub SINCE 0")
+    for i in range(3):
+        rw.insert(data=pd.DataFrame({"k": [10 + i], "v": [float(i)]}),
+                  table_name="t_ch_mono", force_flush=True)
+    _, rows = rw.engine.fetch_cursor("t_ch_mono_cur", 1000)
+    ts = [r[-1] for r in rows]
+    assert ts == sorted(ts)
+    assert len(set(ts)) == 4  # initial + 3 single-row epochs
+    # ops on a plain table are all Insert
+    assert {r[-2] for r in rows} == {"Insert"}
+
+
+def test_fetch_does_not_split_epochs(rw):
+    rw.execute("DROP TABLE IF EXISTS t_ch_split")
+    rw.insert(data=pd.DataFrame({"k": list(range(5)), "v": [0.0] * 5}),
+              table_name="t_ch_split", force_flush=True)
+    rw.execute(
+        "CREATE SUBSCRIPTION IF NOT EXISTS public.t_ch_split_sub FROM public.t_ch_split "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute("DECLARE t_ch_split_cur subscription cursor for public.t_ch_split_sub SINCE 0")
+    # batch limit 3 < epoch size 5 → the whole 5-row epoch is delivered
+    _, rows = rw.engine.fetch_cursor("t_ch_split_cur", 3)
+    assert len(rows) == 5
+    assert len({r[-1] for r in rows}) == 1
+
+
+def test_progress_persist_and_since_resume(rw):
+    """Progress written after handling; a new subscription run resumes
+    from the persisted offset and sees only newer epochs
+    (core.py:525-557 contract)."""
+    rw.execute("DROP TABLE IF EXISTS t_ch_resume")
+    rw.insert(data=pd.DataFrame({"k": [1], "v": [1.0]}),
+              table_name="t_ch_resume", force_flush=True)
+
+    got_first: list = []
+    stop = threading.Event()
+    t = threading.Thread(
+        target=lambda: rw.on_change(
+            subscribe_from="t_ch_resume",
+            handler=lambda d: got_first.append(d),
+            output_format=OutputFormat.RAW,
+            persist_progress=True, max_batch_size=100,
+            _stop_event=stop,
+        ),
+        daemon=True,
+    )
+    t.start()
+    # keep producing (like the reference demo's tick thread) until the
+    # subscriber — whose cursor starts at declare-time — sees a batch
+    deadline = time.time() + 120
+    k = 2
+    while not got_first and time.time() < deadline:
+        rw.insert(data=pd.DataFrame({"k": [k], "v": [float(k)]}),
+                  table_name="t_ch_resume", force_flush=True)
+        k += 1
+        time.sleep(0.5)
+    assert got_first, "no batch delivered to live subscription"
+    stop.set()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    delivered_ts = got_first[-1][-1][-1]
+
+    # progress row persisted = last delivered epoch
+    prow = rw.fetchone(
+        "SELECT progress FROM risingwave_py_sub_progress "
+        "WHERE sub_name = 'public.t_ch_resume_sub'"
+    )
+    assert prow is not None and prow[0] == delivered_ts
+
+    # second run (fresh loop) resumes SINCE progress: only newer epochs
+    rw.insert(data=pd.DataFrame({"k": [999], "v": [9.0]}),
+              table_name="t_ch_resume", force_flush=True)
+    got_second: list = []
+    rw.on_change(
+        subscribe_from="t_ch_resume", handler=lambda d: got_second.append(d),
+        output_format=OutputFormat.RAW, persist_progress=True,
+        max_batch_size=100, _stop_when_idle=True,
+    )
+    flat = [r for b in got_second for r in b]
+    assert 999 in [r[0] for r in flat]
+    assert all(r[-1] > delivered_ts for r in flat)
+    # no redelivery of rows handled in the first run
+    first_keys = {r[0] for b in got_first for r in b}
+    assert first_keys.isdisjoint({r[0] for r in flat})
+
+
+def test_dataframe_format_has_rw_timestamp_last(rw):
+    rw.execute("DROP TABLE IF EXISTS t_ch_fmt")
+    rw.insert(data=pd.DataFrame({"k": [1]}), table_name="t_ch_fmt", force_flush=True)
+    rw.execute(
+        "CREATE SUBSCRIPTION IF NOT EXISTS public.t_ch_fmt_sub FROM public.t_ch_fmt "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute("DECLARE t_ch_fmt_cur subscription cursor for public.t_ch_fmt_sub SINCE 0")
+    data = rw.fetch("FETCH 10 FROM t_ch_fmt_cur", format=OutputFormat.DATAFRAME)
+    assert list(data.columns) == ["k", "op", "rw_timestamp"]
+    assert data["rw_timestamp"].iloc[-1] > 0
