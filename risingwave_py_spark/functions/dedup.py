@@ -1,1 +1,301 @@
-"""Deduplication operators (exact + near-dup). Filled in M6."""
+"""Deduplication operators for LLM corpus curation (BASELINE.json
+extension surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+  - exact dedup is one hash-aggregate (map-side combine, single
+    shuffle on the content hash);
+  - MinHash signatures are computed per-row with higher-order array
+    functions (NO explode of shingles through a shuffle — signature
+    computation is a projection inside whole-stage codegen); only the
+    tiny (doc → band) relation shuffles for the LSH bucket join;
+  - SimHash fingerprints likewise reduce each doc to one BIGINT
+    before any join; candidate pairing joins fingerprints, not text;
+  - n-gram Jaccard is the only operator that explodes shingles, and
+    it prunes to DISTINCT (doc, shingle) first — the standard
+    inverted-index join.
+
+Portable hash (functions/text.py convention): first 8 md5 hex chars
+as a BIGINT — bit-identical in Spark and DuckDB, so every pipeline
+here is oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.functions.text import duck_hash32, spark_hash32
+from risingwave_py_spark.registry import register
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 32
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep the smallest
+    doc_id per group (deterministic survivor policy)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (
+            SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
+            FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents) w
+        ) pos, LATERAL (SELECT array_to_string(words[i:i+2], ' ') AS sh) s
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word) Jaccard near-dup pairs via the inverted-index
+    join: distinct (doc, shingle) → self-join on shingle → |∩| / |∪|.
+    Top-20 with a total deterministic order (exact int/int division)."""
+    d = table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
+            "i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _spark_sig_expr(i: int) -> str:
+    h = spark_hash32(f"concat('{i}:', s)")
+    return f"array_min(transform(__shingles, s -> {h}))"
+
+
+def _duck_sig_expr(i: int) -> str:
+    h = duck_hash32(f"concat('{i}:', s)")
+    return f"list_aggregate(list_transform(shingles, s -> {h}), 'min')"
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n               ".join(f"{_duck_sig_expr(i)} AS s{i}" for i in range(N_MINHASH))
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_id, "
+        f"md5(concat_ws(',', {', '.join(f's{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))})) AS band_hash "
+        f"FROM sigs"
+        for b in range(N_BANDS)
+    )
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(regexp_split_to_array(text, '\s+')) - 2),
+                   i -> array_to_string((regexp_split_to_array(text, '\s+'))[i:i+2], ' ')
+               )) AS shingles
+        FROM documents
+    ), sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM docs
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({eq_sum} AS DOUBLE) / {N_MINHASH} AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    ORDER BY est_jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=16) + LSH (4 bands × 4 rows) near-dup candidates.
+
+    Signatures are a pure per-row projection (higher-order array
+    functions — shingle sets never leave the row, no explode); only
+    (doc_id, band_id, band_hash) tuples shuffle for the bucket join.
+    At 100 TB this is the textbook scalable pipeline: O(n) signature
+    pass + equi-join on band buckets."""
+    d = table(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
+            "i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+        )
+    )
+    sigs = d.select("doc_id", shingles.alias("__shingles")).select(
+        "doc_id", *[F.expr(_spark_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
+    )
+    band_frames = []
+    for b in range(N_BANDS):
+        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_frames.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    bands = band_frames[0]
+    for f in band_frames[1:]:
+        bands = bands.union(f)
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (eq.cast("double") / N_MINHASH).alias("est_jaccard"))
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_fingerprint_exprs() -> tuple[str, str]:
+    """(spark_expr, duck_expr) computing the 32-bit SimHash fingerprint
+    from a `words` array column — same formula, dialect spellings."""
+    s_h = spark_hash32("w")
+    d_h = duck_hash32("w")
+    spark_bits = " + ".join(
+        f"(CASE WHEN aggregate(transform(words, w -> CASE WHEN (shiftright({s_h}, {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    duck_bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(words, w -> CASE WHEN ({d_h} >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return spark_bits, duck_bits
+
+
+_SPARK_SIMHASH, _DUCK_SIMHASH = _simhash_fingerprint_exprs()
+
+
+@register(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH fp AS (
+        SELECT doc_id, {_DUCK_SIMHASH} AS simhash
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents) w
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: each doc reduces to one 32-bit
+    fingerprint (weighted bit-vote over word hashes, computed entirely
+    in codegen), then pairs rank by Hamming distance (`bit_count` of
+    XOR). At scale the pair stage blocks on fingerprint bit-prefixes
+    instead of the full cross join used here at test sizes."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("words")
+    ).select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -1,1 +1,141 @@
-"""Multimodal (binary) column operators. Filled in M6."""
+"""Multimodal (image/audio/video) column handling.
+
+Pattern for a 100 TB training-data pipeline: media lives as opaque
+``BINARY`` payloads (or object-store URIs) beside typed metadata;
+decode / feature-extraction runs as Arrow-batched Pandas UDFs via
+``mapInPandas`` so bytes stream through executors without ever
+concentrating on the driver.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake behind ``decode_payload`` (clearly marked; swap in
+PIL/torchaudio in production). Everything Spark-side — schema,
+binary columns, partitioning, UDF signatures, Arrow batch shapes —
+is real and tested.
+
+The fixture has no binary column, so payloads are synthesized
+deterministically from ``documents.text`` (utf-8 bytes): stable
+inputs → oracle-checkable metadata and rows-only-checkable features.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.registry import register
+
+MODALITIES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, byte_mean double, "
+    "byte_std double, feat_head string, decoder string"
+)
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """Attach a synthetic binary payload + modality metadata to each doc.
+    (In production this column comes straight from parquet/Delta.)"""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
+    )
+    return df.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def decode_payload(payload: bytes, modality: str) -> dict:
+    """STUB DECODER (deterministic fake).
+
+    A real implementation would dispatch on modality:
+      image → PIL.Image.open(io.BytesIO(payload)) → resize → pixels
+      audio → torchaudio.load → resample → frames
+      video → pyav keyframe sample
+    None of those libraries exist in this container, so we derive
+    deterministic pseudo-features from the raw bytes. The Spark-side
+    contract (signature, batching, schema) is exactly what a real
+    decoder plugs into."""
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return {"byte_mean": 0.0, "byte_std": 0.0, "feat_head": ""}
+    return {
+        "byte_mean": float(arr.mean()),
+        "byte_std": float(arr.std()),
+        "feat_head": payload[:8].hex(),
+    }
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of binary payloads
+    in, flat feature rows out. Scales as a pure map — no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_payload(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "byte_mean": [f["byte_mean"] for f in feats],
+                    "byte_std": [f["byte_std"] for f in feats],
+                    "feat_head": [f["feat_head"] for f in feats],
+                    "decoder": "stub-v1",
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_metadata",
+    oracle=f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % {len(MODALITIES)} AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads — byte length + content
+    hash, all JVM-side (the cheap pre-filter before any decode)."""
+    d = with_payload(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        "modality",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: stub decode isn't SQL
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline: payload synth → mapInPandas stub decode →
+    per-modality feature aggregation. The decode stage is Python, so
+    the driver records a rows-only check for this one."""
+    d = with_payload(table(spark, sf_dir, "documents"))
+    feats = extract_features(d)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("byte_mean"), 6).alias("avg_byte_mean"),
+            F.round(F.avg("byte_std"), 6).alias("avg_byte_std"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )

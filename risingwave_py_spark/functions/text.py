@@ -1,1 +1,213 @@
-"""Text analysis operators. Filled in M6."""
+"""Text-analysis operators for LLM training-data pipelines
+(BASELINE.json extension surface; runs over the `documents` fixture).
+
+All of these stay JVM-side (built-in string/array functions inside
+whole-stage codegen — no Python in the row loop), so they scale
+linearly with input and shuffle only for final aggregations (most are
+pure per-row maps: zero shuffles).
+
+Portable hashing convention (shared with functions/dedup.py): 32-bit
+hash = first 8 hex digits of md5, identical in Spark
+(`conv(substring(md5(s),1,8),16,10)`) and DuckDB
+(`('0x' || substring(md5(s),1,8))::BIGINT`) — verified bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.registry import register
+
+# Language marker words (tiny stopword lists) for the n-gram/marker
+# language-ID heuristic. Deterministic and oracle-replicable.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "on", "for", "with"]
+
+
+def spark_hash32(col_sql: str) -> str:
+    return f"CAST(conv(substring(md5({col_sql}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duck_hash32(col_sql: str) -> str:
+    return f"CAST(('0x' || substring(md5({col_sql}), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           n_chars,
+           CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(text, '\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + token statistics (pure map, no shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(text, '\s+') AS words,
+               length(text) AS n_chars_m
+        FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / n_chars_m AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars_m AS digit_ratio,
+           CAST(len(list_filter(words, w -> list_contains({STOPWORDS!r}, w))) AS DOUBLE)
+               / len(words) AS stopword_ratio,
+           CAST(n_chars_m AS DOUBLE) / len(words) AS avg_word_len,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: punctuation/digit/stopword ratios,
+    mean word length, type-token ratio. The standard pre-filter stats
+    for LLM corpus cleaning — all ratios are exact int/int divisions."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.length(F.regexp_replace("text", r"[^.!?,;:]", "")).cast("double") / n_chars).alias(
+            "punct_ratio"
+        ),
+        (F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("double") / n_chars).alias(
+            "digit_ratio"
+        ),
+        (
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+            / n_words
+        ).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_words).alias("avg_word_len"),
+        (F.size(F.array_distinct(words)).cast("double") / n_words).alias("distinct_ratio"),
+    )
+
+
+def _langid_score_sql(words_expr: str, contains_fn: str) -> dict[str, str]:
+    return {
+        lang: f"len(list_filter({words_expr}, w -> {contains_fn}({markers!r}, w)))"
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+@register(
+    "text_langid_markers",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS words
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_filter(words, w -> list_contains({LANG_MARKERS['en']!r}, w))) AS s_en,
+               len(list_filter(words, w -> list_contains({LANG_MARKERS['es']!r}, w))) AS s_es,
+               len(list_filter(words, w -> list_contains({LANG_MARKERS['de']!r}, w))) AS s_de,
+               len(list_filter(words, w -> list_contains({LANG_MARKERS['fr']!r}, w))) AS s_fr,
+               len(list_filter(words, w -> list_contains({LANG_MARKERS['zh']!r}, w))) AS s_zh
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang,
+           s_en + s_es + s_de + s_fr + s_zh AS marker_hits
+    FROM s
+    """,
+)
+def text_langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic with a deterministic
+    tie-break order (en > es > de > fr > zh)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    def marker_count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    scores = {lang: marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    s = d.select("doc_id", "lang", *[scores[k].alias(f"s_{k}") for k in LANG_MARKERS])
+    c = F.col
+    pred = (
+        F.when(
+            (c("s_en") >= c("s_es")) & (c("s_en") >= c("s_de"))
+            & (c("s_en") >= c("s_fr")) & (c("s_en") >= c("s_zh")),
+            "en",
+        )
+        .when((c("s_es") >= c("s_de")) & (c("s_es") >= c("s_fr")) & (c("s_es") >= c("s_zh")), "es")
+        .when((c("s_de") >= c("s_fr")) & (c("s_de") >= c("s_zh")), "de")
+        .when(c("s_fr") >= c("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (c("s_en") + c("s_es") + c("s_de") + c("s_fr") + c("s_zh")).alias("marker_hits"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+    ), pos AS (
+        SELECT doc_id, words, unnest(generate_series(1, len(words) - 4)) AS i FROM w
+    ), sh AS (
+        SELECT doc_id,
+               {duck_hash32("array_to_string(words[i:i+4], ' ')")} AS h
+        FROM pos
+    )
+    SELECT doc_id, md5(text) AS content_hash, f.min_shingle_hash, f.n_shingles
+    FROM documents
+    JOIN (SELECT doc_id, MIN(h) AS min_shingle_hash, COUNT(*) AS n_shingles
+          FROM sh GROUP BY doc_id) f USING (doc_id)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5) + a 1-function
+    MinHash over 5-word shingles (rolling-hash analogue). Shingle
+    hashing/min-reduction happens inside codegen via higher-order
+    array functions — no explode, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        "transform(sequence(1, size(split(text, '\\\\s+')) - 4), "
+        "i -> " + spark_hash32("array_join(slice(split(text, '\\\\s+'), i, 5), ' ')") + ")"
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.expr(f"array_min({sh})").alias("min_shingle_hash"),
+        F.expr(f"size({sh})").cast("long").alias("n_shingles"),
+    )

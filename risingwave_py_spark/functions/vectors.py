@@ -1,1 +1,191 @@
-"""Vector similarity operators. Filled in M6."""
+"""Vector similarity search over the `embeddings` fixture
+(vec_id BIGINT, embedding ARRAY<FLOAT> dim=64, label INT).
+
+Three tiers (BASELINE.json extension surface):
+  - brute-force cosine top-k (the exactness baseline) — JVM-side
+    zip_with/aggregate, no Python in the loop;
+  - random-hyperplane LSH buckets (the 100 TB path: candidates share
+    a signature bucket, cosine only on candidates);
+  - blocked near-dup pairs (metadata blocking, here by label — the
+    pattern for embedding-dedup at corpus scale).
+
+Numeric determinism: element values are float32 read as exact
+doubles; dot/norm folds run left-to-right in Spark (`aggregate`) but
+unordered in DuckDB (`SUM` over unnest) — both land within 1e-13, so
+every exposed similarity is ROUND(x, 6) on both sides (error budget
+1e7× smaller than the rounding quantum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.functions.text import duck_hash32
+from risingwave_py_spark.registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 10
+N_PLANES = 12
+
+
+def _spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _spark_norm(a: str) -> str:
+    return f"sqrt({_spark_dot(a, a)})"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum(list_transform(generate_series(1, len(q.qe)),
+                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(q.qe,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(e.embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS en
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    ), scored AS (
+        SELECT query_id, vec_id, round(dot / (qn * en), 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(dot / (qn * en), 6) DESC, vec_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus, JVM-side fold for dot/norm, per-query window for the top-k
+    cut. The exact-search baseline every ANN variant is judged
+    against. One shuffle (the per-query window)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_spark_dot("qe", "embedding")))
+        .withColumn("qn", F.expr(_spark_norm("qe")))
+        .withColumn("en", F.expr(_spark_norm("embedding")))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("en")), 6))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _plane_sign_spark(p: int) -> str:
+    # deterministic ±1 hyperplane weights from the portable hash
+    h = "CAST(conv(substring(md5(concat('{p}:', CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    return h.replace("{p}", str(p))
+
+
+@register(
+    "ann_lsh_signatures",
+    oracle=f"""
+    WITH proj AS (
+        SELECT vec_id, p.p,
+               list_sum(list_transform(generate_series(1, len(embedding)),
+                   i -> CASE WHEN ({duck_hash32("concat(p.p, ':', CAST(i - 1 AS VARCHAR))")} % 2) = 1
+                             THEN CAST(embedding[i] AS DOUBLE)
+                             ELSE -CAST(embedding[i] AS DOUBLE) END)) AS proj
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+    ), sig AS (
+        SELECT vec_id,
+               SUM(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+    """,
+)
+def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: {N_PLANES}-bit signatures from
+    deterministic ±1 planes (sign = parity of portable hash(plane,
+    dim)). This is the scale path for similarity search — vectors
+    sharing a bucket become the only candidate pairs, turning the
+    O(n²) search into a bucket-local join. Returns the bucket
+    histogram (the partition-balance view an operator would monitor).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    proj_terms = []
+    for p in range(N_PLANES):
+        sign_hash = _plane_sign_spark(p)
+        term = (
+            f"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+            f"(x, i) -> CASE WHEN ({sign_hash} % 2) = 1 THEN CAST(x AS DOUBLE) "
+            f"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        proj_terms.append(
+            f"(CASE WHEN {term} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(proj_terms)
+    sig = e.select("vec_id", F.expr(bucket).alias("bucket"))
+    return sig.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "embedding_blocked_pairs",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id < 1000
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+               round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, cosine
+    FROM pairs
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 25
+    """,
+)
+def embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates with metadata blocking: pairs are
+    only formed inside a block (here: same label — at corpus scale the
+    block key is an LSH bucket or shard), so the join is equi on the
+    block key rather than a cross product. Top-25 most similar pairs.
+    Scoped to vec_id < 1000 to bound the all-pairs oracle."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    n = e.select(
+        "vec_id", "label", "embedding", F.expr(_spark_norm("embedding")).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = _spark_dot("a.embedding", "b.embedding")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(F.expr(dot) / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(25)
+    )

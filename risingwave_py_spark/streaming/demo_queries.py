@@ -1,1 +1,155 @@
-"""Streaming/MV demo queries exposed to the driver. Filled in M2/M3."""
+"""Driver-visible streaming scenarios (SURVEY.md §2.8 evidence).
+
+Each query runs a complete engine scenario — DDL, inserts, MV
+maintenance, subscription cursor — and returns the resulting
+changelog/table rows. The scenarios are fully deterministic (logical
+epochs, fixed inserts), so most carry static-VALUES oracles: the
+streaming semantics themselves are hash-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from risingwave_py_spark.registry import register
+
+
+def _fresh_conn(spark: SparkSession, schema: str):
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    eng = SparkEngine(spark=spark, default_schema=schema)
+    return RisingWaveConnection(eng), eng
+
+
+@register(
+    "mv_changelog_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('x', CAST(1.0 AS DOUBLE), 'UpdateDelete', CAST(3 AS BIGINT)),
+        ('x', CAST(10.0 AS DOUBLE), 'UpdateInsert', CAST(3 AS BIGINT)),
+        ('z', CAST(5.0 AS DOUBLE), 'Insert', CAST(3 AS BIGINT))
+    ) AS t(p, total, op, rw_timestamp)
+    """,
+)
+def mv_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-MV changelog derivation, end to end: base inserts →
+    MV refresh → subscription cursor FETCH. The op sequence
+    (UpdateDelete/UpdateInsert for a changed group, Insert for a new
+    one) mirrors the reference demo's observed contract (demo.py:50).
+    Epochs are logical (1: seed insert, 2: second insert, 3: MV
+    refresh), making the whole changelog hash-checkable."""
+    conn, eng = _fresh_conn(spark, "rwdemo_mv")
+    conn.insert(pd.DataFrame({"p": ["x", "y"], "v": [1.0, 2.0]}),
+                table_name="sales", schema_name="rwdemo_mv", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_mv.sales_mv AS "
+        "SELECT p, sum(v) AS total FROM rwdemo_mv.sales GROUP BY p"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_mv.s FROM rwdemo_mv.sales_mv WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_mv_cur subscription cursor for rwdemo_mv.s SINCE 0")
+    conn.insert(pd.DataFrame({"p": ["x", "z"], "v": [9.0, 5.0]}),
+                table_name="sales", schema_name="rwdemo_mv", force_flush=True)
+    cols, rows = eng.fetch_cursor("rwdemo_mv_cur", 100)
+    out = spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, total double, op string, rw_timestamp bigint",
+    )
+    return out
+
+
+@register(
+    "upsert_version_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(25 AS BIGINT)),
+        ('b', CAST(5 AS BIGINT))
+    ) AS t(sub_name, progress)
+    """,
+)
+def upsert_version_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT DO UPDATE ... WITH VERSION COLUMN semantics
+    (core.py:507-513): later inserts win only with a higher version —
+    the stale ('a', 7) write must not clobber ('a', 25)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_up")
+    conn.execute(
+        "CREATE TABLE rwdemo_up.prog (sub_name STRING PRIMARY KEY, progress BIGINT) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(progress)"
+    )
+    conn.execute("INSERT INTO rwdemo_up.prog (sub_name, progress) VALUES ('a', 10), ('b', 1)")
+    conn.execute("INSERT INTO rwdemo_up.prog (sub_name, progress) VALUES ('a', 25)")
+    conn.execute("INSERT INTO rwdemo_up.prog (sub_name, progress) VALUES ('a', 7), ('b', 5)")
+    cols, rows = conn._dispatch("SELECT sub_name, progress FROM rwdemo_up.prog")
+    return spark.createDataFrame(sorted(rows), "sub_name string, progress bigint")
+
+
+@register(
+    "table_changelog_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'Insert', CAST(1 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'Insert', CAST(2 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'Insert', CAST(2 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'Insert', CAST(3 AS BIGINT))
+    ) AS t(k, op, rw_timestamp)
+    """,
+)
+def table_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-table changelog: one epoch per flush, Insert ops,
+    monotonic rw_timestamp — and a SINCE-positioned cursor replays the
+    full history in order."""
+    conn, eng = _fresh_conn(spark, "rwdemo_tb")
+    for batch in ([1], [2, 3], [4]):
+        conn.insert(pd.DataFrame({"k": batch}), table_name="ev",
+                    schema_name="rwdemo_tb", force_flush=True)
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_tb.s FROM rwdemo_tb.ev WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_tb_cur subscription cursor for rwdemo_tb.s SINCE 0")
+    cols, rows = eng.fetch_cursor("rwdemo_tb_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], r[0])), "k bigint, op string, rw_timestamp bigint"
+    )
+
+
+@register(
+    "tumble_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2024-01-01 00:00:00', 'btc', CAST(50.0 AS DOUBLE)),
+        (TIMESTAMP '2024-01-01 00:00:00', 'eth', CAST(105.0 AS DOUBLE)),
+        (TIMESTAMP '2024-01-01 00:00:10', 'eth', CAST(120.0 AS DOUBLE))
+    ) AS t(window_start, symbol, avg_price)
+    """,
+)
+def tumble_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo's tick-analytics pipeline (demo.py:91-106):
+    tumbling-window MV over an event table via the tumble() TVF
+    rewrite, refreshed incrementally as inserts arrive."""
+    conn, eng = _fresh_conn(spark, "rwdemo_tw")
+    ticks = pd.DataFrame({
+        "symbol": ["eth", "eth", "btc", "eth"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:03", "2024-01-01 00:00:07",
+            "2024-01-01 00:00:08", "2024-01-01 00:00:14",
+        ]),
+        "close": [100.0, 110.0, 50.0, 120.0],
+    })
+    conn.insert(ticks.iloc[:3], table_name="tick", schema_name="rwdemo_tw", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_tw.tick_10s AS "
+        "SELECT window_start, window_end, symbol, round(avg(close)) AS avg_price "
+        "FROM tumble(rwdemo_tw.tick, ts, interval '10 seconds') "
+        "GROUP BY window_start, window_end, symbol"
+    )
+    conn.insert(ticks.iloc[3:], table_name="tick", schema_name="rwdemo_tw", force_flush=True)
+    cols, rows = conn._dispatch(
+        "SELECT window_start, symbol, avg_price FROM rwdemo_tw.tick_10s "
+        "ORDER BY window_start, symbol"
+    )
+    return spark.createDataFrame(rows, "window_start timestamp, symbol string, avg_price double")
