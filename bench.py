@@ -25,6 +25,11 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_profit_by_nation",
+    "q18_large_volume_customer",
+    "q19_disc_revenue_or",
     "agg_distinct_multi",
     "agg_rollup",
     "window_topk_per_group",

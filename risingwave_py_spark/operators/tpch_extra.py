@@ -1,0 +1,551 @@
+"""Extended TPC-H-shape query battery (SURVEY.md §2.3-2.6 hardening).
+
+The reference reaches every one of these constructs through SQL
+pass-through (/root/reference/risingwave/core.py:161-212, fetch) and
+MV definitions (/root/reference/risingwave/core.py:453-455); the
+constructs exercised here are the ones its PG-compatible server
+surface supports that the earlier inventory modules did not yet
+cover end-to-end:
+
+  - correlated scalar subqueries (Q17 shape) — Catalyst decorrelates
+    into an aggregate + join, no per-row re-execution;
+  - EXISTS semi-join driving an aggregate (Q4 shape);
+  - scalar subquery against the whole table (Q22 shape);
+  - group-by-HAVING feeding a join back against the fact (Q18);
+  - OR-of-ANDs join predicates (Q19) — kept as a single equi-join on
+    partkey with the OR residual as a post-join filter so the join
+    stays hash-based (a naive translation makes it a nested-loop);
+  - two-sided dimension chains (Q7/Q8/Q9 shapes).
+
+The testdata schema omits partsupp / l_commitdate / l_receiptdate /
+l_shipmode, so queries needing those are *adapted*: the join/subquery
+topology (what's being tested) is preserved, the missing column is
+substituted (o_orderdate vs l_shipdate for lateness, p_retailprice
+for ps_supplycost), and the substitution is noted per query.
+
+Scale notes (100 TB): every dimension side (region/nation/supplier/
+part/customer) is broadcast explicitly — at any realistic scale they
+stay orders of magnitude below lineitem/orders, so no fact shuffle is
+spent on them. Fact-table date filters are applied before joins so
+they reach the parquet scan. All money math is DECIMAL(12,2)-exact
+(see relational.py header) so results are partition-order-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.operators.relational import dsum, money
+from risingwave_py_spark.registry import register
+
+
+def _revenue() -> F.Column:
+    """Decimal-exact ``extendedprice * (1 - discount)`` term."""
+    one = F.lit(1).cast("decimal(12,2)")
+    return money("l_extendedprice") * (one - money("l_discount"))
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+@register(
+    "q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join feeding an aggregate.
+
+    Adapted: lateness predicate is ``l_shipdate > o_orderdate``
+    (testdata has no l_commitdate/l_receiptdate). The semi-join keeps
+    only orderkeys — no lineitem payload columns cross the shuffle,
+    and the quarter filter prunes orders at the scan.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate, the pushdown litmus test.
+
+    All three predicates reach the parquet reader (PushedFilters), so
+    at scale this reads only the row groups whose min/max stats
+    overlap 1997 — a date-partitioned layout prunes whole files.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {_REV_SQL} AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: two independent dimension chains onto one fact row.
+
+    supplier→nation and orders→customer→nation are both broadcast;
+    lineitem is shuffled exactly once (for the orders join). The
+    nation-pair disjunction is applied after both broadcasts — it's a
+    cheap residual on an already-tiny row set.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = table(spark, sf_dir, "nation")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — conditional-sum ratio over a
+    5-table dimension chain. All dimensions broadcast; the only
+    shuffles are lineitem↔orders and the final 2-group aggregate."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    vol = _revenue()
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double")
+            ).cast("double").alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation",
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL}
+               - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year.
+
+    Adapted: supply cost is ``0.10 * p_retailprice`` (testdata has no
+    partsupp/ps_supplycost); the part filter is ``p_name LIKE
+    '%gear%'`` as in spec. Part & supplier broadcast; the LIKE is
+    applied to the 2k-row part table before broadcasting, not to the
+    fact side.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = table(spark, sf_dir, "nation")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    cost_rate = F.lit(0.10).cast("decimal(12,2)")
+    amount = _revenue() - money("p_retailprice") * cost_rate * money("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month.
+
+    Adapted: testdata p_type is a flat enum, so the predicate is
+    equality rather than ``LIKE 'PROMO%'``. Month filter prunes the
+    fact scan; part broadcasts.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(12,2)")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) hitting the quarter's max revenue.
+
+    The scalar-subquery-on-aggregate is expressed as a rank-1 window
+    over an empty partition — one extra exchange over the (tiny,
+    one-row-per-supplier) aggregate, never over lineitem.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+    )
+    top = (
+        rev.withColumn("rnk", F.rank().over(W.orderBy(F.col("total_revenue").desc())))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+        FROM lineitem WHERE l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar subquery (per-part avg quantity).
+
+    Decorrelated by hand the same way Catalyst would: one pass
+    computes avg(l_quantity) per partkey, broadcast back onto the
+    fact rows of the brand's parts. The per-part average uses
+    decimal-exact sum/count so both engines agree bit-for-bit.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg((F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"))
+        .withColumnRenamed("l_partkey", "ap_partkey")
+    )
+    return (
+        branded.join(F.broadcast(part_avg), branded.l_partkey == part_avg.ap_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 270
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-filtered groupBy fed back as an IN semi-join.
+
+    The heavy groupBy(l_orderkey) happens once; its (rare) survivors
+    semi-join the fact, so the second aggregation runs on a sliver.
+    Top-100 has a deterministic tiebreak on o_orderkey.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("q"))
+        .filter(F.col("q") > 270)
+        .select("l_orderkey")
+        .withColumnRenamed("l_orderkey", "big_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == big.big_orderkey, "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disc_revenue_or",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disc_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs mixing columns from both join sides.
+
+    Expressed as a plain equi-join on partkey with the disjunction as
+    a residual filter — Catalyst keeps the broadcast-hash join and
+    evaluates the OR post-probe. (Folding the OR into the join
+    condition would force a nested-loop.) The derivable prefilters
+    (p_size <= 35, l_quantity <= 30) are pushed to both scans.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(1, 35))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q22_prospect_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery + NOT EXISTS.
+
+    Adapted: grouped by c_nationkey (testdata has no c_phone country
+    code), and "never placed an order" becomes "no order since
+    2000-01-01" so the anti-join side is non-empty at every sf. The
+    global average is a one-row broadcast cross-join; the NOT EXISTS
+    is a left-anti join against the (date-pruned) orders keys only.
+    """
+    c = table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"))
+    )
+    o_keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
