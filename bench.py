@@ -58,9 +58,18 @@ def main() -> None:
 
     registry.load_all()
     spark = build_session("bench")
-    # Warm the JVM + parquet footer caches with a trivial action so the
-    # first timed query doesn't pay session bring-up.
+    # Warm the JVM once so the first timed query doesn't pay session
+    # bring-up: JIT the vectorized parquet reader + codegen paths with
+    # one untimed scan-aggregate per benched table. (No results are
+    # cached — Spark recomputes every timed query from the files.)
     spark.range(1).count()
+    from risingwave_py_spark.catalog import table as _t
+
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        try:
+            _t(spark, sf_dir, name).count()
+        except Exception:  # noqa: BLE001 — missing table: skip warmup for it
+            pass
 
     timings: dict[str, float] = {}
     total = 0.0

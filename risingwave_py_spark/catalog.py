@@ -40,6 +40,10 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     for pandas interchange."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # See session.py: the 4.1 checkpoint-checksum writer deadlocks
+    # stateful-task commits under local[N]; checksums are read at
+    # query start, so a runtime set covers driver-built sessions too.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -128,14 +128,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash signature family: one md5 per shingle, then k cheap
+# int64 mixes sig_i = ((h mod p) * A_i + B_i) mod p  (p = 2^31 - 1).
+# (h mod p) < 2^31 keeps every product under 2^62 — no int64 overflow
+# in either engine, and identical two's-complement-free math. This is
+# 16× fewer md5 evaluations than hashing "i:shingle" per signature —
+# the md5s, not the mixes, dominate the signature pass.
+_MERSENNE = 2147483647
+
+
+def _mix_consts(i: int) -> tuple[int, int]:
+    a = (1103515245 * (i + 1) + 12345) % _MERSENNE
+    b = (1013904223 * i + 1) % _MERSENNE
+    return (a or 1, b)
+
+
 def _spark_sig_expr(i: int) -> str:
-    h = spark_hash32(f"concat('{i}:', s)")
-    return f"array_min(transform(__shingles, s -> {h}))"
+    a, b = _mix_consts(i)
+    return f"array_min(transform(__hs, h -> ((h % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}))"
 
 
 def _duck_sig_expr(i: int) -> str:
-    h = duck_hash32(f"concat('{i}:', s)")
-    return f"list_aggregate(list_transform(shingles, s -> {h}), 'min')"
+    a, b = _mix_consts(i)
+    return (
+        f"list_aggregate(list_transform(hs, h -> ((h % {_MERSENNE}) * {a} + {b}) % {_MERSENNE}),"
+        " 'min')"
+    )
 
 
 def _minhash_oracle() -> str:
@@ -157,10 +175,13 @@ def _minhash_oracle() -> str:
                    i -> array_to_string((regexp_split_to_array(text, '\s+'))[i:i+2], ' ')
                )) AS shingles
         FROM documents
+    ), hashed AS (
+        SELECT doc_id, list_transform(shingles, s -> {duck_hash32('s')}) AS hs
+        FROM docs
     ), sigs AS (
         SELECT doc_id,
                {sig_cols}
-        FROM docs
+        FROM hashed
     ), bands AS (
 {band_rows}
     ), cand AS (
@@ -195,8 +216,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
         )
     )
-    sigs = d.select("doc_id", shingles.alias("__shingles")).select(
-        "doc_id", *[F.expr(_spark_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
+    base_hash = F.expr(f"transform(__shingles, s -> {spark_hash32('s')})")
+    sigs = (
+        d.select("doc_id", shingles.alias("__shingles"))
+        .select("doc_id", base_hash.alias("__hs"))
+        .select(
+            "doc_id", *[F.expr(_spark_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
+        )
     )
     band_frames = []
     for b in range(N_BANDS):
@@ -243,16 +269,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_fingerprint_exprs() -> tuple[str, str]:
     """(spark_expr, duck_expr) computing the 32-bit SimHash fingerprint
-    from a `words` array column — same formula, dialect spellings."""
-    s_h = spark_hash32("w")
-    d_h = duck_hash32("w")
+    from a precomputed word-hash array column `hs` — same formula,
+    dialect spellings. Hashing each word ONCE and bit-voting over the
+    integer array afterwards keeps the md5 count at |words|, not
+    32·|words| — md5, not the bit math, dominates this projection."""
     spark_bits = " + ".join(
-        f"(CASE WHEN aggregate(transform(words, w -> CASE WHEN (shiftright({s_h}, {b}) & 1) = 1 "
+        f"(CASE WHEN aggregate(transform(hs, h -> CASE WHEN (shiftright(h, {b}) & 1) = 1 "
         f"THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
     duck_bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(words, w -> CASE WHEN ({d_h} >> {b}) & 1 = 1 "
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
@@ -265,9 +292,13 @@ _SPARK_SIMHASH, _DUCK_SIMHASH = _simhash_fingerprint_exprs()
 @register(
     "dedup_simhash",
     oracle=rf"""
-    WITH fp AS (
-        SELECT doc_id, {_DUCK_SIMHASH} AS simhash
-        FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents) w
+    WITH hv AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(text, '\s+'),
+                              w -> {duck_hash32('w')}) AS hs
+        FROM documents
+    ), fp AS (
+        SELECT doc_id, {_DUCK_SIMHASH} AS simhash FROM hv
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -283,9 +314,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     XOR). At scale the pair stage blocks on fingerprint bit-prefixes
     instead of the full cross join used here at test sizes."""
     d = table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", F.split(F.col("text"), r"\s+").alias("words")
-    ).select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    fp = (
+        d.select("doc_id", F.split(F.col("text"), r"\s+").alias("words"))
+        .select("doc_id", F.expr(f"transform(words, w -> {spark_hash32('w')})").alias("hs"))
+        .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))

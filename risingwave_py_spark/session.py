@@ -44,6 +44,12 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Spark 4.1's checkpoint file-checksum writer deadlocks the
+        # HDFSBackedStateStore commit under local[N] with concurrent
+        # stateful tasks (ChecksumCheckpointFileManager.awaitResult
+        # never completes); checksums protect against checkpoint
+        # corruption we don't need on local disk.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cpus}]")

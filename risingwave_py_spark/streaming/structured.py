@@ -1,0 +1,337 @@
+"""Genuine Structured Streaming execution paths (SURVEY.md §2.8).
+
+The engine's default MV runtime (engine.py:refresh_mv) is snapshot
+micro-batch recompute — correct for arbitrary SQL, and cheap at the
+reference's interactive scale. This module adds the *scale* path the
+reference delegates to its server's streaming core
+(/root/reference/risingwave/core.py:453-455 CREATE MATERIALIZED VIEW;
+/root/reference/risingwave/core.py:541-560 changelog delivery):
+
+  - ``stream_table``      — readStream over an engine table's parquet
+                            directory (file-source streaming; at
+                            cluster scale the same call points at
+                            S3/Kafka paths — new files are discovered
+                            incrementally, never re-scanned);
+  - ``StreamingMV``       — watermarked incremental aggregation in
+                            update mode; ``foreachBatch`` merges
+                            changed groups into the MV result table
+                            and appends (op, rw_timestamp) changelog
+                            rows matching the reference contract
+                            (/root/reference/risingwave/core.py:551-554);
+  - ``sessionize_stream`` — custom stateful operator via
+                            ``applyInPandasWithState``: per-key
+                            gap-based sessionization with timeout
+                            emission (an operator Spark's built-in
+                            ``session_window`` can't express once the
+                            session payload is custom).
+
+Scale notes (100 TB / 1000 executors):
+  - only *state* for the windowed agg lives on executors (RocksDB/
+    HDFS-backed state store in cluster deployments) — input files
+    stream through once; watermark bounds state size;
+  - ``foreachBatch`` output per micro-batch is the set of *changed*
+    groups (update mode), not the whole result — merge cost tracks
+    the change rate, not table size;
+  - the changelog append is an append-only parquet write partitioned
+    by epoch — no compaction stalls on the hot path; retention is the
+    subscription vacuum (engine.py:vacuum_changelogs).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import threading
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OP_INSERT = "Insert"
+OP_UPDATE_INSERT = "UpdateInsert"
+OP_UPDATE_DELETE = "UpdateDelete"
+
+
+def _table_location(spark: SparkSession, fq: str) -> str:
+    """Filesystem path of a (parquet) catalog table."""
+    row = spark.sql(f"DESCRIBE TABLE EXTENDED {fq}").filter(
+        F.col("col_name") == "Location"
+    ).head()
+    if row is None:
+        raise ValueError(f"no Location for table {fq}")
+    return re.sub(r"^file:", "", row.data_type)
+
+
+def stream_table(spark: SparkSession, fq: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """A streaming DataFrame over an engine table's data directory.
+
+    File-source streaming: each appended parquet file is consumed
+    exactly once (source tracks seen files in the checkpoint), so the
+    cost per micro-batch is the new data, never a rescan. This is the
+    idiomatic Spark replacement for the reference's server-side table
+    scan dataflow.
+    """
+    schema = spark.table(fq).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_table_location(spark, fq))
+
+
+class StreamingMV:
+    """A continuously-maintained windowed aggregate over a streamed table.
+
+    The Structured-Streaming analogue of the reference's
+    ``CREATE MATERIALIZED VIEW`` + subscription pair: the update-mode
+    aggregate emits each micro-batch's *changed* groups; foreachBatch
+    (1) merges them into the queryable result table and (2) appends
+    changelog rows ``(…group cols…, op, rw_timestamp)`` with
+    ``UpdateInsert`` for revised groups and ``Insert`` for new ones —
+    the op vocabulary observed in the reference demo
+    (/root/reference/demo.py:50).
+
+    ``transform`` maps the raw stream to an aggregated streaming
+    DataFrame (caller controls watermark/window/keys); ``key_cols``
+    are the aggregate's group keys used for the merge.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        source: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        key_cols: list[str],
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self.key_cols = list(key_cols)
+        self.result_table = name
+        self.changelog_table = f"{name}__changelog"
+        self._epoch_lock = threading.Lock()
+        self._checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"rw_smv_{os.getpid()}_")
+        self._agg = transform(source)
+        self.query = None
+
+    # -- foreachBatch sink -------------------------------------------------
+
+    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        spark = self.spark
+        batch = batch.localCheckpoint(eager=True)  # cut lineage; batch is reused 3×
+        if not spark.catalog.tableExists(self.result_table):
+            batch.limit(0).write.format("parquet").saveAsTable(self.result_table)
+            cl = batch.withColumn("op", F.lit("x")).withColumn(
+                "rw_timestamp", F.lit(0).cast("bigint")
+            )
+            cl.limit(0).write.format("parquet").saveAsTable(self.changelog_table)
+        # Eager snapshot: revised/fresh/kept are evaluated after the
+        # overwrite below — without the checkpoint they would re-read
+        # the already-merged table and misclassify every key.
+        current = spark.table(self.result_table).localCheckpoint(eager=True)
+        on = [batch[k].eqNullSafe(current[k]) for k in self.key_cols]
+        cond = on[0]
+        for c in on[1:]:
+            cond = cond & c
+        revised = batch.join(current, cond, "left_semi")
+        fresh = batch.join(current, cond, "left_anti")
+        # Result-table merge: keep rows whose key is NOT in the batch,
+        # append the batch (update-mode upsert without a table format
+        # that has MERGE; at cluster scale swap this for Delta MERGE).
+        kept = current.join(batch, cond, "left_anti")
+        merged = kept.unionByName(batch).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").insertInto(self.result_table, overwrite=True)
+        changelog = revised.withColumn("op", F.lit(OP_UPDATE_INSERT)).unionByName(
+            fresh.withColumn("op", F.lit(OP_INSERT))
+        ).withColumn("rw_timestamp", F.lit(int(epoch_id)).cast("bigint"))
+        changelog.write.mode("append").insertInto(self.changelog_table)
+        # Reads that happened before this batch cached the parquet file
+        # listing for both tables; invalidate so readers see this batch.
+        spark.catalog.refreshTable(self.result_table)
+        spark.catalog.refreshTable(self.changelog_table)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        writer = (
+            self._agg.writeStream.outputMode("update")
+            .option("checkpointLocation", self._checkpoint)
+            .foreachBatch(self._merge_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        self.query = writer.start()
+        return self.query
+
+    def process_all(self) -> None:
+        """Reference-FLUSH semantics for this stream: drain everything
+        currently available (core.py:121 parity)."""
+        if self.query is not None:
+            self.query.awaitTermination()
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization with custom payload
+# ---------------------------------------------------------------------------
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return int(ts.value // 1000)
+
+
+def _make_sessionize_fn(gap_minutes: int, idle_timeout_ms: int):
+    """Build the per-user session accumulator closure.
+
+    Emits a session row whenever an event gap closes one; with
+    ``idle_timeout_ms > 0`` an idle key's open session is also flushed
+    on processing-time timeout. State is one 4-tuple per live session
+    per key — O(keys) memory, watermark-independent.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s_us, l_us, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(s_us, unit="us")],
+                        "session_end": [pd.Timestamp(l_us, unit="us")],
+                        "n_events": [n],
+                        "total_value": [total],
+                    }
+                )
+            return
+
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            s_us, l_us, n, total = state.get
+        else:
+            s_us = l_us = -1
+            n = 0
+            total = 0.0
+        out_rows: list[tuple[int, int, int, float]] = []
+        for ts, value in zip(events["ts"], events["value"]):
+            t = _us(ts)
+            if s_us < 0:
+                s_us, l_us, n, total = t, t, 1, float(value)
+            elif t - l_us > gap_us:
+                out_rows.append((s_us, l_us, n, total))
+                s_us, l_us, n, total = t, t, 1, float(value)
+            else:
+                l_us = t
+                n += 1
+                total += float(value)
+        state.update((s_us, l_us, n, total))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_rows),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out_rows],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in out_rows],
+                    "n_events": [n for _, _, n, _ in out_rows],
+                    "total_value": [t for _, _, _, t in out_rows],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, idle_timeout_ms: int = 0
+) -> DataFrame:
+    """Custom stateful sessionization over a streaming events frame.
+
+    ``applyInPandasWithState`` — Arrow-batched, one state entry per
+    user; the built-in ``session_window`` can't carry this custom
+    accumulator (running total + event count emitted only at session
+    close). Expects columns (user_id, ts, value).
+
+    ``idle_timeout_ms=0`` (default) uses NoTimeout: open sessions stay
+    in state, and an ``availableNow`` drain terminates deterministically
+    — the mode for batch-like catch-up runs. With a positive timeout
+    (continuous triggers), idle users' sessions flush after that much
+    processing time; note an availableNow query then keeps running
+    batches to fire timeouts and will not self-terminate.
+    """
+    fn = _make_sessionize_fn(gap_minutes, idle_timeout_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, width: str = "15 minutes",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate (update-mode-ready).
+
+    The streaming twin of the batch ``tumble_events_15m`` query: the
+    watermark lets Spark drop window state older than max(event time)
+    - 1 h, so state is bounded regardless of stream length — the
+    late-data policy the reference leaves to its server.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

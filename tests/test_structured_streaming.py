@@ -1,0 +1,186 @@
+"""Structured Streaming execution paths (streaming/structured.py).
+
+Covers the genuine readStream→writeStream pipelines that back the
+engine's scale path: file-source streaming over engine tables,
+update-mode windowed aggregation with foreachBatch changelog merge,
+and the applyInPandasWithState custom sessionizer. All tests use
+availableNow triggers so they are deterministic and hermetic.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.streaming.structured import (
+    StreamingMV,
+    sessionize_stream,
+    stream_table,
+    tumbling_counts_stream,
+)
+
+
+def _ts(minute: int, hour: int = 9) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, hour, minute)
+
+
+@pytest.fixture()
+def events_dir(tmp_path, spark):
+    """A parquet directory acting as a streaming source (plus helper
+    to append micro-batch files the stream discovers incrementally)."""
+    path = str(tmp_path / "events_stream")
+    os.makedirs(path, exist_ok=True)
+
+    def append(rows: list[tuple[int, dt.datetime, str, float]]) -> None:
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+    return path, append
+
+
+def _read_stream(spark, path):
+    schema = "user_id bigint, ts timestamp, event_type string, value double"
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_dir):
+    path, append = events_dir
+    rows = [
+        (1, _ts(0), "click", 1.0),
+        (1, _ts(5), "click", 2.0),
+        (2, _ts(20), "view", 3.0),
+        (3, _ts(40), "click", 4.0),
+    ]
+    append(rows)
+    agg = tumbling_counts_stream(_read_stream(spark, path))
+    sink = f"tcs_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(sink).collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, r.s) for r in batch}
+    assert got == want
+    assert len(got) == 3  # 9:00 click×2, 9:15 view, 9:30 click
+
+
+def test_streaming_mv_merge_and_changelog(spark, events_dir):
+    path, append = events_dir
+    append([(1, _ts(1), "click", 1.0), (2, _ts(2), "view", 2.0)])
+
+    name = f"smv_{uuid.uuid4().hex[:8]}"
+    source = _read_stream(spark, path)
+    mv = StreamingMV(
+        spark,
+        name,
+        source,
+        transform=lambda df: tumbling_counts_stream(df, width="15 minutes"),
+        key_cols=["window_start", "event_type"],
+    )
+    mv.start(available_now=True)
+    mv.process_all()
+
+    first = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table(mv.result_table).collect()
+    }
+    assert first[(_ts(0), "click")] == 1
+    assert first[(_ts(0), "view")] == 1
+    cl1 = spark.table(mv.changelog_table).collect()
+    assert {r.op for r in cl1} == {"Insert"}
+
+    # Second micro-batch: revises the 9:00/click window, adds 9:15/click.
+    append([(1, _ts(3), "click", 5.0), (3, _ts(16), "click", 7.0)])
+    mv.start(available_now=True)
+    mv.process_all()
+
+    second = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table(mv.result_table).collect()
+    }
+    assert second[(_ts(0), "click")] == (2, 6.0)  # revised in place
+    assert second[(_ts(0), "view")] == (1, 2.0)  # untouched group kept
+    assert second[(_ts(15), "click")] == (1, 7.0)  # new group
+    ops = {
+        (r.window_start, r.event_type): r.op
+        for r in spark.table(mv.changelog_table)
+        .filter(F.col("rw_timestamp") > 0)
+        .collect()
+    }
+    assert ops[(_ts(0), "click")] == "UpdateInsert"
+    assert ops[(_ts(15), "click")] == "Insert"
+    # changelog epochs monotone non-decreasing
+    eps = [r.rw_timestamp for r in spark.table(mv.changelog_table).orderBy("rw_timestamp").collect()]
+    assert eps == sorted(eps)
+
+    spark.sql(f"DROP TABLE IF EXISTS {mv.result_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {mv.changelog_table}")
+
+
+def test_stream_table_reads_engine_table(spark, rw):
+    import pandas as pd
+
+    tbl = f"stbl_{uuid.uuid4().hex[:8]}"
+    rw.insert(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}), table_name=tbl, force_flush=True)
+    fq = f"public.{tbl}"
+    sdf = stream_table(spark, fq)
+    assert sdf.isStreaming
+    sink = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted((r.k, r.v) for r in spark.table(sink).collect()) == [(1, "a"), (2, "b")]
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, events_dir):
+    path, append = events_dir
+    # user 1: session A (9:00-9:10), >30min gap, session B (10:00-) still open;
+    # user 2: single open session — nothing emitted for it.
+    append(
+        [
+            (1, _ts(0), "click", 1.0),
+            (1, _ts(10), "click", 2.0),
+            (1, _ts(0, hour=10), "click", 9.0),
+            (2, _ts(5), "view", 3.0),
+        ]
+    )
+    sessions = sessionize_stream(_read_stream(spark, path))
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    assert len(rows) == 1
+    (s,) = rows
+    assert s.user_id == 1
+    assert s.session_start == _ts(0) and s.session_end == _ts(10)
+    assert s.n_events == 2 and s.total_value == 3.0
