@@ -223,6 +223,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", *[F.expr(_spark_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
         )
+        # The signature relation feeds 6 plan branches (4 band
+        # projections + both sides of the verify join); materialize it
+        # once — it's k+1 ints per doc, ~70 B/row, vs re-running the
+        # md5 signature pass per branch.
+        .localCheckpoint(eager=True)
     )
     band_frames = []
     for b in range(N_BANDS):

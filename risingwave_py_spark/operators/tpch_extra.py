@@ -549,3 +549,109 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation over a filtered left-outer join.
+
+    Adapted: the join-side filter is on o_orderpriority (testdata has
+    no o_comment). COUNT(o_orderkey) counts matched rows only —
+    unmatched customers land in the c_count=0 bucket, which is why the
+    filter must live in the join condition, not a WHERE. The second
+    aggregate runs on one row per customer — tiny.
+    """
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps.partkey AND s_suppkey = ps.suppkey
+      AND p_size = 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND s_acctbal = (
+        SELECT MIN(s_acctbal)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE p_partkey = ps2.partkey AND s2.s_suppkey = ps2.suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum over a correlated subquery.
+
+    Adapted: partsupp is surrogated by the DISTINCT (l_partkey,
+    l_suppkey) pairs in lineitem, and the minimized metric is
+    s_acctbal (no ps_supplycost in testdata). The correlated MIN is
+    decorrelated as a rank-1 window per partkey — one pass over the
+    (small) part↔supplier relation, never over lineitem. ORDER BY has
+    a full tiebreak so top-100 is deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    joined = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(p), ps.partkey == p.p_partkey)
+    )
+    ranked = joined.withColumn(
+        "__rk", F.rank().over(W.partitionBy("partkey").orderBy(F.col("s_acctbal").asc()))
+    )
+    return (
+        ranked.filter(F.col("__rk") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
