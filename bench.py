@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality_scores",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "agg_salted_skew",
 ]
 
 

@@ -189,3 +189,117 @@ def embedding_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered scale path
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8  # centroids = embeddings with vec_id in [100, 100+N_CELLS)
+N_PROBE = 2  # query probes its 2 nearest cells
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT.format(a=b, b=b)})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS ce
+        FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+    ), assign AS (
+        SELECT vec_id, embedding, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round({_duck_cos('embedding', 'ce')}, 6) DESC, cell_id) AS rn
+        FROM embeddings, cents
+    ), cells AS (
+        SELECT vec_id, embedding, cell_id FROM assign WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qe, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round({_duck_cos('embedding', 'ce')}, 6) DESC, cell_id) AS rn
+        FROM embeddings, cents
+        WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+        SELECT p.query_id, c.vec_id,
+               round({_duck_cos('p.qe', 'c.embedding')}, 6) AS cosine
+        FROM (SELECT * FROM probes WHERE rn <= {N_PROBE}) p
+        JOIN cells c ON c.cell_id = p.cell_id AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM cand)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: partition the corpus into cells around fixed centroids,
+    probe only the query's nearest cells, brute-force inside them.
+
+    Centroids are a deterministic sample (vec_id 100..107) so the
+    index is reproducible and oracle-checkable — a production build
+    swaps in k-means centroids without touching the query path. Scale
+    shape: assignment is one broadcast-join + per-key argmax over the
+    corpus (linear, one shuffle keyed by vec_id); search touches
+    nprobe/ncells of the corpus instead of all of it — the recall/cost
+    dial ANN is about. Ties broken by cell_id then vec_id, so results
+    are exact against the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
+    )
+    cos_ce = F.round(
+        F.expr(_spark_dot("embedding", "ce"))
+        / (F.expr(_spark_norm("embedding")) * F.expr(_spark_norm("ce"))),
+        6,
+    )
+    by_vec = W.partitionBy("vec_id").orderBy(F.desc("__cos"), "cell_id")
+    cells = (
+        e.join(F.broadcast(cents))
+        .withColumn("__cos", cos_ce)
+        .withColumn("__rn", F.row_number().over(by_vec))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("__cos", cos_ce)
+        .withColumn("__rn", F.row_number().over(by_vec))
+        .filter(F.col("__rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id")
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_spark_dot("qe", "embedding"))
+                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                6,
+            ),
+        )
+    )
+    by_query = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(by_query))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -209,3 +209,45 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed keys.
+
+    `event_type` has ~5 distinct values — at 100 TB a plain
+    groupBy(event_type) funnels the whole table into 5 reducer tasks.
+    The salting recipe referenced by SCALE.md: phase 1 aggregates on
+    (key, salt) with salt = hash(row) mod 64, spreading each hot key
+    over 64 tasks with map-side combine still effective; phase 2
+    merges the 5×64 partials (trivial). Every aggregate must be
+    decomposable (count→sum, sum→sum, max→max); the DECIMAL sum makes
+    the two-phase result bit-identical to the oracle's single-phase
+    one. (Under AQE alone, skewed *aggregation* — unlike skewed joins
+    — is not rebalanced; salting is still the manual fix.)
+    """
+    ev = table(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("__salt", F.pmod(F.hash("event_id"), F.lit(64)))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+            F.max("value").alias("pm"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+        F.max("pm").cast("double").alias("max_value"),
+    )

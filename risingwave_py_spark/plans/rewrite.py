@@ -220,6 +220,45 @@ def rewrite_tumble(sql: str) -> str:
     return _TUMBLE.sub(sub, sql)
 
 
+_HOP = re.compile(
+    r"hop\s*\(\s*(?P<rel>[\w.]+)\s*,\s*(?P<col>\w+)\s*,"
+    r"\s*interval\s+'(?P<slide>[^']+)'\s*,\s*interval\s+'(?P<size>[^']+)'\s*\)",
+    re.I,
+)
+
+
+def rewrite_hop(sql: str) -> str:
+    """``FROM hop(rel, col, interval 'slide', interval 'size')`` →
+    derived table where each row repeats once per sliding window that
+    covers it (RisingWave's hop TVF contract: window_size/window_slide
+    copies, windows aligned to the epoch on the slide grid).
+
+    Expressed as a lateral explode of the covering window starts —
+    size/slide rows per input row, computed inside codegen; the same
+    expansion Spark's window(col, size, slide) performs internally.
+    """
+
+    def sub(m: re.Match) -> str:
+        rel, col = m.group("rel"), m.group("col")
+        slide = interval_to_micros(m.group("slide"))
+        size = interval_to_micros(m.group("size"))
+        if size % slide != 0:
+            raise ValueError("hop(): window size must be a multiple of slide")
+        n = size // slide
+        # A row at t belongs to the n windows whose starts are the
+        # slide-grid points in (t - size, t]:
+        # floor(t/slide)*slide - k*slide for k = 0..n-1.
+        first = f"(CAST(floor(unix_micros({col}) / {slide}) AS BIGINT) - {n - 1}) * {slide}"
+        return (
+            f"(SELECT *, timestamp_micros(__ws) AS window_start, "
+            f"timestamp_micros(__ws + {size}) AS window_end FROM "
+            f"(SELECT *, explode(sequence({first}, {first} + {(n - 1) * slide}, {slide})) AS __ws "
+            f"FROM {rel}))"
+        )
+
+    return _HOP.sub(sub, sql)
+
+
 def rewrite_version(sql: str, version_string: str) -> str:
     return re.sub(r"\bversion\s*\(\s*\)", f"'{version_string}'", sql, flags=re.I)
 
@@ -235,6 +274,7 @@ def rewrite_information_schema(sql: str) -> str:
 
 def rewrite_query(sql: str, version_string: str) -> str:
     sql = rewrite_tumble(sql)
+    sql = rewrite_hop(sql)
     sql = rewrite_version(sql, version_string)
     sql = rewrite_information_schema(sql)
     return sql

@@ -153,3 +153,77 @@ def tumble_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY window_start, symbol"
     )
     return spark.createDataFrame(rows, "window_start timestamp, symbol string, avg_price double")
+
+
+@register(
+    "streaming_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2024-01-01 09:00:00', 'click', CAST(1 AS BIGINT), 'Insert', CAST(1 AS BIGINT)),
+        (TIMESTAMP '2024-01-01 09:00:00', 'view',  CAST(1 AS BIGINT), 'Insert', CAST(1 AS BIGINT)),
+        (TIMESTAMP '2024-01-01 09:00:00', 'click', CAST(2 AS BIGINT), 'UpdateInsert', CAST(2 AS BIGINT)),
+        (TIMESTAMP '2024-01-01 09:15:00', 'click', CAST(1 AS BIGINT), 'Insert', CAST(2 AS BIGINT))
+    ) AS t(window_start, event_type, n_events, op, epoch)
+    """,
+)
+def streaming_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming MV end to end (streaming/structured.py):
+    file-source stream → update-mode tumbling aggregate → foreachBatch
+    merge + changelog. Two availableNow drains with an insert between
+    them produce the reference op sequence — Insert for new windows,
+    UpdateInsert for a revised one (demo.py:50 contract). Micro-batch
+    ids are normalized to dense epochs (their absolute values depend
+    on Spark's empty-batch bookkeeping; their order does not)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.streaming.structured import StreamingMV, tumbling_counts_stream
+
+    src_dir = tempfile.mkdtemp(prefix="rw_smv_src_")
+    name = f"smv_scen_{uuid.uuid4().hex[:8]}"
+
+    def append(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src_dir)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)  # noqa: E731
+    # The stream's state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at first checkpoint; 3 groups of
+    # state don't need 32 partitions' worth of per-batch commit I/O.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        append([(1, t(1), "click", 1.0), (2, t(2), "view", 2.0)])
+        source = spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_type string, value double"
+        ).parquet(src_dir)
+        mv = StreamingMV(
+            spark, name, source,
+            transform=lambda df: tumbling_counts_stream(df, width="15 minutes"),
+            key_cols=["window_start", "event_type"],
+        )
+        mv.start(available_now=True)
+        mv.process_all()
+        append([(1, t(3), "click", 5.0), (3, t(16), "click", 7.0)])
+        mv.start(available_now=True)
+        mv.process_all()
+        out = (
+            spark.table(mv.changelog_table)
+            .withColumn("epoch", F.dense_rank().over(W.orderBy("rw_timestamp")))
+            .select("window_start", "event_type", "n_events", "op", "epoch")
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__changelog")
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "window_start timestamp, event_type string, n_events bigint, op string, epoch bigint",
+    )

@@ -128,6 +128,30 @@ def test_tumble_rewrite(rw):
     assert got[0][1] == got[1][0]  # adjacent windows
 
 
+def test_hop_rewrite(rw):
+    rw.execute("DROP TABLE IF EXISTS t_sdk_hop")
+    rows = pd.DataFrame({
+        "sym": ["a", "a"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:03", "2024-01-01 00:00:14"]),
+        "v": [1.0, 10.0],
+    })
+    rw.insert(data=rows, table_name="t_sdk_hop", force_flush=True)
+    got = rw.fetch(
+        "SELECT window_start, window_end, count(*) AS n "
+        "FROM hop(t_sdk_hop, ts, interval '5 seconds', interval '10 seconds') "
+        "GROUP BY window_start, window_end ORDER BY window_start"
+    )
+    # each event lands in size/slide = 2 windows; t=3s → starts {-5,0},
+    # t=14s → starts {5,10}; all window widths are 10 s
+    assert len(got) == 4
+    assert all(r[2] == 1 for r in got)
+    assert all((r[1] - r[0]).total_seconds() == 10 for r in got)
+    import datetime as dt
+
+    assert got[0][0] == dt.datetime(2023, 12, 31, 23, 59, 55)
+    assert got[1][0] == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
 def test_output_formats(rw):
     df = rw.fetch("SELECT 1 AS a", format=OutputFormat.DATAFRAME)
     assert isinstance(df, pd.DataFrame) and df["a"].iloc[0] == 1
