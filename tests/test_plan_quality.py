@@ -1,0 +1,77 @@
+"""Plan-quality regression guards (SCALE.md ground rules).
+
+These assert properties of the *optimized physical plan*, not results:
+filters reach the parquet scan, dimensions broadcast, no cartesian
+products sneak in, aggregates keep map-side partials. A refactor that
+silently turns a broadcast join into a sort-merge over a dimension, or
+drops a pushed filter, fails here long before it shows up in a 100 TB
+bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from risingwave_py_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q7_volume_shipping",
+     "q9_profit_by_nation", "q14_promo_revenue", "q19_disc_revenue_or"],
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, name
+    # Dimension chains must not degrade to cartesian/nested-loop.
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,pushed",
+    [
+        ("q6_forecast_revenue", "GreaterThanOrEqual(l_shipdate"),
+        ("scan_filter_project", "GreaterThan(l_quantity,45.0)"),
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, sf_dir, name, pushed):
+    plan = _plan(spark, sf_dir, name)
+    assert "PushedFilters:" in plan, name
+    assert pushed in plan, f"{name}: expected {pushed} in PushedFilters"
+
+
+def test_q1_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregates around one Exchange."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_scan_reads_only_needed_columns(spark, sf_dir):
+    """Column pruning: the 4-column projection over 11-column lineitem
+    must not drag payload columns through the scan."""
+    plan = _plan(spark, sf_dir, "scan_filter_project")
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+
+
+def test_semi_join_carries_keys_only(spark, sf_dir):
+    """Q18's big-order filter must semi-join on the key, not replay
+    the full aggregate payload through the probe side."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_customer")
+    assert "LeftSemi" in plan

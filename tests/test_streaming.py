@@ -151,3 +151,23 @@ def test_dataframe_format_has_rw_timestamp_last(rw):
     data = rw.fetch("FETCH 10 FROM t_ch_fmt_cur", format=OutputFormat.DATAFRAME)
     assert list(data.columns) == ["k", "op", "rw_timestamp"]
     assert data["rw_timestamp"].iloc[-1] > 0
+
+
+def test_vacuum_changelogs_applies_retention(rw):
+    """Subscription retention (core.py:500-505 WITH retention): vacuum
+    drops epochs older than (current - retention); a cursor declared
+    SINCE 0 afterwards replays only the surviving epochs."""
+    import pandas as pd
+
+    eng = rw.engine
+    rw.execute("DROP TABLE IF EXISTS vac_ev")
+    for batch in ([1], [2], [3], [4]):
+        rw.insert(pd.DataFrame({"k": batch}), table_name="vac_ev", force_flush=True)
+    rw.execute("CREATE SUBSCRIPTION vac_s FROM vac_ev WITH (retention = '2s')")
+    eng.vacuum_changelogs()
+    eng.declare_cursor("vac_cur", "vac_s", since=0)
+    cols, rows = eng.fetch_cursor("vac_cur", 100)
+    ks = sorted(r[0] for r in rows)
+    # 4 insert epochs existed; retention=2 keeps the newest 2 epochs
+    assert ks == [3, 4], rows
+    rw.execute("DROP SUBSCRIPTION vac_s")
