@@ -85,6 +85,7 @@ class SparkEngine:
         self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
+        RW.register_pg_shims(self.spark)
 
     # -- naming ------------------------------------------------------------
 

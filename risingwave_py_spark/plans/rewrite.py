@@ -278,3 +278,31 @@ def rewrite_query(sql: str, version_string: str) -> str:
     sql = rewrite_version(sql, version_string)
     sql = rewrite_information_schema(sql)
     return sql
+
+
+# ---------------------------------------------------------------------------
+# PostgreSQL-name function shims (SQL-surface parity, SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+# Most PG spellings the reference's pass-through surface can emit are
+# native in Spark 4 (`::` casts, now(), split_part, ||, position(IN),
+# string_agg, left/right, btrim). The rest are registered as SQL UDFs
+# (pure expression aliases — codegen'd like built-ins, no Python).
+_PG_SHIMS = [
+    # PG strpos(string, substring) — Spark spells it locate(sub, str).
+    "CREATE OR REPLACE TEMPORARY FUNCTION strpos(s STRING, sub STRING) "
+    "RETURNS INT RETURN locate(sub, s)",
+    # PG generate_series(a, b) is a set-returning function; the scalar
+    # shim returns the array (use explode(...) where PG would FROM it).
+    "CREATE OR REPLACE TEMPORARY FUNCTION generate_series(a BIGINT, b BIGINT) "
+    "RETURNS ARRAY<BIGINT> RETURN sequence(a, b)",
+    # (to_char is NOT shimmed: Spark 4 ships a built-in to_char for
+    # numeric formatting that a SQL UDF cannot replace; PG datetime
+    # to_char callers use date_format.)
+]
+
+
+def register_pg_shims(spark) -> None:
+    """Install the PG-name aliases in the session (idempotent)."""
+    for ddl in _PG_SHIMS:
+        spark.sql(ddl)

@@ -157,3 +157,14 @@ def test_output_formats(rw):
     assert isinstance(df, pd.DataFrame) and df["a"].iloc[0] == 1
     raw = rw.fetch("SELECT 1 AS a", format=OutputFormat.RAW)
     assert raw == [(1,)]
+
+
+def test_pg_function_shims(rw):
+    assert rw.fetchone("SELECT strpos('hello', 'll') AS p")[0] == 3
+    assert rw.fetchone("SELECT generate_series(1, 4) AS s")[0] == [1, 2, 3, 4]
+    # natively-supported PG spellings stay available through fetch
+    # (note: Spark's :: cast truncates toward zero where PG rounds —
+    # a documented dialect divergence, not shimmed)
+    assert rw.fetchone("SELECT 3.5::INT AS x")[0] == 3
+    assert rw.fetchone("SELECT 'a' || 'b' AS x")[0] == "ab"
+    assert rw.fetchone("SELECT position('ll' IN 'hello') AS x")[0] == 3
