@@ -59,7 +59,12 @@ def main() -> None:
     from risingwave_py_spark.session import build_session
 
     registry.load_all()
-    spark = build_session("bench")
+    # Size shuffle partitions to the data scale (SCALE.md rule: right-
+    # size partitions for the SF; AQE stays on and coalesces further).
+    # sf0.1 → 8 partitions (~75k lineitem rows each); caps at 200 for
+    # cluster-scale SFs.
+    parts = max(8, min(200, int(64 * sf))) if sf > 0 else 32
+    spark = build_session("bench", shuffle_partitions=parts)
     # Warm the JVM once so the first timed query doesn't pay session
     # bring-up: JIT the vectorized parquet reader + codegen paths with
     # one untimed scan-aggregate per benched table. (No results are

@@ -495,17 +495,41 @@ class SparkEngine:
         return cols, [tuple(r) for r in batch]
 
     def vacuum_changelogs(self) -> None:
-        """Apply subscription retention: compact each changelog to the
-        epochs newer than (current - retention). Epochs are logical
-        (not wall-clock); retention is applied against epoch count —
-        a full implementation would stamp wall time per epoch."""
+        """Apply subscription retention: compact each changelog to its
+        newest N epochs (retention = '{n}s' maps to N — epochs are
+        logical, not wall-clock; a full implementation would stamp wall
+        time per epoch). The cutoff is computed from the changelog's
+        OWN distinct epochs, not the engine-global counter, so activity
+        on other tables never shortens this subscription's history.
+
+        Scale note: the cutoff is a tiny distinct-epoch aggregate (one
+        row per retained epoch), and the rewrite stages the surviving
+        rows into a new table then renames — no collect of changelog
+        data to the driver."""
         for sub in self.subscriptions.values():
             cl = self.changelog_name(sub["rel"])
             if not self.spark.catalog.tableExists(cl):
                 continue
-            keep_from = self._epoch - sub["retention_s"]
-            df = self.spark.table(cl).filter(F.col("rw_timestamp") > keep_from)
-            rows = df.collect()
-            if rows:
-                snap = self.spark.createDataFrame(rows, df.schema)
-                snap.write.mode("overwrite").saveAsTable(cl)
+            self.spark.catalog.refreshTable(cl)
+            keep_n = max(int(sub["retention_s"]), 0)
+            epochs = [
+                r[0]
+                for r in self.spark.table(cl)
+                .select("rw_timestamp")
+                .distinct()
+                .orderBy(F.col("rw_timestamp").desc())
+                .limit(keep_n + 1)
+                .collect()
+            ]
+            if len(epochs) <= keep_n:
+                continue  # nothing older than the retained window
+            keep_from = epochs[keep_n - 1] if keep_n else self._epoch + 1
+            stage = f"{cl}__vacuum_stage"
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            (
+                self.spark.table(cl)
+                .filter(F.col("rw_timestamp") >= keep_from)
+                .write.saveAsTable(stage)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
+            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")

@@ -655,3 +655,268 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM ps
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM ps)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped aggregate HAVING-compared against an
+    uncorrelated scalar subquery over the SAME aggregate.
+
+    Adapted: partsupp value is surrogated by the lineitem revenue per
+    partkey from NATION_1 suppliers (testdata has no ps_availqty/
+    ps_supplycost). The per-part aggregate is computed once and
+    reused for both the rows and the global threshold (a one-row
+    broadcast) — the fact table is scanned exactly once. The threshold
+    compare happens in double on both engines (decimal sums cast
+    before the multiply) so the boundary is bit-identical.
+    """
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    ps = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(money("l_extendedprice")).alias("value_dec"))
+    )
+    total = ps.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold"))
+    return (
+        ps.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_late_lines_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + priority-conditional counts.
+
+    Adapted: grouping is by l_returnflag (testdata has no l_shipmode)
+    and "late" is shipped >30 days after order date (no l_commitdate/
+    l_receiptdate). Both fact sides are pruned to join + predicate
+    columns only before the one orderkey shuffle; the conditional
+    counts are a map-side partial aggregate over 3 groups.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#13'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT-IN supplier exclusion.
+
+    Adapted: partsupp = DISTINCT (l_partkey, l_suppkey) pairs from
+    lineitem; "complaint" suppliers (no s_comment column) are those
+    with negative account balance. NOT IN is an anti-join — valid
+    because s_suppkey is never NULL; the excluded-supplier set and the
+    filtered part dimension both broadcast.
+    """
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE '%gear%'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01'
+                        THEN CAST(l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END)
+             > CAST(0.3 AS DECIMAL(12,2)) * SUM(CAST(l_quantity AS DECIMAL(12,2)))
+      )
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested correlated-aggregate qualification
+    driving a supplier semi-join.
+
+    Adapted: "availqty > half of shipped qty" becomes "1997 shipped
+    qty > 30% of all-time shipped qty" per (supplier, part) pair over
+    '%gear%' parts (no partsupp in testdata). Both sides of the HAVING
+    are decimal-exact so the strict > has no float boundary. The part
+    filter broadcasts; lineitem aggregates once; only qualified
+    suppkeys (tiny) reach the supplier join.
+    """
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    in_97 = (F.col("l_shipdate") >= F.lit("1997-01-01")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01")
+    )
+    qualified = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, money("l_quantity")).otherwise(zero)).alias("qty97"),
+            F.sum(money("l_quantity")).alias("qty_all"),
+        )
+        .filter(F.col("qty97") > F.lit(0.3).cast("decimal(12,2)") * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return s.join(
+        F.broadcast(qualified), s.s_suppkey == qualified.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS self-joins on the fact
+    ("the one supplier who held up a multi-supplier order").
+
+    Adapted: "late" is shipped >60 days after order date (no
+    l_receiptdate/l_commitdate). Instead of two correlated self-joins
+    (three passes over lineitem), the order-level facts are computed
+    in ONE grouped pass — distinct suppliers and distinct late
+    suppliers per order — and an order qualifies iff ns >= 2 and
+    nlate == 1; the late line rows of qualified orders are then
+    counted per supplier. Same semantics, one shuffle on orderkey
+    instead of three.
+    """
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    ord_stats = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    qual = (
+        ord_stats.filter((F.col("ns") >= 2) & (F.col("nlate") == 1))
+        .select(F.col("l_orderkey").alias("q_orderkey"))
+    )
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        j.filter(F.col("__late"))
+        .join(qual, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -42,6 +42,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Answer bare count/min/max aggregates from parquet footers
+        # instead of scanning row groups — at 100 TB a count(*) touches
+        # metadata only.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Spark 4.1's checkpoint file-checksum writer deadlocks the
