@@ -67,16 +67,26 @@ def main() -> None:
     spark = build_session("bench", shuffle_partitions=parts)
     # Warm the JVM once so the first timed query doesn't pay session
     # bring-up: JIT the vectorized parquet reader + codegen paths with
-    # one untimed scan-aggregate per benched table. (No results are
-    # cached — Spark recomputes every timed query from the files.)
+    # one untimed scan-aggregate per benched table. A bare count()
+    # would be answered from parquet footers (aggregate pushdown), so
+    # hash every column instead — that forces real column decode.
+    # (No results are cached — Spark recomputes every timed query
+    # from the files.)
+    from pyspark.sql import functions as _F
+
     spark.range(1).count()
     from risingwave_py_spark.catalog import table as _t
 
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         try:
-            _t(spark, sf_dir, name).count()
+            df = _t(spark, sf_dir, name)
+            df.agg(_F.sum(_F.xxhash64(*df.columns))).collect()
         except Exception:  # noqa: BLE001 — missing table: skip warmup for it
             pass
+    # JIT the decimal-sum codegen path the TPC-H money math uses.
+    _t(spark, sf_dir, "lineitem").agg(
+        _F.sum(_F.col("l_extendedprice").cast("decimal(12,2)"))
+    ).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -86,7 +96,10 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         try:
-            n = len(fn(spark, sf_dir).collect())
+            # Materialize through the Arrow path — the SDK's interchange
+            # format (OutputFormat.DATAFRAME); row-at-a-time collect()
+            # would bill Python deserialization, not the engine.
+            n = len(fn(spark, sf_dir).toPandas())
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name} FAILED: {exc}", file=sys.stderr)
             continue

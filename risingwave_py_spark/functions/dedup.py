@@ -316,24 +316,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: each doc reduces to one 32-bit
     fingerprint (weighted bit-vote over word hashes, computed entirely
     in codegen), then pairs rank by Hamming distance (`bit_count` of
-    XOR). At scale the pair stage blocks on fingerprint bit-prefixes
-    instead of the full cross join used here at test sizes."""
+    XOR).
+
+    The pair stage is banded, not a cross join: the 32-bit fingerprint
+    splits into 4 8-bit bands, and by pigeonhole any pair with hamming
+    <= 3 collides on at least one band — so the band-equality self-join
+    generates EVERY such pair as a candidate. If >= 20 candidate pairs
+    have hamming <= 3, the global top-20 lies entirely inside them
+    (exact, not approximate); only when near-dups are that scarce does
+    it fall back to the all-pairs join. At 100 TB the banded join
+    shuffles one (band, value, doc) row per band per doc — O(n) — and
+    each bucket is a tiny local pair-enumeration; the fingerprints are
+    materialized once (localCheckpoint) so the word-hash projection
+    doesn't run once per join side.
+    """
     d = table(spark, sf_dir, "documents")
     fp = (
         d.select("doc_id", F.split(F.col("text"), r"\s+").alias("words"))
         .select("doc_id", F.expr(f"transform(words, w -> {spark_hash32('w')})").alias("hs"))
         .select("doc_id", F.expr(_SPARK_SIMHASH).alias("simhash"))
+        .localCheckpoint(eager=True)
     )
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+
+    def pairs(left, right, cond) -> DataFrame:
+        return left.join(right, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
             .cast("int")
             .alias("hamming"),
         )
+
+    n_bands, band_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+                    .bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    close = (
+        pairs(
+            a,
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .distinct()  # pairs colliding on >1 band appear once
+        .filter(F.col("hamming") <= n_bands - 1)
+    )
+    if close.count() >= 20:
+        return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+    # Scarce-near-dup fallback: exact all-pairs ranking.
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        pairs(a, b, F.col("a.doc_id") < F.col("b.doc_id"))
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(20)
     )
