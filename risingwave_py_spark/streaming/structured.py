@@ -311,6 +311,60 @@ def sessionize_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md §2.3: RisingWave's join
+    on a time-bounded condition between two streams).
+
+    Both sides are watermarked, and the join condition is
+    ``left.key == right.key AND right.ts IN [left.ts, left.ts +
+    max_delay]`` — the time bound plus the watermarks is what lets
+    Spark expire buffered rows: each side holds at most
+    (watermark + max_delay) of state per key range, so state is
+    bounded on unbounded streams. Caller supplies disjoint column
+    names across the two sides (rename before joining).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how)
+
+
+def lookup_join_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Process-time temporal lookup join (SURVEY.md §2.3: RisingWave's
+    ``FOR SYSTEM_TIME AS OF PROCTIME()``).
+
+    Stream-static join: Structured Streaming re-executes the static
+    side's plan every micro-batch, so each event is enriched against
+    the dimension rows as of that batch's processing time — the
+    process-time temporal semantics (after out-of-band dimension
+    writes, ``spark.catalog.refreshTable`` invalidates the cached file
+    listing). The dimension is broadcast: no shuffle touches the
+    stream side, which is what makes this viable on a 100 TB/day
+    stream against a million-row dimension.
+    """
+    return stream.join(F.broadcast(dim), stream[stream_key] == dim[dim_key], how)
+
+
 def tumbling_counts_stream(events: DataFrame, width: str = "15 minutes",
                            watermark: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window aggregate (update-mode-ready).

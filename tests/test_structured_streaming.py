@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from risingwave_py_spark.streaming.structured import (
     StreamingMV,
+    interval_join_streams,
+    lookup_join_stream,
     sessionize_stream,
     stream_table,
     tumbling_counts_stream,
@@ -154,6 +156,90 @@ def test_stream_table_reads_engine_table(spark, rw):
     )
     q.awaitTermination()
     assert sorted((r.k, r.v) for r in spark.table(sink).collect()) == [(1, "a"), (2, "b")]
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Clicks joined to purchases that happen within 10 min after the
+    click — the stream-stream time-bounded join."""
+    clicks_path = str(tmp_path / "clicks")
+    buys_path = str(tmp_path / "buys")
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(1, _ts(0)), (2, _ts(5)), (3, _ts(30))],
+            columns=["c_user", "c_ts"],
+        )
+    ).coalesce(1).write.parquet(clicks_path)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, _ts(4), 10.0),   # 4 min after user 1's click -> match
+                (2, _ts(25), 20.0),  # 20 min after user 2's click -> no match
+                (3, _ts(31), 30.0),  # 1 min after user 3's click -> match
+                (4, _ts(6), 40.0),   # no click at all
+            ],
+            columns=["b_user", "b_ts", "amount"],
+        )
+    ).coalesce(1).write.parquet(buys_path)
+
+    clicks = spark.readStream.schema("c_user bigint, c_ts timestamp").parquet(clicks_path)
+    buys = spark.readStream.schema("b_user bigint, b_ts timestamp, amount double").parquet(
+        buys_path
+    )
+    joined = interval_join_streams(
+        clicks, buys, "c_user", "b_user", "c_ts", "b_ts", max_delay="10 minutes"
+    )
+    sink = f"ivj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.c_user, r.amount) for r in spark.table(sink).collect())
+    assert got == [(1, 10.0), (3, 30.0)]
+
+
+def test_lookup_join_stream_sees_dimension_updates(spark, events_dir):
+    """Stream-static join re-reads the dimension every micro-batch —
+    process-time temporal semantics (FOR SYSTEM_TIME AS OF PROCTIME())."""
+    path, append = events_dir
+    dim = f"dim_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        pd.DataFrame({"d_user": [1, 2], "segment": ["gold", "silver"]})
+    ).write.saveAsTable(dim)
+
+    def run_batch() -> dict:
+        sink = f"lkp_{uuid.uuid4().hex[:8]}"
+        enriched = lookup_join_stream(
+            _read_stream(spark, path), spark.table(dim), "user_id", "d_user"
+        )
+        q = (
+            enriched.select("user_id", "ts", "segment")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.user_id, r.ts): r.segment for r in spark.table(sink).collect()}
+
+    append([(1, _ts(0), "click", 1.0), (3, _ts(1), "view", 2.0)])
+    first = run_batch()
+    assert first[(1, _ts(0))] == "gold"
+    assert first[(3, _ts(1))] is None  # left join: unmatched key -> NULL
+
+    # Dimension gains user 3; a later batch is enriched with it.
+    spark.createDataFrame(
+        pd.DataFrame({"d_user": [3], "segment": ["bronze"]})
+    ).write.mode("append").saveAsTable(dim)
+    spark.catalog.refreshTable(dim)
+    append([(3, _ts(2), "click", 3.0)])
+    second = run_batch()
+    assert second[(3, _ts(2))] == "bronze"
+    spark.sql(f"DROP TABLE IF EXISTS {dim}")
 
 
 def test_sessionize_stateful_emits_closed_sessions(spark, events_dir):
