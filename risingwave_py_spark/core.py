@@ -196,6 +196,14 @@ class RisingWaveConnection:
         if k == "DROP_SUB":
             eng.drop_subscription(p["name"])
             return None
+        if k == "CREATE_SOURCE":
+            eng.create_source(
+                p["name"], RW.parse_source_props(p["props"]), ignore_exist="ine" in p
+            )
+            return None
+        if k == "DROP_SOURCE":
+            eng.drop_source(p["name"])
+            return None
         if k == "DECLARE_CURSOR":
             since = int(p["since"]) if "since" in p else None
             eng.declare_cursor(p["name"], p["sub"], since)

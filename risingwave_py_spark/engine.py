@@ -83,6 +83,7 @@ class SparkEngine:
         self.mvs: dict[str, MVState] = {}
         self.upsert_meta: dict[str, dict] = {}  # fq -> {pk, version_col}
         self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
+        self.sources: dict[str, dict] = {}  # fq source -> props
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
@@ -282,9 +283,63 @@ class SparkEngine:
     def flush(self) -> None:
         """Read-your-writes barrier (reference FLUSH, core.py:121):
         base-table writes are already synchronous; this refreshes every
-        registered MV so MVs + their changelogs observe prior writes."""
+        registered MV so MVs + their changelogs observe prior writes,
+        and invalidates file-source tables' cached listings so files
+        that landed out-of-band are visible to the next read."""
+        for fq in self.sources:
+            if self.spark.catalog.tableExists(fq):
+                self.spark.catalog.refreshTable(fq)
         for state in list(self.mvs.values()):
             self.refresh_mv(state)
+
+    # -- external file sources (CREATE SOURCE, SURVEY §2.1 connectors) ----
+
+    SOURCE_FORMATS = ("parquet", "csv", "json")
+
+    def create_source(
+        self,
+        name: str,
+        props: dict[str, str],
+        ignore_exist: bool = True,
+        schema_name: str | None = None,
+    ) -> None:
+        """Register an external file-backed source table.
+
+        The RisingWave surface reaches CREATE SOURCE via SQL
+        pass-through (/root/reference/risingwave/core.py:161-181); the
+        filesystem connector maps to a Spark external datasource table
+        over the given path — no data is copied, the scan gets
+        pushdown/pruning like any parquet read, and new files appearing
+        under the path are visible after FLUSH (listing refresh). At
+        cluster scale the same DDL points at object-store URIs.
+        """
+        fq = self.qualify(name, schema_name)
+        connector = props.get("connector", "filesystem").lower()
+        if connector not in ("filesystem", "posix_fs"):
+            raise RuntimeError(f"unsupported source connector {connector!r}")
+        path = props.get("path") or props.get("posix_fs.root")
+        if not path:
+            raise RuntimeError("CREATE SOURCE requires a path property")
+        fmt = props.get("format", "parquet").lower()
+        if fmt not in self.SOURCE_FORMATS:
+            raise RuntimeError(f"unsupported source format {fmt!r}")
+        if self.spark.catalog.tableExists(fq):
+            if ignore_exist:
+                return
+            raise RuntimeError(f"source {fq} already exists")
+        opts = {
+            k: v
+            for k, v in props.items()
+            if k not in ("connector", "path", "posix_fs.root", "format")
+        }
+        self.spark.catalog.createTable(fq, source=fmt, path=path, **opts)
+        self.sources[fq] = dict(props, format=fmt, path=path)
+
+    def drop_source(self, name: str, schema_name: str | None = None) -> None:
+        fq = self.qualify(name, schema_name)
+        self.sources.pop(fq, None)
+        # external table: drops only catalog metadata, never the files
+        self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
 
     def sql(self, sql: str) -> DataFrame:
         self.spark.catalog.setCurrentDatabase(self.default_schema)

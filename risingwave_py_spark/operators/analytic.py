@@ -169,6 +169,56 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_events",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (batch twin of streaming/structured.py's
+    interval_join_streams): each click pairs with the same user's
+    purchases in the 10 minutes after it.
+
+    The user_id equality keeps this a hash join — the time bound is a
+    post-probe residual, never a nested loop. At stream scale the same
+    topology runs watermarked (state bounded by watermark + bound)."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH flagged AS (

@@ -61,6 +61,18 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+SUBSCRIPTION\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),
     (
+        "CREATE_SOURCE",
+        re.compile(
+            r"^\s*CREATE\s+SOURCE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"WITH\s*\((?P<props>.*)\)\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "DROP_SOURCE",
+        re.compile(r"^\s*DROP\s+SOURCE\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
         "DECLARE_CURSOR",
         re.compile(
             r"^\s*DECLARE\s+(?P<name>[\w.]+)\s+subscription\s+cursor\s+for\s+(?P<sub>[\w.]+)"
@@ -108,6 +120,14 @@ class Command:
     kind: str  # one of the CMD_PATTERNS keys, or "QUERY"
     sql: str
     params: dict = field(default_factory=dict)
+
+
+_PROP = re.compile(r"(?P<key>[\w.]+)\s*=\s*'(?P<val>[^']*)'")
+
+
+def parse_source_props(props_sql: str) -> dict[str, str]:
+    """Parse a WITH (key='value', …) property list (CREATE SOURCE)."""
+    return {m.group("key"): m.group("val") for m in _PROP.finditer(props_sql)}
 
 
 def classify(sql: str) -> Command:
