@@ -204,6 +204,18 @@ class RisingWaveConnection:
         if k == "DROP_SOURCE":
             eng.drop_source(p["name"])
             return None
+        if k == "CREATE_SINK":
+            eng.create_sink(
+                p["name"],
+                RW.parse_source_props(p["props"]),
+                from_rel=p.get("rel"),
+                stmt=p.get("stmt"),
+                ignore_exist="ine" in p,
+            )
+            return None
+        if k == "DROP_SINK":
+            eng.drop_sink(p["name"])
+            return None
         if k == "DECLARE_CURSOR":
             since = int(p["since"]) if "since" in p else None
             eng.declare_cursor(p["name"], p["sub"], since)

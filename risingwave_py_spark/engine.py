@@ -84,6 +84,7 @@ class SparkEngine:
         self.upsert_meta: dict[str, dict] = {}  # fq -> {pk, version_col}
         self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
         self.sources: dict[str, dict] = {}  # fq source -> props
+        self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
@@ -291,6 +292,7 @@ class SparkEngine:
                 self.spark.catalog.refreshTable(fq)
         for state in list(self.mvs.values()):
             self.refresh_mv(state)
+        self.flush_sinks()
 
     # -- external file sources (CREATE SOURCE, SURVEY §2.1 connectors) ----
 
@@ -340,6 +342,121 @@ class SparkEngine:
         self.sources.pop(fq, None)
         # external table: drops only catalog metadata, never the files
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+
+    # -- external file sinks (CREATE SINK, SURVEY §2.1 connectors) --------
+
+    def create_sink(
+        self,
+        name: str,
+        props: dict[str, str],
+        from_rel: str | None = None,
+        stmt: str | None = None,
+        ignore_exist: bool = True,
+        schema_name: str | None = None,
+    ) -> None:
+        """Register an external file sink over a relation or a query.
+
+        The RisingWave surface reaches ``CREATE SINK … FROM rel`` /
+        ``AS SELECT …`` via SQL pass-through
+        (/root/reference/risingwave/core.py:161-181). Mapping:
+
+        - ``type='append-only'`` (default): only ``Insert`` changes are
+          written, as plain data rows (RisingWave's force_append_only
+          behavior for updating upstreams);
+        - ``type='changelog'``: every change is written with ``op`` and
+          ``rw_timestamp`` columns (debezium-style change feed).
+        - ``snapshot='true'`` (default): the relation's current content
+          is emitted once at creation, as Insert rows at the current
+          epoch; then each FLUSH incrementally forwards changelog
+          epochs beyond the sink's position.
+        - ``AS SELECT``: backed by a hidden MV so the sink sees that
+          query's own changelog (dropped with the sink).
+
+        Scale: both snapshot and incremental paths are DataFrame
+        writes straight from the changelog parquet to the target files
+        — executor-parallel, never collected to the driver; per-flush
+        output is one job whose atomicity rides on Spark's file output
+        committer.
+        """
+        fq = self.qualify(name, schema_name)
+        if fq in self.sinks:
+            if ignore_exist:
+                return
+            raise RuntimeError(f"sink {fq} already exists")
+        connector = props.get("connector", "filesystem").lower()
+        if connector not in ("filesystem", "posix_fs"):
+            raise RuntimeError(f"unsupported sink connector {connector!r}")
+        path = props.get("path") or props.get("posix_fs.root")
+        if not path:
+            raise RuntimeError("CREATE SINK requires a path property")
+        fmt = props.get("format", "parquet").lower()
+        if fmt not in self.SOURCE_FORMATS:
+            raise RuntimeError(f"unsupported sink format {fmt!r}")
+        mode = props.get("type", "append-only").lower()
+        if mode not in ("append-only", "changelog"):
+            raise RuntimeError(f"unsupported sink type {mode!r}")
+        owned_mv = None
+        if stmt is not None:
+            db, tbl = _split_fq(fq)
+            owned_mv = f"{db}.__rw_sinkmv__{tbl}"
+            self.create_mv(owned_mv, stmt, ignore_exist=False)
+            rel = owned_mv
+        else:
+            rel = self.qualify(from_rel)
+            if not self.spark.catalog.tableExists(rel):
+                raise RuntimeError(f"relation {rel} does not exist")
+        self._ensure_changelog(rel)
+        opts = {
+            k: v
+            for k, v in props.items()
+            if k not in ("connector", "path", "posix_fs.root", "format", "type", "snapshot")
+        }
+        sink = {
+            "rel": rel,
+            "path": path,
+            "format": fmt,
+            "mode": mode,
+            "opts": opts,
+            "pos": self.current_epoch,
+            "owned_mv": owned_mv,
+        }
+        if props.get("snapshot", "true").lower() != "false":
+            snap = self.spark.table(rel)
+            if mode == "changelog":
+                snap = snap.withColumn("op", F.lit(OP_INSERT)).withColumn(
+                    "rw_timestamp", F.lit(self.current_epoch).cast("bigint")
+                )
+            self._sink_write(snap, sink)
+        self.sinks[fq] = sink
+
+    def drop_sink(self, name: str, schema_name: str | None = None) -> None:
+        sink = self.sinks.pop(self.qualify(name, schema_name), None)
+        # written files are the sink's product: always left in place
+        if sink and sink["owned_mv"]:
+            self.drop_mv(sink["owned_mv"])
+
+    def flush_sinks(self) -> None:
+        """Forward each sink's pending changelog epochs to its files.
+        Runs after MV refresh inside flush(), so sinks over MVs see the
+        deltas that refresh just emitted."""
+        for sink in self.sinks.values():
+            upto = self.current_epoch
+            if upto <= sink["pos"]:
+                continue
+            cl = self.changelog_name(sink["rel"])
+            self.spark.catalog.refreshTable(cl)
+            batch = self.spark.table(cl).filter(
+                (F.col("rw_timestamp") > sink["pos"]) & (F.col("rw_timestamp") <= upto)
+            )
+            if sink["mode"] == "append-only":
+                batch = batch.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
+            self._sink_write(batch, sink)
+            sink["pos"] = upto
+
+    def _sink_write(self, df: DataFrame, sink: dict) -> None:
+        df.write.mode("append").options(**sink["opts"]).format(sink["format"]).save(
+            sink["path"]
+        )
 
     def sql(self, sql: str) -> DataFrame:
         self.spark.catalog.setCurrentDatabase(self.default_schema)

@@ -73,6 +73,26 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+SOURCE\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),
     (
+        "CREATE_SINK",
+        re.compile(
+            r"^\s*CREATE\s+SINK\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"FROM\s+(?P<rel>[\w.]+)\s+WITH\s*\((?P<props>.*)\)\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "CREATE_SINK",
+        re.compile(
+            r"^\s*CREATE\s+SINK\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"AS\s+(?P<stmt>.+?)\s+WITH\s*\((?P<props>.*)\)\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "DROP_SINK",
+        re.compile(r"^\s*DROP\s+SINK\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
         "DECLARE_CURSOR",
         re.compile(
             r"^\s*DECLARE\s+(?P<name>[\w.]+)\s+subscription\s+cursor\s+for\s+(?P<sub>[\w.]+)"

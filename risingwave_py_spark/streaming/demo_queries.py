@@ -118,6 +118,54 @@ def table_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('x', CAST(1.0 AS DOUBLE), 'Insert', CAST(1 AS BIGINT)),
+        ('y', CAST(2.0 AS DOUBLE), 'Insert', CAST(1 AS BIGINT)),
+        ('x', CAST(1.0 AS DOUBLE), 'UpdateDelete', CAST(3 AS BIGINT)),
+        ('x', CAST(10.0 AS DOUBLE), 'UpdateInsert', CAST(3 AS BIGINT))
+    ) AS t(p, total, op, rw_timestamp)
+    """,
+)
+def sink_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SINK end to end: changelog-mode file sink over an
+    aggregation MV. Creation emits the MV snapshot as Insert rows at
+    the current epoch; a later insert + FLUSH refreshes the MV and the
+    sink forwards exactly the new changelog epochs (UpdateDelete/
+    UpdateInsert pair) to the output files — incremental, no rewrite
+    of previously-sunk data."""
+    import shutil
+    import tempfile
+
+    conn, eng = _fresh_conn(spark, "rwdemo_sk")
+    out_dir = tempfile.mkdtemp(prefix="rw_sink_out_")
+    try:
+        conn.insert(pd.DataFrame({"p": ["x", "y"], "v": [1.0, 2.0]}),
+                    table_name="sales", schema_name="rwdemo_sk", force_flush=True)
+        conn.execute(
+            "CREATE MATERIALIZED VIEW rwdemo_sk.mv AS "
+            "SELECT p, sum(v) AS total FROM rwdemo_sk.sales GROUP BY p"
+        )
+        conn.execute(
+            f"CREATE SINK rwdemo_sk.snk FROM rwdemo_sk.mv WITH "
+            f"(connector='filesystem', path='{out_dir}', format='parquet', type='changelog')"
+        )
+        conn.insert(pd.DataFrame({"p": ["x"], "v": [9.0]}),
+                    table_name="sales", schema_name="rwdemo_sk", force_flush=True)
+        rows = [
+            (r.p, r.total, r.op, r.rw_timestamp)
+            for r in spark.read.parquet(out_dir).collect()
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, total double, op string, rw_timestamp bigint",
+    )
+
+
+@register(
     "tumble_mv_scenario",
     oracle="""
     SELECT * FROM (VALUES
