@@ -813,3 +813,187 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 1000.0).alias("price_k_floor"),
         F.sqrt("o_totalprice").cast("double").alias("price_sqrt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface widening: ordered-set / lateral / unnest / frames (§2.4-2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg_status",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (PG string_agg / listagg). Spark-first form:
+    collect_set + array_sort + array_join keeps the whole expression in
+    codegen; the set per group is bounded (order statuses), so the
+    collected state never approaches executor memory limits."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "unnest_word_counts",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 50
+    """,
+)
+def unnest_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST / generator expression (PG unnest, Spark explode): top-50
+    word frequencies over documents. explode runs inside codegen; the
+    groupBy gets map-side partial aggregation, so the shuffle carries
+    one row per (partition, word), not one per token — the formulation
+    that survives 100 TB of text."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(50)
+    )
+
+
+@register(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 50
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (PG lateral
+    join), executed through Spark SQL's native lateral-join planning —
+    Catalyst decorrelates it into a ranked join rather than a per-row
+    nested loop."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 50
+        """
+    )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with explicit frames: the
+    growing default frame for first/nth, the full-partition ROWS frame
+    for last_value (without it last_value degenerates to the current
+    row — the classic SQL trap both engines share)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "agg_grouping_marker",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers distinguish 'NULL because subtotal row' from
+    'NULL in the data' across ROLLUP levels (PG/ANSI GROUPING)."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (PG percentile_cont): both engines
+    sort within group and linearly interpolate, so values agree to FP
+    rounding (pinned at 4 decimals). At scale the approx_percentile
+    sketch is the right tool; this is the exact baseline."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "distinct_on_latest_event",
+    oracle="""
+    SELECT DISTINCT ON (user_id) user_id, event_id, ts, event_type
+    FROM events
+    WHERE user_id <= 300
+    ORDER BY user_id, ts DESC, event_id DESC
+    """,
+)
+def distinct_on_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG/RisingWave DISTINCT ON: latest event per user. Spark has no
+    DISTINCT ON; the idiomatic translation is a row_number() window
+    with the same ordering — one shuffle on the DISTINCT ON key, and
+    the rank filter is applied before any further operator sees the
+    partition."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 300)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

@@ -389,3 +389,24 @@ def tumbling_counts_stream(events: DataFrame, width: str = "15 minutes",
             "sum_value",
         )
     )
+
+
+def hopping_counts_stream(events: DataFrame, width: str = "30 minutes",
+                          slide: str = "15 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Watermarked hopping (sliding) window aggregate — the streaming
+    twin of the batch ``hop_events_30m_15m`` query and of RisingWave's
+    hop() TVF. Each event lands in width/slide overlapping windows;
+    Spark expands that assignment inside codegen before the shuffle,
+    and the watermark bounds how many open windows hold state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

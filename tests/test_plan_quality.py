@@ -75,3 +75,32 @@ def test_semi_join_carries_keys_only(spark, sf_dir):
     the full aggregate payload through the probe side."""
     plan = _plan(spark, sf_dir, "q18_large_volume_customer")
     assert "LeftSemi" in plan
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """Correlated LATERAL with ORDER BY+LIMIT must plan as a ranked
+    join (window + hash join), never a per-outer-row nested loop."""
+    plan = _plan(spark, sf_dir, "lateral_top2_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_unnest_word_counts_partial_agg(spark, sf_dir):
+    """The token-count shuffle must carry per-partition partials (one
+    row per word per partition), not one row per token."""
+    plan = _plan(spark, sf_dir, "unnest_word_counts")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_distinct_on_single_shuffle(spark, sf_dir):
+    """DISTINCT ON via row_number: exactly one exchange (by user_id);
+    the rank filter must not add a second shuffle."""
+    plan = _plan(spark, sf_dir, "distinct_on_latest_event")
+    import re as _re
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:2000]
+    # rank<=1 is applied map-side BEFORE the shuffle (WindowGroupLimit),
+    # so the exchange carries at most one row per (partition, user).
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")

@@ -270,3 +270,38 @@ def test_sessionize_stateful_emits_closed_sessions(spark, events_dir):
     assert s.user_id == 1
     assert s.session_start == _ts(0) and s.session_end == _ts(10)
     assert s.n_events == 2 and s.total_value == 3.0
+
+
+def test_hopping_counts_stream_matches_batch(spark, events_dir):
+    from risingwave_py_spark.streaming.structured import hopping_counts_stream
+
+    path, append = events_dir
+    append([
+        (1, _ts(0), "click", 1.0),
+        (1, _ts(14), "click", 2.0),
+        (2, _ts(20), "view", 3.0),
+        (3, _ts(40), "click", 4.0),
+    ])
+    agg = hopping_counts_stream(_read_stream(spark, path))
+    sink = f"hcs_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in spark.table(sink).collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): r.n for r in batch}
+    assert got == want
+    # each event appears in exactly width/slide = 2 overlapping windows
+    assert sum(got.values()) == 8
