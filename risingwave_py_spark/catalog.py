@@ -68,3 +68,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str | list[str],
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist a relation bucketed (and bucket-sorted) by its join key.
+
+    Co-located joins are the scale lever for repeated fact-fact joins:
+    two tables bucketed by the same key into the same bucket count
+    join with ZERO exchanges — at 100 TB that is the difference
+    between shuffling both tables per query and shuffling neither,
+    ever. Bucket-local sort additionally removes the per-task sort of
+    a sort-merge join. tests/test_scale_layout.py proves the plan
+    property."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.mode("overwrite").saveAsTable(name)
+
+
+def write_partitioned(df: DataFrame, name: str, partition_cols: str | list[str]) -> None:
+    """Persist a relation hive-partitioned by low-cardinality columns
+    (e.g. event date): filters on partition columns prune whole
+    directories at planning time (PartitionFilters), so a day-scoped
+    query over years of data reads one day's files."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.format("parquet").partitionBy(*cols).mode("overwrite").saveAsTable(name)

@@ -377,12 +377,14 @@ class MaterializedView:
     def on_change(self, handler: SubscriptionHandler,
                   output_format: OutputFormat = OutputFormat.RAW, sub_name: str = "",
                   retention_seconds: int = 86400, persist_progress: bool = False,
-                  max_batch_size: int = 10, _stop_when_idle: bool = False) -> None:
+                  max_batch_size: int = 10, _stop_when_idle: bool = False,
+                  _stop_event=None) -> None:
         self.conn.on_change(
             subscribe_from=self.name, schema_name=self.schema_name, handler=handler,
             sub_name=sub_name, retention_seconds=retention_seconds,
             persist_progress=persist_progress, output_format=output_format,
             max_batch_size=max_batch_size, _stop_when_idle=_stop_when_idle,
+            _stop_event=_stop_event,
         )
 
 

@@ -273,11 +273,17 @@ class SparkEngine:
         return epoch
 
     def _append_changelog(self, fq: str, df: DataFrame, op: str, epoch: int) -> None:
+        """Single-op changelog append. Holds the engine lock so a
+        concurrently polling cursor (fetch_cursor) can never observe a
+        half-written epoch: an epoch whose rows arrive in several
+        appends (refresh_mv's UpdateDelete/UpdateInsert batches) is
+        published atomically relative to readers."""
         cl = self.changelog_name(fq)
         out = df.withColumn("op", F.lit(op)).withColumn(
             "rw_timestamp", F.lit(epoch).cast("bigint")
         )
-        out.write.mode("append").insertInto(cl)
+        with self._lock:
+            out.write.mode("append").insertInto(cl)
 
     # -- flush / MV maintenance -------------------------------------------
 
@@ -589,13 +595,19 @@ class SparkEngine:
             batches = [(deletes, OP_DELETE), (inserts, OP_INSERT)]
 
         self._ensure_changelog(fq)
+        # Collect every op-batch BEFORE publishing, then append them all
+        # under one lock acquisition: a concurrently polling cursor must
+        # never see an epoch with its UpdateDelete half but not yet its
+        # UpdateInsert half (it would advance past the epoch and drop
+        # the missing rows forever).
+        collected = [(df.collect(), op) for df, op in batches]
         any_change = False
-        for df, op in batches:
-            rows = df.collect()
-            if rows:
-                any_change = True
-                delta = spark.createDataFrame(rows, old.schema)
-                self._append_changelog(fq, delta, op, epoch)
+        with self._lock:
+            for rows, op in collected:
+                if rows:
+                    any_change = True
+                    delta = spark.createDataFrame(rows, old.schema)
+                    self._append_changelog(fq, delta, op, epoch)
 
         if any_change:
             spark.sql(f"DROP TABLE IF EXISTS {fq}")
@@ -638,29 +650,33 @@ class SparkEngine:
         (progress-extraction contract, core.py:551-554)."""
         st = self.cursors[cursor]
         cl = self.changelog_name(st["rel"])
-        self.spark.catalog.refreshTable(cl)
-        pending = self.spark.table(cl).filter(F.col("rw_timestamp") > st["pos"])
-        epochs = (
-            pending.groupBy("rw_timestamp")
-            .agg(F.count("*").alias("n"))
-            .orderBy("rw_timestamp")
-            .limit(max(n, 1))
-            .collect()
-        )
-        if not epochs:
-            return [], []
-        cum, last_epoch = 0, None
-        for r in epochs:
-            if last_epoch is not None and cum + r["n"] > n:
-                break
-            cum += r["n"]
-            last_epoch = r["rw_timestamp"]
-        batch = (
-            pending.filter(F.col("rw_timestamp") <= last_epoch)
-            .orderBy("rw_timestamp")
-            .collect()
-        )
-        st["pos"] = last_epoch
+        # Read under the engine lock: epoch publication (multi-append in
+        # refresh_mv) is atomic relative to this read, so a delivered
+        # epoch is always complete before pos advances past it.
+        with self._lock:
+            self.spark.catalog.refreshTable(cl)
+            pending = self.spark.table(cl).filter(F.col("rw_timestamp") > st["pos"])
+            epochs = (
+                pending.groupBy("rw_timestamp")
+                .agg(F.count("*").alias("n"))
+                .orderBy("rw_timestamp")
+                .limit(max(n, 1))
+                .collect()
+            )
+            if not epochs:
+                return [], []
+            cum, last_epoch = 0, None
+            for r in epochs:
+                if last_epoch is not None and cum + r["n"] > n:
+                    break
+                cum += r["n"]
+                last_epoch = r["rw_timestamp"]
+            batch = (
+                pending.filter(F.col("rw_timestamp") <= last_epoch)
+                .orderBy("rw_timestamp")
+                .collect()
+            )
+            st["pos"] = last_epoch
         cols = list(batch[0].__fields__)
         # move op just before rw_timestamp, rw_timestamp last (contract)
         assert cols[-2:] == ["op", "rw_timestamp"], cols
@@ -682,26 +698,33 @@ class SparkEngine:
             cl = self.changelog_name(sub["rel"])
             if not self.spark.catalog.tableExists(cl):
                 continue
-            self.spark.catalog.refreshTable(cl)
-            keep_n = max(int(sub["retention_s"]), 0)
-            epochs = [
-                r[0]
-                for r in self.spark.table(cl)
-                .select("rw_timestamp")
-                .distinct()
-                .orderBy(F.col("rw_timestamp").desc())
-                .limit(keep_n + 1)
-                .collect()
-            ]
-            if len(epochs) <= keep_n:
-                continue  # nothing older than the retained window
-            keep_from = epochs[keep_n - 1] if keep_n else self._epoch + 1
-            stage = f"{cl}__vacuum_stage"
-            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
-            (
-                self.spark.table(cl)
-                .filter(F.col("rw_timestamp") >= keep_from)
-                .write.saveAsTable(stage)
-            )
-            self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
-            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")
+            with self._lock:
+                self._vacuum_one(sub, cl)
+
+    def _vacuum_one(self, sub: dict, cl: str) -> None:
+        """Compact one changelog to its newest retained epochs. Runs
+        under the engine lock (caller) so the drop+rename rewrite never
+        races a polling cursor's read."""
+        self.spark.catalog.refreshTable(cl)
+        keep_n = max(int(sub["retention_s"]), 0)
+        epochs = [
+            r[0]
+            for r in self.spark.table(cl)
+            .select("rw_timestamp")
+            .distinct()
+            .orderBy(F.col("rw_timestamp").desc())
+            .limit(keep_n + 1)
+            .collect()
+        ]
+        if len(epochs) <= keep_n:
+            return  # nothing older than the retained window
+        keep_from = epochs[keep_n - 1] if keep_n else self._epoch + 1
+        stage = f"{cl}__vacuum_stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        (
+            self.spark.table(cl)
+            .filter(F.col("rw_timestamp") >= keep_from)
+            .write.saveAsTable(stage)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
+        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")

@@ -1,0 +1,84 @@
+"""Physical-layout scale levers (SCALE.md): bucketed co-located joins
+and hive-partition pruning. These assert PLAN properties — the same
+properties that decide whether a 100 TB join shuffles 100 TB or
+nothing.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from risingwave_py_spark.catalog import table, write_bucketed, write_partitioned
+
+
+def _fmt_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, no_broadcast):
+    o_tbl = f"b_orders_{uuid.uuid4().hex[:8]}"
+    l_tbl = f"b_lineitem_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(table(spark, sf_dir, "orders"), o_tbl, "o_orderkey", buckets=8)
+        write_bucketed(table(spark, sf_dir, "lineitem"), l_tbl, "l_orderkey", buckets=8)
+        j = spark.table(o_tbl).join(
+            spark.table(l_tbl),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _fmt_plan(j)
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan[:3000]
+        # bucket-sorted layout also removes the per-task sort
+        assert "SortMergeJoin" in plan
+        n = j.count()
+        assert n == table(spark, sf_dir, "lineitem").count()  # FK join preserves facts
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_tbl}")
+
+
+def test_bucketed_aggregation_skips_shuffle(spark, sf_dir, no_broadcast):
+    """groupBy on the bucket key reuses the bucketing — no exchange
+    before the final aggregate."""
+    tbl = f"b_agg_{uuid.uuid4().hex[:8]}"
+    try:
+        write_bucketed(table(spark, sf_dir, "lineitem"), tbl, "l_orderkey", buckets=8)
+        agg = spark.table(tbl).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        plan = _fmt_plan(agg)
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan[:3000]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_partitioned_table_prunes(spark, sf_dir):
+    tbl = f"p_events_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        write_partitioned(ev, tbl, "day")
+        days = [r.day for r in spark.table(tbl).select("day").distinct().collect()]
+        target = sorted(days)[0]
+        q = spark.table(tbl).filter(F.col("day") == F.lit(target))
+        plan = _fmt_plan(q)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "day" in m.group(1), plan[:3000]
+        # pruning happened at planning time: the scan reads 1 of N partitions
+        scan_files = q.select(F.input_file_name()).distinct().count()
+        all_files = spark.table(tbl).select(F.input_file_name()).distinct().count()
+        assert scan_files < all_files
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -171,3 +171,52 @@ def test_vacuum_changelogs_applies_retention(rw):
     # 4 insert epochs existed; retention=2 keeps the newest 2 epochs
     assert ks == [3, 4], rows
     rw.execute("DROP SUBSCRIPTION vac_s")
+
+
+def test_concurrent_poll_never_sees_partial_epoch(rw):
+    """Regression: refresh_mv publishes an epoch's changelog rows in
+    several appends (UpdateDelete batch, then UpdateInsert batch). A
+    cursor polling concurrently must never fetch between them — that
+    would deliver a half epoch and advance past the missing rows
+    forever. With epoch publication and cursor reads serialized on the
+    engine lock, every UpdateDelete must arrive with its UpdateInsert
+    partner in the same fetched epoch."""
+    rw.execute("DROP TABLE IF EXISTS t_race")
+    rw.insert(data=pd.DataFrame({"p": ["x"], "v": [1.0]}),
+              table_name="t_race", force_flush=True)
+    rw.mv(stmt="SELECT p, sum(v) AS total FROM t_race GROUP BY p", name="t_race_mv")
+    rw.execute(
+        "CREATE SUBSCRIPTION IF NOT EXISTS public.t_race_sub FROM public.t_race_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute("DECLARE t_race_cur subscription cursor for public.t_race_sub SINCE 0")
+
+    got: list[tuple] = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            _, rows = rw.engine.fetch_cursor("t_race_cur", 1000)
+            got.extend(rows)
+            time.sleep(0.01)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for i in range(6):
+            rw.insert(data=pd.DataFrame({"p": ["x"], "v": [1.0]}),
+                      table_name="t_race", force_flush=True)
+    finally:
+        time.sleep(0.5)
+        stop.set()
+        t.join()
+    # drain anything left
+    _, rows = rw.engine.fetch_cursor("t_race_cur", 10000)
+    got.extend(rows)
+    by_epoch: dict[int, list] = {}
+    for r in got:
+        by_epoch.setdefault(r[-1], []).append(r[-2])
+    for epoch, ops in by_epoch.items():
+        assert ops.count("UpdateDelete") == ops.count("UpdateInsert"), (epoch, ops)
+    # all 6 updates were observed (nothing silently dropped)
+    assert sum(ops.count("UpdateInsert") for ops in by_epoch.values()) == 6
