@@ -118,6 +118,41 @@ def table_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topn_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('b', CAST(9.0 AS DOUBLE), 'Delete', CAST(3 AS BIGINT)),
+        ('d', CAST(20.0 AS DOUBLE), 'Insert', CAST(3 AS BIGINT))
+    ) AS t(p, v, op, rw_timestamp)
+    """,
+)
+def topn_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Top-N (RisingWave's flagship MV shape): an MV over
+    ORDER BY … LIMIT keeps the leaderboard current, and the changelog
+    emits Delete for the row evicted from the top-2 (b, the previous
+    runner-up) and Insert for the row that displaced it — derived by
+    the bag-diff path (no group keys to pair updates on)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_tn")
+    conn.insert(pd.DataFrame({"p": ["a", "b", "c"], "v": [10.0, 9.0, 8.0]}),
+                table_name="scores", schema_name="rwdemo_tn", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_tn.top2 AS "
+        "SELECT p, v FROM rwdemo_tn.scores ORDER BY v DESC LIMIT 2"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_tn.s FROM rwdemo_tn.top2 WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_tn_cur subscription cursor for rwdemo_tn.s SINCE 0")
+    conn.insert(pd.DataFrame({"p": ["d"], "v": [20.0]}),
+                table_name="scores", schema_name="rwdemo_tn", force_flush=True)
+    cols, rows = eng.fetch_cursor("rwdemo_tn_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, v double, op string, rw_timestamp bigint",
+    )
+
+
+@register(
     "sink_scenario",
     oracle="""
     SELECT * FROM (VALUES
