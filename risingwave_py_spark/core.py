@@ -216,6 +216,12 @@ class RisingWaveConnection:
         if k == "DROP_SINK":
             eng.drop_sink(p["name"])
             return None
+        if k == "DELETE_ROWS":
+            eng.delete_rows(p["name"], p.get("where"))
+            return None
+        if k == "UPDATE_ROWS":
+            eng.update_rows(p["name"], RW.split_assignments(p["set"]), p.get("where"))
+            return None
         if k == "DECLARE_CURSOR":
             since = int(p["since"]) if "since" in p else None
             eng.declare_cursor(p["name"], p["sub"], since)

@@ -285,6 +285,72 @@ class SparkEngine:
         with self._lock:
             out.write.mode("append").insertInto(cl)
 
+    # -- DML: UPDATE / DELETE (PG surface via pass-through) ----------------
+
+    def delete_rows(self, name: str, where: str | None = None,
+                    schema_name: str | None = None) -> int:
+        """``DELETE FROM t [WHERE pred]``. SQL semantics: only rows
+        where the predicate is TRUE are deleted (FALSE and NULL rows
+        stay). Emits Delete changelog rows for the removed rows in one
+        epoch. The survivors are snapshotted (localCheckpoint) before
+        the overwrite so the rewrite never reads the table it is
+        replacing. At cluster scale the same operation is a Delta/
+        Iceberg DELETE (file-level rewrite of matching files only)."""
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta:
+            raise RuntimeError("DELETE on ON CONFLICT tables is not supported")
+        cur = self.spark.table(fq)
+        cond = F.expr(f"coalesce(({where}), false)") if where else F.lit(True)
+        deleted = cur.filter(cond).localCheckpoint(eager=True)
+        n = deleted.count()
+        if n == 0:
+            return 0
+        remaining = cur.filter(~cond).localCheckpoint(eager=True)
+        epoch = self.next_epoch()
+        with self._lock:
+            remaining.write.mode("overwrite").insertInto(fq, overwrite=True)
+            self._ensure_changelog(fq)
+            self._append_changelog(fq, deleted, OP_DELETE, epoch)
+        self.spark.catalog.refreshTable(fq)
+        return n
+
+    def update_rows(self, name: str, assignments: list[tuple[str, str]],
+                    where: str | None = None, schema_name: str | None = None) -> int:
+        """``UPDATE t SET c = expr, … [WHERE pred]``. Changed rows emit
+        an UpdateDelete (old values) + UpdateInsert (new values) pair
+        in one atomically-published epoch — the same contract an
+        updating MV produces (demo.py:50). SET expressions are cast
+        back to the column's declared type (PG assignment cast)."""
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta:
+            raise RuntimeError("UPDATE on ON CONFLICT tables is not supported")
+        cur = self.spark.table(fq)
+        schema = {f.name.lower(): f.dataType for f in cur.schema.fields}
+        for col, _ in assignments:
+            if col.lower() not in schema:
+                raise RuntimeError(f"column {col} does not exist in {fq}")
+        cond = F.expr(f"coalesce(({where}), false)") if where else F.lit(True)
+        old = cur.filter(cond).localCheckpoint(eager=True)
+        n = old.count()
+        if n == 0:
+            return 0
+        untouched = cur.filter(~cond).localCheckpoint(eager=True)
+        # withColumns applies every assignment against the OLD row
+        # simultaneously (SQL UPDATE semantics: SET a = b, b = a swaps).
+        new = old.withColumns(
+            {col: F.expr(expr).cast(schema[col.lower()]) for col, expr in assignments}
+        ).localCheckpoint(eager=True)
+        epoch = self.next_epoch()
+        with self._lock:
+            untouched.unionByName(new).write.mode("overwrite").insertInto(
+                fq, overwrite=True
+            )
+            self._ensure_changelog(fq)
+            self._append_changelog(fq, old, OP_UPDATE_DELETE, epoch)
+            self._append_changelog(fq, new, OP_UPDATE_INSERT, epoch)
+        self.spark.catalog.refreshTable(fq)
+        return n
+
     # -- flush / MV maintenance -------------------------------------------
 
     def flush(self) -> None:

@@ -93,6 +93,22 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+SINK\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),
     (
+        "DELETE_ROWS",
+        re.compile(
+            r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "UPDATE_ROWS",
+        re.compile(
+            r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<set>.+?)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
         "DECLARE_CURSOR",
         re.compile(
             r"^\s*DECLARE\s+(?P<name>[\w.]+)\s+subscription\s+cursor\s+for\s+(?P<sub>[\w.]+)"
@@ -148,6 +164,35 @@ _PROP = re.compile(r"(?P<key>[\w.]+)\s*=\s*'(?P<val>[^']*)'")
 def parse_source_props(props_sql: str) -> dict[str, str]:
     """Parse a WITH (key='value', …) property list (CREATE SOURCE)."""
     return {m.group("key"): m.group("val") for m in _PROP.finditer(props_sql)}
+
+
+def split_assignments(set_sql: str) -> list[tuple[str, str]]:
+    """Split an UPDATE's SET clause into (column, expression) pairs.
+    Commas inside parentheses or string literals do not split (e.g.
+    ``SET a = greatest(b, 1), c = 'x,y'``)."""
+    parts: list[str] = []
+    depth, in_str, start = 0, False, 0
+    for i, ch in enumerate(set_sql):
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(set_sql[start:i])
+            start = i + 1
+    parts.append(set_sql[start:])
+    out: list[tuple[str, str]] = []
+    for part in parts:
+        col, eq, expr = part.partition("=")
+        if not eq or not col.strip() or not expr.strip():
+            raise ValueError(f"malformed SET assignment: {part.strip()!r}")
+        out.append((col.strip(), expr.strip()))
+    return out
 
 
 def classify(sql: str) -> Command:
@@ -339,6 +384,14 @@ _PG_SHIMS = [
     # (to_char is NOT shimmed: Spark 4 ships a built-in to_char for
     # numeric formatting that a SQL UDF cannot replace; PG datetime
     # to_char callers use date_format.)
+    # PG string_to_array(string, delim) — Spark's split takes a regex;
+    # \Q…\E quotes the delimiter so any character splits literally.
+    r"CREATE OR REPLACE TEMPORARY FUNCTION string_to_array(s STRING, d STRING) "
+    r"RETURNS ARRAY<STRING> RETURN split(s, concat('\\Q', d, '\\E'))",
+    # PG array_length(arr, dim) — only dim=1 exists for Spark arrays.
+    "CREATE OR REPLACE TEMPORARY FUNCTION array_length(a ARRAY<STRING>, dim INT) "
+    "RETURNS INT RETURN CASE WHEN dim = 1 THEN size(a) END",
+    # PG split_part is built into Spark 4; left/right/btrim likewise.
 ]
 
 

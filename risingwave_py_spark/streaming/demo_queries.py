@@ -118,6 +118,40 @@ def table_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dml_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(1.0 AS DOUBLE), 'Insert', CAST(1 AS BIGINT)),
+        ('b', CAST(2.0 AS DOUBLE), 'Insert', CAST(1 AS BIGINT)),
+        ('c', CAST(3.0 AS DOUBLE), 'Insert', CAST(1 AS BIGINT)),
+        ('b', CAST(2.0 AS DOUBLE), 'UpdateDelete', CAST(2 AS BIGINT)),
+        ('b', CAST(20.0 AS DOUBLE), 'UpdateInsert', CAST(2 AS BIGINT)),
+        ('c', CAST(3.0 AS DOUBLE), 'Delete', CAST(3 AS BIGINT))
+    ) AS t(p, v, op, rw_timestamp)
+    """,
+)
+def dml_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE/DELETE DML with changelog parity: the update emits an
+    UpdateDelete/UpdateInsert pair carrying old and new values, the
+    delete emits Delete — each in its own atomically-published epoch,
+    replayed in order by a SINCE-0 cursor."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dml")
+    conn.insert(pd.DataFrame({"p": ["a", "b", "c"], "v": [1.0, 2.0, 3.0]}),
+                table_name="kv", schema_name="rwdemo_dml", force_flush=True)
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_dml.s FROM rwdemo_dml.kv WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_dml_cur subscription cursor for rwdemo_dml.s SINCE 0")
+    conn.execute("UPDATE rwdemo_dml.kv SET v = v * 10 WHERE p = 'b'")
+    conn.execute("DELETE FROM rwdemo_dml.kv WHERE p = 'c'")
+    cols, rows = eng.fetch_cursor("rwdemo_dml_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, v double, op string, rw_timestamp bigint",
+    )
+
+
+@register(
     "topn_mv_scenario",
     oracle="""
     SELECT * FROM (VALUES

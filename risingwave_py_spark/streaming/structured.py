@@ -410,3 +410,24 @@ def hopping_counts_stream(events: DataFrame, width: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked session-window aggregate — Spark's native
+    session_window() (dynamic-gap windows merged in the state store),
+    completing the time-window trio next to tumbling_counts_stream and
+    hopping_counts_stream. In append mode a session emits once the
+    watermark passes its close — the RisingWave session-window MV
+    semantics with explicit late-data policy."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

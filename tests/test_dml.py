@@ -1,0 +1,87 @@
+"""UPDATE / DELETE DML (PG surface reachable through the reference's
+execute pass-through, /root/reference/risingwave/core.py:161-181):
+mutations rewrite the table and emit changelog ops in one atomic
+epoch — Delete for deletions, UpdateDelete/UpdateInsert pairs for
+updates (the demo.py:50 contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _sub_rows(rw, table, tag):
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{table} "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute(f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0")
+    _, rows = rw.engine.fetch_cursor(f"{tag}_cur", 10000)
+    return rows
+
+
+def test_delete_where(rw):
+    rw.execute("DROP TABLE IF EXISTS t_del")
+    rw.insert(data=pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, None, 40.0]}),
+              table_name="t_del", force_flush=True)
+    rw.execute("DELETE FROM t_del WHERE v > 15")
+    got = sorted(r[0] for r in rw.fetch("SELECT k FROM t_del"))
+    # v=NULL row survives (predicate NULL is not TRUE), v=10 survives
+    assert got == [1, 3]
+    ops = [(r[0], r[-2]) for r in _sub_rows(rw, "t_del", "t_del")]
+    assert (2, "Delete") in ops and (4, "Delete") in ops
+
+
+def test_update_set_where_and_simultaneous_assignment(rw):
+    rw.execute("DROP TABLE IF EXISTS t_upd")
+    rw.insert(data=pd.DataFrame({"a": [1, 2], "b": [100, 200]}),
+              table_name="t_upd", force_flush=True)
+    # swap semantics: both expressions see the OLD row
+    rw.execute("UPDATE t_upd SET a = b, b = a WHERE a = 1")
+    rows = sorted(rw.fetch("SELECT a, b FROM t_upd"))
+    assert rows == [(2, 200), (100, 1)]
+    ops = sorted((r[-2]) for r in _sub_rows(rw, "t_upd", "t_upd")
+                 if r[-2] != "Insert")
+    assert ops == ["UpdateDelete", "UpdateInsert"]
+
+
+def test_update_casts_to_column_type_and_funcs_in_set(rw):
+    rw.execute("DROP TABLE IF EXISTS t_upd2")
+    rw.insert(data=pd.DataFrame({"k": [1, 2], "v": [10, 20]}),
+              table_name="t_upd2", force_flush=True)
+    rw.execute("UPDATE t_upd2 SET v = greatest(v * 2.5, 1) WHERE k = 2")
+    rows = dict(rw.fetch("SELECT k, v FROM t_upd2"))
+    assert rows == {1: 10, 2: 50}  # 50.0 cast back to the bigint column
+
+
+def test_update_no_match_is_noop(rw):
+    rw.execute("DROP TABLE IF EXISTS t_upd3")
+    rw.insert(data=pd.DataFrame({"k": [1]}), table_name="t_upd3", force_flush=True)
+    before = rw.engine.current_epoch
+    rw.execute("UPDATE t_upd3 SET k = 99 WHERE k = 42")
+    assert rw.fetch("SELECT k FROM t_upd3") == [(1,)]
+
+
+def test_mv_refreshes_after_dml(rw):
+    rw.execute("DROP TABLE IF EXISTS t_dmlmv")
+    rw.insert(data=pd.DataFrame({"p": ["x", "x", "y"], "v": [1.0, 2.0, 3.0]}),
+              table_name="t_dmlmv", force_flush=True)
+    rw.mv(stmt="SELECT p, sum(v) AS total FROM t_dmlmv GROUP BY p", name="t_dmlmv_mv")
+    rw.execute("DELETE FROM t_dmlmv WHERE v = 2.0")
+    rw.execute("UPDATE t_dmlmv SET v = 30.0 WHERE p = 'y'")
+    rw.execute("FLUSH")
+    rows = dict(rw.fetch("SELECT p, total FROM t_dmlmv_mv"))
+    assert rows == {"x": 1.0, "y": 30.0}
+
+
+def test_dml_on_upsert_table_rejected(rw):
+    rw.execute("DROP TABLE IF EXISTS t_dmlup")
+    rw.execute(
+        "CREATE TABLE t_dmlup (pk STRING PRIMARY KEY, ver BIGINT) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+    )
+    with pytest.raises(RuntimeError, match="not supported"):
+        rw.execute("DELETE FROM t_dmlup WHERE ver = 1")
+    with pytest.raises(RuntimeError, match="not supported"):
+        rw.execute("UPDATE t_dmlup SET ver = 2")

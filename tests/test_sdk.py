@@ -168,3 +168,7 @@ def test_pg_function_shims(rw):
     assert rw.fetchone("SELECT 3.5::INT AS x")[0] == 3
     assert rw.fetchone("SELECT 'a' || 'b' AS x")[0] == "ab"
     assert rw.fetchone("SELECT position('ll' IN 'hello') AS x")[0] == 3
+    # delimiter is literal (any regex metachar), per PG string_to_array
+    assert rw.fetchone("SELECT string_to_array('a.b.c', '.') AS a")[0] == ["a", "b", "c"]
+    assert rw.fetchone("SELECT array_length(string_to_array('x|y', '|'), 1) AS n")[0] == 2
+    assert rw.fetchone("SELECT split_part('x|y|z', '|', 2) AS p")[0] == "y"

@@ -305,3 +305,38 @@ def test_hopping_counts_stream_matches_batch(spark, events_dir):
     assert got == want
     # each event appears in exactly width/slide = 2 overlapping windows
     assert sum(got.values()) == 8
+
+
+def test_session_counts_stream_finalizes_below_watermark(spark, events_dir):
+    from risingwave_py_spark.streaming.structured import session_counts_stream
+
+    path, append = events_dir
+    append([
+        (1, _ts(0), "click", 1.0),
+        (1, _ts(3), "click", 1.0),   # same session (gap 5m)
+        (1, _ts(20), "click", 1.0),  # new session for user 1
+        (2, _ts(1), "view", 1.0),
+        # sentinel far in the future: pushes the watermark past every
+        # session above so append mode finalizes them
+        (9, _ts(0, hour=12), "click", 1.0),
+    ])
+    agg = session_counts_stream(_read_stream(spark, path))
+    sink = f"scs_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_start, r.user_id): r.n_events for r in spark.table(sink).collect()
+    }
+    # sessions: user1 9:00-9:08 (2 events), user1 9:20 (1), user2 9:01 (1)
+    assert got == {
+        (_ts(0), 1): 2,
+        (_ts(20), 1): 1,
+        (_ts(1), 2): 1,
+    }
