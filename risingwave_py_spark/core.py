@@ -216,6 +216,14 @@ class RisingWaveConnection:
         if k == "DROP_SINK":
             eng.drop_sink(p["name"])
             return None
+        if k == "CREATE_FUNCTION":
+            eng.create_function(
+                p["name"], p["rettype"], p["body"], ignore_exist="ine" in p
+            )
+            return None
+        if k == "DROP_FUNCTION":
+            eng.drop_function(p["name"])
+            return None
         if k == "DELETE_ROWS":
             eng.delete_rows(p["name"], p.get("where"))
             return None
@@ -482,6 +490,20 @@ class RisingWave(RisingWaveConnection):
 
     def getconn(self) -> RisingWaveConnection:
         return RisingWaveConnection(self.engine_backend, self.rw_version)
+
+    def register_udf(self, name: str, fn, return_type: str = "STRING") -> None:
+        """Programmatic UDF registration (engine extension beyond the
+        reference, SURVEY §2.9): exposes Spark's UDF machinery through
+        the SDK. ``fn`` may be a plain callable (row UDF) or an
+        already-decorated ``pandas_udf`` (vectorized, the fast path —
+        such UDFs carry their own return type)."""
+        # pandas_udf / udf decorators return wrappers that carry their
+        # own returnType — Spark rejects an explicit type for those.
+        if hasattr(fn, "returnType"):
+            self.engine.spark.udf.register(name, fn)
+        else:
+            self.engine.spark.udf.register(name, fn, return_type)
+        self.engine.udfs[name] = return_type
 
     def close(self) -> None:
         pass

@@ -85,6 +85,7 @@ class SparkEngine:
         self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
         self.sources: dict[str, dict] = {}  # fq source -> props
         self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
+        self.udfs: dict[str, str] = {}  # name -> declared return type
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
@@ -284,6 +285,37 @@ class SparkEngine:
         )
         with self._lock:
             out.write.mode("append").insertInto(cl)
+
+    # -- user-defined functions (SURVEY §2.9; RW embedded-Python UDF) ------
+
+    def create_function(self, name: str, rettype: str, body: str,
+                        ignore_exist: bool = True) -> None:
+        """``CREATE FUNCTION f(…) RETURNS t LANGUAGE python AS $$…$$``
+        — RisingWave's embedded-Python UDF surface, mapped to a Spark
+        Python UDF: the body must define a function named ``name``;
+        the PG return type maps through PG_TO_SPARK_TYPES. The UDF is
+        session-scoped (like RW's catalog, per-engine here). Note this
+        is the Python-row slow path by design — the shims and built-in
+        rewrites cover the hot paths; user UDFs trade speed for
+        arbitrary logic exactly as on the reference server."""
+        if name in self.udfs:
+            if ignore_exist:
+                return
+            raise RuntimeError(f"function {name} already exists")
+        spark_t = RW.PG_TO_SPARK_TYPES.get(rettype.strip().upper())
+        if spark_t is None:
+            raise RuntimeError(f"unsupported return type {rettype!r}")
+        ns: dict = {}
+        exec(body, ns)  # noqa: S102 — user's own session, like RW embedded UDFs
+        fn = ns.get(name)
+        if not callable(fn):
+            raise RuntimeError(f"UDF body must define a function named {name!r}")
+        self.spark.udf.register(name, fn, spark_t)
+        self.udfs[name] = rettype
+
+    def drop_function(self, name: str) -> None:
+        self.udfs.pop(name, None)
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 
     # -- DML: UPDATE / DELETE (PG surface via pass-through) ----------------
 

@@ -139,3 +139,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, height int, width int, n_channels int, pixels_head string"
+)
+
+
+def resize_images(df: DataFrame, height: int = 224, width: int = 224) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas op (1 row in →
+    1 row out). STUB KERNEL: a real implementation replaces the body
+    of ``kernel`` with PIL ``Image.open(...).resize((w, h))`` and
+    returns the pixel buffer; here deterministic pseudo-pixels are
+    derived from the payload so schema, batching, and determinism are
+    testable without image libraries. Pure map — no shuffle; at 100 TB
+    this runs one task per input split with Arrow transfer only."""
+
+    def kernel(payload: bytes) -> str:
+        # stand-in for the resized pixel buffer: first 8 bytes of a
+        # deterministic fold of (payload, target shape)
+        acc = (len(payload) * 2654435761 + height * 31 + width) % (1 << 32)
+        for b in payload[:64]:
+            acc = (acc * 1099511628211 + b) % (1 << 64)
+        return f"{acc:016x}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            img = pdf[pdf["modality"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": img["doc_id"],
+                    "height": height,
+                    "width": width,
+                    "n_channels": 3,
+                    "pixels_head": [kernel(p) for p in img["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_s double, frame_head string"
+
+
+def sample_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 4) -> DataFrame:
+    """Video frame sampling as mapInPandas (1 row in → N frame rows
+    out — the batch-expanding shape a real pyav keyframe sampler
+    uses). STUB KERNEL: frame count derives deterministically from the
+    payload length; each emitted frame carries its timestamp and a
+    payload-slice digest standing in for the decoded frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["modality"] == "video"]
+            out = {"doc_id": [], "frame_idx": [], "ts_s": [], "frame_head": []}
+            for doc_id, payload in zip(vids["doc_id"], vids["payload"]):
+                n = min(max(len(payload) // 64, 1), max_frames)
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["ts_s"].append(i * every_s)
+                    out["frame_head"].append(payload[i * 8 : i * 8 + 8].hex())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -93,6 +93,19 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+SINK\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),
     (
+        "CREATE_FUNCTION",
+        re.compile(
+            r"^\s*CREATE\s+FUNCTION\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+            r"\((?P<params>[^)]*)\)\s+RETURNS\s+(?P<rettype>[\w ]+?)\s+"
+            r"LANGUAGE\s+python\s+AS\s+\$\$(?P<body>.*?)\$\$\s*;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        "DROP_FUNCTION",
+        re.compile(r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(?P<name>\w+)\s*(\(\s*\))?\s*;?\s*$", re.I),
+    ),
+    (
         "DELETE_ROWS",
         re.compile(
             r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"

@@ -17,10 +17,16 @@ from risingwave_py_spark.registry import register
 
 
 def _fresh_conn(spark: SparkSession, schema: str):
+    import shutil
+
     from risingwave_py_spark.core import RisingWaveConnection
     from risingwave_py_spark.engine import SparkEngine
 
     spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    # A crashed prior run can leave the warehouse dir on disk with no
+    # catalog entry; CREATE TABLE then fails LOCATION_ALREADY_EXISTS.
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{schema}.db", ignore_errors=True)
     eng = SparkEngine(spark=spark, default_schema=schema)
     return RisingWaveConnection(eng), eng
 
@@ -114,6 +120,45 @@ def table_changelog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols, rows = eng.fetch_cursor("rwdemo_tb_cur", 100)
     return spark.createDataFrame(
         sorted(rows, key=lambda r: (r[-1], r[0])), "k bigint, op string, rw_timestamp bigint"
+    )
+
+
+@register(
+    "cascade_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), CAST(3.0 AS DOUBLE), 'Delete', CAST(4 AS BIGINT)),
+        (CAST(3 AS BIGINT), CAST(17.0 AS DOUBLE), 'Insert', CAST(4 AS BIGINT))
+    ) AS t(n, grand, op, rw_timestamp)
+    """,
+)
+def cascade_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading MVs (MV over MV, a core RisingWave pattern): m2
+    aggregates m1's aggregate. One FLUSH refreshes the chain in
+    creation order — m1 at epoch 3, then m2 at epoch 4 off m1's NEW
+    state — and m2's changelog carries the bag-diff of its global
+    aggregate (no group keys → Delete old row + Insert new row)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_cs")
+    conn.insert(pd.DataFrame({"p": ["x", "y"], "v": [1.0, 2.0]}),
+                table_name="s", schema_name="rwdemo_cs", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_cs.m1 AS "
+        "SELECT p, sum(v) AS total FROM rwdemo_cs.s GROUP BY p"
+    )
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_cs.m2 AS "
+        "SELECT count(*) AS n, sum(total) AS grand FROM rwdemo_cs.m1"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_cs.sub FROM rwdemo_cs.m2 WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_cs_cur subscription cursor for rwdemo_cs.sub SINCE 0")
+    conn.insert(pd.DataFrame({"p": ["x", "z"], "v": [9.0, 5.0]}),
+                table_name="s", schema_name="rwdemo_cs", force_flush=True)
+    cols, rows = eng.fetch_cursor("rwdemo_cs_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "n bigint, grand double, op string, rw_timestamp bigint",
     )
 
 

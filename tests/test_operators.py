@@ -41,3 +41,38 @@ def test_q1_values(spark, sf_dir):
     assert total == expected
     for r in rows.values():
         assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-9
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """Resize: 1-in-1-out Arrow map over image payloads — stable
+    schema, deterministic stub pixels, no shuffle in the plan."""
+    from risingwave_py_spark.catalog import table
+    from risingwave_py_spark.functions.multimodal import resize_images, with_payload
+
+    base = with_payload(table(spark, sf_dir, "documents").filter("doc_id < 60"))
+    out = resize_images(base, height=128, width=96)
+    rows = out.collect()
+    assert rows and all(r.height == 128 and r.width == 96 and r.n_channels == 3
+                        for r in rows)
+    assert len({r.pixels_head for r in rows}) > 1  # payload-dependent
+    again = {(r.doc_id, r.pixels_head) for r in resize_images(base, 128, 96).collect()}
+    assert again == {(r.doc_id, r.pixels_head) for r in rows}  # deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map
+
+
+def test_multimodal_frame_sampling_expands_rows(spark, sf_dir):
+    from risingwave_py_spark.catalog import table
+    from risingwave_py_spark.functions.multimodal import sample_frames, with_payload
+
+    base = with_payload(table(spark, sf_dir, "documents").filter("doc_id < 60"))
+    out = sample_frames(base, every_s=0.5, max_frames=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc  # some docs are video-modality
+    for doc, frames in by_doc.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(idxs)))  # dense frame indices
+        assert all(abs(f.ts_s - f.frame_idx * 0.5) < 1e-9 for f in frames)
+        assert len(frames) <= 3
