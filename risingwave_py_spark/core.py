@@ -224,6 +224,24 @@ class RisingWaveConnection:
         if k == "DROP_FUNCTION":
             eng.drop_function(p["name"])
             return None
+        if k == "ALTER_ADD_COLUMN":
+            eng.add_column(p["name"], p["col"], p["type"])
+            self._invalidate_insert_ctx(p["name"])
+            return None
+        if k == "ALTER_DROP_COLUMN":
+            eng.drop_column(p["name"], p["col"])
+            self._invalidate_insert_ctx(p["name"])
+            return None
+        if k == "ALTER_RENAME":
+            eng.rename_table(p["name"], p["new"])
+            self._invalidate_insert_ctx(p["name"])
+            return None
+        if k == "SHOW_OBJECTS":
+            return eng.show_objects(p["what"], p.get("schema"))
+        if k in ("SHOW_COLUMNS", "DESCRIBE"):
+            return eng.describe(p["name"])
+        if k == "EXPLAIN":
+            return eng.explain(p["stmt"])
         if k == "DELETE_ROWS":
             eng.delete_rows(p["name"], p.get("where"))
             return None
@@ -296,6 +314,15 @@ class RisingWaveConnection:
             ctx.insert_func(**cols)
         else:
             ctx.bulk_insert_func(**cols)
+
+    def _invalidate_insert_ctx(self, name: str) -> None:
+        """Drop cached insert contexts for a table whose schema just
+        changed (ALTER): their prebuilt column lists are stale."""
+        fq = self.engine.qualify(name)
+        short = fq.split(".", 1)[1]
+        for key in [k for k in self._insert_ctx
+                    if k == fq or k == f"public.{short}" or k.endswith(f".{short}")]:
+            del self._insert_ctx[key]
 
     # -- catalog -------------------------------------------------------
 

@@ -283,8 +283,165 @@ class SparkEngine:
         out = df.withColumn("op", F.lit(op)).withColumn(
             "rw_timestamp", F.lit(epoch).cast("bigint")
         )
+        # insertInto is positional; align to the changelog's physical
+        # column order (diverges from df order after ALTER ADD COLUMN,
+        # which appends past rw_timestamp). Missing cols → NULL.
+        phys = self.spark.table(cl).columns
+        out = out.select(
+            *[(F.col(c) if c in out.columns else F.lit(None)).alias(c) for c in phys]
+        )
         with self._lock:
             out.write.mode("append").insertInto(cl)
+
+    # -- catalog surface: SHOW / DESCRIBE / ALTER (PG+RW DDL parity) -------
+
+    _SPARK_TO_PG_DISPLAY = {
+        "string": "character varying",
+        "int": "integer",
+        "bigint": "bigint",
+        "smallint": "smallint",
+        "double": "double precision",
+        "float": "real",
+        "boolean": "boolean",
+        "date": "date",
+        "timestamp": "timestamp without time zone",
+        "binary": "bytea",
+    }
+
+    def _names_in_schema(self, registry: dict, schema: str) -> list[tuple[str]]:
+        rows = []
+        for fq in sorted(registry):
+            db, tbl = _split_fq(fq)
+            if db == schema:
+                rows.append((tbl,))
+        return rows
+
+    def show_objects(self, what: str, schema: str | None = None):
+        """``SHOW TABLES|MATERIALIZED VIEWS|SCHEMAS|…`` — one name per
+        row, like RisingWave's psql-style catalog commands. Backed by
+        the Spark catalog plus the engine registries (MVs, sources,
+        sinks, subscriptions, UDFs live in the engine, not Spark)."""
+        what = " ".join(what.upper().split())
+        schema = schema or self.default_schema
+        if what in ("SCHEMAS", "DATABASES"):
+            return ["name"], sorted((d.name,) for d in self.spark.catalog.listDatabases())
+        if what == "MATERIALIZED VIEWS":
+            return ["name"], self._names_in_schema(self.mvs, schema)
+        if what == "SOURCES":
+            return ["name"], self._names_in_schema(self.sources, schema)
+        if what == "SINKS":
+            return ["name"], self._names_in_schema(self.sinks, schema)
+        if what == "SUBSCRIPTIONS":
+            return ["name"], self._names_in_schema(self.subscriptions, schema)
+        if what == "FUNCTIONS":
+            return ["name"], sorted((n,) for n in self.udfs)
+        if what == "TABLES":
+            rows = []
+            for t in self.spark.catalog.listTables(schema):
+                fq = f"{schema}.{t.name}"
+                if t.name.startswith("__rw_") or fq in self.mvs:
+                    continue
+                if t.tableType == "TEMPORARY":
+                    continue
+                if t.tableType == "VIEW" and fq not in self.upsert_meta:
+                    continue  # plain views aren't tables; upsert views are
+                rows.append((t.name,))
+            return ["name"], sorted(rows)
+        raise RuntimeError(f"unsupported SHOW {what}")
+
+    def describe(self, name: str, schema_name: str | None = None):
+        """``DESCRIBE t`` / ``SHOW COLUMNS FROM t`` — (name, type) rows
+        with PG-style type names, matching what the reference's users
+        see from the server's catalog."""
+        schema = self.table_schema(name, schema_name)
+        rows = [
+            (f.name, self._SPARK_TO_PG_DISPLAY.get(f.dataType.simpleString(),
+                                                   f.dataType.simpleString()))
+            for f in schema.fields
+        ]
+        return ["name", "type"], rows
+
+    def _rewrite_table(self, fq: str, transform) -> None:
+        """Stage-and-rename rewrite of a table (same pattern as
+        changelog vacuum): no self-overwrite read hazard, and readers
+        only ever see the old or the new complete table."""
+        stage = f"{fq}__alter_stage"
+        self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        transform(self.spark.table(fq)).write.saveAsTable(stage)
+        self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        self.spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+
+    def add_column(self, name: str, col: str, pg_type: str,
+                   schema_name: str | None = None) -> None:
+        """``ALTER TABLE t ADD COLUMN c type`` — metadata-only on the
+        base table (parquet schema evolution: old files read the new
+        column as NULL). The changelog table evolves with it so future
+        epochs carry the column; historical epochs read NULL."""
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta:
+            raise RuntimeError("ALTER TABLE on upsert tables is not supported")
+        spark_t = RW.PG_TO_SPARK_TYPES.get(" ".join(pg_type.upper().split()))
+        if spark_t is None:
+            raise RuntimeError(f"unsupported type {pg_type!r}")
+        self.spark.sql(f"ALTER TABLE {fq} ADD COLUMNS (`{col}` {spark_t})")
+        cl = self.changelog_name(fq)
+        if self.spark.catalog.tableExists(cl):
+            with self._lock:
+                self.spark.sql(f"ALTER TABLE {cl} ADD COLUMNS (`{col}` {spark_t})")
+        self.refresh_info_schema()
+
+    def drop_column(self, name: str, col: str,
+                    schema_name: str | None = None) -> None:
+        """``ALTER TABLE t DROP COLUMN c``. Plain parquet tables can't
+        drop columns in metadata (no column-mapping layer like
+        Delta/Iceberg), so this is a stage-and-rename rewrite of table
+        and changelog — O(table); on a cluster with a transactional
+        format it becomes metadata-only."""
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta:
+            raise RuntimeError("ALTER TABLE on upsert tables is not supported")
+        if col not in self.list_columns(name, schema_name):
+            raise RuntimeError(f"column {col!r} does not exist in {fq}")
+        self._rewrite_table(fq, lambda df: df.drop(col))
+        cl = self.changelog_name(fq)
+        if self.spark.catalog.tableExists(cl):
+            with self._lock:
+                self._rewrite_table(cl, lambda df: df.drop(col))
+        self.refresh_info_schema()
+
+    def rename_table(self, name: str, new_name: str,
+                     schema_name: str | None = None) -> None:
+        """``ALTER TABLE t RENAME TO t2`` — catalog rename of the table
+        and its changelog; subscriptions follow the rename (they
+        reference the relation by name)."""
+        fq = self.qualify(name, schema_name)
+        new_fq = self.qualify(new_name, schema_name)
+        if fq in self.upsert_meta or fq in self.mvs:
+            raise RuntimeError("RENAME is only supported for plain tables")
+        if _split_fq(fq)[0] != _split_fq(new_fq)[0]:
+            raise RuntimeError("RENAME cannot move a table across schemas")
+        self.spark.sql(f"ALTER TABLE {fq} RENAME TO {new_fq}")
+        cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
+        if self.spark.catalog.tableExists(cl):
+            with self._lock:
+                self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+        for sub in self.subscriptions.values():
+            if sub["rel"] == fq:
+                sub["rel"] = new_fq
+        for cur in self.cursors.values():
+            if cur["rel"] == fq:
+                cur["rel"] = new_fq
+        self.refresh_info_schema()
+
+    def explain(self, stmt: str) -> tuple[list[str], list[tuple]]:
+        """``EXPLAIN <query>`` — the Catalyst physical plan, one line
+        per row (PG's QUERY PLAN shape). EXPLAIN CREATE MATERIALIZED
+        VIEW explains the view's defining query."""
+        sub = RW.classify(stmt)
+        if sub.kind == "CREATE_MV":
+            stmt = sub.params["stmt"]
+        text = self.sql(f"EXPLAIN {stmt}").collect()[0][0]
+        return ["QUERY PLAN"], [(line,) for line in text.rstrip("\n").split("\n")]
 
     # -- user-defined functions (SURVEY §2.9; RW embedded-Python UDF) ------
 
@@ -776,9 +933,15 @@ class SparkEngine:
             )
             st["pos"] = last_epoch
         cols = list(batch[0].__fields__)
-        # move op just before rw_timestamp, rw_timestamp last (contract)
-        assert cols[-2:] == ["op", "rw_timestamp"], cols
-        return cols, [tuple(r) for r in batch]
+        # Contract: op just before rw_timestamp, rw_timestamp LAST
+        # (core.py:551-554 progress extraction). Physical changelog
+        # order can diverge after ALTER TABLE ADD COLUMN (new column
+        # appended after rw_timestamp) — reorder explicitly.
+        ordered = [c for c in cols if c not in ("op", "rw_timestamp")] + ["op", "rw_timestamp"]
+        if cols == ordered:
+            return cols, [tuple(r) for r in batch]
+        idx = [cols.index(c) for c in ordered]
+        return ordered, [tuple(r[i] for i in idx) for r in batch]
 
     def vacuum_changelogs(self) -> None:
         """Apply subscription retention: compact each changelog to its

@@ -301,3 +301,42 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ps").cast("double").alias("sum_value"),
         F.max("pm").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE m(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+    SELECT n AS month_num,
+           count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS revenue
+    FROM m LEFT JOIN orders ON month(o_orderdate) = n
+                           AND year(o_orderdate) = 1995
+    GROUP BY n ORDER BY n
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (PG surface reachable through the reference's
+    SQL pass-through, /root/reference/risingwave/core.py:183-212) —
+    Spark 4 executes recursive CTEs natively. The spine-join pattern:
+    a generated month spine LEFT-joined to orders keeps zero-activity
+    months in the report (a plain GROUP BY would drop them).
+
+    Scale: the recursion produces 12 rows on the driver side of the
+    plan; the orders side is a single scan with the year filter pushed
+    into the join condition — no shuffle of the fact table beyond the
+    12-row broadcast join."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__rw_rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE m(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+        SELECT n AS month_num,
+               count(o_orderkey) AS n_orders,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                   AS revenue
+        FROM m LEFT JOIN __rw_rec_orders
+          ON month(o_orderdate) = n AND year(o_orderdate) = 1995
+        GROUP BY n ORDER BY n
+        """
+    )

@@ -106,6 +106,50 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?(?P<name>\w+)\s*(\(\s*\))?\s*;?\s*$", re.I),
     ),
     (
+        "ALTER_ADD_COLUMN",
+        re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMN\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?(?P<col>\w+)\s+(?P<type>[\w ]+?)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "ALTER_DROP_COLUMN",
+        re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+COLUMN\s+"
+            r"(IF\s+EXISTS\s+)?(?P<col>\w+)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "ALTER_RENAME",
+        re.compile(
+            r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "SHOW_COLUMNS",
+        re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "DESCRIBE",
+        re.compile(r"^\s*DESC(RIBE)?\s+(TABLE\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "SHOW_OBJECTS",
+        re.compile(
+            r"^\s*SHOW\s+(?P<what>TABLES|MATERIALIZED\s+VIEWS|SCHEMAS|DATABASES|"
+            r"SOURCES|SINKS|SUBSCRIPTIONS|FUNCTIONS)"
+            r"(\s+FROM\s+(?P<schema>[\w.]+))?\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "EXPLAIN",
+        re.compile(r"^\s*EXPLAIN\s+(?P<stmt>.+)$", re.I | re.S),
+    ),
+    (
         "DELETE_ROWS",
         re.compile(
             r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
@@ -370,10 +414,37 @@ def rewrite_information_schema(sql: str) -> str:
     return sql
 
 
+# PG/jsonb arrow operators: col -> 'k', col ->> 'k', chained, with
+# integer array indexes after the first step. Both map to
+# get_json_object (returns the JSON text of the element — for scalar
+# leaves identical to PG ->>; nested objects come back as JSON text,
+# which is what chained access consumes). The first step must be a
+# quoted key: that keeps Spark lambda arrows (`x -> x + 1`,
+# `(a, b) -> 0`) out of the pattern.
+_JSON_CHAIN = re.compile(r"(?P<base>[\w.]+)(?P<steps>\s*->>?\s*'[^']*'(\s*->>?\s*('[^']*'|\d+))*)")
+_JSON_STEP = re.compile(r"\s*(->>?)\s*(?:'(?P<key>[^']*)'|(?P<idx>\d+))")
+
+
+def rewrite_json_ops(sql: str) -> str:
+    """PG `->`/`->>` json access → ``get_json_object`` path lookups."""
+
+    def sub(m: re.Match) -> str:
+        path = "$"
+        for step in _JSON_STEP.finditer(m.group("steps")):
+            if step.group("idx") is not None:
+                path += f"[{step.group('idx')}]"
+            else:
+                path += f".{step.group('key')}"
+        return f"get_json_object({m.group('base')}, '{path}')"
+
+    return _JSON_CHAIN.sub(sub, sql)
+
+
 def rewrite_query(sql: str, version_string: str) -> str:
     sql = rewrite_tumble(sql)
     sql = rewrite_hop(sql)
     sql = rewrite_version(sql, version_string)
+    sql = rewrite_json_ops(sql)
     sql = rewrite_information_schema(sql)
     return sql
 

@@ -1,0 +1,110 @@
+"""Catalog & DDL surface: SHOW/DESCRIBE, ALTER TABLE, EXPLAIN, and
+the PG json arrow operators — the psql-style commands RisingWave
+users issue through the reference's SQL pass-through.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def test_show_and_describe(rw):
+    rw.execute("DROP TABLE IF EXISTS show_t1")
+    rw.execute("CREATE TABLE show_t1 (a INT, b STRING, c TIMESTAMPTZ)")
+    names = [r[0] for r in rw.fetch("SHOW TABLES")]
+    assert "show_t1" in names
+    assert not any(n.startswith("__rw_") for n in names)  # internals hidden
+
+    rw.execute("CREATE MATERIALIZED VIEW show_mv1 AS SELECT count(*) AS n FROM show_t1")
+    assert ("show_mv1",) in rw.fetch("SHOW MATERIALIZED VIEWS")
+    assert "show_mv1" not in [r[0] for r in rw.fetch("SHOW TABLES")]
+
+    desc = rw.fetch("DESCRIBE show_t1")
+    assert desc == [("a", "integer"), ("b", "character varying"),
+                    ("c", "timestamp without time zone")]
+    assert rw.fetch("SHOW COLUMNS FROM show_t1") == desc
+
+    assert ("public",) in rw.fetch("SHOW SCHEMAS")
+    rw.execute("DROP MATERIALIZED VIEW show_mv1")
+    rw.execute("DROP TABLE show_t1")
+
+
+def test_alter_add_column_evolves_table_and_changelog(rw):
+    rw.execute("DROP TABLE IF EXISTS alter_t1")
+    rw.execute("CREATE TABLE alter_t1 (a INT)")
+    rw.insert_row("alter_t1", force_flush=True, a=1)
+    rw.execute("ALTER TABLE alter_t1 ADD COLUMN b STRING")
+    # old rows read NULL for the new column; new inserts carry it
+    rw.insert_row("alter_t1", force_flush=True, a=2, b="x")
+    got = sorted(rw.fetch("SELECT a, b FROM alter_t1"))
+    assert got == [(1, None), (2, "x")]
+    # changelog evolved too, and the rw_timestamp-last contract holds
+    rw.execute("CREATE SUBSCRIPTION alter_sub FROM alter_t1 WITH (retention='86400s')")
+    rw.execute("DECLARE alter_cur subscription cursor for alter_sub SINCE 0")
+    cols, rows = rw.engine.fetch_cursor("alter_cur", 100)
+    assert cols[-2:] == ["op", "rw_timestamp"]
+    assert cols[:2] == ["a", "b"]
+    by_a = {r[0]: r for r in rows}
+    assert by_a[1][1] is None and by_a[2][1] == "x"
+    rw.execute("DROP SUBSCRIPTION alter_sub")
+    rw.execute("DROP TABLE alter_t1")
+
+
+def test_alter_drop_column_and_rename(rw):
+    rw.execute("DROP TABLE IF EXISTS alter_t2")
+    rw.execute("DROP TABLE IF EXISTS alter_t3")
+    rw.execute("CREATE TABLE alter_t2 (a INT, junk STRING)")
+    rw.insert_row("alter_t2", force_flush=True, a=1, junk="z")
+    rw.execute("ALTER TABLE alter_t2 DROP COLUMN junk")
+    assert rw.fetch("SELECT * FROM alter_t2") == [(1,)]
+    with pytest.raises(Exception):
+        rw.execute("ALTER TABLE alter_t2 DROP COLUMN nope")
+
+    rw.execute("ALTER TABLE alter_t2 RENAME TO alter_t3")
+    assert rw.fetch("SELECT * FROM alter_t3") == [(1,)]
+    assert not rw.check_exist("alter_t2")
+    # the renamed table is fully live: inserts + changelog still work
+    rw.insert_row("alter_t3", force_flush=True, a=2)
+    assert sorted(rw.fetch("SELECT a FROM alter_t3")) == [(1,), (2,)]
+    rw.execute("DROP TABLE alter_t3")
+
+
+def test_json_arrow_operators(rw):
+    rw.execute("DROP TABLE IF EXISTS json_t1")
+    rw.insert(
+        pd.DataFrame({"id": [1, 2], "doc": [
+            '{"a": {"b": 7, "tags": ["x", "y"]}, "s": "hi"}',
+            '{"a": {"b": 8, "tags": ["z"]}, "s": "yo"}',
+        ]}),
+        table_name="json_t1", force_flush=True,
+    )
+    got = sorted(rw.fetch(
+        "SELECT id, doc ->> 's' AS s, doc -> 'a' ->> 'b' AS b, "
+        "doc -> 'a' -> 'tags' ->> 0 AS t0 FROM json_t1"
+    ))
+    assert got == [(1, "hi", "7", "x"), (2, "yo", "8", "z")]
+    # lambda arrows must NOT be rewritten
+    assert rw.fetchone("SELECT transform(array(1, 2), x -> x + 1) AS a")[0] == [2, 3]
+    rw.execute("DROP TABLE json_t1")
+
+
+def test_explain_returns_plan_rows(rw):
+    rw.execute("DROP TABLE IF EXISTS exp_t1")
+    rw.execute("CREATE TABLE exp_t1 (a INT)")
+    rows = rw.fetch("EXPLAIN SELECT a, count(*) FROM exp_t1 GROUP BY a")
+    text = "\n".join(r[0] for r in rows)
+    assert "Physical Plan" in text and "exp_t1" in text
+    # EXPLAIN CREATE MATERIALIZED VIEW explains the defining query
+    rows2 = rw.fetch(
+        "EXPLAIN CREATE MATERIALIZED VIEW exp_mv AS SELECT count(*) AS n FROM exp_t1")
+    assert "Physical Plan" in "\n".join(r[0] for r in rows2)
+    rw.execute("DROP TABLE exp_t1")
+
+
+def test_show_functions_sources_sinks_subscriptions(rw):
+    rw.register_udf("show_fn_probe", lambda x: x, "INT")
+    assert ("show_fn_probe",) in rw.fetch("SHOW FUNCTIONS")
+    assert rw.fetch("SHOW SOURCES") is not None
+    assert rw.fetch("SHOW SINKS") is not None
+    assert rw.fetch("SHOW SUBSCRIPTIONS") is not None
