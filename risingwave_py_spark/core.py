@@ -170,10 +170,11 @@ class RisingWaveConnection:
             eng.drop_schema(p["name"])
             return None
         if k == "CREATE_TABLE":
-            cols, pks = RW.parse_columns(p["cols"])
+            cols_sql, watermark = RW.extract_watermark(p["cols"])
+            cols, pks = RW.parse_columns(cols_sql)
             eng.create_table(
                 p["name"], cols, pk_cols=pks or None, version_col=p.get("vcol"),
-                ignore_exist="ine" in p,
+                ignore_exist="ine" in p, watermark=watermark,
             )
             return None
         if k == "DROP_TABLE":
@@ -242,12 +243,25 @@ class RisingWaveConnection:
             return eng.describe(p["name"])
         if k == "EXPLAIN":
             return eng.explain(p["stmt"])
+        if k == "CREATE_INDEX":
+            eng.create_index(
+                p["name"], p["table"],
+                [c.strip() for c in p["cols"].split(",") if c.strip()],
+                ignore_exist="ine" in p,
+            )
+            return None
+        if k == "DROP_INDEX":
+            eng.drop_index(p["name"])
+            return None
+        if k == "SHOW_INDEXES":
+            return eng.show_indexes(p["table"])
         if k == "DELETE_ROWS":
-            eng.delete_rows(p["name"], p.get("where"))
-            return None
+            res = eng.delete_rows(p["name"], p.get("where"), returning=p.get("ret"))
+            return res if "ret" in p else None
         if k == "UPDATE_ROWS":
-            eng.update_rows(p["name"], RW.split_assignments(p["set"]), p.get("where"))
-            return None
+            res = eng.update_rows(p["name"], RW.split_assignments(p["set"]),
+                                  p.get("where"), returning=p.get("ret"))
+            return res if "ret" in p else None
         if k == "DECLARE_CURSOR":
             since = int(p["since"]) if "since" in p else None
             eng.declare_cursor(p["name"], p["sub"], since)
@@ -281,7 +295,11 @@ class RisingWaveConnection:
             src = src.select(
                 *[F.col(f.name).cast(f.dataType) for f in target_schema.fields]
             )
+            if "ret" in p:
+                src = src.localCheckpoint(eager=True)  # stable across insert+project
             eng.insert_df(p["name"], src)
+            if "ret" in p:
+                return eng._returning(src, p["ret"])
             return None
         # plain query
         df = eng.sql(sql)

@@ -61,10 +61,12 @@ def _split_fq(name: str, default_schema: str = "public") -> tuple[str, str]:
 
 
 class MVState:
-    def __init__(self, fq: str, stmt: str, key_cols: list[str] | None):
+    def __init__(self, fq: str, stmt: str, key_cols: list[str] | None,
+                 emit_on_close: bool = False):
         self.fq = fq
         self.stmt = stmt
         self.key_cols = key_cols
+        self.emit_on_close = emit_on_close
 
 
 class SparkEngine:
@@ -86,6 +88,8 @@ class SparkEngine:
         self.sources: dict[str, dict] = {}  # fq source -> props
         self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
         self.udfs: dict[str, str] = {}  # name -> declared return type
+        self.watermarks: dict[str, dict] = {}  # fq table -> {col, delay_us}
+        self.indexes: dict[str, dict] = {}  # fq index -> {table, cols}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
@@ -200,8 +204,11 @@ class SparkEngine:
         version_col: str | None = None,
         ignore_exist: bool = True,
         schema_name: str | None = None,
+        watermark: dict | None = None,
     ) -> None:
         fq = self.qualify(name, schema_name)
+        if watermark is not None:
+            self.watermarks[fq] = watermark
         if self.spark.catalog.tableExists(fq):
             if ignore_exist:
                 return
@@ -232,6 +239,7 @@ class SparkEngine:
 
     def drop_table(self, name: str, schema_name: str | None = None) -> None:
         fq = self.qualify(name, schema_name)
+        self.watermarks.pop(fq, None)
         if fq in self.upsert_meta:
             self.spark.sql(f"DROP VIEW IF EXISTS {fq}")
             self.spark.sql(f"DROP TABLE IF EXISTS {self.log_name(fq)}")
@@ -474,10 +482,58 @@ class SparkEngine:
         self.udfs.pop(name, None)
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 
+    # -- indexes (RW CREATE INDEX → physical clustering) -------------------
+
+    def create_index(self, name: str, table: str, cols: list[str],
+                     ignore_exist: bool = True) -> None:
+        """``CREATE INDEX i ON t (c, …)``. RisingWave materializes a
+        sorted copy; the Spark-native equivalent of that access-path
+        benefit is CLUSTERING the table itself: rewrite range-
+        partitioned + sorted by the index columns so parquet row-group
+        min/max statistics become selective — point/range predicates
+        on the leading column then skip most row groups at scan time
+        (the same I/O win an index gives a single-node engine, but
+        shuffle-free at read time). One-time O(table) sort; on a
+        cluster the same move is Delta/Iceberg OPTIMIZE ZORDER."""
+        fq_idx = self.qualify(name)
+        fq_t = self.qualify(table)
+        if fq_idx in self.indexes:
+            if ignore_exist:
+                return
+            raise RuntimeError(f"index {fq_idx} already exists")
+        missing = [c for c in cols if c not in self.list_columns(table)]
+        if missing:
+            raise RuntimeError(f"no such column(s) {missing} in {fq_t}")
+        self._rewrite_table(
+            fq_t,
+            lambda df: df.repartitionByRange(*cols).sortWithinPartitions(*cols),
+        )
+        self.indexes[fq_idx] = {"table": fq_t, "cols": list(cols)}
+
+    def drop_index(self, name: str) -> None:
+        self.indexes.pop(self.qualify(name), None)
+
+    def show_indexes(self, table: str):
+        fq_t = self.qualify(table)
+        rows = [
+            (_split_fq(idx)[1], ", ".join(meta["cols"]))
+            for idx, meta in sorted(self.indexes.items())
+            if meta["table"] == fq_t
+        ]
+        return ["name", "columns"], rows
+
     # -- DML: UPDATE / DELETE (PG surface via pass-through) ----------------
 
+    def _returning(self, df: DataFrame, ret: str | None):
+        """Project a PG RETURNING expression list over affected rows."""
+        if ret is None:
+            return None
+        out = df.selectExpr(*RW.split_top_level(ret))
+        return out.columns, [tuple(r) for r in out.collect()]
+
     def delete_rows(self, name: str, where: str | None = None,
-                    schema_name: str | None = None) -> int:
+                    schema_name: str | None = None,
+                    returning: str | None = None):
         """``DELETE FROM t [WHERE pred]``. SQL semantics: only rows
         where the predicate is TRUE are deleted (FALSE and NULL rows
         stay). Emits Delete changelog rows for the removed rows in one
@@ -493,7 +549,7 @@ class SparkEngine:
         deleted = cur.filter(cond).localCheckpoint(eager=True)
         n = deleted.count()
         if n == 0:
-            return 0
+            return self._returning(deleted, returning) if returning else 0
         remaining = cur.filter(~cond).localCheckpoint(eager=True)
         epoch = self.next_epoch()
         with self._lock:
@@ -501,10 +557,11 @@ class SparkEngine:
             self._ensure_changelog(fq)
             self._append_changelog(fq, deleted, OP_DELETE, epoch)
         self.spark.catalog.refreshTable(fq)
-        return n
+        return self._returning(deleted, returning) if returning else n
 
     def update_rows(self, name: str, assignments: list[tuple[str, str]],
-                    where: str | None = None, schema_name: str | None = None) -> int:
+                    where: str | None = None, schema_name: str | None = None,
+                    returning: str | None = None):
         """``UPDATE t SET c = expr, … [WHERE pred]``. Changed rows emit
         an UpdateDelete (old values) + UpdateInsert (new values) pair
         in one atomically-published epoch — the same contract an
@@ -522,7 +579,7 @@ class SparkEngine:
         old = cur.filter(cond).localCheckpoint(eager=True)
         n = old.count()
         if n == 0:
-            return 0
+            return self._returning(old, returning) if returning else 0
         untouched = cur.filter(~cond).localCheckpoint(eager=True)
         # withColumns applies every assignment against the OLD row
         # simultaneously (SQL UPDATE semantics: SET a = b, b = a swaps).
@@ -538,7 +595,7 @@ class SparkEngine:
             self._append_changelog(fq, old, OP_UPDATE_DELETE, epoch)
             self._append_changelog(fq, new, OP_UPDATE_INSERT, epoch)
         self.spark.catalog.refreshTable(fq)
-        return n
+        return self._returning(new, returning) if returning else n
 
     # -- flush / MV maintenance -------------------------------------------
 
@@ -752,28 +809,104 @@ class SparkEngine:
         schema_name: str | None = None,
     ) -> None:
         fq = self.qualify(name, schema_name)
+        stmt, emit_on_close = RW.extract_emit_on_close(stmt)
         if fq in self.mvs or self.spark.catalog.tableExists(fq):
             if ignore_exist:
                 if fq not in self.mvs and self.spark.catalog.tableExists(fq):
                     # table exists from a previous engine instance; re-register
                     rewritten = RW.rewrite_query(stmt, self.version_string)
                     out_cols = [f.name for f in self.spark.table(fq).schema.fields]
-                    self.mvs[fq] = MVState(fq, rewritten, self._infer_key_cols(stmt, out_cols))
+                    self.mvs[fq] = MVState(fq, rewritten,
+                                           self._infer_key_cols(stmt, out_cols),
+                                           emit_on_close)
                 return
             raise RuntimeError(f"materialized view {fq} already exists")
         self.spark.catalog.setCurrentDatabase(self.default_schema)
         rewritten = RW.rewrite_query(stmt, self.version_string)
+        state = MVState(fq, rewritten, None, emit_on_close)
         df = self.spark.sql(rewritten)
+        if emit_on_close:
+            df = self._close_filter(state, df)
         self._clear_stale_location(fq)
         df.write.format("parquet").saveAsTable(fq)
         self._ensure_changelog(fq)
-        self.mvs[fq] = MVState(fq, rewritten, self._infer_key_cols(stmt, df.columns))
+        state.key_cols = self._infer_key_cols(stmt, df.columns)
+        self.mvs[fq] = state
 
     def drop_mv(self, name: str, schema_name: str | None = None) -> None:
         fq = self.qualify(name, schema_name)
         self.mvs.pop(fq, None)
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
         self.spark.sql(f"DROP TABLE IF EXISTS {self.changelog_name(fq)}")
+
+    # -- watermarks + EMIT ON WINDOW CLOSE (RW append-only MVs) ------------
+
+    def _watermark_for(self, stmt: str):
+        """Current watermark for an MV definition: for every
+        watermark-declared table the statement references, take
+        max(event_col) - delay; the MV's watermark is the minimum
+        across them (a join can only be as complete as its most
+        lagging input). None if no referenced table has a watermark
+        or a referenced table is empty (nothing can close yet)."""
+        import datetime as _dt
+
+        wm = None
+        for fq_t, meta in self.watermarks.items():
+            short = _split_fq(fq_t)[1]
+            if not re.search(rf"\b{re.escape(fq_t)}\b|\b{re.escape(short)}\b", stmt):
+                continue
+            if not self.spark.catalog.tableExists(fq_t):
+                return None
+            self.spark.catalog.refreshTable(fq_t)
+            mx = self.spark.table(fq_t).agg(F.max(meta["col"])).first()[0]
+            if mx is None:
+                return None
+            t_wm = mx - _dt.timedelta(microseconds=meta["delay_us"])
+            wm = t_wm if wm is None or t_wm < wm else wm
+        return wm
+
+    def _close_filter(self, state: MVState, df: DataFrame) -> DataFrame:
+        """Restrict an EMIT ON WINDOW CLOSE result to finalized
+        windows: window_end at or below the current watermark."""
+        if "window_end" not in df.columns:
+            raise RuntimeError(
+                "EMIT ON WINDOW CLOSE requires a window_end column "
+                "(tumble/hop/session windowed query)"
+            )
+        wm = self._watermark_for(state.stmt)
+        if wm is None:
+            return df.limit(0)
+        return df.filter(F.col("window_end") <= F.lit(wm))
+
+    def _refresh_emit_on_close(self, state: MVState) -> None:
+        """EMIT ON WINDOW CLOSE refresh: append-only. Newly finalized
+        windows are appended (Insert ops); previously emitted windows
+        are FROZEN — late data arriving after the watermark closed a
+        window does not reopen it (RisingWave's append-only MV
+        contract: post-close changes are dropped).
+
+        Scale note: the anti-join keying on the MV's group columns is
+        a broadcast of the (small) already-emitted key set against the
+        newly-closed result — no full-table diff, no retractions, so
+        downstream consumers (sinks, cascades) see a pure append
+        stream."""
+        spark = self.spark
+        spark.catalog.setCurrentDatabase(self.default_schema)
+        fq = state.fq
+        new = self._close_filter(state, spark.sql(state.stmt))
+        spark.catalog.refreshTable(fq)
+        old = spark.table(fq)
+        keys = state.key_cols or old.columns
+        fresh = new.join(old.select(*keys).distinct(), on=keys, how="left_anti")
+        rows = fresh.collect()
+        if not rows:
+            return
+        epoch = self.next_epoch()
+        delta = spark.createDataFrame(rows, old.schema)
+        self._ensure_changelog(fq)
+        with self._lock:
+            delta.write.mode("append").insertInto(fq)
+            self._append_changelog(fq, delta, OP_INSERT, epoch)
 
     def refresh_mv(self, state: MVState) -> None:
         """Recompute the MV and emit changelog deltas.
@@ -783,6 +916,9 @@ class SparkEngine:
         RisingWave-style UpdateDelete/UpdateInsert pairs for changed
         groups; otherwise a null-safe bag diff emits Insert/Delete
         with multiplicity."""
+        if state.emit_on_close:
+            self._refresh_emit_on_close(state)
+            return
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq

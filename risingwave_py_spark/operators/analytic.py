@@ -340,3 +340,41 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n ORDER BY n
         """
     )
+
+
+@register(
+    "sketch_error_bounds",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS rel_err
+    WHERE 1 = 0
+    """,
+)
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-sketch quality gate as a query: HLL++ distinct
+    count and approx_percentile vs their exact counterparts, emitting
+    one row per metric whose relative error exceeds 5%. Correct
+    sketches ⇒ EMPTY result, which the oracle (an empty relation of
+    the same shape) hash-checks.
+
+    Scale: this is the pattern for validating sketch-based pipelines
+    at 100 TB — the exact side runs once on a sample/test tier to
+    certify the sketch config, then production uses the mergeable
+    sketch (HLL partials merge associatively across partitions; the
+    exact distinct would shuffle the full key set)."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey").cast("double").alias("approx_d"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_p50"),
+    )
+    viol = stats.selectExpr(
+        "'count_distinct' AS metric",
+        "abs(approx_d - exact_d) / exact_d AS rel_err",
+    ).union(
+        stats.selectExpr(
+            "'p50' AS metric",
+            "abs(approx_p50 - exact_p50) / exact_p50 AS rel_err",
+        )
+    )
+    return viol.filter(F.col("rel_err") > 0.05)

@@ -150,10 +150,27 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*EXPLAIN\s+(?P<stmt>.+)$", re.I | re.S),
     ),
     (
+        "CREATE_INDEX",
+        re.compile(
+            r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"ON\s+(?P<table>[\w.]+)\s*\((?P<cols>[\w\s,]+)\)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
+        "DROP_INDEX",
+        re.compile(r"^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
+        "SHOW_INDEXES",
+        re.compile(r"^\s*SHOW\s+INDEXES\s+FROM\s+(?P<table>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
         "DELETE_ROWS",
         re.compile(
             r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
-            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
             re.I | re.S,
         ),
     ),
@@ -161,7 +178,8 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         "UPDATE_ROWS",
         re.compile(
             r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<set>.+?)"
-            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
             re.I | re.S,
         ),
     ),
@@ -199,9 +217,14 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         re.compile(r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),
     (
+        "TRUNCATE",
+        re.compile(r"^\s*TRUNCATE\s+(TABLE\s+)?(?P<name>[\w.]+)\s*;?\s*$", re.I),
+    ),
+    (
         "INSERT",
         re.compile(
-            r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s*(\((?P<cols>[\w\s,]+)\))?\s*(?P<rest>(VALUES|SELECT)\s+.*)$",
+            r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s*(\((?P<cols>[\w\s,]+)\))?\s*"
+            r"(?P<rest>(VALUES|SELECT)\s+.*?)(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
             re.I | re.S,
         ),
     ),
@@ -223,13 +246,12 @@ def parse_source_props(props_sql: str) -> dict[str, str]:
     return {m.group("key"): m.group("val") for m in _PROP.finditer(props_sql)}
 
 
-def split_assignments(set_sql: str) -> list[tuple[str, str]]:
-    """Split an UPDATE's SET clause into (column, expression) pairs.
-    Commas inside parentheses or string literals do not split (e.g.
-    ``SET a = greatest(b, 1), c = 'x,y'``)."""
+def split_top_level(sql: str) -> list[str]:
+    """Split on commas at paren depth 0, outside string literals
+    (e.g. ``a = greatest(b, 1), c = 'x,y'`` → two parts)."""
     parts: list[str] = []
     depth, in_str, start = 0, False, 0
-    for i, ch in enumerate(set_sql):
+    for i, ch in enumerate(sql):
         if in_str:
             if ch == "'":
                 in_str = False
@@ -240,9 +262,15 @@ def split_assignments(set_sql: str) -> list[tuple[str, str]]:
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
-            parts.append(set_sql[start:i])
+            parts.append(sql[start:i])
             start = i + 1
-    parts.append(set_sql[start:])
+    parts.append(sql[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def split_assignments(set_sql: str) -> list[tuple[str, str]]:
+    """Split an UPDATE's SET clause into (column, expression) pairs."""
+    parts = split_top_level(set_sql)
     out: list[tuple[str, str]] = []
     for part in parts:
         col, eq, expr = part.partition("=")
@@ -293,13 +321,61 @@ PG_TO_SPARK_TYPES = {
 
 _COLDEF = re.compile(r"^\s*(?P<name>\w+)\s+(?P<type>[\w ]+?)(?P<pk>\s+PRIMARY\s+KEY)?\s*$", re.I)
 
+# RW watermark DDL inside a CREATE TABLE column list:
+#   WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+#   WATERMARK FOR ts AS ts - INTERVAL '5 seconds'
+_WATERMARK = re.compile(
+    r",?\s*WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\w+\s*-\s*"
+    r"INTERVAL\s+'(?P<val>[^']+)'\s*(?P<unit>[A-Za-z]+)?",
+    re.I,
+)
+
+# RW append-only MV modifier: CREATE MATERIALIZED VIEW … AS … EMIT ON WINDOW CLOSE
+_EMIT_ON_CLOSE = re.compile(r"\s+EMIT\s+ON\s+WINDOW\s+CLOSE\s*;?\s*$", re.I)
+
+
+def extract_watermark(cols_sql: str) -> tuple[str, dict | None]:
+    """Split a WATERMARK clause out of a CREATE TABLE column list.
+    Returns (column list without the clause, {col, delay_us} or None)."""
+    m = _WATERMARK.search(cols_sql)
+    if not m:
+        return cols_sql, None
+    spec = m.group("val")
+    if m.group("unit"):
+        spec = f"{spec} {m.group('unit')}"
+    if not re.search(r"[A-Za-z]", spec):
+        raise ValueError(f"watermark interval needs a unit: {spec!r}")
+    # normalize singular units ("5 SECOND" → "5 seconds" form)
+    num, unit = spec.split(None, 1)
+    unit = unit.lower()
+    if not unit.endswith("s"):
+        unit += "s"
+    delay_us = interval_to_micros(f"{num} {unit}")
+    clean = cols_sql[: m.start()] + cols_sql[m.end():]
+    return clean, {"col": m.group("col"), "delay_us": delay_us}
+
+
+def extract_emit_on_close(stmt: str) -> tuple[str, bool]:
+    """Strip a trailing EMIT ON WINDOW CLOSE from an MV definition."""
+    m = _EMIT_ON_CLOSE.search(stmt)
+    if not m:
+        return stmt, False
+    return stmt[: m.start()], True
+
+
+_COLDEF_ARRAY = re.compile(
+    r"^\s*(?P<name>\w+)\s+(?P<type>[\w ]+?)\s*\[\s*\](?P<pk>\s+PRIMARY\s+KEY)?\s*$", re.I
+)
+
 
 def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
-    """Parse a CREATE TABLE column list → ([(name, spark_type)], pk_cols)."""
+    """Parse a CREATE TABLE column list → ([(name, spark_type)], pk_cols).
+    PG array types (``INT[]``, ``STRING[]``) map to ``ARRAY<t>``."""
     cols: list[tuple[str, str]] = []
     pks: list[str] = []
     for part in cols_sql.split(","):
-        m = _COLDEF.match(part)
+        arr = _COLDEF_ARRAY.match(part)
+        m = arr or _COLDEF.match(part)
         if not m:
             raise ValueError(f"cannot parse column definition: {part!r}")
         name = m.group("name")
@@ -307,6 +383,8 @@ def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
         spark_t = PG_TO_SPARK_TYPES.get(pg_t)
         if spark_t is None:
             raise ValueError(f"unsupported type {pg_t!r} in column {name!r}")
+        if arr:
+            spark_t = f"ARRAY<{spark_t}>"
         cols.append((name, spark_t))
         if m.group("pk"):
             pks.append(name)

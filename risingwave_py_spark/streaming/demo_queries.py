@@ -389,3 +389,60 @@ def streaming_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "window_start timestamp, event_type string, n_events bigint, op string, epoch bigint",
     )
+
+
+@register(
+    "emit_on_close_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:10',
+         'a', CAST(2 AS BIGINT), 'Insert', CAST(4 AS BIGINT)),
+        (TIMESTAMP '2024-01-01 00:00:20', TIMESTAMP '2024-01-01 00:00:30',
+         'a', CAST(1 AS BIGINT), 'Insert', CAST(7 AS BIGINT))
+    ) AS t(window_start, window_end, k, n, op, rw_timestamp)
+    """,
+)
+def emit_on_close_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK DDL + EMIT ON WINDOW CLOSE (RisingWave's append-only
+    MV contract): windows are emitted exactly once, when the watermark
+    (max event time - delay) passes window_end; late rows arriving
+    after a window closed are DROPPED, never retracted.
+
+    Timeline (each tick = one insert epoch + flush): rows at :01/:03
+    (window [0,10)), nothing closes. Row at :25 (epoch 3) → wm :15 ≥
+    :10 closes [0,10) with n=2 at epoch 4. LATE row at :04 → [0,10)
+    frozen, no emission. Row at :45 (epoch 6) → wm :35 closes [20,30)
+    with n=1 at epoch 7 — the :45 row's own window [40,50) stays
+    open."""
+    conn, eng = _fresh_conn(spark, "rwdemo_eowc")
+    conn.execute(
+        "CREATE TABLE rwdemo_eowc.t (ts TIMESTAMPTZ, k STRING, "
+        "WATERMARK FOR ts AS ts - INTERVAL '10' SECOND)"
+    )
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_eowc.m AS "
+        "SELECT window_start, window_end, k, count(*) AS n "
+        "FROM tumble(rwdemo_eowc.t, ts, interval '10 seconds') "
+        "GROUP BY window_start, window_end, k EMIT ON WINDOW CLOSE"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_eowc.sub FROM rwdemo_eowc.m WITH (retention='86400s')"
+    )
+    conn.execute("DECLARE rwdemo_eowc_cur subscription cursor for rwdemo_eowc.sub SINCE 0")
+
+    def tick(ts_s: str) -> None:
+        conn.insert(pd.DataFrame({"ts": [pd.Timestamp(f"2024-01-01 00:00:{ts_s}")],
+                                  "k": ["a"]}),
+                    table_name="t", schema_name="rwdemo_eowc", force_flush=True)
+
+    tick("01")
+    tick("03")   # window [0,10) has 2 rows; wm still before :10
+    tick("25")   # wm=:15 → closes [0,10) (epoch 3)
+    tick("04")   # LATE for [0,10): frozen, dropped
+    tick("45")   # wm=:35 → closes [20,30) (epoch 5); [40,50) stays open
+    cols, rows = eng.fetch_cursor("rwdemo_eowc_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: r[-1]),
+        "window_start timestamp, window_end timestamp, k string, n bigint, "
+        "op string, rw_timestamp bigint",
+    )

@@ -108,3 +108,20 @@ def test_show_functions_sources_sinks_subscriptions(rw):
     assert rw.fetch("SHOW SOURCES") is not None
     assert rw.fetch("SHOW SINKS") is not None
     assert rw.fetch("SHOW SUBSCRIPTIONS") is not None
+
+
+def test_create_index_clusters_and_preserves_data(rw):
+    import pandas as pd
+    rw.execute("DROP TABLE IF EXISTS idx_t1")
+    rw.insert(pd.DataFrame({"k": [5, 1, 9, 3, 7], "v": list("abcde")}),
+              table_name="idx_t1", force_flush=True)
+    before = sorted(rw.fetch("SELECT k, v FROM idx_t1"))
+    rw.execute("CREATE INDEX idx_t1_k ON idx_t1 (k)")
+    assert sorted(rw.fetch("SELECT k, v FROM idx_t1")) == before  # data intact
+    assert rw.fetch("SHOW INDEXES FROM idx_t1") == [("idx_t1_k", "k")]
+    rw.execute("CREATE INDEX IF NOT EXISTS idx_t1_k ON idx_t1 (k)")  # idempotent
+    with pytest.raises(Exception):
+        rw.execute("CREATE INDEX bad_idx ON idx_t1 (nope)")
+    rw.execute("DROP INDEX idx_t1_k")
+    assert rw.fetch("SHOW INDEXES FROM idx_t1") == []
+    rw.execute("DROP TABLE idx_t1")

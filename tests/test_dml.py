@@ -85,3 +85,36 @@ def test_dml_on_upsert_table_rejected(rw):
         rw.execute("DELETE FROM t_dmlup WHERE ver = 1")
     with pytest.raises(RuntimeError, match="not supported"):
         rw.execute("UPDATE t_dmlup SET ver = 2")
+
+
+def test_delete_returning(rw):
+    import pandas as pd
+    rw.execute("DROP TABLE IF EXISTS ret_t1")
+    rw.insert(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}),
+              table_name="ret_t1", force_flush=True)
+    got = sorted(rw.fetch("DELETE FROM ret_t1 WHERE a >= 2 RETURNING a, b"))
+    assert got == [(2, "y"), (3, "z")]
+    assert rw.fetch("SELECT a FROM ret_t1") == [(1,)]
+    # no matches → empty RETURNING, not None
+    assert rw.fetch("DELETE FROM ret_t1 WHERE a = 99 RETURNING a") == []
+    rw.execute("DROP TABLE ret_t1")
+
+
+def test_update_returning_new_values(rw):
+    import pandas as pd
+    rw.execute("DROP TABLE IF EXISTS ret_t2")
+    rw.insert(pd.DataFrame({"a": [1, 2], "v": [10.0, 20.0]}),
+              table_name="ret_t2", force_flush=True)
+    got = rw.fetch("UPDATE ret_t2 SET v = v * 2 WHERE a = 2 RETURNING a, v")
+    assert got == [(2, 40.0)]  # RETURNING sees post-update values
+    rw.execute("DROP TABLE ret_t2")
+
+
+def test_insert_returning(rw):
+    rw.execute("DROP TABLE IF EXISTS ret_t3")
+    rw.execute("CREATE TABLE ret_t3 (a INT, b STRING)")
+    got = sorted(rw.fetch(
+        "INSERT INTO ret_t3 (a, b) VALUES (1, 'x'), (2, 'y') RETURNING b, a * 10 AS a10"))
+    assert got == [("x", 10), ("y", 20)]
+    assert sorted(rw.fetch("SELECT a, b FROM ret_t3")) == [(1, "x"), (2, "y")]
+    rw.execute("DROP TABLE ret_t3")

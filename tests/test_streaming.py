@@ -220,3 +220,39 @@ def test_concurrent_poll_never_sees_partial_epoch(rw):
         assert ops.count("UpdateDelete") == ops.count("UpdateInsert"), (epoch, ops)
     # all 6 updates were observed (nothing silently dropped)
     assert sum(ops.count("UpdateInsert") for ops in by_epoch.values()) == 6
+
+
+def test_emit_on_window_close_append_only(rw):
+    """EMIT ON WINDOW CLOSE: Insert-only changelog, frozen closed
+    windows, and MV rows accumulate (never retracted)."""
+    import pandas as pd
+
+    rw.execute("DROP TABLE IF EXISTS eowc_t")
+    rw.execute("CREATE TABLE eowc_t (ts TIMESTAMPTZ, k STRING, "
+               "WATERMARK FOR ts AS ts - INTERVAL '5 seconds')")
+    rw.execute("CREATE MATERIALIZED VIEW eowc_m AS "
+               "SELECT window_start, window_end, k, count(*) AS n "
+               "FROM tumble(eowc_t, ts, interval '10 seconds') "
+               "GROUP BY window_start, window_end, k EMIT ON WINDOW CLOSE")
+    rw.execute("CREATE SUBSCRIPTION eowc_sub FROM eowc_m WITH (retention='86400s')")
+    rw.execute("DECLARE eowc_cur subscription cursor for eowc_sub SINCE 0")
+
+    def tick(sec):
+        rw.insert(pd.DataFrame({"ts": [pd.Timestamp(f"2024-06-01 00:00:{sec:02d}")],
+                                "k": ["x"]}),
+                  table_name="eowc_t", force_flush=True)
+
+    tick(2)
+    assert rw.fetch("SELECT * FROM eowc_m") == []  # nothing closed yet
+    tick(16)  # wm=:11 closes [0,10)
+    assert rw.fetch("SELECT k, n FROM eowc_m") == [("x", 1)]
+    tick(3)   # late for closed [0,10): dropped, not reopened
+    assert rw.fetch("SELECT k, n FROM eowc_m") == [("x", 1)]
+    tick(31)  # wm=:26 closes [10,20)
+    got = sorted(rw.fetch("SELECT window_start, n FROM eowc_m"))
+    assert len(got) == 2 and got[1][1] == 1  # [10,20) emitted once
+    _, rows = rw.engine.fetch_cursor("eowc_cur", 100)
+    assert {r[-2] for r in rows} == {"Insert"}  # append-only changelog
+    rw.execute("DROP SUBSCRIPTION eowc_sub")
+    rw.execute("DROP MATERIALIZED VIEW eowc_m")
+    rw.execute("DROP TABLE eowc_t")
