@@ -1,0 +1,149 @@
+"""Deterministic sampling operators for training-data curation
+(BASELINE.json extension surface; runs over the `documents` fixture).
+
+Real corpus pipelines never use RNG-based TABLESAMPLE for the splits
+that matter: a sample must be REPRODUCIBLE (same rows on every rerun,
+every engine, any partitioning) and CONSISTENT (a doc's split
+assignment never changes when the corpus grows). The standard tool is
+hash-mod bucketing on a stable key — which is also the Spark-friendly
+tool:
+
+  - uniform sampling is a pure projection-level filter (no shuffle,
+    no RNG state, trivially parallel over 100 TB; the md5 cost is
+    per-row constant inside whole-stage codegen);
+  - split assignment (train/valid/test) is the same filter three
+    ways — a doc's bucket depends only on its key, so incremental
+    corpus additions never migrate old docs between splits;
+  - stratified per-group quotas use one ranked window per stratum
+    (single shuffle on the stratum key). Strata in curation are
+    low-cardinality (language, source, license), so the window
+    partitions are few and large — exactly the shape AQE handles, and
+    a hot stratum degrades one task, not the job.
+
+Portable hashing convention (shared with functions/dedup.py): 32-bit
+hash = first 8 hex digits of md5 — bit-identical in Spark and DuckDB,
+so every sampling decision here is oracle-checkable row for row.
+
+Reference parity note: the reference SDK (risingwave-py core.py) has
+no sampling surface — this is part of the large-scale-pipeline
+extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from risingwave_py_spark.catalog import table
+from risingwave_py_spark.functions.text import duck_hash32, spark_hash32
+from risingwave_py_spark.registry import register
+
+# Sampling rate = SAMPLE_NUM / SAMPLE_DEN buckets kept.
+SAMPLE_NUM = 50
+SAMPLE_DEN = 1000
+QUOTA_PER_STRATUM = 20
+# train/valid/test = 90/5/5 by hash bucket out of 100.
+VALID_LO, TEST_LO = 90, 95
+
+
+def _spark_bucket(key_sql: str, den: int) -> str:
+    return f"pmod({spark_hash32(key_sql)}, {den})"
+
+
+def _duck_bucket(key_sql: str, den: int) -> str:
+    return f"({duck_hash32(key_sql)} % {den})"
+
+
+@register(
+    "sample_uniform_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           {_duck_bucket("CAST(doc_id AS VARCHAR)", SAMPLE_DEN)} AS bucket
+    FROM documents
+    WHERE {_duck_bucket("CAST(doc_id AS VARCHAR)", SAMPLE_DEN)} < {SAMPLE_NUM}
+    """,
+)
+def sample_uniform_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 5% sample by hash-mod bucketing on the
+    stable key. Scale: a pure scan+filter — no shuffle, no driver
+    state, reproducible under any partitioning; at 100 TB this runs at
+    full scan bandwidth and the same predicate re-selects the same
+    rows on the next run."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_spark_bucket("CAST(doc_id AS STRING)", SAMPLE_DEN))
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < SAMPLE_NUM)
+    )
+
+
+@register(
+    "sample_stratified_quota",
+    oracle=f"""
+    SELECT lang, doc_id, pick_rank
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_duck_bucket("CAST(doc_id AS VARCHAR)", 2147483647)}, doc_id
+               ) AS pick_rank
+        FROM documents
+    ) r
+    WHERE pick_rank <= {QUOTA_PER_STRATUM}
+    """,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a fixed quota of docs per language,
+    chosen by hash rank (NOT by doc_id order — hash rank makes the
+    pick uniform within each stratum while staying deterministic).
+    Scale: one window shuffle keyed on the stratum column; quota
+    selection is rank<=k inside each partition, so only k rows per
+    stratum survive the exchange. For very hot strata the two-phase
+    variant (per-partition top-k, then global top-k — same shape as
+    agg_salted_skew) bounds task memory; row_number itself streams in
+    O(1) memory per partition."""
+    d = table(spark, sf_dir, "documents")
+    hrank = F.expr(_spark_bucket("CAST(doc_id AS STRING)", 2147483647))
+    w = Window.partitionBy("lang").orderBy(hrank.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= QUOTA_PER_STRATUM)
+    )
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR)", 100)} >= {TEST_LO} THEN 'test'
+                    WHEN {_duck_bucket("CAST(doc_id AS VARCHAR)", 100)} >= {VALID_LO} THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split assignment (90/5/5) by hash bucket,
+    audited per language. A doc's bucket depends only on doc_id, so
+    re-running after the corpus grows never moves an old doc across
+    splits (no leakage of eval docs into train). Scale: assignment is
+    projection-only; the audit is one partial-agg groupBy over
+    (lang, split) — dozens of groups cross the wire regardless of
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(_spark_bucket("CAST(doc_id AS STRING)", 100))
+    split = (
+        F.when(bucket >= TEST_LO, F.lit("test"))
+        .when(bucket >= VALID_LO, F.lit("valid"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

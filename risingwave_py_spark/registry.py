@@ -43,5 +43,5 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from risingwave_py_spark.operators import relational, time_windows, analytic, tpch_extra  # noqa: F401
-    from risingwave_py_spark.functions import dedup, vectors, text, multimodal  # noqa: F401
+    from risingwave_py_spark.functions import dedup, vectors, text, multimodal, sampling  # noqa: F401
     from risingwave_py_spark.streaming import demo_queries  # noqa: F401

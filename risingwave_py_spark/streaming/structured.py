@@ -412,6 +412,27 @@ def hopping_counts_stream(events: DataFrame, width: str = "30 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, key_cols: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: first-occurrence-wins on the key
+    columns, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — the streaming twin of the
+    batch ``dedup_exact_docs`` operator and of a RisingWave
+    append-only dedup MV (``SELECT DISTINCT ON (key) ...`` over a
+    stream).
+
+    Scale: state is a hash set keyed by the dedup key, sharded across
+    executors by the same key hash the exchange uses — each executor
+    holds only its shard, and the watermark evicts keys older than
+    max(event time) - delay, so state size tracks the duplicate
+    ARRIVAL window, not stream length. The unbounded-state alternative
+    (plain ``dropDuplicates`` on a stream) is exactly what a 100 TB/day
+    pipeline must not do.
+    """
+    keys = key_cols or ["user_id", "ts", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked session-window aggregate — Spark's native

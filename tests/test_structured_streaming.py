@@ -340,3 +340,39 @@ def test_session_counts_stream_finalizes_below_watermark(spark, events_dir):
         (_ts(20), 1): 1,
         (_ts(1), 2): 1,
     }
+
+
+def test_dedup_stream_drops_duplicates_across_batches(spark, events_dir):
+    from risingwave_py_spark.streaming.structured import dedup_stream
+
+    path, append = events_dir
+    append([
+        (1, _ts(0), "click", 1.0),
+        (1, _ts(0), "click", 1.0),  # intra-batch duplicate
+        (2, _ts(5), "view", 2.0),
+    ])
+    sink = f"dds_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(_read_stream(spark, path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    # Cross-batch duplicate (1, 9:00, click) arrives again within the
+    # watermark window, plus one genuinely new event.
+    append([
+        (1, _ts(0), "click", 1.0),
+        (3, _ts(10), "click", 3.0),
+    ])
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.user_id, r.ts, r.event_type) for r in spark.table(sink).collect()
+    )
+    assert got == [
+        (1, _ts(0), "click"),
+        (2, _ts(5), "view"),
+        (3, _ts(10), "click"),
+    ]
