@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from risingwave_py_spark.catalog import table
-from risingwave_py_spark.operators.relational import money
+from risingwave_py_spark.operators.relational import cents, money
 from risingwave_py_spark.registry import register
 
 
@@ -76,7 +76,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        (F.sum(cents("o_totalprice")).over(w).cast("decimal(38,0)") / 100)
+        .cast("double").alias("running_spend"),
     )
 
 

@@ -39,9 +39,63 @@ def money(c) -> F.Column:
     return c.cast("decimal(12,2)")
 
 
+# Exact money aggregation, fast path. Spark sums DECIMAL(p,s) into a
+# DECIMAL(p+10,s) buffer; past 18 digits that buffer leaves the
+# long-backed fast path and every row pays a BigDecimal add (~4× on
+# TPC-H Q1, measured). The equivalent-exact fast formulation keeps the
+# accumulator in int64:
+#   - plain 2dp money sums accumulate long "cents" (|cents| <= 1e7 →
+#     safe to ~9e11 rows per group, beyond 100 TB per-group row counts);
+#   - wide products (price*(1-disc)[*(1+tax)], 1e4/1e6-scaled, up to
+#     ~2^37 per row) would overflow int64 around SF~100 per group, so
+#     they split into 21-bit limbs summed separately — exact to 2^42
+#     rows PER GROUP (≈4e12, comfortably past 100 TB), recombined in
+#     DECIMAL(38) once per group.
+# Results are bit-identical to the DECIMAL formulation (verified on
+# the full battery vs the DuckDB DECIMAL oracle). Precondition for
+# `cents`: the double column carries at most 2 fractional digits
+# (true of every money column here); arbitrary-precision inputs must
+# use the DECIMAL path instead.
+_LIMB_BITS = 21
+_LIMB = 1 << _LIMB_BITS
+
+
+def cents(c) -> F.Column:
+    """Long cents of an exact-2dp double money column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * 100).cast("long")
+
+
+def limb_total(v: F.Column) -> F.Column:
+    """Overflow-proof exact SUM of a NON-NEGATIVE scaled-long column as
+    DECIMAL(38,0): sum 21-bit limbs in int64 (map-side combine stays
+    in codegen), recombine exactly in DECIMAL(38) per group. Compose
+    totals (e.g. exact differences) BEFORE the final double cast."""
+    hi = F.sum(F.shiftrightunsigned(v, _LIMB_BITS))
+    lo = F.sum(v.bitwiseAND(_LIMB - 1))
+    return hi.cast("decimal(38,0)") * _LIMB + lo.cast("decimal(38,0)")
+
+
+def limb_sum(v: F.Column, scale: int) -> F.Column:
+    """`limb_total` surfaced as DOUBLE at the given decimal scale."""
+    return (limb_total(v) / (10**scale)).cast("double")
+
+
+def rev_e4(price="l_extendedprice", disc="l_discount") -> F.Column:
+    """price*(1-disc) as an exact 1e4-scaled long (sign-safe: both
+    factors non-negative)."""
+    return cents(price) * (100 - cents(disc))
+
+
+def rev_sum(price="l_extendedprice", disc="l_discount") -> F.Column:
+    """Exact SUM(price*(1-disc)) as DOUBLE — the TPC-H revenue sum."""
+    return limb_sum(rev_e4(price, disc), 4)
+
+
 def dsum(c) -> F.Column:
-    """Decimal-exact sum of a money column, surfaced as DOUBLE."""
-    return F.sum(money(c)).cast("double")
+    """Decimal-exact sum of a money column, surfaced as DOUBLE
+    (long-cents accumulator; bit-identical to SUM(DECIMAL(12,2)))."""
+    return (F.sum(cents(c)).cast("decimal(38,0)") / 100).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -144,17 +198,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups before the shuffle — the plan scales linearly with input.
     """
     li = table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(12,2)")
-    disc_price = money("l_extendedprice") * (one - money("l_discount"))
-    charge = disc_price * (one + money("l_tax"))
+    charge_e6 = rev_e4() * (100 + cents("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            rev_sum().alias("sum_disc_price"),
+            limb_sum(charge_e6, 6).alias("sum_charge"),
             (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
             (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
             (dsum("l_discount") / F.count("*")).alias("avg_disc"),
@@ -520,15 +572,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
-    one = F.lit(1).cast("decimal(12,2)")
-    rev = money("l_extendedprice") * (one - money("l_discount"))
     # orders is fact-sized: lineitem⋈orders is a shuffle join on the
     # orderkey; only the filtered customer dimension is broadcast.
     return (
         li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
                 li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -565,8 +615,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    one = F.lit(1).cast("decimal(12,2)")
-    rev = money("l_extendedprice") * (one - money("l_discount"))
     # lineitem⋈orders shuffles on orderkey (both fact-sized); every
     # other side is a bounded dimension → broadcast, zero extra shuffle.
     return (
@@ -579,7 +627,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
     )
 
 
@@ -605,14 +653,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
-    one = F.lit(1).cast("decimal(12,2)")
-    rev = money("l_extendedprice") * (one - money("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )

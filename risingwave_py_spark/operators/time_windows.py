@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from risingwave_py_spark.catalog import table
-from risingwave_py_spark.operators.relational import money
+from risingwave_py_spark.operators.relational import dsum, money
 from risingwave_py_spark.registry import register
 
 
@@ -167,5 +167,5 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
-        .agg(F.count("*").alias("n_orders"), F.sum(money("o_totalprice")).cast("double").alias("revenue"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )

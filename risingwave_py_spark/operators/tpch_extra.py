@@ -37,7 +37,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from risingwave_py_spark.catalog import table
-from risingwave_py_spark.operators.relational import dsum, money
+from risingwave_py_spark.operators.relational import (
+    cents,
+    dsum,
+    limb_sum,
+    limb_total,
+    money,
+    rev_e4,
+    rev_sum,
+)
 from risingwave_py_spark.registry import register
 
 
@@ -115,7 +123,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24.0)
         )
-        .agg(F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("revenue"))
+        .agg(limb_sum(cents("l_extendedprice") * cents("l_discount"), 4).alias("revenue"))
     )
 
 
@@ -174,7 +182,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
     )
 
 
@@ -228,15 +236,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
     )
-    zero = F.lit(0).cast("decimal(12,2)")
-    vol = _revenue()
+    zero = F.lit(0).cast("long")
+    vol = rev_e4()
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero)).cast("double")
-                / F.sum(vol).cast("double")
+                limb_sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(zero), 4)
+                / limb_sum(vol, 4)
             ).cast("double").alias("mkt_share")
         )
     )
@@ -282,15 +290,20 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = table(spark, sf_dir, "lineitem")
-    cost_rate = F.lit(0.10).cast("decimal(12,2)")
-    amount = _revenue() - money("p_retailprice") * cost_rate * money("l_quantity")
+    # amount = rev - retail*0.10*qty; both terms are non-negative, so
+    # sum each through an exact limb total (e6-scaled) and take the
+    # DIFFERENCE in DECIMAL before the single double cast — bit-equal
+    # to summing the signed decimal amount.
+    rev_e6 = rev_e4() * 100
+    cost_e6 = cents("p_retailprice") * 10 * cents("l_quantity")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("nation", "o_year")
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(((limb_total(rev_e6) - limb_total(cost_e6)) / 1000000)
+             .cast("double").alias("sum_profit"))
     )
 
 
@@ -317,15 +330,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    zero = F.lit(0).cast("decimal(12,2)")
-    rev = _revenue()
+    zero = F.lit(0).cast("long")
+    rev = rev_e4()
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-                / F.sum(rev).cast("double")
+                * limb_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero), 4)
+                / limb_sum(rev, 4)
             ).cast("double").alias("promo_revenue")
         )
     )
@@ -362,7 +375,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
+        .agg(rev_sum().alias("total_revenue"))
     )
     top = (
         rev.withColumn("rnk", F.rank().over(W.orderBy(F.col("total_revenue").desc())))
@@ -406,13 +419,13 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
     part_avg = (
         li.groupBy("l_partkey")
-        .agg((F.sum(money("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"))
+        .agg((dsum("l_quantity") / F.count("*")).alias("avg_qty"))
         .withColumnRenamed("l_partkey", "ap_partkey")
     )
     return (
         branded.join(F.broadcast(part_avg), branded.l_partkey == part_avg.ap_partkey)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).cast("double").alias("avg_yearly"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"))
     )
 
 
@@ -455,7 +468,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(dsum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -499,7 +512,7 @@ def q19_disc_revenue_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(rev_sum().alias("revenue"))
     )
 
 
@@ -532,7 +545,7 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"))
+        .agg((dsum("c_acctbal") / F.count("*")).alias("avg_bal"))
     )
     o_keys = (
         table(spark, sf_dir, "orders")
@@ -546,7 +559,7 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+            dsum("c_acctbal").alias("totacctbal"),
         )
     )
 
