@@ -187,7 +187,10 @@ def _duck_sig_expr(i: int) -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """DuckDB CTE chain ending in `scored(doc_a, doc_b, est_jaccard)`:
+    the full MinHash+LSH candidate pipeline, shared by the top-20
+    pair query and the connected-components canonicalizer."""
     sig_cols = ",\n               ".join(f"{_duck_sig_expr(i)} AS s{i}" for i in range(N_MINHASH))
     band_rows = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {b} AS band_id, "
@@ -198,8 +201,7 @@ def _minhash_oracle() -> str:
     eq_sum = " + ".join(
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
     )
-    return rf"""
-    WITH hashed AS (
+    return rf"""hashed AS (
 {_duck_shingle_hashes()}
     ), sigs AS (
         SELECT doc_id,
@@ -212,26 +214,28 @@ def _minhash_oracle() -> str:
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST({eq_sum} AS DOUBLE) / {N_MINHASH} AS est_jaccard
-    FROM cand
-    JOIN sigs sa ON sa.doc_id = doc_a
-    JOIN sigs sb ON sb.doc_id = doc_b
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST({eq_sum} AS DOUBLE) / {N_MINHASH} AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return rf"""
+    WITH {_minhash_pair_ctes()}
+    SELECT doc_a, doc_b, est_jaccard
+    FROM scored
     ORDER BY est_jaccard DESC, doc_a, doc_b
     LIMIT 20
     """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=16) + LSH (4 bands × 4 rows) near-dup candidates.
-
-    Signatures are a pure per-row projection (higher-order array
-    functions — shingle sets never leave the row, no explode); only
-    (doc_id, band_id, band_hash) tuples shuffle for the bucket join.
-    At 100 TB this is the textbook scalable pipeline: O(n) signature
-    pass + equi-join on band buckets."""
+def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for every LSH candidate pair —
+    the Spark twin of `_minhash_pair_ctes`."""
     d = table(spark, sf_dir, "documents")
     wh_expr, sh_expr = _spark_shingle_hashes()
     sigs = (
@@ -279,8 +283,132 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", (eq.cast("double") / N_MINHASH).alias("est_jaccard"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=16) + LSH (4 bands × 4 rows) near-dup candidates.
+
+    Signatures are a pure per-row projection (higher-order array
+    functions — shingle sets never leave the row, no explode); only
+    (doc_id, band_id, band_hash) tuples shuffle for the bucket join.
+    At 100 TB this is the textbook scalable pipeline: O(n) signature
+    pass + equi-join on band buckets."""
+    return (
+        _minhash_scored_pairs(spark, sf_dir)
         .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (pairs → connected components → canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    dup AS (
+        SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    full_assign AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size
+        FROM full_assign GROUP BY component
+    )
+    SELECT f.doc_id, f.component,
+           f.doc_id = f.component AS is_canonical,
+           s.cluster_size
+    FROM full_assign f JOIN sizes s USING (component)
+    """
+
+
+@register("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: MinHash+LSH pairs with est_jaccard
+    >= 0.5 become edges; connected components assign every document a
+    cluster (labeled by its minimum doc_id); the minimum member is the
+    canonical survivor a training pipeline keeps.
+
+    The component step is iterative min-label propagation: each round
+    every node takes the min label over itself and its neighbors
+    (one shuffle join + one hash aggregate per round), converging in
+    O(cluster diameter) rounds — near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice; a 24-round cap guards
+    pathological chains (at which point a large-star/small-star
+    contraction would be the right escalation). Labels checkpoint per
+    round to truncate lineage. The driver loop runs O(diameter)
+    Spark jobs over the EDGE relation only — document text never
+    enters the iteration, so at 100 TB each round shuffles a few
+    bytes per duplicate pair, not the corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    dup = _minhash_scored_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
+    edges = (
+        dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(dup.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(24):
+        neighbor = edges.join(
+            labels, edges["src"] == labels["doc_id"], "inner"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    full_assign = (
+        d.select("doc_id")
+        .join(labels.withColumnRenamed("doc_id", "m_doc"), F.col("doc_id") == F.col("m_doc"), "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+    sizes = full_assign.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        full_assign.join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+            "cluster_size",
+        )
     )
 
 

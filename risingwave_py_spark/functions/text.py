@@ -211,3 +211,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_min({sh})").alias("min_shingle_hash"),
         F.expr(f"size({sh})").cast("long").alias("n_shingles"),
     )
+
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+
+@register(
+    "text_chunk_windows",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents
+    ), starts AS (
+        SELECT doc_id, words, unnest(generate_series(1, len(words), {CHUNK_STRIDE})) AS i
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((i - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           CAST(len(words[i:i + {CHUNK_SIZE - 1}]) AS INT) AS n_tokens,
+           md5(array_to_string(words[i:i + {CHUNK_SIZE - 1}], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context chunking: split each document into overlapping
+    {CHUNK_SIZE}-token windows with stride {CHUNK_STRIDE} (10-token
+    overlap carries context across chunk boundaries, the standard LLM
+    pretraining layout). One explode of start offsets per document —
+    the chunk text itself is sliced inside codegen, so the shuffle-free
+    per-row map scales linearly; emits (chunk_id, token count, content
+    hash) per window."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.split("text", r"\s+").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "words",
+            F.explode(F.expr(f"sequence(1, size(words), {CHUNK_STRIDE})")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("i") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_id"),
+            F.expr(f"size(slice(words, i, {CHUNK_SIZE}))").cast("int").alias("n_tokens"),
+            F.md5(F.expr(f"array_join(slice(words, i, {CHUNK_SIZE}), ' ')")).alias("chunk_hash"),
+        )
+    )

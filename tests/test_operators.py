@@ -76,3 +76,49 @@ def test_multimodal_frame_sampling_expands_rows(spark, sf_dir):
         assert idxs == list(range(len(idxs)))  # dense frame indices
         assert all(abs(f.ts_s - f.frame_idx * 0.5) < 1e-9 for f in frames)
         assert len(frames) <= 3
+
+
+def test_dedup_components_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.catalog import table
+
+    rows = registry.QUERIES["dedup_components"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # every document gets an assignment
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        ids = sorted(m.doc_id for m in members)
+        assert comp == ids[0]  # label is the cluster minimum
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == comp
+        assert all(m.cluster_size == len(members) for m in members)
+    # near-dup pairs above threshold land in the same component
+    pairs = (
+        registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    )
+    comp_of = {r.doc_id: r.component for r in rows}
+    for p in pairs:
+        assert comp_of[p.doc_a] == comp_of[p.doc_b]
+
+
+def test_text_chunk_windows_covers_every_doc(spark, sf_dir):
+    from risingwave_py_spark.catalog import table
+    from risingwave_py_spark.functions.text import CHUNK_SIZE
+
+    chunks = registry.QUERIES["text_chunk_windows"](spark, sf_dir).collect()
+    docs = {r.doc_id for r in table(spark, sf_dir, "documents").select("doc_id").collect()}
+    chunked = {c.doc_id for c in chunks}
+    assert chunked == docs
+    for c in chunks:
+        assert 1 <= c.n_tokens <= CHUNK_SIZE
+    # chunk ids per doc are dense from 0
+    per_doc: dict[int, list[int]] = {}
+    for c in chunks:
+        per_doc.setdefault(c.doc_id, []).append(c.chunk_id)
+    for ids in per_doc.values():
+        assert sorted(ids) == list(range(len(ids)))
