@@ -303,3 +303,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+@register(
+    "scalar_array_lambda",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+           len(list_filter(embedding, x -> abs(x) > 0.2)) > 0 AS any_large
+    FROM embeddings WHERE vec_id < 800
+    """,
+)
+def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (PG array ops / unnest-free
+    per-row array math — delegated surface): transform / filter /
+    exists / slice / array_min / array_max as codegen'd JVM lambdas.
+    This is the no-shuffle fast path the ANN and dedup operators are
+    built from; scales linearly in rows × dim with zero exchange.
+    float32 elements are widened to double before arithmetic; the
+    8-element head sum is rounded at 6 dp (both engines fold
+    left-to-right; see module docstring on the 1e-13 agreement)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6
+        ).alias("max_abs"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(
+            F.aggregate(
+                F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("head8_sum"),
+        F.exists("embedding", lambda x: F.abs(x) > 0.2).alias("any_large"),
+    )

@@ -379,3 +379,41 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return viol.filter(F.col("rel_err") > 0.05)
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, day_num,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY day_num
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM (SELECT o_orderkey, o_custkey,
+                 datediff('day', DATE '1992-01-01', o_orderdate) AS day_num,
+                 o_totalprice
+          FROM orders WHERE o_custkey <= 500) t
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (PG `RANGE BETWEEN n PRECEDING`): a
+    30-day trailing spend per customer, keyed on a day number so the
+    frame is data-valued, not row-counted — ties in day_num all enter
+    the frame together, making the result deterministic under any
+    shuffle order without a tie-break column. DECIMAL sum keeps the
+    moving total exact. One shuffle (partition by customer); frame
+    evaluation is a per-partition sliding accumulator, O(rows), state
+    bounded by the 30-day span — holds at any scale."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 500)
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("day_num"),
+        "o_totalprice",
+    )
+    w = W.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )

@@ -1043,3 +1043,126 @@ def distinct_on_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+           / sqrt((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                  * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)))
+           AS corr_qty_price,
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+           AS regr_slope_price_on_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + regression slope (PG corr()/regr_slope(),
+    reachable via the reference's SQL pass-through,
+    /root/reference/risingwave/core.py:183-212) computed from EXACT
+    decimal moment sums, same recipe as agg_stddev_exact: the five
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL — exact and
+    partition-order-independent, so map-side partial agg is safe at
+    any scale — and only the final closed-form division runs in
+    double. Built-in F.corr exists but streams FP accumulation whose
+    value depends on partition order; this formulation is
+    deterministic and hash-matches the oracle bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem")
+    x = money("l_quantity")
+    y = money("l_extendedprice")
+    n = F.count("*")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sx2 = F.sum(x * x).cast("double")
+    sy2 = F.sum(y * y).cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sx2 - sx * sx
+    var_y = n * sy2 - sy * sy
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        (cov_n / var_x).alias("regr_slope_price_on_qty"),
+    )
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(p_name, '(^| )r') AS has_r_word,
+           len(regexp_extract_all(p_name, ' ')) + 1 AS n_words
+    FROM part WHERE p_partkey <= 500
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar battery (PG ~ / regexp_replace / regexp_matches —
+    delegated surface, /root/reference/risingwave/core.py:183-212).
+    Patterns restricted to the RE2∩Java-regex common dialect so Spark
+    (java.util.regex, codegen'd) and the oracle agree. Pure per-row
+    projection: no shuffle, scales linearly, stays in
+    WholeStageCodegen."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("devoweled"),
+        F.col("p_name").rlike("(^| )r").alias("has_r_word"),
+        (F.regexp_count(F.col("p_name"), F.lit(" ")) + F.lit(1)).alias("n_words"),
+    )
+
+
+@register(
+    "map_struct_access",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_via_map,
+           o_orderpriority AS prio_via_map,
+           o_totalprice AS price_via_struct,
+           concat(o_orderstatus, '/', o_orderpriority) AS packed_key
+    FROM orders WHERE o_orderkey <= 400
+    """,
+)
+def map_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct construction + field access (PG composite types /
+    jsonb-object round-trip — delegated surface). Spark side really
+    builds a MAP<STRING,STRING> and a named STRUCT and reads fields
+    back out (element_at / dot-path); the oracle states the identity
+    those accessors must satisfy. Catalyst collapses the
+    construct-then-access pairs at optimization time, so the plan is
+    still a pure projection — free at any scale."""
+    o = table(spark, sf_dir, "orders")
+    built = o.filter(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("prio"), F.col("o_orderpriority"),
+        ).alias("m"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("s"),
+    )
+    return built.select(
+        "o_orderkey",
+        F.element_at("m", F.lit("status")).alias("status_via_map"),
+        F.element_at("m", F.lit("prio")).alias("prio_via_map"),
+        F.col("s.price").alias("price_via_struct"),
+        F.concat_ws("/", F.col("s.status"), F.element_at("m", F.lit("prio"))).alias("packed_key"),
+    )

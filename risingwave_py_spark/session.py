@@ -35,6 +35,13 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # In local[N] mode the driver JVM hosts all N executor threads;
+        # Spark's 1g default heap would make every shuffle/sort/Arrow
+        # collect GC-bound. Sized for the 128 GiB test host; ignored
+        # (spark-submit owns it) on a real cluster. Must be set before
+        # the JVM launches, hence here and not in extra_conf.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
