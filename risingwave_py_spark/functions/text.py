@@ -259,3 +259,114 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"array_join(slice(words, i, {CHUNK_SIZE}), ' ')")).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+3], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM w) q
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.h) AS n_shared_shingles,
+           COUNT(DISTINCT e.doc_id) AS n_eval_docs
+    FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) t
+    JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) e ON t.h = e.h
+    GROUP BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline op that drops
+    training documents overlapping a held-out eval set (here: every
+    97th doc plays the eval set). Word-level 4-gram shingles, keyed by
+    md5 (128-bit: collision-free for any realistic corpus, and
+    bit-identical in both engines), distinct per doc, then an
+    equi-join eval-vs-train on the shingle key. Scale shape: the eval
+    side is ~1% of the corpus, so it is explicitly `broadcast()` —
+    contamination checking at 100 TB is one map-side hash probe per
+    train shingle, no shuffle of the training corpus at all. Output:
+    per contaminated train doc, how many distinct shingles leaked and
+    from how many eval docs."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    shingles = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(3)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 4))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("h")).distinct()
+    ev = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+           len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                              '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5,
+           length(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                                 '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_len
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails and
+    phone numbers. The fixture text carries no PII, so deterministic
+    fake PII is appended per doc (derived from doc_id) — the redaction
+    machinery (regexp_count + nested regexp_replace, RE2-and-Java
+    common dialect) is what is under test; redacted_md5 proves both
+    engines produced byte-identical redacted text. Pure per-row map:
+    no shuffle, stays in WholeStageCodegen, linear at any scale."""
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone_re)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )

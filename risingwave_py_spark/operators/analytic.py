@@ -417,3 +417,63 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_num",
         F.sum(money("o_totalprice")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+@register(
+    "gapfill_locf",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM orders WHERE o_custkey <= 20 GROUP BY 1, 2
+    ),
+    months AS (
+        SELECT CAST(unnest(generate_series(DATE '1992-01-01', DATE '1998-08-01',
+                                           INTERVAL 1 MONTH)) AS DATE) AS month
+    ),
+    cust AS (SELECT DISTINCT o_custkey FROM monthly),
+    spine AS (SELECT o_custkey, month FROM cust, months)
+    SELECT s.o_custkey, s.month, m.spend,
+           COALESCE(last_value(m.spend IGNORE NULLS) OVER (
+               PARTITION BY s.o_custkey ORDER BY s.month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS spend_locf
+    FROM spine s
+    LEFT JOIN monthly m ON s.o_custkey = m.o_custkey AND s.month = m.month
+    """,
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense month spine (generate_series,
+    the recursive_month_spine pattern) cross-joined with the entity
+    set, LEFT JOIN of actuals, then last-observation-carried-forward
+    via last_value(... IGNORE NULLS) over an unbounded-preceding
+    frame — the standard locf/prev() surface of time-series SQL
+    engines, reachable through the reference's pass-through
+    (/root/reference/risingwave/core.py:183-212). Scale shape: the
+    spine is |entities| × |months| — tiny relative to the fact table —
+    and the LOCF window is one shuffle on entity with an O(1)-state
+    running frame; the monthly pre-aggregation (exact DECIMAL sums)
+    reduces the fact table before any join."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    monthly = o.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.sum(money("o_totalprice")).cast("double").alias("spend"))
+    months = spark.sql(
+        "SELECT explode(sequence(DATE '1992-01-01', DATE '1998-08-01', "
+        "INTERVAL 1 MONTH)) AS month"
+    )
+    cust = monthly.select("o_custkey").distinct()
+    spine = cust.crossJoin(F.broadcast(months))
+    j = spine.join(monthly, ["o_custkey", "month"], "left")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "o_custkey",
+        "month",
+        "spend",
+        F.coalesce(F.last("spend", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "spend_locf"
+        ),
+    )

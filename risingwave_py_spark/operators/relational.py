@@ -1166,3 +1166,92 @@ def map_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price").alias("price_via_struct"),
         F.concat_ws("/", F.col("s.status"), F.element_at("m", F.lit("prio"))).alias("packed_key"),
     )
+
+
+@register(
+    "array_agg_ops",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+               list(o_orderpriority ORDER BY o_orderkey) AS prios_all
+        FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           array_to_string(statuses, ',') AS statuses,
+           array_to_string(prios_all[1:3], ',') AS first3_prios,
+           COALESCE(array_to_string(list_filter(statuses, x -> x IN ('F','O')), ','), '') AS st_and_fo,
+           COALESCE(array_to_string(list_filter(statuses, x -> x <> 'F'), ','), '') AS st_minus_f,
+           list_contains(statuses, 'P') AS has_p
+    FROM per
+    """,
+)
+def array_agg_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG array surface: ordered array_agg / array_agg(DISTINCT …
+    ORDER BY …) plus element-level set algebra (delegated surface,
+    /root/reference/risingwave/core.py:183-212). Ordered collect is
+    done deterministically as sort-after-collect (array_sort over
+    collect_set / struct-sorted collect_list keyed by the unique
+    orderkey) rather than relying on input order, so the result is
+    shuffle-order independent — safe under AQE re-planning at any
+    scale. Set ops are expressed as higher-order filters over the
+    sorted array (same plan both engines; element order provably
+    deterministic). Arrays serialize via concat_ws for the
+    hash-compare. One shuffle (the groupBy); per-group state bounded
+    by orders-per-customer."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    per = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderpriority"))),
+            lambda x: x["o_orderpriority"],
+        ).alias("prios_all"),
+    )
+    return per.select(
+        "o_custkey",
+        F.concat_ws(",", "statuses").alias("statuses"),
+        F.concat_ws(",", F.slice("prios_all", 1, 3)).alias("first3_prios"),
+        F.concat_ws(
+            ",", F.filter("statuses", lambda x: x.isin("F", "O"))
+        ).alias("st_and_fo"),
+        F.concat_ws(",", F.filter("statuses", lambda x: x != "F")).alias("st_minus_f"),
+        F.array_contains("statuses", "P").alias("has_p"),
+    )
+
+
+@register(
+    "scalar_timezone_bucket",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
+           CAST(ts + INTERVAL 330 MINUTE AS DATE) AS ist_date,
+           CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket15m_epoch,
+           CASE WHEN value < 0 THEN 0
+                WHEN value >= 100 THEN 11
+                ELSE CAST(floor(value / 10) + 1 AS BIGINT) END AS value_bucket
+    FROM events WHERE event_id < 2000
+    """,
+)
+def scalar_timezone_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion + time/value bucketing (PG AT TIME ZONE /
+    date_bin / width_bucket — delegated surface). Spark side uses the
+    real tz database (from_utc_timestamp into Asia/Kolkata — chosen
+    DST-free so the oracle can state the conversion as a fixed +330 min
+    offset without tz machinery); the 15-minute bucket is the
+    date_bin-style epoch-floor arithmetic every time-series rollup
+    compiles to. Pure projection: no shuffle, codegen'd, linear at
+    scale; the epoch arithmetic is the partition-pruning key a 100 TB
+    hypertable layout would cluster on."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ist = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    return ev.select(
+        "event_id",
+        F.hour(ist).alias("ist_hour"),
+        F.to_date(ist).alias("ist_date"),
+        (F.floor(F.unix_timestamp("ts") / 900) * 900)
+        .cast("bigint")
+        .alias("bucket15m_epoch"),
+        F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10)).alias(
+            "value_bucket"
+        ),
+    )

@@ -446,3 +446,48 @@ def emit_on_close_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start timestamp, window_end timestamp, k string, n bigint, "
         "op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "join_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('alice', CAST(10.0 AS DOUBLE), 'UpdateDelete', CAST(4 AS BIGINT)),
+        ('alice', CAST(17.0 AS DOUBLE), 'UpdateInsert', CAST(4 AS BIGINT)),
+        ('carol', CAST(2.0 AS DOUBLE), 'Insert', CAST(6 AS BIGINT))
+    ) AS t(name, total, op, rw_timestamp)
+    """,
+)
+def join_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MV over a two-table equi-join + aggregation, with changelog:
+    fact inserts must re-aggregate through the join (alice's total
+    updates), and a dimension insert must bring a new group into
+    existence (carol appears only once her fact row can find its
+    dimension row). Exercises the MV runtime on multi-table SQL —
+    refresh diffs the join result, not a single base table."""
+    conn, eng = _fresh_conn(spark, "rwdemo_jn")
+    conn.insert(pd.DataFrame({"ck": [1, 2], "name": ["alice", "bob"]}),
+                table_name="cust", schema_name="rwdemo_jn", force_flush=True)
+    conn.insert(pd.DataFrame({"ck": [1, 2], "amt": [10.0, 5.0]}),
+                table_name="ord", schema_name="rwdemo_jn", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_jn.by_name AS "
+        "SELECT c.name, sum(o.amt) AS total "
+        "FROM rwdemo_jn.ord o JOIN rwdemo_jn.cust c ON o.ck = c.ck "
+        "GROUP BY c.name"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_jn.s FROM rwdemo_jn.by_name WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_jn_cur subscription cursor for rwdemo_jn.s SINCE 0")
+    # epoch: fact-side change (alice +7) and an orphan fact row (ck=3)
+    conn.insert(pd.DataFrame({"ck": [1, 3], "amt": [7.0, 2.0]}),
+                table_name="ord", schema_name="rwdemo_jn", force_flush=True)
+    # epoch: dimension arrives -> carol's group materializes
+    conn.insert(pd.DataFrame({"ck": [3], "name": ["carol"]}),
+                table_name="cust", schema_name="rwdemo_jn", force_flush=True)
+    cols, rows = eng.fetch_cursor("rwdemo_jn_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "name string, total double, op string, rw_timestamp bigint",
+    )
