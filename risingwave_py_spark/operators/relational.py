@@ -750,6 +750,62 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+
+@register(
+    "setop_bag_semantics",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 400
+        INTERSECT ALL
+        SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag (multiset) set-op semantics, the PG surface
+    the distinct-only setop_* queries don't cover: each nationkey
+    survives min(count_left, count_right) times. Spark's intersectAll
+    compiles to a single hash aggregation per side + join — one
+    shuffle each, partial-agg map-side, no row explosion — identical
+    shape at any scale. Aggregated to counts so the multiset
+    multiplicity itself is what the oracle hash checks."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s).groupBy("nk").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_bool_every_any",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_orderdate >= DATE '1992-01-01') AS all_after_92,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_every_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG boolean aggregates bool_and/bool_or (Spark: every/any) —
+    delegated surface. Trivially partial-aggregatable (AND/OR are
+    associative+commutative), so map-side combine reduces each
+    partition to one boolean before the shuffle: constant state per
+    group at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_orderdate") >= F.lit("1992-01-01").cast("date")).alias(
+            "all_after_92"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar functions (SURVEY §2.7)
 # ---------------------------------------------------------------------------

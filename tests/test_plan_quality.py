@@ -104,3 +104,38 @@ def test_distinct_on_single_shuffle(spark, sf_dir):
     # rank<=1 is applied map-side BEFORE the shuffle (WindowGroupLimit),
     # so the exchange carries at most one row per (partition, user).
     assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set (~1% of corpus) must broadcast: the train
+    corpus — the 100 TB side — must be probed map-side, never shuffled
+    on the shingle key."""
+    plan = _plan(spark, sf_dir, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_spine_broadcasts(spark, sf_dir):
+    """The month spine is tiny and explicitly broadcast; the LOCF
+    window adds exactly one shuffle (by entity)."""
+    plan = _plan(spark, sf_dir, "gapfill_locf")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" in plan
+
+
+def test_range_frame_single_shuffle(spark, sf_dir):
+    """The 30-day trailing-sum RANGE frame partitions by customer
+    once; the frame itself must not introduce extra exchanges."""
+    import re as _re
+    plan = _plan(spark, sf_dir, "window_range_frame")
+    assert "Window" in plan
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:2000]
+
+
+def test_bag_intersect_has_partial_agg(spark, sf_dir):
+    """INTERSECT ALL plans as counted aggregation + join — partial
+    aggregates must survive so each side shuffles group counts, not
+    raw rows."""
+    plan = _plan(spark, sf_dir, "setop_bag_semantics")
+    assert plan.count("HashAggregate") >= 2
