@@ -256,3 +256,60 @@ def test_emit_on_window_close_append_only(rw):
     rw.execute("DROP SUBSCRIPTION eowc_sub")
     rw.execute("DROP MATERIALIZED VIEW eowc_m")
     rw.execute("DROP TABLE eowc_t")
+
+
+def test_handler_crash_before_progress_redelivers(rw):
+    """At-least-once contract (SURVEY §5.3): progress is persisted only
+    AFTER the handler returns (core.py:549-557 ordering), so a handler
+    that crashes mid-batch must see that same batch redelivered on the
+    next run."""
+    import pandas as pd
+
+    from risingwave_py_spark.core import OutputFormat
+
+    rw.execute("DROP TABLE IF EXISTS t_ch_crash")
+    rw.insert(data=pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}),
+              table_name="t_ch_crash", force_flush=True)
+    # A cursor with no SINCE starts at "now" (RisingWave semantics), so
+    # seed progress=0: both runs then resume SINCE 0 and replay history.
+    rw.execute(
+        "CREATE TABLE IF NOT EXISTS risingwave_py_sub_progress "
+        "(sub_name STRING PRIMARY KEY, progress BIGINT) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(progress)"
+    )
+    rw.execute(
+        "INSERT INTO risingwave_py_sub_progress (sub_name, progress) "
+        "VALUES ('public.t_ch_crash_sub', 0)"
+    )
+
+    seen_then_crashed: list = []
+
+    def bad_handler(data):
+        seen_then_crashed.append(data)
+        raise RuntimeError("handler died before progress write")
+
+    with pytest.raises(RuntimeError):
+        rw.on_change(
+            subscribe_from="t_ch_crash", handler=bad_handler,
+            output_format=OutputFormat.RAW, persist_progress=True,
+            max_batch_size=100, _stop_when_idle=True,
+        )
+    assert seen_then_crashed, "crashing handler never saw a batch"
+    crashed_keys = {r[0] for b in seen_then_crashed for r in b}
+
+    # progress was NOT advanced for the failed delivery
+    prow = rw.fetchone(
+        "SELECT progress FROM risingwave_py_sub_progress "
+        "WHERE sub_name = 'public.t_ch_crash_sub'"
+    )
+    assert prow is not None and prow[0] == 0
+
+    # a fresh run redelivers the exact same rows
+    got: list = []
+    rw.on_change(
+        subscribe_from="t_ch_crash", handler=lambda d: got.append(d),
+        output_format=OutputFormat.RAW, persist_progress=True,
+        max_batch_size=100, _stop_when_idle=True,
+    )
+    redelivered_keys = {r[0] for b in got for r in b}
+    assert crashed_keys <= redelivered_keys
