@@ -370,3 +370,94 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(red).alias("redacted_md5"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> array_to_string(ws[i:i+2], ' ')) AS grams
+        FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+               AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher-style quality filter that
+    drops boilerplate/looping text): fraction of word 3-grams that are
+    duplicates of an earlier 3-gram in the same document. Everything
+    happens inside one row — sequence/transform/array_distinct are
+    codegen'd higher-order functions, so this is a zero-shuffle linear
+    scan at any corpus size; the 3-gram list never leaves the row."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    g = d.filter(n >= 3).select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    return g.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT w) AS vocab,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           round(CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6) AS tokens_per_doc
+    FROM (
+        SELECT doc_id, source, unnest(regexp_split_to_array(text, '\s+')) AS w
+        FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile per source: token count,
+    vocabulary size, type-token ratio, tokens per document — the
+    summary a curation pipeline reports per crawl/domain. One explode
+    followed by one aggregation; the distinct-counts rewrite to
+    Spark's two-phase expand+partial-agg, so the shuffle carries
+    (source, word) partials — bounded by vocabulary, not token count,
+    at any scale. (For trillion-token corpora the documented fallback
+    is approx_count_distinct — see tests/test_sketches.py.)"""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", r"\s+")).alias("w")
+    )
+    return tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("vocab"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.countDistinct("w").cast("double") / F.count("*"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.count("*").cast("double") / F.countDistinct("doc_id"), 6).alias(
+            "tokens_per_doc"
+        ),
+    )
