@@ -67,6 +67,12 @@ class MVState:
         self.stmt = stmt
         self.key_cols = key_cols
         self.emit_on_close = emit_on_close
+        # Incremental-maintenance plan (delta-merge fast path) for
+        # append-only simple-aggregation MVs; None → snapshot-diff.
+        self.inc: dict | None = None
+        # Highest base-changelog epoch already folded into the stored
+        # result (only meaningful while self.inc is set).
+        self.last_epoch: int = 0
 
 
 class SparkEngine:
@@ -86,6 +92,10 @@ class SparkEngine:
         self.upsert_meta: dict[str, dict] = {}  # fq -> {pk, version_col}
         self.subscriptions: dict[str, dict] = {}  # fq sub -> {rel, retention_s}
         self.sources: dict[str, dict] = {}  # fq source -> props
+        # Highest epoch ever vacuumed out of each changelog: an
+        # incremental MV whose last_epoch is below this floor can no
+        # longer trust the changelog as a complete delta source.
+        self.vacuum_floor: dict[str, int] = {}
         self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
         self.udfs: dict[str, str] = {}  # name -> declared return type
         self.watermarks: dict[str, dict] = {}  # fq table -> {col, delay_us}
@@ -265,20 +275,29 @@ class SparkEngine:
         reference's pandas ``to_sql(if_exists='append')`` semantics,
         core.py:283-290). Returns the epoch of the write."""
         fq = self.qualify(name, schema_name)
-        epoch = self.next_epoch()
-        if fq in self.upsert_meta:
-            self.spark.catalog.refreshTable(self.log_name(fq))
-            df.withColumn("__rw_epoch", F.lit(epoch)).write.mode("append").saveAsTable(
-                self.log_name(fq)
-            )
-        else:
-            if not self.spark.catalog.tableExists(fq):
-                self._clear_stale_location(fq)
-                df.limit(0).write.format("parquet").saveAsTable(fq)
-                self._ensure_changelog(fq)
-            df.write.mode("append").insertInto(fq)
-        self._ensure_changelog(fq)
-        self._append_changelog(fq, df, OP_INSERT, epoch)
+        if fq not in self.upsert_meta and not self.spark.catalog.tableExists(fq):
+            self._clear_stale_location(fq)
+            df.limit(0).write.format("parquet").saveAsTable(fq)
+            self._ensure_changelog(fq)
+        # Epoch assignment, table append, and changelog append happen
+        # under ONE lock acquisition: an insert is either fully
+        # published (table + changelog, monotone epoch) or not at all,
+        # relative to any locked reader (cursor polls, incremental-MV
+        # delta reads, create_mv base snapshots). Assigning the epoch
+        # inside the lock also guarantees changelog epochs are appended
+        # in increasing order, so a cursor can never advance past an
+        # epoch that is still being written by a slower thread.
+        with self._lock:
+            epoch = self.next_epoch()
+            if fq in self.upsert_meta:
+                self.spark.catalog.refreshTable(self.log_name(fq))
+                df.withColumn("__rw_epoch", F.lit(epoch)).write.mode(
+                    "append"
+                ).saveAsTable(self.log_name(fq))
+            else:
+                df.write.mode("append").insertInto(fq)
+            self._ensure_changelog(fq)
+            self._append_changelog(fq, df, OP_INSERT, epoch)
         return epoch
 
     def _append_changelog(self, fq: str, df: DataFrame, op: str, epoch: int) -> None:
@@ -551,8 +570,8 @@ class SparkEngine:
         if n == 0:
             return self._returning(deleted, returning) if returning else 0
         remaining = cur.filter(~cond).localCheckpoint(eager=True)
-        epoch = self.next_epoch()
         with self._lock:
+            epoch = self.next_epoch()
             remaining.write.mode("overwrite").insertInto(fq, overwrite=True)
             self._ensure_changelog(fq)
             self._append_changelog(fq, deleted, OP_DELETE, epoch)
@@ -586,8 +605,8 @@ class SparkEngine:
         new = old.withColumns(
             {col: F.expr(expr).cast(schema[col.lower()]) for col, expr in assignments}
         ).localCheckpoint(eager=True)
-        epoch = self.next_epoch()
         with self._lock:
+            epoch = self.next_epoch()
             untouched.unionByName(new).write.mode("overwrite").insertInto(
                 fq, overwrite=True
             )
@@ -801,6 +820,91 @@ class SparkEngine:
             keys.append(ident)
         return keys or None
 
+    # -- incremental MV maintenance (delta-merge fast path) ----------------
+    #
+    # For MVs of the shape  SELECT keys…, agg(expr) AS a, …
+    #                       FROM one_table [WHERE …] GROUP BY keys…
+    # over an APPEND-ONLY base, a refresh does not need to rescan the
+    # base: the base changelog supplies exactly the rows added since
+    # the last refresh, the delta is aggregated by the SAME select
+    # list, and the stored result is merged group-wise (sum/count add,
+    # min/max take least/greatest). Refresh cost becomes
+    # O(delta + touched groups), independent of base-table size — the
+    # property that makes an aggregation MV viable over a 100 TB fact
+    # table. The first non-Insert base op (UPDATE/DELETE), a vacuumed
+    # delta epoch, or any unexpected error permanently drops the MV
+    # back to the snapshot-diff path (full recompute), which remains
+    # the general-SQL fallback.
+
+    _INC_BLOCKERS = re.compile(
+        r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
+        r"|WINDOW|TUMBLE|HOP|SESSION_WINDOW|AVG|STDDEV\w*|VAR_POP|VAR_SAMP"
+        r"|PERCENTILE\w*|COLLECT_\w+|ARRAY_AGG|STRING_AGG|LISTAGG|FIRST|LAST"
+        r"|ANY_VALUE|EVERY|BOOL_AND|BOOL_OR)\b"
+        r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
+        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\(",
+        re.I,
+    )
+    _INC_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>[\w.\s,]+?)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _INC_AGG_ITEM = re.compile(
+        r"^\s*(?P<fn>sum|count|min|max)\s*\(\s*(?P<arg>\*|[^()]*?)\s*\)"
+        r"\s+AS\s+(?P<alias>\w+)\s*$",
+        re.I,
+    )
+    _INC_KEY_ITEM = re.compile(r"^\s*(?P<col>\w+)\s*(?:AS\s+(?P<alias>\w+))?\s*$", re.I)
+    _QUALIFIED_REF = re.compile(r"[A-Za-z_]\w*\.\w")
+
+    def _parse_simple_agg(self, stmt: str) -> dict | None:
+        """Return the incremental plan for a simple single-table
+        aggregation, or None if the statement is not (provably) one."""
+        if self._INC_BLOCKERS.search(stmt):
+            return None
+        m = self._INC_SHAPE.match(stmt)
+        if not m:
+            return None
+        sel, where, grp = m.group("sel"), m.group("where"), m.group("grp")
+        # Qualified column refs (t.col) would dangle once FROM is
+        # rebound to the delta view; bare columns only.
+        if self._QUALIFIED_REF.search(" ".join(filter(None, (sel, where, grp)))):
+            return None
+        grp_cols = []
+        for part in grp.split(","):
+            ident = part.strip()
+            if not re.fullmatch(r"\w+", ident) or ident.isdigit():
+                return None
+            grp_cols.append(ident)
+        kinds: dict[str, str] = {}
+        keys: list[str] = []
+        for item in RW.split_top_level(sel):
+            am = self._INC_AGG_ITEM.match(item)
+            if am:
+                kinds[am.group("alias")] = am.group("fn").lower()
+                continue
+            km = self._INC_KEY_ITEM.match(item)
+            if not km or km.group("col") not in grp_cols:
+                return None
+            keys.append(km.group("alias") or km.group("col"))
+        if not kinds or not keys:
+            return None
+        return {
+            "base_fq": self.qualify(m.group("tbl")),
+            "sel": sel.strip(),
+            "where": (where or "").strip() or None,
+            "grp": grp.strip(),
+            "kinds": kinds,
+            "keys": keys,
+        }
+
+    def _inc_delta_stmt(self, inc: dict, view: str) -> str:
+        q = f"SELECT {inc['sel']} FROM {view}"
+        if inc["where"]:
+            q += f" WHERE {inc['where']}"
+        return q + f" GROUP BY {inc['grp']}"
+
     def create_mv(
         self,
         name: str,
@@ -824,13 +928,62 @@ class SparkEngine:
         self.spark.catalog.setCurrentDatabase(self.default_schema)
         rewritten = RW.rewrite_query(stmt, self.version_string)
         state = MVState(fq, rewritten, None, emit_on_close)
-        df = self.spark.sql(rewritten)
+        inc = None if emit_on_close else self._parse_simple_agg(rewritten)
+        if inc is not None:
+            base = inc["base_fq"]
+            base_cl = self.changelog_name(base)
+            if (
+                base in self.upsert_meta
+                or not self.spark.catalog.tableExists(base_cl)
+            ):
+                inc = None
+        if inc is not None:
+            # Consistent base snapshot: epoch watermark and table data
+            # are pinned under the same lock that publishes inserts, so
+            # the initial result corresponds exactly to "all changelog
+            # epochs <= last_epoch" — the induction base the delta
+            # merge relies on.
+            with self._lock:
+                self.spark.catalog.refreshTable(base_cl)
+                cl_df = self.spark.table(base_cl)
+                m0 = cl_df.agg(F.max("rw_timestamp")).first()[0] or 0
+                has_non_insert = (
+                    cl_df.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+                )
+                snap = self.spark.table(base).localCheckpoint(eager=True)
+            if has_non_insert or self.vacuum_floor.get(base_cl, 0) > 0:
+                inc = None
+        if inc is not None:
+            view = f"__rw_inc_base_{_split_fq(fq)[1]}"
+            snap.createOrReplaceTempView(view)
+            df = self.spark.sql(self._inc_delta_stmt(inc, view))
+        else:
+            df = self.spark.sql(rewritten)
         if emit_on_close:
             df = self._close_filter(state, df)
+        if inc is not None:
+            # sums must be exact types: incremental double accumulation
+            # would drift from a from-scratch recompute by float
+            # rounding, breaking bit-reproducibility (SCALE.md rule 5).
+            types = {f.name: f.dataType for f in df.schema.fields}
+            for col, kind in inc["kinds"].items():
+                if col not in types:
+                    inc = None
+                    break
+                if kind == "sum" and isinstance(
+                    types[col], (T.DoubleType, T.FloatType)
+                ):
+                    inc = None
+                    break
         self._clear_stale_location(fq)
         df.write.format("parquet").saveAsTable(fq)
         self._ensure_changelog(fq)
         state.key_cols = self._infer_key_cols(stmt, df.columns)
+        if inc is not None and state.key_cols and set(state.key_cols) == set(
+            inc["keys"]
+        ):
+            state.inc = inc
+            state.last_epoch = m0
         self.mvs[fq] = state
 
     def drop_mv(self, name: str, schema_name: str | None = None) -> None:
@@ -908,10 +1061,131 @@ class SparkEngine:
             delta.write.mode("append").insertInto(fq)
             self._append_changelog(fq, delta, OP_INSERT, epoch)
 
+    def _refresh_incremental(self, state: MVState) -> bool:
+        """Delta-merge refresh for an append-only simple-agg MV.
+        Returns True when the refresh was fully handled; False demotes
+        the MV to the snapshot-diff path (state.inc cleared)."""
+        inc = state.inc
+        spark = self.spark
+        fq = state.fq
+        base_cl = self.changelog_name(inc["base_fq"])
+        if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
+            state.inc = None  # unconsumed delta epochs were vacuumed
+            return False
+        with self._lock:
+            spark.catalog.refreshTable(base_cl)
+            pending = spark.table(base_cl).filter(
+                F.col("rw_timestamp") > state.last_epoch
+            )
+            m1 = pending.agg(F.max("rw_timestamp")).first()[0]
+            if m1 is None:
+                self.next_epoch()  # refresh always consumes one epoch
+                return True  # base unchanged — result already current
+            delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+        if delta.filter(F.col("op") != OP_INSERT).limit(1).count() > 0:
+            state.inc = None  # base is no longer append-only
+            return False
+        view = f"__rw_inc_delta_{_split_fq(fq)[1]}"
+        delta.drop("op", "rw_timestamp").createOrReplaceTempView(view)
+        dagg = spark.sql(self._inc_delta_stmt(inc, view)).localCheckpoint(eager=True)
+        if dagg.isEmpty():
+            state.last_epoch = m1
+            self.next_epoch()
+            return True  # every delta row fell to the WHERE clause
+        old = spark.table(fq)
+        cols = old.columns
+        keys = inc["keys"]
+        vals = [c for c in cols if c not in keys]
+        types = {f.name: f.dataType for f in old.schema.fields}
+        o = old.withColumn("__o", F.lit(1)).alias("o")
+        d = dagg.alias("d")
+        cond = None
+        for k in keys:
+            e = F.col(f"o.{k}").eqNullSafe(F.col(f"d.{k}"))
+            cond = e if cond is None else (cond & e)
+        j = o.join(d, cond, "right_outer")
+
+        def merged(c: str):
+            kind = inc["kinds"][c]
+            oc, dc = F.col(f"o.{c}"), F.col(f"d.{c}")
+            if kind in ("sum", "count"):
+                m = F.when(oc.isNull(), dc).when(dc.isNull(), oc).otherwise(oc + dc)
+            elif kind == "min":
+                m = F.least(oc, dc)
+            else:  # max
+                m = F.greatest(oc, dc)
+            return (
+                F.when(F.col("o.__o").isNull(), dc).otherwise(m)
+                .cast(types[c])
+                .alias(c)
+            )
+
+        sel = [F.col(f"d.{c}").alias(c) if c in keys else merged(c) for c in cols]
+        tdf = j.select(
+            *sel,
+            F.col("o.__o").alias("__o"),
+            *[F.col(f"o.{c}").alias(f"__old_{c}") for c in vals],
+        ).localCheckpoint(eager=True)
+        changed_cond = None
+        for v in vals:
+            e = ~F.col(v).eqNullSafe(F.col(f"__old_{v}"))
+            changed_cond = e if changed_cond is None else (changed_cond | e)
+        inserts = tdf.filter(F.col("__o").isNull()).select(*cols)
+        changed = tdf.filter(F.col("__o").isNotNull() & changed_cond)
+        upd_del = changed.select(
+            *[(F.col(f"__old_{c}") if c in vals else F.col(c)).alias(c) for c in cols]
+        )
+        upd_ins = changed.select(*cols)
+        batches = [
+            (upd_del, OP_UPDATE_DELETE),
+            (upd_ins, OP_UPDATE_INSERT),
+            (inserts, OP_INSERT),
+        ]
+
+        # New result = untouched old rows + merged touched rows; only
+        # touched groups are rewritten logically (at production scale
+        # this staging write is a Delta/Iceberg MERGE on the keys).
+        touched = tdf.filter(F.col("__o").isNull() | changed_cond)
+        anti = None
+        for k in keys:
+            e = old[k].eqNullSafe(touched[k])
+            anti = e if anti is None else (anti & e)
+        new_result = old.join(touched, anti, "left_anti").unionByName(
+            touched.select(*cols)
+        )
+        db, tbl = _split_fq(fq)
+        stage = f"{db}.__rw_stage__{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        new_result.write.format("parquet").saveAsTable(stage)
+        self._ensure_changelog(fq)
+        collected = [(dfb.collect(), op) for dfb, op in batches]
+        any_change = False
+        with self._lock:
+            epoch = self.next_epoch()
+            for rows, op in collected:
+                if rows:
+                    any_change = True
+                    self._append_changelog(
+                        fq, spark.createDataFrame(rows, old.schema), op, epoch
+                    )
+        if any_change:
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        state.last_epoch = m1
+        return True
+
     def refresh_mv(self, state: MVState) -> None:
         """Recompute the MV and emit changelog deltas.
 
-        Snapshot-diff derivation (SURVEY §7 'what's hard' #1): new
+        Incremental fast path first: append-only simple-agg MVs merge
+        the base-changelog delta into the stored result (O(delta +
+        touched groups) — see _parse_simple_agg). Otherwise
+        snapshot-diff derivation (SURVEY §7 'what's hard' #1): new
         result vs stored result. With inferable group keys we emit
         RisingWave-style UpdateDelete/UpdateInsert pairs for changed
         groups; otherwise a null-safe bag diff emits Insert/Delete
@@ -919,6 +1193,16 @@ class SparkEngine:
         if state.emit_on_close:
             self._refresh_emit_on_close(state)
             return
+        if state.inc is not None:
+            try:
+                if self._refresh_incremental(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental refresh of %s failed; demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc = None
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
@@ -933,7 +1217,6 @@ class SparkEngine:
         old = spark.table(fq)
         new = spark.table(stage)
         cols = old.columns
-        epoch = self.next_epoch()
 
         if state.key_cols:
             keys = state.key_cols
@@ -994,6 +1277,11 @@ class SparkEngine:
         collected = [(df.collect(), op) for df, op in batches]
         any_change = False
         with self._lock:
+            # Epoch is assigned at publish time, under the same lock as
+            # the appends: changelog epochs are therefore strictly
+            # monotone in publication order, never just in assignment
+            # order.
+            epoch = self.next_epoch()
             for rows, op in collected:
                 if rows:
                     any_change = True
@@ -1116,6 +1404,7 @@ class SparkEngine:
         if len(epochs) <= keep_n:
             return  # nothing older than the retained window
         keep_from = epochs[keep_n - 1] if keep_n else self._epoch + 1
+        self.vacuum_floor[cl] = max(self.vacuum_floor.get(cl, 0), keep_from - 1)
         stage = f"{cl}__vacuum_stage"
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         (

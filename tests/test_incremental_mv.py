@@ -1,0 +1,140 @@
+"""Incremental (delta-merge) MV maintenance — the append-only fast
+path: refresh folds only the base-changelog delta into the stored
+result (O(delta + touched groups), never rescanning the base), and
+demotes itself to snapshot-diff the moment the base stops being
+append-only. Results must stay bit-identical to a from-scratch
+recompute at every step."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def eng_conn(spark):
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS inct CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/inct.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="inct")
+    return RisingWaveConnection(eng), eng
+
+
+def _mv_rows(conn):
+    return sorted(conn._dispatch("SELECT * FROM inct.m")[1])
+
+
+def _recompute(conn):
+    return sorted(
+        conn._dispatch(
+            "SELECT p, sum(v) AS total, count(*) AS n, min(v) AS lo, max(v) AS hi "
+            "FROM inct.t WHERE v < 100 GROUP BY p"
+        )[1]
+    )
+
+
+def test_incremental_mv_fast_path_and_demotion(eng_conn):
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.t (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a", "b"], "v": [1, 2]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m AS "
+        "SELECT p, sum(v) AS total, count(*) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM inct.t WHERE v < 100 GROUP BY p"
+    )
+    st = eng.mvs["inct.m"]
+    assert st.inc is not None, "simple agg over append-only base must be incremental"
+
+    # Delta touching an existing group, creating a new one, and one
+    # row the WHERE clause filters out.
+    conn.insert(pd.DataFrame({"p": ["a", "c", "a"], "v": [5, 7, 200]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    eng.flush()
+    rows = _mv_rows(conn)
+    assert rows == [("a", 6, 2, 1, 5), ("b", 2, 1, 2, 2), ("c", 7, 1, 7, 7)]
+    assert rows == _recompute(conn)
+    assert st.inc is not None
+
+    # Fully-filtered delta: no result change, fast path persists.
+    conn.insert(pd.DataFrame({"p": ["z"], "v": [999]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    eng.flush()
+    assert _mv_rows(conn) == rows and st.inc is not None
+
+    # Changelog contract through the fast path (full replay from 0:
+    # each refresh epoch carries the right op mix).
+    conn.execute("CREATE SUBSCRIPTION inct.s FROM inct.m WITH (retention = '86400s')")
+    conn.execute("DECLARE c1 subscription cursor for inct.s SINCE 0")
+    conn.insert(pd.DataFrame({"p": ["b", "d"], "v": [10, 3]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    cols, ch = eng.fetch_cursor("c1", 100)
+    assert cols[-2:] == ["op", "rw_timestamp"]
+    ops = sorted((r[0], r[-2]) for r in ch)
+    assert ops == [
+        ("a", "UpdateDelete"), ("a", "UpdateInsert"),
+        ("b", "UpdateDelete"), ("b", "UpdateInsert"),
+        ("c", "Insert"), ("d", "Insert"),
+    ]
+    # the two epochs replay in publication order
+    epochs = [r[-1] for r in ch]
+    assert epochs == sorted(epochs)
+
+    # Non-append DML demotes to snapshot-diff; results stay correct.
+    conn.execute("UPDATE inct.t SET v = 4 WHERE p = 'a' AND v = 1")
+    eng.flush()
+    assert st.inc is None, "UPDATE on the base must demote the MV"
+    assert _mv_rows(conn) == _recompute(conn)
+
+
+def test_incremental_ineligibility_rules(eng_conn):
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.t2 (p STRING, v DOUBLE, w BIGINT)")
+    # double-typed SUM → ineligible (incremental FP accumulation would
+    # drift from recompute; SCALE.md exactness rule)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m2 AS "
+        "SELECT p, sum(v) AS total FROM inct.t2 GROUP BY p"
+    )
+    assert eng.mvs["inct.m2"].inc is None
+    # min/max over doubles are exact merges → eligible
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m3 AS "
+        "SELECT p, min(v) AS lo, max(v) AS hi, count(*) AS n, sum(w) AS ws "
+        "FROM inct.t2 GROUP BY p"
+    )
+    assert eng.mvs["inct.m3"].inc is not None
+    # joins / avg / having never take the fast path
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m4 AS "
+        "SELECT p, avg(w) AS aw FROM inct.t2 GROUP BY p"
+    )
+    assert eng.mvs["inct.m4"].inc is None
+
+
+def test_incremental_base_with_history_then_grows(eng_conn):
+    """MV created over a base that ALREADY has rows: initial state must
+    fold existing changelog history, then deltas merge on top."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.t3 (p STRING, v BIGINT)")
+    for batch in ([("a", 1)], [("a", 2), ("b", 5)]):
+        conn.insert(pd.DataFrame({"p": [k for k, _ in batch],
+                                  "v": [v for _, v in batch]}),
+                    table_name="t3", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m5 AS "
+        "SELECT p, sum(v) AS total FROM inct.t3 GROUP BY p"
+    )
+    st = eng.mvs["inct.m5"]
+    assert st.inc is not None and st.last_epoch > 0
+    conn.insert(pd.DataFrame({"p": ["b"], "v": [7]}),
+                table_name="t3", schema_name="inct", force_flush=True)
+    eng.flush()
+    rows = sorted(conn._dispatch("SELECT * FROM inct.m5")[1])
+    assert rows == [("a", 3), ("b", 12)]
+    assert st.inc is not None
