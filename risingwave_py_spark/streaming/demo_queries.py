@@ -491,3 +491,48 @@ def join_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "name string, total double, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('x', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT), 'UpdateInsert', CAST(3 AS BIGINT)),
+        ('x', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), 'UpdateDelete', CAST(3 AS BIGINT)),
+        ('z', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'Insert', CAST(3 AS BIGINT)),
+        ('z', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'UpdateDelete', CAST(5 AS BIGINT)),
+        ('z', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT), 'UpdateInsert', CAST(5 AS BIGINT))
+    ) AS t(p, total, n, hi, op, rw_timestamp)
+    """,
+)
+def inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-merge) MV maintenance, end to end: an
+    append-only base + simple-agg MV takes the fast path (asserted —
+    the scenario fails if the planner demoted it), two insert epochs
+    merge group-wise without rescanning the base, and the resulting
+    changelog is byte-identical to what the snapshot-diff path would
+    emit. Returns the changelog with logical epochs pinned."""
+    conn, eng = _fresh_conn(spark, "rwdemo_inc")
+    conn.execute("CREATE TABLE rwdemo_inc.ev (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["x", "y"], "v": [3, 4]}),
+                table_name="ev", schema_name="rwdemo_inc", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_inc.agg AS "
+        "SELECT p, sum(v) AS total, count(*) AS n, max(v) AS hi "
+        "FROM rwdemo_inc.ev GROUP BY p"
+    )
+    assert eng.mvs["rwdemo_inc.agg"].inc is not None, "fast path not taken"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_inc.s FROM rwdemo_inc.agg WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_inc_cur subscription cursor for rwdemo_inc.s SINCE 0")
+    conn.insert(pd.DataFrame({"p": ["x", "z"], "v": [7, 1]}),
+                table_name="ev", schema_name="rwdemo_inc", force_flush=True)
+    conn.insert(pd.DataFrame({"p": ["z"], "v": [9]}),
+                table_name="ev", schema_name="rwdemo_inc", force_flush=True)
+    assert eng.mvs["rwdemo_inc.agg"].inc is not None, "fast path lost"
+    cols, rows = eng.fetch_cursor("rwdemo_inc_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, total bigint, n bigint, hi bigint, op string, rw_timestamp bigint",
+    )
