@@ -365,7 +365,9 @@ def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     stats = li.agg(
         F.countDistinct("l_orderkey").cast("double").alias("exact_d"),
-        F.approx_count_distinct("l_orderkey").cast("double").alias("approx_d"),
+        # rsd=0.01: the gate must hold from sf0.001 (1.5k keys, where the
+        # default 5% rsd can itself exceed the 5% bound) up to any scale.
+        F.approx_count_distinct("l_orderkey", 0.01).cast("double").alias("approx_d"),
         F.expr("percentile(l_quantity, 0.5)").alias("exact_p50"),
         F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_p50"),
     )
@@ -476,4 +478,43 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last("spend", ignorenulls=True).over(w), F.lit(0.0)).alias(
             "spend_locf"
         ),
+    )
+
+
+@register(
+    "window_filtered_agg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_so_far,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+               FILTER (WHERE o_orderpriority = '1-URGENT') OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urgent_spend
+    FROM orders WHERE o_custkey <= 300
+    """,
+)
+def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG aggregate FILTER clause inside an OVER window. Spark has no
+    window FILTER, so the engine compiles it to the equivalent
+    conditional aggregate (CASE inside sum/count) — same values, same
+    single shuffle, running-frame O(1) state; the oracle states the
+    native PG spelling. Frame ordered by the unique orderkey so ROWS
+    frames are deterministic. DECIMAL running sum stays exact."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).over(w).alias("f_so_far"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice"))
+        ).over(w).alias("urgent_spend"),
     )

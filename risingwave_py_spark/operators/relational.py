@@ -1104,26 +1104,26 @@ def distinct_on_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_corr_regr",
     oracle="""
-    SELECT l_returnflag,
-           COUNT(*) AS n,
-           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
-           / sqrt((COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
-                  * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)))
-           AS corr_qty_price,
-           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
-           / (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
-           AS regr_slope_price_on_qty
-    FROM lineitem GROUP BY l_returnflag
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy2
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9)
+               AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9)
+               AS regr_slope_price_on_qty
+    FROM m
     """,
 )
 def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1136,7 +1136,9 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     any scale — and only the final closed-form division runs in
     double. Built-in F.corr exists but streams FP accumulation whose
     value depends on partition order; this formulation is
-    deterministic and hash-matches the oracle bit-for-bit."""
+    deterministic. The final quotients are rounded at 9 decimals:
+    the two engines may differ in the last ulp of the double
+    division/sqrt (~1e-16), which is numeric noise, not signal."""
     li = table(spark, sf_dir, "lineitem")
     x = money("l_quantity")
     y = money("l_extendedprice")
@@ -1151,8 +1153,8 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_y = n * sy2 - sy * sy
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
-        (cov_n / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
-        (cov_n / var_x).alias("regr_slope_price_on_qty"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 9).alias("corr_qty_price"),
+        F.round(cov_n / var_x, 9).alias("regr_slope_price_on_qty"),
     )
 
 
@@ -1310,4 +1312,32 @@ def scalar_timezone_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(10)).alias(
             "value_bucket"
         ),
+    )
+
+
+@register(
+    "orderby_nulls_last_topk",
+    oracle="""
+    SELECT event_id, user_id, nullable_type
+    FROM (SELECT event_id, user_id, NULLIF(event_type, 'click') AS nullable_type
+          FROM events)
+    ORDER BY nullable_type ASC NULLS LAST, event_id
+    LIMIT 50
+    """,
+)
+def orderby_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS ordering policy in a top-k: Spark defaults to
+    NULLS FIRST on ASC while PG/DuckDB default to NULLS LAST — a
+    silent cross-engine divergence unless the policy is spelled out
+    (asc_nulls_last here, NULLS LAST in the oracle). Top-k compiles to
+    TakeOrderedAndProject: per-partition heaps, only k rows shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.nullif(F.col("event_type"), F.lit("click")).alias("nullable_type"),
+        )
+        .orderBy(F.col("nullable_type").asc_nulls_last(), "event_id")
+        .limit(50)
     )
