@@ -22,11 +22,13 @@ strings — /root/reference/risingwave/core.py:161-212, 453-455,
 
 Scale notes: tables and changelogs are plain parquet datasets —
 appends are new files (no rewrite); upsert resolution is a window
-function (shuffle by pk) computed at read; MV refresh is snapshot
-diff — at production scale the same contract would be served by
-Structured Streaming update-mode aggregation writing the changelog
-from ``foreachBatch``, which streaming/materialized_view.py provides
-for aggregation MVs.
+function (shuffle by pk) computed at read; MV refresh is
+incremental delta-merge for append-only simple aggregations
+(O(delta + touched groups), no base rescan) with snapshot-diff as
+the arbitrary-SQL fallback — at production scale the same contract
+would be served by Structured Streaming update-mode aggregation
+writing the changelog from ``foreachBatch``, which
+streaming/structured.py provides for aggregation MVs.
 """
 
 from __future__ import annotations

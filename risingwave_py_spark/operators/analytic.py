@@ -518,3 +518,36 @@ def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice"))
         ).over(w).alias("urgent_spend"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_qty,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG percentile_disc WITHIN GROUP — the discrete percentile that
+    returns an ACTUAL data value (first value whose cumulative
+    distribution reaches p), unlike the interpolating percentile_cont
+    covered by agg_percentiles. Spark has no percentile_disc, so the
+    engine compiles it to its definition: cume_dist over the
+    group-ordered values, then min value at cume_dist >= p. Exact on
+    any orderable type with no interpolation arithmetic — and being
+    an order statistic, immune to float-accumulation divergence. One
+    shuffle for the window + one for the final group-by; at scale the
+    documented fallback is approx_percentile (tests/test_sketches.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    cd = li.select(
+        "l_returnflag", "l_quantity", F.cume_dist().over(w).alias("cd")
+    )
+    return cd.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("l_quantity"))).alias("med_qty"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("l_quantity"))).alias("p90_qty"),
+        F.count("*").alias("n"),
+    )
