@@ -1341,3 +1341,95 @@ def orderby_nulls_last_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("nullable_type").asc_nulls_last(), "event_id")
         .limit(50)
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM (SELECT * FROM nation WHERE n_regionkey = 1) n
+    RIGHT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER equi-join (completes the inner/left/right/full set
+    of SURVEY §2.3): suppliers keep their row even when the filtered
+    nation side has no match. Catalyst flips a right join with a
+    broadcastable left side into a broadcast left-outer, so the big
+    side still never shuffles."""
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey", "n_name")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_custkey <= 400
+        EXCEPT ALL
+        SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each nationkey survives
+    max(0, count_left - count_right) times. Same counted-aggregation
+    plan shape as INTERSECT ALL (setop_bag_semantics): partial-agg
+    both sides, join counts — shuffle volume is group counts, never
+    raw rows."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 400)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s).groupBy("nk").agg(F.count("*").alias("n"))
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '12345') AS name_translit,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           ascii(p_name) AS first_cp,
+           chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+           left(p_type, 6) AS type_l6,
+           right(p_type, 4) AS type_r4,
+           array_to_string(list_transform(regexp_split_to_array(p_name, ' '),
+               w -> concat(upper(substring(w, 1, 1)), lower(substring(w, 2)))), ' ')
+               AS name_title,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           md5(p_name) AS name_md5
+    FROM part WHERE p_partkey < 300
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery for the delegated PG surface: translate /
+    reverse / repeat / ascii / chr / left / right / initcap / lpad /
+    md5 — all native Spark functions with PG-identical semantics on
+    ASCII input (initcap word-boundary rules match for
+    whitespace-separated words). Pure codegen projection, zero
+    shuffle."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "12345").alias("name_translit"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.ascii("p_name").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+        F.substring("p_type", 1, 6).alias("type_l6"),
+        F.right("p_type", F.lit(4)).alias("type_r4"),
+        F.initcap("p_name").alias("name_title"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.md5("p_name").alias("name_md5"),
+    )
