@@ -127,3 +127,72 @@ def test_mv_matches_model_and_changelog_replay(rw, ops):
         rw.engine.drop_subscription(f"{tag}_sub")
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         rw.execute(f"DROP TABLE IF EXISTS {tag}")
+
+
+_insert_only_seq = st.lists(_insert, min_size=1, max_size=6)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_insert_only_seq)
+def test_incremental_fast_path_matches_model(rw, ops):
+    """Same invariants as above, restricted to insert-only sequences —
+    which keeps the MV on the incremental delta-merge fast path the
+    whole time (asserted). The fast path must produce the exact same
+    result and changelog-replay behavior the snapshot-diff path
+    would."""
+    tag = f"t_pinc_{next(_ids)}"
+    model: list[tuple[str, int]] = []
+    rw.execute(f"CREATE TABLE {tag} (p STRING, v BIGINT)")
+    rw.mv(stmt=f"SELECT p, sum(v) AS total, count(*) AS n FROM {tag} GROUP BY p",
+          name=f"{tag}_mv")
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc is not None, "insert-only simple agg must be incremental"
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{tag}_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute(f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0")
+    try:
+        for _, rows in ops:
+            rw.insert(
+                data=pd.DataFrame(
+                    {"p": [k for k, _ in rows], "v": [v for _, v in rows]}
+                ),
+                table_name=tag,
+                force_flush=True,
+            )
+            model.extend(rows)
+        rw.execute("FLUSH")
+        assert st_mv.inc is not None, "fast path must survive insert-only DML"
+
+        mv_rows = Counter(
+            (r[0], r[1], r[2]) for r in rw.fetch(f"SELECT p, total, n FROM {tag}_mv")
+        )
+        assert mv_rows == _expected_agg(model)
+
+        _, ch = rw.engine.fetch_cursor(f"{tag}_cur", 100000)
+        replayed: Counter = Counter()
+        last_epoch = -1
+        for row in ch:
+            *vals, op_name, epoch = row
+            assert epoch >= last_epoch
+            last_epoch = epoch
+            key = tuple(vals)
+            if op_name in ("Insert", "UpdateInsert"):
+                replayed[key] += 1
+            else:
+                assert op_name == "UpdateDelete", (
+                    f"append-only MV must never emit {op_name}"
+                )
+                replayed[key] -= 1
+                if replayed[key] == 0:
+                    del replayed[key]
+        assert replayed == mv_rows
+    finally:
+        rw.engine.drop_subscription(f"{tag}_sub")
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}")
