@@ -1433,3 +1433,45 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
         F.md5("p_name").alias("name_md5"),
     )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(o_orderdate) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow_sunday1,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           make_date(CAST(year(o_orderdate) AS INT), 12, 31) AS year_end,
+           datediff('day', o_orderdate, DATE '1998-12-01') AS days_to_cutoff,
+           date_trunc('week', o_orderdate) = o_orderdate AS is_monday,
+           CAST(o_orderdate - INTERVAL 3 MONTH AS DATE) AS minus_3m
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date battery (delegated PG surface): last_day / quarter /
+    day-of-week (PG dow is 0=Sunday, DuckDB dayofweek 0=Sunday, Spark
+    dayofweek 1=Sunday — aligned to a common sunday1 convention in
+    both SQL texts) / day-of-year / ISO week / make_date / datediff /
+    week-truncation identity / month interval arithmetic. Pure
+    projection; every expression folds into whole-stage codegen."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow_sunday1"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31)).alias("year_end"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate")).cast(
+            "long"
+        ).alias("days_to_cutoff"),
+        (F.trunc("o_orderdate", "week") == F.col("o_orderdate")).alias("is_monday"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 3 MONTH")).cast("date").alias(
+            "minus_3m"
+        ),
+    )
