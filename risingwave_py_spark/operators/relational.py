@@ -1475,3 +1475,45 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minus_3m"
         ),
     )
+
+
+@register(
+    "scalar_math_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           round(ln(o_totalprice), 9) AS price_ln,
+           round(log10(o_totalprice), 9) AS price_log10,
+           round(power(o_totalprice, 0.25), 9) AS price_4throot,
+           o_orderkey % 7 AS key_mod7,
+           CAST(sign(o_totalprice - 200000.0) AS DOUBLE) AS over_200k_sign,
+           round(exp(o_totalprice / 500000.0), 9) AS scaled_exp,
+           greatest(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS g3,
+           least(o_orderkey % 7, o_orderkey % 5, o_orderkey % 3) AS l3,
+           CAST(trunc(o_totalprice / 100.0) AS BIGINT) AS hundreds_trunc
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def scalar_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second math battery: ln/log10/power/exp (transcendentals are
+    rounded at 9 decimals — libm implementations may differ in the
+    final ulp across engines, which is noise), modulo, sign, n-ary
+    greatest/least, truncation toward zero (floor ≡ trunc on the
+    positive domain here; Spark's trunc is date-only). Pure codegen
+    projection, no shuffle."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.round(F.log("o_totalprice"), 9).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 9).alias("price_log10"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 9).alias("price_4throot"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("o_totalprice") - 200000.0).alias("over_200k_sign"),
+        F.round(F.exp(F.col("o_totalprice") / 500000.0), 9).alias("scaled_exp"),
+        F.greatest(
+            F.col("o_orderkey") % 7, F.col("o_orderkey") % 5, F.col("o_orderkey") % 3
+        ).alias("g3"),
+        F.least(
+            F.col("o_orderkey") % 7, F.col("o_orderkey") % 5, F.col("o_orderkey") % 3
+        ).alias("l3"),
+        F.floor(F.col("o_totalprice") / 100.0).cast("bigint").alias("hundreds_trunc"),
+    )
