@@ -362,6 +362,23 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes per duplicate pair, not the corpus.
     """
     d = table(spark, sf_dir, "documents")
+    full_assign = _component_assignment(spark, sf_dir)
+    sizes = full_assign.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        full_assign.join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+            "cluster_size",
+        )
+    )
+
+
+def _component_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) for every document: min-label propagation
+    over the MinHash+LSH duplicate graph (see dedup_components)."""
+    d = table(spark, sf_dir, "documents")
     dup = _minhash_scored_pairs(spark, sf_dir).filter(F.col("est_jaccard") >= 0.5)
     edges = (
         dup.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -395,20 +412,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    full_assign = (
+    return (
         d.select("doc_id")
         .join(labels.withColumnRenamed("doc_id", "m_doc"), F.col("doc_id") == F.col("m_doc"), "left")
         .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
-    )
-    sizes = full_assign.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        full_assign.join(sizes, "component")
-        .select(
-            "doc_id",
-            "component",
-            (F.col("doc_id") == F.col("component")).alias("is_canonical"),
-            "cluster_size",
-        )
     )
 
 
@@ -547,4 +554,121 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs(a, b, F.col("a.doc_id") < F.col("b.doc_id"))
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(20)
+    )
+
+
+def _pipeline_oracle() -> str:
+    return rf"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    dup AS (
+        SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM dup
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+        FROM reach GROUP BY src
+    ),
+    toks AS (
+        SELECT doc_id, source, regexp_split_to_array(text, '\s+') AS ws
+        FROM documents
+    ),
+    assign AS (
+        SELECT t.doc_id, t.source, len(t.ws) AS n_tokens,
+               COALESCE(c.component, t.doc_id) AS component
+        FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+    ),
+    shw AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+3], ' ')) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+              FROM toks) q
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT * FROM shw WHERE doc_id % 97 <> 0) t
+        JOIN (SELECT * FROM shw WHERE doc_id % 97 = 0) e ON t.h = e.h
+    ),
+    kept AS (
+        SELECT * FROM assign
+        WHERE doc_id = component
+          AND n_tokens >= 25
+          AND doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source,
+           COUNT(*) AS docs_kept,
+           SUM(n_tokens) AS tokens_kept,
+           SUM(CAST(floor((n_tokens - 1) / 40) AS BIGINT) + 1) AS chunks_kept
+    FROM kept GROUP BY source
+    """
+
+
+@register("pipeline_curate_corpus", oracle=_pipeline_oracle())
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation as ONE composed query — the
+    capstone over the extension operators: (1) near-dup
+    canonicalization (MinHash+LSH pairs → connected components; only
+    the minimum-id member of each cluster survives), (2) quality gate
+    (>= 25 whitespace tokens), (3) eval-set removal + benchmark
+    decontamination (drop every 97th doc AND any train doc sharing a
+    word 4-gram with one), then (4) per-source yield accounting:
+    documents, tokens, and 40-token-stride training chunks kept.
+
+    Scale shape: each stage is the already-proven plan — per-row
+    signature/shingle projections, the O(pairs) component loop over
+    edges only, a broadcast-probe contamination join — so the whole
+    pipeline does NOT multiply costs: document text is scanned once
+    per stage, never shuffled, and the final aggregate is one shuffle
+    of (source) partials. This is the query a 100 TB curation run
+    executes per snapshot."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    toks = d.select("doc_id", "source", F.size(words).alias("n_tokens"))
+    assign = _component_assignment(spark, sf_dir)
+
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(words) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - F.lit(3)),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 4))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        toks.join(assign, "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("component"))
+            & (F.col("n_tokens") >= 25)
+            & (F.col("doc_id") % 97 != 0)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.sum(F.floor((F.col("n_tokens") - 1) / 40).cast("bigint") + 1).alias(
+            "chunks_kept"
+        ),
     )
