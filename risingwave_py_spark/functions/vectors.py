@@ -346,3 +346,68 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head8_sum"),
         F.exists("embedding", lambda x: F.abs(x) > 0.2).alias("any_large"),
     )
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label, u.pos, CAST(u.val AS DOUBLE) AS val
+        FROM embeddings,
+             LATERAL (SELECT generate_subscripts(embedding, 1) AS pos,
+                             unnest(embedding) AS val) u
+    ),
+    cent AS (
+        SELECT label, pos, AVG(val) AS c FROM flat GROUP BY label, pos
+    ),
+    scored AS (
+        SELECT f.vec_id, f.label,
+               SUM(f.val * c.c) / sqrt(SUM(f.val * f.val) * SUM(c.c * c.c))
+                   AS cos_cent
+        FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+        GROUP BY f.vec_id, f.label
+    )
+    SELECT vec_id, label, round(cos_cent, 6) AS cos_to_centroid
+    FROM scored
+    ORDER BY round(cos_cent, 6), vec_id
+    LIMIT 30
+    """,
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening for training data: per-label centroid in
+    embedding space, then the 30 vectors least similar (cosine) to
+    their own label's centroid — the candidates for relabeling/
+    dropping. Fully relational formulation: posexplode to
+    (vec, label, dim, value), per-(label, dim) mean, join back, one
+    grouped reduction to the cosine — two shuffles total (by
+    label+dim, then by vec), each carrying scalars, so it runs at any
+    corpus size without a UDF. Cosine rounded at 6 dp (sum order
+    inside a group is engine-dependent only below that). Top-30 with
+    vec_id tie-break is deterministic."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = flat.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    scored = (
+        flat.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("val") * F.col("c"))
+                / F.sqrt(F.sum(F.col("val") * F.col("val")) * F.sum(F.col("c") * F.col("c")))
+            ).alias("cos_cent")
+        )
+    )
+    return (
+        scored.select(
+            "vec_id", "label", F.round("cos_cent", 6).alias("cos_to_centroid")
+        )
+        .orderBy("cos_to_centroid", "vec_id")
+        .limit(30)
+    )
