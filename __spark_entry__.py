@@ -30,12 +30,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so a positional sample hits the highest-value operators
+    first (TPC-H battery, time windows, MV scenarios, LLM-pipeline
+    suite); see ``registry.PRIORITY``.
+    """
     registry.load_all()
-    return dict(registry.QUERIES)
+    return registry.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each hash-checkable query."""
     registry.load_all()
-    return dict(registry.ORACLES)
+    return registry.ordered_oracles()

@@ -605,8 +605,8 @@ def _pipeline_oracle() -> str:
     )
     SELECT source,
            COUNT(*) AS docs_kept,
-           SUM(n_tokens) AS tokens_kept,
-           SUM(CAST(floor((n_tokens - 1) / 40) AS BIGINT) + 1) AS chunks_kept
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CAST(floor((n_tokens - 1) / 40) AS BIGINT) + 1) AS BIGINT) AS chunks_kept
     FROM kept GROUP BY source
     """
 

@@ -111,7 +111,7 @@ def _plane_sign_spark(p: int) -> str:
              (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
     ), sig AS (
         SELECT vec_id,
-               SUM(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+               CAST(SUM(CASE WHEN proj >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         FROM proj GROUP BY vec_id
     )
     SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id

@@ -235,7 +235,7 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM numbered GROUP BY user_id, session_id
     """,

@@ -265,7 +265,7 @@ def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_discount > 0.05
                          THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS hi_disc_rev,
-           SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
            COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS n_taxfree
     FROM lineitem GROUP BY l_returnflag
     """,

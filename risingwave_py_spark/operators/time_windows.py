@@ -135,7 +135,7 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events GROUP BY event_type
     """,

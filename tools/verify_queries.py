@@ -100,6 +100,17 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # DuckDB HUGEINT (e.g. SUM over integers) becomes float64 via
+        # pandas on the driver side while Spark emits int64 — invisible
+        # to fetchall() (both give Python int) but a driver hash fail.
+        # DESCRIBE is free; flag any HUGEINT output column.
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()]
+            if huge:
+                problems.append(f"oracle HUGEINT cols (cast to BIGINT): {huge}")
+        except Exception:  # noqa: BLE001  (DESCRIBE can't parse every stmt)
+            pass
         if sorted(cols) != sorted(ocols):
             problems.append(f"cols spark={sorted(cols)} oracle={sorted(ocols)}")
         if len(rows) != len(orows):
