@@ -87,7 +87,9 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         try:
             df = _t(spark, sf_dir, name)
-            df.agg(_F.sum(_F.xxhash64(*df.columns))).collect()
+            # max, not sum: summing 64-bit hashes overflows under ANSI
+            # mode (and the error spam would pollute the bench artifact).
+            df.agg(_F.max(_F.xxhash64(*df.columns))).collect()
         except Exception:  # noqa: BLE001 — missing table: skip warmup for it
             pass
     # JIT the decimal-sum codegen path the TPC-H money math uses.

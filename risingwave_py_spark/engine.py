@@ -75,6 +75,11 @@ class MVState:
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
+        # Serializes whole refreshes of THIS MV: two threads flushing
+        # concurrently must not both read pending epochs > last_epoch
+        # and double-merge the same delta (the snapshot-diff path is
+        # self-correcting under that race; the incremental path is not).
+        self.refresh_lock = threading.Lock()
 
 
 class SparkEngine:
@@ -322,6 +327,33 @@ class SparkEngine:
         with self._lock:
             out.write.mode("append").insertInto(cl)
 
+    def _append_changelog_tagged(self, fq: str, tagged: DataFrame, epoch: int) -> None:
+        """Append a multi-op delta (rows already carry ``op``) as ONE
+        epoch in ONE write. Caller holds the engine lock. This is the
+        no-collect publication path for MV refreshes: atomicity of the
+        epoch comes from the lock (fetch_cursor reads under the same
+        lock), not from materializing the delta on the driver — at
+        scale the delta can exceed driver memory (first refresh after a
+        bulk load: delta = the entire result)."""
+        cl = self.changelog_name(fq)
+        out = tagged.withColumn("rw_timestamp", F.lit(epoch).cast("bigint"))
+        phys = self.spark.table(cl).columns
+        out = out.select(
+            *[(F.col(c) if c in out.columns else F.lit(None)).alias(c) for c in phys]
+        )
+        out.write.mode("append").insertInto(cl)
+
+    @staticmethod
+    def _tag_ops(batches: list[tuple[DataFrame, str]]) -> DataFrame:
+        """Union op-batches into one changelog-shaped DataFrame with an
+        ``op`` column — the distributed replacement for collecting each
+        batch to the driver."""
+        tagged = None
+        for df, op in batches:
+            t = df.withColumn("op", F.lit(op))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        return tagged
+
     # -- catalog surface: SHOW / DESCRIBE / ALTER (PG+RW DDL parity) -------
 
     _SPARK_TO_PG_DISPLAY = {
@@ -399,6 +431,9 @@ class SparkEngine:
         transform(self.spark.table(fq)).write.saveAsTable(stage)
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+        # Drop any cached file listing of the old table: a plan holding
+        # the pre-rename listing would die with FILE_NOT_EXIST.
+        self.spark.catalog.refreshTable(fq)
 
     def add_column(self, name: str, col: str, pg_type: str,
                    schema_name: str | None = None) -> None:
@@ -955,10 +990,14 @@ class SparkEngine:
                 snap = self.spark.table(base).localCheckpoint(eager=True)
             if has_non_insert or self.vacuum_floor.get(base_cl, 0) > 0:
                 inc = None
+        base_view = None
         if inc is not None:
-            view = f"__rw_inc_base_{_split_fq(fq)[1]}"
-            snap.createOrReplaceTempView(view)
-            df = self.spark.sql(self._inc_delta_stmt(inc, view))
+            # Schema-qualified so same-named MVs in different schemas
+            # don't share a session-global temp view; dropped after the
+            # initial materialization below.
+            base_view = "__rw_inc_base_" + "_".join(_split_fq(fq))
+            snap.createOrReplaceTempView(base_view)
+            df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
         else:
             df = self.spark.sql(rewritten)
         if emit_on_close:
@@ -978,7 +1017,11 @@ class SparkEngine:
                     inc = None
                     break
         self._clear_stale_location(fq)
-        df.write.format("parquet").saveAsTable(fq)
+        try:
+            df.write.format("parquet").saveAsTable(fq)
+        finally:
+            if base_view is not None:
+                self.spark.catalog.dropTempView(base_view)
         self._ensure_changelog(fq)
         state.key_cols = self._infer_key_cols(stmt, df.columns)
         if inc is not None and state.key_cols and set(state.key_cols) == set(
@@ -1053,11 +1096,13 @@ class SparkEngine:
         old = spark.table(fq)
         keys = state.key_cols or old.columns
         fresh = new.join(old.select(*keys).distinct(), on=keys, how="left_anti")
-        rows = fresh.collect()
-        if not rows:
+        # Materialize on executors (NOT the driver): `fresh` reads fq,
+        # which the append below overwrites — the checkpoint breaks the
+        # read-your-writes hazard without collecting the delta.
+        delta = fresh.localCheckpoint(eager=True)
+        if delta.isEmpty():
             return
         epoch = self.next_epoch()
-        delta = spark.createDataFrame(rows, old.schema)
         self._ensure_changelog(fq)
         with self._lock:
             delta.write.mode("append").insertInto(fq)
@@ -1071,10 +1116,14 @@ class SparkEngine:
         spark = self.spark
         fq = state.fq
         base_cl = self.changelog_name(inc["base_fq"])
-        if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
-            state.inc = None  # unconsumed delta epochs were vacuumed
-            return False
         with self._lock:
+            # Floor check INSIDE the lock: vacuum_changelogs advances
+            # the floor and truncates under this lock, so checking
+            # outside it races a concurrent vacuum — the refresh would
+            # merge an incomplete delta and silently corrupt the MV.
+            if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
+                state.inc = None  # unconsumed delta epochs were vacuumed
+                return False
             spark.catalog.refreshTable(base_cl)
             pending = spark.table(base_cl).filter(
                 F.col("rw_timestamp") > state.last_epoch
@@ -1089,9 +1138,16 @@ class SparkEngine:
         if delta.filter(F.col("op") != OP_INSERT).limit(1).count() > 0:
             state.inc = None  # base is no longer append-only
             return False
-        view = f"__rw_inc_delta_{_split_fq(fq)[1]}"
+        # Schema-qualified view name: same-named MVs in different
+        # schemas must not clobber each other's delta view.
+        view = "__rw_inc_delta_" + "_".join(_split_fq(fq))
         delta.drop("op", "rw_timestamp").createOrReplaceTempView(view)
-        dagg = spark.sql(self._inc_delta_stmt(inc, view)).localCheckpoint(eager=True)
+        try:
+            dagg = spark.sql(self._inc_delta_stmt(inc, view)).localCheckpoint(
+                eager=True
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         if dagg.isEmpty():
             state.last_epoch = m1
             self.next_epoch()
@@ -1163,19 +1219,19 @@ class SparkEngine:
         self._clear_stale_location(stage)
         new_result.write.format("parquet").saveAsTable(stage)
         self._ensure_changelog(fq)
-        collected = [(dfb.collect(), op) for dfb, op in batches]
-        any_change = False
+        # One op-tagged delta, checkpointed on executors (tdf already
+        # is; the branches are cheap projections of it), published as a
+        # single append under the lock — no driver-side collect.
+        tagged = self._tag_ops(batches).localCheckpoint(eager=True)
+        any_change = not tagged.isEmpty()
         with self._lock:
             epoch = self.next_epoch()
-            for rows, op in collected:
-                if rows:
-                    any_change = True
-                    self._append_changelog(
-                        fq, spark.createDataFrame(rows, old.schema), op, epoch
-                    )
+            if any_change:
+                self._append_changelog_tagged(fq, tagged, epoch)
         if any_change:
             spark.sql(f"DROP TABLE IF EXISTS {fq}")
             spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
         else:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
         state.last_epoch = m1
@@ -1192,6 +1248,10 @@ class SparkEngine:
         RisingWave-style UpdateDelete/UpdateInsert pairs for changed
         groups; otherwise a null-safe bag diff emits Insert/Delete
         with multiplicity."""
+        with state.refresh_lock:
+            self._refresh_mv_locked(state)
+
+    def _refresh_mv_locked(self, state: MVState) -> None:
         if state.emit_on_close:
             self._refresh_emit_on_close(state)
             return
@@ -1271,28 +1331,30 @@ class SparkEngine:
             batches = [(deletes, OP_DELETE), (inserts, OP_INSERT)]
 
         self._ensure_changelog(fq)
-        # Collect every op-batch BEFORE publishing, then append them all
-        # under one lock acquisition: a concurrently polling cursor must
-        # never see an epoch with its UpdateDelete half but not yet its
-        # UpdateInsert half (it would advance past the epoch and drop
-        # the missing rows forever).
-        collected = [(df.collect(), op) for df, op in batches]
-        any_change = False
+        # Publish the whole epoch as ONE op-tagged DataFrame in ONE
+        # append: a concurrently polling cursor must never see an epoch
+        # with its UpdateDelete half but not yet its UpdateInsert half
+        # (it would advance past the epoch and drop the missing rows
+        # forever). Atomicity comes from the engine lock — fetch_cursor
+        # reads under it — not from collecting the delta to the driver,
+        # which at scale (first refresh after a bulk load: delta = the
+        # entire result) is a driver OOM. The checkpoint materializes
+        # the diff on executors exactly once.
+        tagged = self._tag_ops(batches).localCheckpoint(eager=True)
+        any_change = not tagged.isEmpty()
         with self._lock:
             # Epoch is assigned at publish time, under the same lock as
-            # the appends: changelog epochs are therefore strictly
+            # the append: changelog epochs are therefore strictly
             # monotone in publication order, never just in assignment
             # order.
             epoch = self.next_epoch()
-            for rows, op in collected:
-                if rows:
-                    any_change = True
-                    delta = spark.createDataFrame(rows, old.schema)
-                    self._append_changelog(fq, delta, op, epoch)
+            if any_change:
+                self._append_changelog_tagged(fq, tagged, epoch)
 
         if any_change:
             spark.sql(f"DROP TABLE IF EXISTS {fq}")
             spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
         else:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
@@ -1416,3 +1478,4 @@ class SparkEngine:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")
+        self.spark.catalog.refreshTable(cl)

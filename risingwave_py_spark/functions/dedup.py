@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from risingwave_py_spark.catalog import table
 from risingwave_py_spark.functions.text import duck_hash32, spark_hash32
@@ -61,15 +62,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Inverted-index skew guard: a shingle occurring in k documents emits
+# k(k-1)/2 candidate pairs from the index join — one boilerplate header
+# shared by 1M docs is 5e11 pairs from a single key. Shingles at or
+# above this document frequency carry no near-dup signal (they are the
+# corpus's stop-shingles) and are excluded from BOTH the intersection
+# and the denominators, symmetrically in Spark and the oracle.
+NGRAM_MAX_DF = 100
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle=r"""
-    WITH sh AS (
+    oracle=rf"""
+    WITH sh0 AS (
         SELECT DISTINCT doc_id, sh
         FROM (
             SELECT doc_id, words, unnest(generate_series(1, len(words) - 2)) AS i
             FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words FROM documents) w
         ) pos, LATERAL (SELECT array_to_string(words[i:i+2], ' ') AS sh) s
+    ), sh AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh0
+        ) q WHERE df < {NGRAM_MAX_DF}
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -88,7 +102,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram (word) Jaccard near-dup pairs via the inverted-index
-    join: distinct (doc, shingle) → self-join on shingle → |∩| / |∪|.
+    join: distinct (doc, shingle) → drop stop-shingles (df >=
+    NGRAM_MAX_DF; the hot-key guard that keeps the index join O(n·df)
+    instead of O(hottest-key²)) → self-join on shingle → |∩| / |∪|.
     Top-20 with a total deterministic order (exact int/int division)."""
     d = table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
@@ -97,7 +113,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
         )
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sh0 = d.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = (
+        sh0.withColumn("df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("df") < NGRAM_MAX_DF)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -516,45 +537,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming"),
         )
 
-    n_bands, band_bits = 4, SIMHASH_BITS // 4
-    mask = (1 << band_bits) - 1
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), band_bits * i)
-                    .bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    close = (
-        pairs(
-            a,
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    def banded_close(n_bands: int) -> DataFrame:
+        """All pairs with hamming <= n_bands - 1, via the band join.
+        Pigeonhole: a pair differing in < n_bands bit positions must
+        agree on at least one of n_bands disjoint bands — the join is
+        exact for that radius, and shuffles O(n * n_bands) rows."""
+        band_bits = SIMHASH_BITS // n_bands
+        mask = (1 << band_bits) - 1
+        bands = fp.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("simhash"), band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("band", "val"),
         )
-        .distinct()  # pairs colliding on >1 band appear once
-        .filter(F.col("hamming") <= n_bands - 1)
-        # Tiny relation (only hamming<=3 pairs); materialize once so
-        # the count gate and the final top-20 don't re-run the join.
-        .localCheckpoint(eager=True)
-    )
-    if close.count() >= 20:
-        return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
-    # Scarce-near-dup fallback: exact all-pairs ranking.
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        pairs(a, b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .orderBy("hamming", "doc_a", "doc_b")
-        .limit(20)
-    )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            pairs(
+                a,
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .distinct()  # pairs colliding on >1 band appear once
+            .filter(F.col("hamming") <= n_bands - 1)
+        )
+
+    # Escalation ladder instead of an all-pairs fallback: widen the
+    # guaranteed radius (4 bands -> h<=3, 8 -> h<=7, 16 -> h<=15) until
+    # the top-20 is fully inside the banded candidates. Random 32-bit
+    # fingerprints sit at expected hamming 16, so P(h<=15) ~ 0.43 per
+    # pair — the h<=15 rung finds >= 20 pairs whenever the corpus has
+    # more than ~10 documents, and each rung stays O(n * bands) shuffle
+    # + local bucket pair-enumeration. The exact all-pairs join only
+    # remains as a guard for degenerate tiny inputs where it is O(1).
+    for n_bands in (4, 8, 16):
+        close = banded_close(n_bands).localCheckpoint(eager=True)
+        if close.count() >= 20:
+            return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+    if fp.count() <= 10_000:  # bounded: <= 5e7 comparisons, one task wave
+        a, b = fp.alias("a"), fp.alias("b")
+        return (
+            pairs(a, b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .orderBy("hamming", "doc_a", "doc_b")
+            .limit(20)
+        )
+    # > 10k docs yet < 20 pairs within hamming 15: statistically
+    # impossible for real text (would need a near-uniform spread at
+    # h >= 16); return the exact pairs found within radius 15.
+    return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
 
 
 def _pipeline_oracle() -> str:

@@ -121,17 +121,64 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over a global total order. (Single-
-    partition window — fine at dashboard cardinalities; at 100 TB this
-    becomes a range-partitioned sort + two-pass rank offset.)"""
-    o = table(spark, sf_dir, "orders")
-    u = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Distribution functions over a global total order, computed as a
+    distributed two-pass rank — no single-partition window anywhere:
+
+    1. range-partition by the sort key (order-preserving across
+       partition ids) and row_number WITHIN each partition (parallel);
+    2. per-partition counts (P rows) → exclusive prefix offsets +
+       grand total, broadcast back;
+    3. global rank r = local row_number + partition offset, and
+       ntile/percent_rank/cume_dist from (r, N) in closed form —
+       exact because the sort key (o_totalprice, o_orderkey) is
+       unique, so rank == row_number and cume_dist == r/N.
+
+    The only sub-window runs over the P-row counts relation, which is
+    O(partitions), not O(rows) — at 100 TB the data path is one range
+    exchange + per-partition sort, the same shape as a distributed
+    ORDER BY."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    part = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
+    local = part.withColumn("__rn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("__pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    ranked = local.join(F.broadcast(offs), "__pid").withColumn(
+        "__r", F.col("__rn") + F.col("__off")
+    )
+    # ntile(4) closed form: rem = N % 4 leading buckets of size
+    # base + 1, the rest of size base (CASE short-circuits, so the
+    # base-size branch never divides by zero when N < 4).
+    quartile = (
+        F.when(
+            F.col("__r") <= F.expr("(__n % 4) * (__n DIV 4 + 1)"),
+            F.expr("(__r - 1) DIV (__n DIV 4 + 1) + 1"),
+        )
+        .otherwise(
+            F.expr(
+                "__n % 4 + (__r - 1 - (__n % 4) * (__n DIV 4 + 1)) DIV (__n DIV 4) + 1"
+            )
+        )
+        .cast("int")
+    )
+    pct_rank = F.when(F.col("__n") > 1,
+                      (F.col("__r") - 1) / (F.col("__n") - 1)).otherwise(0.0)
+    return ranked.select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(u).alias("quartile"),
-        F.percent_rank().over(u).alias("pct_rank"),
-        F.cume_dist().over(u).alias("cdist"),
+        quartile.alias("quartile"),
+        pct_rank.cast("double").alias("pct_rank"),
+        (F.col("__r") / F.col("__n")).cast("double").alias("cdist"),
     )
 
 

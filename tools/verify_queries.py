@@ -55,6 +55,10 @@ def table_digest(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the sweep N times in ONE Spark session (session-reuse flakes)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -74,6 +78,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     names = args.names or list(qs)
+    if args.repeat > 1:
+        names = names * args.repeat
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         fn = qs[name]
