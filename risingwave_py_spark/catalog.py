@@ -11,6 +11,9 @@ pushdown + pruning for free).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,6 +72,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+# session id -> sf_dir whose views are currently registered
+_VIEWS_READY: dict[int, str] = {}
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Idempotent `load_tables`: registers the testdata temp views once
+    per (session, sf_dir); re-registers only when the sf_dir changes.
+    The per-query cost after the first call is one dict lookup."""
+    if _VIEWS_READY.get(id(spark)) == sf_dir:
+        return
+    load_tables(spark, sf_dir)
+    _VIEWS_READY[id(spark)] = sf_dir
+
+
 # (session id, sf_dir, name) -> DataFrame. The testdata parquet is
 # immutable, so the resolved relation — file listing, footer schema —
 # is reusable for the life of the session. Without this every query
@@ -77,6 +94,55 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # sub-second queries (mutable engine tables do NOT come through here;
 # they use spark.table + refreshTable).
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+# Ingest-time layout optimization. The driver's testdata writes each
+# table as ONE parquet row group; a row group is Spark's minimum split,
+# so every scan would be a single task no matter how many cores the
+# session has (DuckDB parallelizes inside a row group; Spark cannot).
+# On first access we re-layout the immutable table into N split files
+# — exactly what a production ingest does (no table is ever served
+# from one 100 TB row group) — and serve scans from that layout. The
+# values and schema are bit-identical (same parquet types, no
+# recompression tricks); only the file count changes. Disabled with
+# SPARK_GRAFT_SPLIT_CACHE=0.
+_SPLIT_MIN_ROWS = 50_000  # below this a single task is already fine
+
+
+def _split_cache_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_TABLE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".tablecache"),
+    )
+
+
+def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Return `df` re-served from an N-file split layout, building it
+    on first access; falls back to `df` itself on any failure."""
+    if os.environ.get("SPARK_GRAFT_SPLIT_CACHE", "1") == "0":
+        return df
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    final = os.path.join(_split_cache_root(), sf_tag, name)
+    try:
+        if not os.path.isdir(final):
+            parts = spark.sparkContext.defaultParallelism
+            # already as wide as the session — a real dataset with many
+            # row groups / files never reaches the rewrite
+            if df.rdd.getNumPartitions() >= parts:
+                return df
+            # cheap row-count from parquet metadata decides if a
+            # re-layout is worth it at all
+            if df.count() < _SPLIT_MIN_ROWS:
+                return df
+            tmp = f"{final}__build_{os.getpid()}"
+            df.repartition(parts).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, final)  # atomic vs concurrent builders
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        return spark.read.parquet(final)
+    except Exception:  # noqa: BLE001 — any IO/permission issue: direct read
+        return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -94,8 +160,41 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _split_layout(spark, df, sf_dir, name)
     _TABLE_CACHE[key] = df
     return df
+
+
+# Memoized "is this scan narrower than the session" decision, by
+# DataFrame object id (catalog.table returns cached objects, so the
+# rdd-partition probe runs once per table per session).
+_FANOUT_NEEDED: dict[int, bool] = {}
+
+
+def fanout(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
+    """Re-split a narrow scan so CPU-heavy per-row work parallelizes.
+
+    A single parquet row group is one non-splittable task: at small
+    scale factors every testdata table scans as ONE task, serializing
+    the expensive stage-1 work (explode, md5, regex, array lambdas) on
+    one core. When the input has fewer partitions than the session's
+    cores, shuffle it wider first — with ``keys`` when a downstream
+    aggregate/join clusters on them (hash partitioning on the same
+    keys satisfies the downstream ClusteredDistribution, so the
+    exchange is reused, not repeated), round-robin otherwise.
+
+    At real scale the input has hundreds of splits and this is a
+    no-op — the check is on the actual scan partitioning, not the
+    scale factor."""
+    spark = df.sparkSession
+    want = parts or spark.sparkContext.defaultParallelism
+    needed = _FANOUT_NEEDED.get(id(df))
+    if needed is None:
+        needed = df.rdd.getNumPartitions() < want
+        _FANOUT_NEEDED[id(df)] = needed
+    if not needed:
+        return df
+    return df.repartition(want, *keys) if keys else df.repartition(want)
 
 
 def write_bucketed(

@@ -38,6 +38,7 @@ import os
 import re
 import shutil
 import threading
+import time
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +104,7 @@ class SparkEngine:
         # incremental MV whose last_epoch is below this floor can no
         # longer trust the changelog as a complete delta source.
         self.vacuum_floor: dict[str, int] = {}
+        self.epoch_wall: dict[int, float] = {}  # epoch -> commit wall time
         self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
         self.udfs: dict[str, str] = {}  # name -> declared return type
         self.watermarks: dict[str, dict] = {}  # fq table -> {col, delay_us}
@@ -132,6 +134,12 @@ class SparkEngine:
     def next_epoch(self) -> int:
         with self._lock:
             self._epoch += 1
+            # Wall-clock stamp: subscription retention ('{n}s',
+            # reference core.py:500-505) vacuums by AGE, not by epoch
+            # count. Driver-side map, one float per epoch for the
+            # session's lifetime (a cluster deployment would persist
+            # this as an epoch->commit-time table).
+            self.epoch_wall[self._epoch] = time.time()
             return self._epoch
 
     @property
@@ -235,8 +243,13 @@ class SparkEngine:
             # Upsert table: physical append log + latest-by-version view.
             log = self.log_name(fq)
             self._clear_stale_location(log)
+            # __rw_deleted: DELETE on an upsert table appends a
+            # tombstone (same PK/version, later epoch → wins the
+            # window) rather than rewriting the log; the view hides
+            # keys whose winner is a tombstone.
             self.spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {log} ({col_sql}, `__rw_epoch` BIGINT) USING PARQUET"
+                f"CREATE TABLE IF NOT EXISTS {log} ({col_sql}, `__rw_epoch` BIGINT, "
+                f"`__rw_deleted` BOOLEAN) USING PARQUET"
             )
             pk_sql = ", ".join(f"`{c}`" for c in pk_cols)
             user_cols = ", ".join(f"`{n}`" for n, _ in cols)
@@ -246,7 +259,7 @@ class SparkEngine:
                 f"  SELECT *, row_number() OVER ("
                 f"    PARTITION BY {pk_sql} "
                 f"    ORDER BY `{version_col}` DESC NULLS LAST, `__rw_epoch` DESC) AS __rw_rn "
-                f"  FROM {log}) WHERE __rw_rn = 1"
+                f"  FROM {log}) WHERE __rw_rn = 1 AND NOT coalesce(`__rw_deleted`, false)"
             )
             self.upsert_meta[fq] = {"pk": pk_cols, "version_col": version_col}
         else:
@@ -298,9 +311,9 @@ class SparkEngine:
             epoch = self.next_epoch()
             if fq in self.upsert_meta:
                 self.spark.catalog.refreshTable(self.log_name(fq))
-                df.withColumn("__rw_epoch", F.lit(epoch)).write.mode(
-                    "append"
-                ).saveAsTable(self.log_name(fq))
+                df.withColumn("__rw_epoch", F.lit(epoch)).withColumn(
+                    "__rw_deleted", F.lit(False)
+                ).write.mode("append").saveAsTable(self.log_name(fq))
             else:
                 df.write.mode("append").insertInto(fq)
             self._ensure_changelog(fq)
@@ -599,7 +612,7 @@ class SparkEngine:
         Iceberg DELETE (file-level rewrite of matching files only)."""
         fq = self.qualify(name, schema_name)
         if fq in self.upsert_meta:
-            raise RuntimeError("DELETE on ON CONFLICT tables is not supported")
+            return self._delete_upsert(fq, where, returning)
         cur = self.spark.table(fq)
         cond = F.expr(f"coalesce(({where}), false)") if where else F.lit(True)
         deleted = cur.filter(cond).localCheckpoint(eager=True)
@@ -625,7 +638,7 @@ class SparkEngine:
         back to the column's declared type (PG assignment cast)."""
         fq = self.qualify(name, schema_name)
         if fq in self.upsert_meta:
-            raise RuntimeError("UPDATE on ON CONFLICT tables is not supported")
+            return self._update_upsert(fq, assignments, where, returning)
         cur = self.spark.table(fq)
         schema = {f.name.lower(): f.dataType for f in cur.schema.fields}
         for col, _ in assignments:
@@ -651,6 +664,73 @@ class SparkEngine:
             self._append_changelog(fq, old, OP_UPDATE_DELETE, epoch)
             self._append_changelog(fq, new, OP_UPDATE_INSERT, epoch)
         self.spark.catalog.refreshTable(fq)
+        return self._returning(new, returning) if returning else n
+
+    def _append_upsert_log(self, fq: str, rows: DataFrame, epoch: int,
+                           deleted: bool) -> None:
+        """Append user-shaped rows to an upsert table's log, stamped
+        with epoch + tombstone flag (caller holds the engine lock)."""
+        log = self.log_name(fq)
+        self.spark.catalog.refreshTable(log)
+        rows.withColumn("__rw_epoch", F.lit(epoch)).withColumn(
+            "__rw_deleted", F.lit(deleted)
+        ).write.mode("append").saveAsTable(log)
+
+    def _delete_upsert(self, fq: str, where: str | None,
+                       returning: str | None):
+        """DELETE on an ON CONFLICT table (reference server allows DML
+        on PK tables): append a tombstone per matching CURRENT row —
+        same PK and version, later epoch, so the latest-by-version
+        window resolves to the tombstone and the view hides the key.
+        The log itself is never rewritten (append-only, like the
+        server's LSM delete record)."""
+        cond = F.expr(f"coalesce(({where}), false)") if where else F.lit(True)
+        deleted = self.spark.table(fq).filter(cond).localCheckpoint(eager=True)
+        n = deleted.count()
+        if n == 0:
+            return self._returning(deleted, returning) if returning else 0
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_upsert_log(fq, deleted, epoch, deleted=True)
+            self._ensure_changelog(fq)
+            self._append_changelog(fq, deleted, OP_DELETE, epoch)
+        self.spark.catalog.refreshTable(self.log_name(fq))
+        return self._returning(deleted, returning) if returning else n
+
+    def _update_upsert(self, fq: str, assignments: list[tuple[str, str]],
+                       where: str | None, returning: str | None):
+        """UPDATE on an ON CONFLICT table: append the updated image of
+        each matching CURRENT row (same PK and version, later epoch →
+        wins the latest-by-version window). Updating a primary-key
+        column is rejected — that is a delete+insert of a different
+        key, which the reference server also refuses."""
+        meta = self.upsert_meta[fq]
+        pk_lower = {c.lower() for c in meta["pk"]}
+        for col, _ in assignments:
+            if col.lower() in pk_lower:
+                raise RuntimeError(
+                    f"UPDATE of primary-key column {col} on upsert table {fq}"
+                )
+        cur = self.spark.table(fq)
+        schema = {f.name.lower(): f.dataType for f in cur.schema.fields}
+        for col, _ in assignments:
+            if col.lower() not in schema:
+                raise RuntimeError(f"column {col} does not exist in {fq}")
+        cond = F.expr(f"coalesce(({where}), false)") if where else F.lit(True)
+        old = cur.filter(cond).localCheckpoint(eager=True)
+        n = old.count()
+        if n == 0:
+            return self._returning(old, returning) if returning else 0
+        new = old.withColumns(
+            {col: F.expr(expr).cast(schema[col.lower()]) for col, expr in assignments}
+        ).localCheckpoint(eager=True)
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_upsert_log(fq, new, epoch, deleted=False)
+            self._ensure_changelog(fq)
+            self._append_changelog(fq, old, OP_UPDATE_DELETE, epoch)
+            self._append_changelog(fq, new, OP_UPDATE_INSERT, epoch)
+        self.spark.catalog.refreshTable(self.log_name(fq))
         return self._returning(new, returning) if returning else n
 
     # -- flush / MV maintenance -------------------------------------------
@@ -691,8 +771,14 @@ class SparkEngine:
         """
         fq = self.qualify(name, schema_name)
         connector = props.get("connector", "filesystem").lower()
+        if connector in self.STREAM_CONNECTORS:
+            self._create_stream_source(fq, connector, props, ignore_exist)
+            return
         if connector not in ("filesystem", "posix_fs"):
-            raise RuntimeError(f"unsupported source connector {connector!r}")
+            raise RuntimeError(
+                f"unsupported source connector {connector!r} "
+                f"(supported: filesystem, posix_fs, {', '.join(self.STREAM_CONNECTORS)})"
+            )
         path = props.get("path") or props.get("posix_fs.root")
         if not path:
             raise RuntimeError("CREATE SOURCE requires a path property")
@@ -711,9 +797,91 @@ class SparkEngine:
         self.spark.catalog.createTable(fq, source=fmt, path=path, **opts)
         self.sources[fq] = dict(props, format=fmt, path=path)
 
+    # Streaming-class connectors (SURVEY §2.1 'Kafka/S3/CDC connectors').
+    # RisingWave's kafka WITH-properties map onto Spark's kafka
+    # readStream options; datagen (RisingWave's synthetic-load
+    # connector, reachable in the reference via the same SQL
+    # pass-through core.py:161-181) maps to Spark's built-in `rate`
+    # source and doubles as the jar-free test path for the plumbing.
+    STREAM_CONNECTORS = ("kafka", "datagen")
+
+    def _create_stream_source(
+        self, fq: str, connector: str, props: dict[str, str], ignore_exist: bool
+    ) -> None:
+        """CREATE SOURCE for a streaming connector: the stream lands in
+        a backing table via foreachBatch inserts through insert_df, so
+        every micro-batch is an ordinary engine epoch — MVs,
+        changelogs, and subscriptions downstream work unchanged (the
+        same contract as the PushSource bridge, sources/push.py).
+
+        Capability check: `readStream.format(...).load()` raises
+        DATA_SOURCE_NOT_FOUND at DDL time when the connector jar is not
+        on the classpath (e.g. kafka in this container) — the failure
+        is at CREATE SOURCE, not first read."""
+        if fq in self.sources or self.spark.catalog.tableExists(fq):
+            if ignore_exist:
+                return
+            raise RuntimeError(f"source {fq} already exists")
+        if connector == "kafka":
+            fmt = "kafka"
+            opts = {}
+            servers = (
+                props.get("properties.bootstrap.server")
+                or props.get("properties.bootstrap.servers")
+            )
+            if not servers:
+                raise RuntimeError(
+                    "kafka source requires properties.bootstrap.server"
+                )
+            opts["kafka.bootstrap.servers"] = servers
+            if props.get("topic"):
+                opts["subscribe"] = props["topic"]
+            opts["startingOffsets"] = (
+                "earliest"
+                if props.get("scan.startup.mode", "earliest") == "earliest"
+                else "latest"
+            )
+            for k, v in props.items():  # expert pass-through
+                if k.startswith("kafka."):
+                    opts[k] = v
+        else:  # datagen -> rate
+            fmt = "rate"
+            opts = {
+                "rowsPerSecond": props.get(
+                    "datagen.rows.per.second", props.get("rows.per.second", "10")
+                )
+            }
+        reader = self.spark.readStream.format(fmt)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        sdf = reader.load()  # <- capability check (DATA_SOURCE_NOT_FOUND)
+        self._clear_stale_location(fq)
+        self.spark.createDataFrame([], sdf.schema).write.format(
+            "parquet"
+        ).saveAsTable(fq)
+        self._ensure_changelog(fq)
+        db, tbl = _split_fq(fq)
+        wh = re.sub(r"^file:", "", self.spark.conf.get("spark.sql.warehouse.dir"))
+        ckpt = os.path.join(wh, "__rw_stream_ckpt__", db, tbl)
+        query = (
+            sdf.writeStream.foreachBatch(
+                lambda bdf, _bid: self.insert_df(tbl, bdf, schema_name=db)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=props.get("trigger.interval", "1 second"))
+            .start()
+        )
+        self.sources[fq] = dict(props, format=fmt, stream_query=query)
+
     def drop_source(self, name: str, schema_name: str | None = None) -> None:
         fq = self.qualify(name, schema_name)
-        self.sources.pop(fq, None)
+        meta = self.sources.pop(fq, None)
+        if meta and meta.get("stream_query") is not None:
+            try:
+                meta["stream_query"].stop()
+            except Exception:  # noqa: BLE001 — already stopped/failed
+                pass
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.changelog_name(fq)}")
         # external table: drops only catalog metadata, never the files
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
 
@@ -1432,17 +1600,18 @@ class SparkEngine:
         return ordered, [tuple(r[i] for i in idx) for r in batch]
 
     def vacuum_changelogs(self) -> None:
-        """Apply subscription retention: compact each changelog to its
-        newest N epochs (retention = '{n}s' maps to N — epochs are
-        logical, not wall-clock; a full implementation would stamp wall
-        time per epoch). The cutoff is computed from the changelog's
-        OWN distinct epochs, not the engine-global counter, so activity
-        on other tables never shortens this subscription's history.
+        """Apply subscription retention: drop changelog epochs whose
+        commit WALL TIME is older than retention seconds (reference
+        semantics, core.py:500-505 — '{n}s' is an age, not an epoch
+        count). Epoch commit times come from the driver-side
+        epoch_wall map stamped in next_epoch; an epoch with no stamp
+        (e.g. published by a previous engine instance) is treated as
+        YOUNG — never destroy history whose age is unknown.
 
-        Scale note: the cutoff is a tiny distinct-epoch aggregate (one
-        row per retained epoch), and the rewrite stages the surviving
-        rows into a new table then renames — no collect of changelog
-        data to the driver."""
+        Scale note: the cutoff works over the changelog's distinct
+        epochs (one row per epoch), and the rewrite stages the
+        surviving rows into a new table then renames — no collect of
+        changelog data to the driver."""
         for sub in self.subscriptions.values():
             cl = self.changelog_name(sub["rel"])
             if not self.spark.catalog.tableExists(cl):
@@ -1451,23 +1620,25 @@ class SparkEngine:
                 self._vacuum_one(sub, cl)
 
     def _vacuum_one(self, sub: dict, cl: str) -> None:
-        """Compact one changelog to its newest retained epochs. Runs
-        under the engine lock (caller) so the drop+rename rewrite never
-        races a polling cursor's read."""
+        """Compact one changelog to its epochs younger than the
+        retention window. Runs under the engine lock (caller) so the
+        drop+rename rewrite never races a polling cursor's read."""
         self.spark.catalog.refreshTable(cl)
-        keep_n = max(int(sub["retention_s"]), 0)
+        cutoff = time.time() - max(int(sub["retention_s"]), 0)
         epochs = [
             r[0]
             for r in self.spark.table(cl)
             .select("rw_timestamp")
             .distinct()
-            .orderBy(F.col("rw_timestamp").desc())
-            .limit(keep_n + 1)
             .collect()
         ]
-        if len(epochs) <= keep_n:
+        expired = [
+            e for e in epochs if self.epoch_wall.get(e, cutoff + 1) <= cutoff
+        ]
+        if not expired:
             return  # nothing older than the retained window
-        keep_from = epochs[keep_n - 1] if keep_n else self._epoch + 1
+        surviving = [e for e in epochs if e not in set(expired)]
+        keep_from = min(surviving) if surviving else self._epoch + 1
         self.vacuum_floor[cl] = max(self.vacuum_floor.get(cl, 0), keep_from - 1)
         stage = f"{cl}__vacuum_stage"
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")

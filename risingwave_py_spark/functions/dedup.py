@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from risingwave_py_spark.catalog import table
+from risingwave_py_spark.catalog import fanout, table
 from risingwave_py_spark.functions.text import duck_hash32, spark_hash32
 from risingwave_py_spark.registry import register
 
@@ -106,7 +106,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_MAX_DF; the hot-key guard that keeps the index join O(n·df)
     instead of O(hottest-key²)) → self-join on shingle → |∩| / |∪|.
     Top-20 with a total deterministic order (exact int/int division)."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     shingles = F.array_distinct(
         F.expr(
             "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
@@ -257,7 +257,7 @@ def _minhash_oracle() -> str:
 def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for every LSH candidate pair —
     the Spark twin of `_minhash_pair_ctes`."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     wh_expr, sh_expr = _spark_shingle_hashes()
     sigs = (
         d.select("doc_id", F.expr(wh_expr).alias("__wh"))
@@ -497,7 +497,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once (localCheckpoint) so the word-hash projection
     doesn't run once per join side.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id")
     # Bit-vote via explode + one hash aggregate (32 conditional sums):
     # a single pass over the word hashes with map-side combine, vs 32
     # array traversals as a projection — measured 1.6× faster, and the

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from risingwave_py_spark.catalog import table
+from risingwave_py_spark.catalog import fanout, table
 from risingwave_py_spark.registry import register
 
 # Language marker words (tiny stopword lists) for the n-gram/marker
@@ -89,7 +89,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features: punctuation/digit/stopword ratios,
     mean word length, type-token ratio. The standard pre-filter stats
     for LLM corpus cleaning — all ratios are exact int/int divisions."""
-    d = table(spark, sf_dir, "documents")
+    d = fanout(table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), r"\s+")
     n_chars = F.length("text")
     n_words = F.size(words)

@@ -1,0 +1,229 @@
+"""Single-statement Spark-SQL implementations of the hottest benched
+TPC-H shapes, registered over the Column-builder versions.
+
+Why: building these plans through the Python Column API costs 0.1-0.25 s
+of py4j round-trips PER INVOCATION (measured; q1 ≈ 0.24 s construction
+vs ≈ 0.3 s execution at sf0.1) — pure driver-side Python overhead that
+has nothing to do with the engine. `spark.sql(text)` submits the whole
+plan in ONE call; Catalyst produces the same physical plan (broadcast
+hints below mirror the `F.broadcast` calls of the original versions,
+and the exact-money limb arithmetic is the SQL spelling of
+relational.py's `cents`/`limb_total`/`dsum` helpers — bit-identical
+results, verified against the unchanged DuckDB oracles).
+
+The Column-builder originals remain in relational.py / tpch_extra.py
+as the plan documentation; this module only re-registers the names
+(oracles are untouched — `register(name)` without an oracle keeps the
+existing one).
+
+Reference parity: these queries cover the arbitrary-SQL pass-through
+surface of the reference (`/root/reference/risingwave/core.py:161-181`
+`execute`/`fetch` accept any SQL string) — expressing them as SQL text
+over the engine's views is exactly how a reference user would run them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from risingwave_py_spark.catalog import ensure_views
+from risingwave_py_spark.registry import register
+
+# --- SQL twins of the exact-money helpers (relational.py:36-98) ---------
+_LIMB_BITS = 21
+_LIMB = 1 << _LIMB_BITS  # 2097152
+_MASK = _LIMB - 1  # 2097151
+
+
+def _cents(c: str) -> str:
+    return f"CAST(round(({c}) * 100) AS BIGINT)"
+
+
+def _limb_total(v: str) -> str:
+    return (
+        f"(CAST(SUM(shiftrightunsigned({v}, {_LIMB_BITS})) AS DECIMAL(38,0)) * {_LIMB} "
+        f"+ CAST(SUM(({v}) & {_MASK}) AS DECIMAL(38,0)))"
+    )
+
+
+def _limb_sum(v: str, scale: int) -> str:
+    return f"CAST({_limb_total(v)} / {10 ** scale} AS DOUBLE)"
+
+
+def _dsum(c: str) -> str:
+    return f"CAST(CAST(SUM({_cents(c)}) AS DECIMAL(38,0)) / 100 AS DOUBLE)"
+
+
+_REV_E4 = f"({_cents('l_extendedprice')}) * (100 - {_cents('l_discount')})"
+_REV_SUM = _limb_sum(_REV_E4, 4)
+_CHARGE_E6 = f"({_REV_E4}) * (100 + {_cents('l_tax')})"
+
+
+def _sql_query(name: str, text: str) -> None:
+    @register(name)
+    def _fn(spark: SparkSession, sf_dir: str, _t: str = text) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(_t)
+
+    _fn.__name__ = name
+    _fn.__qualname__ = name
+    _fn.__doc__ = f"Single-statement Spark SQL form of {name} (see module doc)."
+
+
+_sql_query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_REV_SUM} AS sum_disc_price,
+           {_limb_sum(_CHARGE_E6, 6)} AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+           {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+_sql_query(
+    "q3_shipping_priority",
+    f"""
+    SELECT /*+ BROADCAST(c) */
+           l_orderkey, {_REV_SUM} AS revenue, o_orderdate
+    FROM lineitem li
+    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'FURNITURE'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND li.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_sql_query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT /*+ BROADCAST(c, s, n, r) */
+           n_name, {_REV_SUM} AS revenue
+    FROM lineitem li
+    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON li.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+
+_sql_query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_limb_sum(f"{_cents('l_extendedprice')} * {_cents('l_discount')}", 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+
+_sql_query(
+    "q7_volume_shipping",
+    f"""
+    WITH s AS (SELECT s_suppkey, n_name AS supp_nation
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         c AS (SELECT c_custkey, n_name AS cust_nation
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT /*+ BROADCAST(s, c) */
+           supp_nation, cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {_REV_SUM} AS revenue
+    FROM lineitem li
+    JOIN s ON li.l_suppkey = s.s_suppkey
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN c ON o.o_custkey = c.c_custkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+        OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_sql_query(
+    "q9_profit_by_nation",
+    f"""
+    WITH p AS (SELECT p_partkey, p_retailprice FROM part WHERE p_name LIKE '%gear%'),
+         s AS (SELECT s_suppkey, n_name AS nation
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    SELECT /*+ BROADCAST(p, s) */
+           nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(({_limb_total(f"({_REV_E4}) * 100")}
+                 - {_limb_total(f"{_cents('p_retailprice')} * 10 * {_cents('l_quantity')}")})
+                / 1000000 AS DOUBLE) AS sum_profit
+    FROM lineitem li
+    JOIN p ON li.l_partkey = p.p_partkey
+    JOIN s ON li.l_suppkey = s.s_suppkey
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    GROUP BY nation, o_year
+    """,
+)
+
+_sql_query(
+    "q10_returned_items",
+    f"""
+    SELECT /*+ BROADCAST(c, n) */
+           c_custkey, c_name, n_name, {_REV_SUM} AS revenue
+    FROM lineitem li
+    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE li.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+_sql_query(
+    "q18_large_volume_customer",
+    f"""
+    WITH big AS (SELECT l_orderkey AS big_orderkey FROM lineitem
+                 GROUP BY l_orderkey
+                 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 270)
+    SELECT /*+ BROADCAST(big, c) */
+           c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {_dsum('l_quantity')} AS sum_qty
+    FROM lineitem li
+    LEFT SEMI JOIN big ON li.l_orderkey = big.big_orderkey
+    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+
+_sql_query(
+    "q19_disc_revenue_or",
+    f"""
+    SELECT /*+ BROADCAST(p) */ {_REV_SUM} AS revenue
+    FROM lineitem li
+    JOIN part p ON li.l_partkey = p.p_partkey
+    WHERE l_quantity BETWEEN 1 AND 30
+      AND p_size BETWEEN 1 AND 35
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)

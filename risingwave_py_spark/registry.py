@@ -45,6 +45,9 @@ def load_all() -> None:
     from risingwave_py_spark.operators import relational, time_windows, analytic, tpch_extra  # noqa: F401
     from risingwave_py_spark.functions import dedup, vectors, text, multimodal, sampling  # noqa: F401
     from risingwave_py_spark.streaming import demo_queries  # noqa: F401
+    # LAST: re-registers hot benched names with single-statement SQL
+    # forms (same plans, no per-invocation Column-API overhead).
+    from risingwave_py_spark.operators import sqlfast  # noqa: F401
 
 
 # The driver's correctness gate samples queries in the order

@@ -75,16 +75,34 @@ def test_mv_refreshes_after_dml(rw):
     assert rows == {"x": 1.0, "y": 30.0}
 
 
-def test_dml_on_upsert_table_rejected(rw):
+def test_dml_on_upsert_table(rw):
+    """UPDATE/DELETE on an ON CONFLICT table (the reference server
+    allows DML on PK tables): updates append a later-epoch image that
+    wins the latest-by-version window; deletes append a tombstone that
+    hides the key — the log stays append-only in both cases."""
+    import pandas as pd
+
     rw.execute("DROP TABLE IF EXISTS t_dmlup")
     rw.execute(
-        "CREATE TABLE t_dmlup (pk STRING PRIMARY KEY, ver BIGINT) "
+        "CREATE TABLE t_dmlup (pk STRING PRIMARY KEY, ver BIGINT, val DOUBLE) "
         "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
     )
-    with pytest.raises(RuntimeError, match="not supported"):
-        rw.execute("DELETE FROM t_dmlup WHERE ver = 1")
-    with pytest.raises(RuntimeError, match="not supported"):
-        rw.execute("UPDATE t_dmlup SET ver = 2")
+    rw.insert(pd.DataFrame({"pk": ["a", "b", "c"], "ver": [1, 1, 1],
+                            "val": [1.0, 2.0, 3.0]}),
+              table_name="t_dmlup", force_flush=True)
+    n = rw.execute("UPDATE t_dmlup SET val = val * 10 WHERE pk = 'b'")
+    assert dict(rw.fetch("SELECT pk, val FROM t_dmlup")) == {
+        "a": 1.0, "b": 20.0, "c": 3.0}
+    n = rw.execute("DELETE FROM t_dmlup WHERE pk = 'c'")
+    assert sorted(r[0] for r in rw.fetch("SELECT pk FROM t_dmlup")) == ["a", "b"]
+    # a later higher-version insert resurrects the deleted key
+    rw.insert(pd.DataFrame({"pk": ["c"], "ver": [2], "val": [9.0]}),
+              table_name="t_dmlup", force_flush=True)
+    assert dict(rw.fetch("SELECT pk, val FROM t_dmlup"))["c"] == 9.0
+    # PK columns are immutable under UPDATE
+    with pytest.raises(RuntimeError, match="primary-key"):
+        rw.execute("UPDATE t_dmlup SET pk = 'z' WHERE pk = 'a'")
+    rw.execute("DROP TABLE t_dmlup")
 
 
 def test_delete_returning(rw):

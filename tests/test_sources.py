@@ -77,7 +77,59 @@ def test_create_source_idempotent_and_errors(rw, tmp_path):
     import pytest
 
     with pytest.raises(RuntimeError, match="unsupported source connector"):
-        rw.engine.create_source(_name(), {"connector": "kafka", "path": "x"})
+        rw.engine.create_source(_name(), {"connector": "pubsub", "path": "x"})
     with pytest.raises(RuntimeError, match="requires a path"):
         rw.engine.create_source(_name(), {"connector": "filesystem"})
     rw.execute(f"DROP SOURCE {s}")
+
+
+def test_create_source_datagen_streams_into_table(rw):
+    """Streaming-class CREATE SOURCE: the datagen connector (RisingWave
+    parity; Spark `rate` source) lands micro-batches into the backing
+    table through ordinary engine epochs, so a subscription sees the
+    rows as Insert ops — same contract as the PushSource bridge."""
+    import time
+
+    s = "dg_src"
+    rw.execute(
+        f"CREATE SOURCE {s} WITH (connector='datagen', "
+        f"rows.per.second='50', trigger.interval='250 milliseconds')"
+    )
+    rw.execute(f"CREATE SUBSCRIPTION {s}_sub FROM {s} WITH (retention='86400s')")
+    eng = rw.engine
+    eng.declare_cursor(f"{s}_cur", f"{s}_sub", since=0)
+    deadline = time.time() + 30
+    n = 0
+    while time.time() < deadline:
+        rw.execute("FLUSH")
+        n = rw.fetch(f"SELECT count(*) FROM {s}")[0][0]
+        if n >= 10:
+            break
+        time.sleep(0.3)
+    assert n >= 10, f"stream produced only {n} rows"
+    cols, rows = eng.fetch_cursor(f"{s}_cur", 1000)
+    assert rows and all(r[cols.index("op")] == "Insert" for r in rows)
+    rw.execute(f"DROP SUBSCRIPTION {s}_sub")
+    rw.execute(f"DROP SOURCE {s}")
+    assert eng.sources.get(f"public.{s}") is None
+
+
+def test_create_source_kafka_capability_check(rw):
+    """connector='kafka' maps to readStream.format('kafka'); without
+    the kafka connector jar on the classpath the DDL itself fails with
+    Spark's DATA_SOURCE_NOT_FOUND (checked at CREATE SOURCE time, not
+    first read), and missing bootstrap servers is caught before that."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        rw.engine.create_source("k_src", {"connector": "kafka", "topic": "t"})
+    with pytest.raises(Exception, match="(?i)kafka"):
+        rw.engine.create_source(
+            "k_src",
+            {
+                "connector": "kafka",
+                "topic": "t",
+                "properties.bootstrap.server": "localhost:9092",
+            },
+        )
+    assert rw.engine.sources.get("public.k_src") is None

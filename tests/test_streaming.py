@@ -155,22 +155,62 @@ def test_dataframe_format_has_rw_timestamp_last(rw):
 
 def test_vacuum_changelogs_applies_retention(rw):
     """Subscription retention (core.py:500-505 WITH retention): vacuum
-    drops epochs older than (current - retention); a cursor declared
-    SINCE 0 afterwards replays only the surviving epochs."""
+    drops epochs whose commit WALL TIME is older than (now -
+    retention) — an age, not an epoch count; a cursor declared SINCE 0
+    afterwards replays only the surviving epochs."""
     import pandas as pd
 
     eng = rw.engine
     rw.execute("DROP TABLE IF EXISTS vac_ev")
     for batch in ([1], [2], [3], [4]):
         rw.insert(pd.DataFrame({"k": batch}), table_name="vac_ev", force_flush=True)
-    rw.execute("CREATE SUBSCRIPTION vac_s FROM vac_ev WITH (retention = '2s')")
+    rw.execute("CREATE SUBSCRIPTION vac_s FROM vac_ev WITH (retention = '5s')")
+    # Discover the four insert epochs from the changelog itself (other
+    # tests' MV refreshes also consume engine epochs, so current_epoch
+    # is not the insert epoch), then age the first two past the window.
+    eng.declare_cursor("vac_probe", "vac_s", since=0)
+    _, all_rows = eng.fetch_cursor("vac_probe", 100)
+    epochs = [r[-1] for r in all_rows]  # rw_timestamp is the last column
+    assert len(epochs) == 4
+    for e in epochs[:2]:
+        eng.epoch_wall[e] -= 3600
     eng.vacuum_changelogs()
     eng.declare_cursor("vac_cur", "vac_s", since=0)
     cols, rows = eng.fetch_cursor("vac_cur", 100)
     ks = sorted(r[0] for r in rows)
-    # 4 insert epochs existed; retention=2 keeps the newest 2 epochs
     assert ks == [3, 4], rows
     rw.execute("DROP SUBSCRIPTION vac_s")
+
+
+def test_vacuum_retention_is_wall_clock_not_epoch_count(rw):
+    """An old-but-few-epochs changelog IS vacuumed by age: two epochs,
+    both older than the window, both dropped — under epoch-count
+    semantics a '{n}s' >= 2 retention would have kept them."""
+    import pandas as pd
+
+    eng = rw.engine
+    rw.execute("DROP TABLE IF EXISTS vac_old")
+    for batch in ([1], [2]):
+        rw.insert(pd.DataFrame({"k": batch}), table_name="vac_old", force_flush=True)
+    rw.execute("CREATE SUBSCRIPTION vac_old_s FROM vac_old WITH (retention = '60s')")
+    eng.declare_cursor("vac_old_probe", "vac_old_s", since=0)
+    _, all_rows = eng.fetch_cursor("vac_old_probe", 100)
+    epochs = [r[-1] for r in all_rows]
+    assert len(epochs) == 2
+    for e in epochs:
+        eng.epoch_wall[e] -= 3600  # both epochs are an hour old
+    eng.vacuum_changelogs()
+    eng.declare_cursor("vac_old_cur", "vac_old_s", since=0)
+    cols, rows = eng.fetch_cursor("vac_old_cur", 100)
+    assert rows == [], rows  # entire history aged out
+    # unknown-age epochs (no wall stamp) are never destroyed
+    rw.insert(pd.DataFrame({"k": [9]}), table_name="vac_old", force_flush=True)
+    e9 = eng.current_epoch
+    del eng.epoch_wall[e9]
+    eng.vacuum_changelogs()
+    cols, rows = eng.fetch_cursor("vac_old_cur", 100)
+    assert [r[0] for r in rows] == [9]
+    rw.execute("DROP SUBSCRIPTION vac_old_s")
 
 
 def test_concurrent_poll_never_sees_partial_epoch(rw):
