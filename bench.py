@@ -5,10 +5,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 {"metric": ..., "value": total_sec, "unit": "sec",
  "queries": {name: sec}, "sf": ...}.
 
-Methodology (disclosed in the JSON as mode=steady_state): after the
+Methodology (disclosed in the JSON as mode=steady_state_median3): after the
 session warm-up, each query runs once UNTIMED — paying Janino codegen
 compilation, JIT warm-up, and file-listing population — then once
-timed. Spark caches no results between runs (no .cache/.persist
+timed 3x with the MEDIAN reported (same protocol for the DuckDB
+comparison run — the first post-warm run still carries JIT-deopt/GC
+noise). Spark caches no results between runs (no .cache/.persist
 anywhere; every timed run re-reads parquet and re-executes); what the
 warm run amortizes is exactly the per-query compile cost that is
 invariant in data size, so the timed number is the per-query latency
@@ -123,30 +125,44 @@ def main() -> None:
         _F.sum(_F.col("l_extendedprice").cast("decimal(12,2)"))
     ).collect()
 
+    # Two-phase protocol. Phase 1: TWO untimed passes over the whole
+    # set — the first compiles each query's codegen, the second lets
+    # the JVM's SHARED infrastructure (shuffle writers, parquet reader,
+    # Arrow serializer, window exec) reach steady JIT tier; per-query
+    # warm runs alone leave the first-alphabet queries measured on a
+    # half-warm JVM (~1.2 s across the set, measured). Phase 2: per
+    # query, median of 3 timed runs. Nothing is cached — every run
+    # re-reads parquet and re-executes (same protocol for DuckDB).
+    runnable: list[str] = []
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            fn = registry.QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, sf_dir).toPandas()
+                if _pass == 0:
+                    runnable.append(name)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench {name} FAILED (warmup): {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
+    for name in runnable:
+        fn = registry.QUERIES[name]
+        runs = []
         try:
-            # Untimed warm run: compiles this query's codegen + fills
-            # file listings. Results are NOT cached — the timed run
-            # below re-executes the full pipeline from parquet.
-            fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench {name} FAILED (warmup): {exc}", file=sys.stderr)
-            continue
-        t0 = time.perf_counter()
-        try:
-            # Materialize through the Arrow path — the SDK's interchange
-            # format (OutputFormat.DATAFRAME); row-at-a-time collect()
-            # would bill Python deserialization, not the engine.
-            n = len(fn(spark, sf_dir).toPandas())
+            for _ in range(3):
+                t0 = time.perf_counter()
+                # Materialize through Arrow — the SDK's interchange
+                # format (OutputFormat.DATAFRAME); row-at-a-time
+                # collect() would bill Python deserialization.
+                n = len(fn(spark, sf_dir).toPandas())
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             print(f"bench {name} FAILED: {exc}", file=sys.stderr)
             continue
-        el = round(time.perf_counter() - t0, 3)
+        el = round(sorted(runs)[1], 3)
         timings[name] = el
         total += el
         print(f"bench {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
@@ -175,10 +191,13 @@ def main() -> None:
             if sql is None or name not in timings:
                 continue
             try:
-                con.execute(sql).fetchall()  # warm
-                t0 = time.perf_counter()
-                con.execute(sql).df()  # same materialization contract
-                duck_timings[name] = round(time.perf_counter() - t0, 3)
+                con.execute(sql).fetchall(); con.execute(sql).fetchall()  # warm x2
+                runs = []
+                for _ in range(3):  # same median-of-3 protocol
+                    t0 = time.perf_counter()
+                    con.execute(sql).df()  # same materialization contract
+                    runs.append(time.perf_counter() - t0)
+                duck_timings[name] = round(sorted(runs)[1], 3)
             except Exception as exc:  # noqa: BLE001
                 print(f"duckdb {name} FAILED: {exc}", file=sys.stderr)
         duck_total = round(sum(duck_timings.values()), 3)
@@ -189,7 +208,7 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
-        "mode": "steady_state",
+        "mode": "steady_state_median3",
         "queries": timings,
         "sf": sf,
     }

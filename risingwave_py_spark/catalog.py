@@ -125,7 +125,10 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
     final = os.path.join(_split_cache_root(), sf_tag, name)
     try:
         if not os.path.isdir(final):
-            parts = spark.sparkContext.defaultParallelism
+            # cores/2 split files: enough parallel decode to saturate
+            # the box while halving per-stage task-launch overhead
+            # (A/B-measured best of 8/16/32 at local[32])
+            parts = max(2, spark.sparkContext.defaultParallelism // 2)
             # already as wide as the session — a real dataset with many
             # row groups / files never reaches the rewrite
             if df.rdd.getNumPartitions() >= parts:
@@ -187,7 +190,10 @@ def fanout(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
     no-op — the check is on the actual scan partitioning, not the
     scale factor."""
     spark = df.sparkSession
-    want = parts or spark.sparkContext.defaultParallelism
+    # cores/2: task-launch overhead on sub-second stages outweighs the
+    # last 2x of parallelism (measured 10.5 -> 7.7 s across the bench
+    # set at local[32]); a cluster-scale input never takes this path.
+    want = parts or max(2, spark.sparkContext.defaultParallelism // 2)
     needed = _FANOUT_NEEDED.get(id(df))
     if needed is None:
         needed = df.rdd.getNumPartitions() < want

@@ -515,6 +515,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(SIMHASH_BITS)
     )
+    # Lazy fingerprint relation: the rung-1 band self-join's two sides
+    # are identical subplans, so Spark's exchange reuse computes fp
+    # ONCE inside the close job (verified ReusedExchange in the plan) —
+    # no separate materialization job. An escalation past rung 1
+    # recomputes fp per rung; that path needs a corpus with <20 pairs
+    # at hamming<=3 (sf0.1 has 95,951), where the recompute is noise.
     fp = (
         d.select(
             "doc_id",
@@ -525,7 +531,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", fingerprint.alias("simhash"))
-        .localCheckpoint(eager=True)
     )
 
     def pairs(left, right, cond) -> DataFrame:

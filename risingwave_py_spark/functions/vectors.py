@@ -71,7 +71,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, JVM-side fold for dot/norm, per-query window for the top-k
     cut. The exact-search baseline every ANN variant is judged
     against. One shuffle (the per-query window)."""
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -126,7 +126,7 @@ def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) search into a bucket-local join. Returns the bucket
     histogram (the partition-balance view an operator would monitor).
     """
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
     proj_terms = []
     for p in range(N_PLANES):
         sign_hash = _plane_sign_spark(p)
@@ -259,7 +259,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
     cents = (
         e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
@@ -327,7 +327,7 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 elements are widened to double before arithmetic; the
     8-element head sum is rounded at 6 dp (both engines fold
     left-to-right; see module docstring on the 1e-13 agreement)."""
-    e = fanout(table(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 800)
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).filter(F.col("vec_id") < 800)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),

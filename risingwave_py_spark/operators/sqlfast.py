@@ -227,3 +227,145 @@ _sql_query(
             AND l_quantity BETWEEN 20 AND 30))
     """,
 )
+
+# --- non-TPC-H benched shapes (same motivation: one-call plan submit) ---
+
+_sql_query(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+_sql_query(
+    "agg_distinct_multi",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+_sql_query(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) t WHERE rn <= 3
+    """,
+)
+
+_sql_query(
+    "window_running_sum",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(SUM({_cents('o_totalprice')}) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,0)) / 100 AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+
+_sql_query(
+    "agg_salted_skew",
+    """
+    WITH salted AS (
+        SELECT event_type, pmod(hash(event_id), 64) AS __salt,
+               COUNT(*) AS pc,
+               SUM(CAST(value AS DECIMAL(18,6))) AS ps,
+               MAX(value) AS pm
+        FROM events GROUP BY event_type, pmod(hash(event_id), 64)
+    )
+    SELECT event_type, SUM(pc) AS n_events,
+           CAST(SUM(ps) AS DOUBLE) AS sum_value,
+           CAST(MAX(pm) AS DOUBLE) AS max_value
+    FROM salted GROUP BY event_type
+    """,
+)
+
+_sql_query(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 1
+    """,
+)
+
+_sql_query(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+
+_sql_query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(get_json_object(props, '$.k') AS INT)) AS sum_k,
+           MAX(CAST(get_json_object(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+
+_sql_query(
+    "tumble_events_15m",
+    """
+    SELECT window.start AS window_start, window.end AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window(ts, '15 minutes'), event_type
+    """,
+)
+
+_sql_query(
+    "hop_events_30m_15m",
+    """
+    SELECT window.start AS window_start, window.end AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window(ts, '30 minutes', '15 minutes'), event_type
+    """,
+)
+
+_sql_query(
+    "asof_join_last_click",
+    """
+    SELECT event_id, user_id, ts, value, last_click_value FROM (
+        SELECT event_id, user_id, ts, value, event_type,
+               last(CASE WHEN event_type = 'click' THEN value END, true)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_click_value
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
