@@ -138,3 +138,48 @@ def test_incremental_base_with_history_then_grows(eng_conn):
     rows = sorted(conn._dispatch("SELECT * FROM inct.m5")[1])
     assert rows == [("a", 3), ("b", 12)]
     assert st.inc is not None
+
+
+def test_refresh_never_collects_delta_to_driver(eng_conn):
+    """Scale invariant (round-2 fix): MV refresh publishes its delta as
+    one op-tagged DataFrame written straight to the changelog — never
+    via rows collected to the driver and re-created with
+    createDataFrame (the round-1 pattern; a driver OOM when the first
+    refresh after a bulk load produces delta = the entire result).
+    Both the incremental and snapshot-diff paths are exercised with
+    createDataFrame forbidden."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.nc (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a", "b"], "v": [1, 2]}),
+                table_name="nc", schema_name="inct", force_flush=True)
+    # incremental fast path
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.ncm AS "
+        "SELECT p, sum(v) AS total FROM inct.nc GROUP BY p"
+    )
+    # snapshot-diff path (avg is never incremental)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.ncm2 AS "
+        "SELECT p, avg(v) AS av FROM inct.nc GROUP BY p"
+    )
+    assert eng.mvs["inct.ncm"].inc is not None
+    assert eng.mvs["inct.ncm2"].inc is None
+    conn.insert(pd.DataFrame({"p": ["a", "c"], "v": [10, 5]}),
+                table_name="nc", schema_name="inct", force_flush=True)
+
+    def forbidden(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("refresh_mv collected a delta to the driver")
+
+    # the insert itself may use createDataFrame (pandas -> Spark input
+    # path); only the REFRESH must not
+    conn.insert(pd.DataFrame({"p": ["b"], "v": [100]}),
+                table_name="nc", schema_name="inct", force_flush=False)
+    eng.spark.catalog.refreshTable("inct.nc")
+    orig = eng.spark.createDataFrame
+    eng.spark.createDataFrame = forbidden
+    try:
+        eng.flush()
+    finally:
+        eng.spark.createDataFrame = orig
+    rows = sorted(conn._dispatch("SELECT * FROM inct.ncm")[1])
+    assert rows == [("a", 11), ("b", 102), ("c", 5)]
