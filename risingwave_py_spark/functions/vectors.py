@@ -411,3 +411,151 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cos_to_centroid", "vec_id")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate dedup (LSH-banded candidates)
+# ---------------------------------------------------------------------------
+
+EMB_DEDUP_BANDS = 4
+EMB_DEDUP_PLANES = 6  # per band → 24 hyperplanes total
+EMB_DEDUP_TAU = 0.35  # synthetic testdata has no true near-dups; the
+#                       threshold sits in the upper tail (max observed
+#                       cosine ≈ 0.6 at sf0.1) so the edge set is real
+#                       but bounded at every scale factor.
+
+_N_PLANES_TOTAL = EMB_DEDUP_BANDS * EMB_DEDUP_PLANES
+
+
+def _emb_dedup_oracle() -> str:
+    plane_hash = duck_hash32("concat(p.p, ':', CAST(i - 1 AS VARCHAR))")
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, p.p,
+               list_sum(list_transform(generate_series(1, len(embedding)),
+                   i -> CASE WHEN ({plane_hash} % 2) = 1
+                             THEN CAST(embedding[i] AS DOUBLE)
+                             ELSE -CAST(embedding[i] AS DOUBLE) END)) AS proj
+        FROM embeddings,
+             (SELECT unnest(generate_series(0, {_N_PLANES_TOTAL - 1})) AS p) p
+    ), bands AS (
+        SELECT vec_id, CAST(floor(p / {EMB_DEDUP_PLANES}.0) AS INT) AS band,
+               CAST(SUM(CASE WHEN proj >= 0
+                             THEN CAST(power(2, p % {EMB_DEDUP_PLANES}) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ), scored AS (
+        SELECT c.va, c.vb,
+               round(list_sum(list_transform(generate_series(1, len(x.embedding)),
+                         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                     / (x.nrm * y.nrm), 6) AS cosine
+        FROM cand c JOIN n x ON x.vec_id = c.va JOIN n y ON y.vec_id = c.vb
+    )
+    SELECT vb AS drop_id, MIN(va) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+           MAX(cosine) AS max_cosine
+    FROM scored WHERE cosine >= {EMB_DEDUP_TAU}
+    GROUP BY vb ORDER BY drop_id
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_emb_dedup_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup — the semantic-dedup leg
+    of the dedup suite (exact / MinHash / SimHash / Jaccard /
+    embedding-cosine; reference surface: arbitrary SQL pass-through,
+    /root/reference/risingwave/core.py:161-181).
+
+    Candidates come from random-hyperplane LSH banding
+    ({EMB_DEDUP_BANDS} bands × {EMB_DEDUP_PLANES} planes), NOT an
+    all-pairs join: each vector emits one (band, bucket) row per band
+    — O(n·bands) shuffle — and only bucket-mates are scored, so the
+    plan survives a 100 TB corpus where n² would not. A vector is a
+    duplicate when some candidate with a LOWER vec_id has cosine ≥
+    {EMB_DEDUP_TAU}; survivors are everything else, and `keep_id` is
+    the smallest such neighbor (the deterministic cluster
+    representative — same greedy rule as `dedup_components`' min-label
+    convention). Projections use the deterministic left-to-right
+    `aggregate` fold (not an unordered SUM over exploded rows) so the
+    ±1e-13 float budget stays far below both the `proj >= 0` sign
+    boundary and the 6-dp cosine rounding.
+
+    The band self-join's two sides are the identical subplan — Spark's
+    exchange reuse computes the signature relation once (ReusedExchange
+    in the plan); at warehouse scale you would materialize it instead,
+    as `dedup_minhash_lsh` does.
+    """
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+
+    proj_cols = []
+    for p in range(_N_PLANES_TOTAL):
+        sign_hash = _plane_sign_spark(p)
+        proj_cols.append(
+            F.expr(
+                f"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+                f"(x, i) -> CASE WHEN ({sign_hash} % 2) = 1 THEN CAST(x AS DOUBLE) "
+                f"ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias(f"p{p}")
+        )
+    pr = e.select("vec_id", *proj_cols)
+
+    def band_bucket(b: int):
+        return sum(
+            F.when(
+                F.col(f"p{b * EMB_DEDUP_PLANES + j}") >= 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(EMB_DEDUP_PLANES)
+        )
+
+    bands = pr.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[band_bucket(b) for b in range(EMB_DEDUP_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    n = e.select(
+        "vec_id", "embedding", F.expr(_spark_norm("embedding")).alias("nrm")
+    )
+    dot = _spark_dot("x.embedding", "y.embedding")
+    scored = (
+        cand.join(n.alias("x"), F.col("va") == F.col("x.vec_id"))
+        .join(n.alias("y"), F.col("vb") == F.col("y.vec_id"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                F.expr(dot) / (F.col("x.nrm") * F.col("y.nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    return (
+        scored.filter(F.col("cosine") >= EMB_DEDUP_TAU)
+        .groupBy(F.col("vb").alias("drop_id"))
+        .agg(
+            F.min("va").alias("keep_id"),
+            F.count("*").cast("long").alias("n_dup_neighbors"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("drop_id")
+    )

@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     # LLM-pipeline: embeddings / ANN
     "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
     "embedding_blocked_pairs", "embedding_label_outliers",
+    "dedup_embedding_cosine",
     # LLM-pipeline: text analysis + sampling (representatives)
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation

@@ -139,3 +139,18 @@ def test_bag_intersect_has_partial_agg(spark, sf_dir):
     raw rows."""
     plan = _plan(spark, sf_dir, "setop_bag_semantics")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_embedding_dedup_is_banded_not_allpairs(spark, sf_dir):
+    """dedup_embedding_cosine generates candidates via the LSH band
+    equi-join — never a cartesian/nested-loop all-pairs product — and
+    the identical band subplans on both join sides reuse one exchange
+    instead of recomputing the 24 plane projections twice."""
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    df.collect()  # AQE marks ReusedExchange only in the final plan
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReusedExchange" in plan
