@@ -172,6 +172,12 @@ def main() -> None:
     # absolute wall times drift ~40% with host load (BASELINE.md
     # "Host-drift note"), so the ratio is only meaningful when both
     # engines share one session on one host at one moment.
+    #
+    # Stop the Spark JVM first: its ~100 GiB heap + 32 idle task
+    # threads perturb the DuckDB side (observed: a 0.3 s oracle
+    # measured 5.1 s next to the live JVM) — the comparison must give
+    # each engine the machine to itself, same as the Spark side had.
+    spark.stop()
     duck_total = None
     duck_timings: dict[str, float] = {}
     try:

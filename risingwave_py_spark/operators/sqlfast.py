@@ -369,3 +369,200 @@ _sql_query(
     ) WHERE event_type = 'purchase'
     """,
 )
+
+
+# --- M6 dedup heavyweights: SQL-text plan construction -------------------
+# Building the SimHash/MinHash plans through the Column API costs
+# 1.1 s / 0.6 s of py4j round-trips per invocation (32 vote sums, 24
+# band projections, self-joins — hundreds of Column objects), an order
+# of magnitude more than EXECUTING the plans at sf0.1. The SQL text is
+# assembled once at import (pure Python string work); each invocation
+# is a handful of spark.sql / view calls. Plans and results are
+# identical — the oracles are unchanged and the ladder/checkpoint
+# semantics of the dedup.py originals are preserved below.
+
+from risingwave_py_spark.functions.dedup import (  # noqa: E402
+    N_BANDS as _MH_BANDS,
+    N_MINHASH as _MH_K,
+    ROWS_PER_BAND as _MH_RPB,
+    SIMHASH_BITS as _SH_BITS,
+    _spark_shingle_hashes,
+    _spark_sig_expr,
+)
+from risingwave_py_spark.functions.text import spark_hash32 as _h32  # noqa: E402
+
+_SH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SH_BITS)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(_SH_BITS)
+)
+_SH_FP_SQL = f"""
+    SELECT doc_id, CAST({_SH_FP} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id, {_SH_VOTES}
+        FROM documents
+        LATERAL VIEW explode(transform(split(text, '\\\\s+'), w -> {_h32('w')})) AS h
+        GROUP BY doc_id
+    )
+"""
+
+
+def _sh_rung_sql(n_bands: int) -> str:
+    band_bits = _SH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    arr = ", ".join(
+        f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH fp AS ({_SH_FP_SQL}),
+    bands AS (
+        SELECT doc_id, simhash, band, val
+        FROM fp LATERAL VIEW posexplode(array({arr})) AS band, val
+    )
+    SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {n_bands - 1}
+    """
+
+
+_SH_RUNGS = {n: _sh_rung_sql(n) for n in (4, 8, 16)}
+_SH_ALLPAIRS = f"""
+    WITH fp AS ({_SH_FP_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    ORDER BY hamming, doc_a, doc_b LIMIT 20
+"""
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text form of functions/dedup.dedup_simhash — same
+    fingerprints, same 4→8→16-band escalation ladder, same ≤10k-doc
+    all-pairs guard; see that docstring for the scale analysis."""
+    ensure_views(spark, sf_dir)
+    for n_bands in (4, 8, 16):
+        close = spark.sql(_SH_RUNGS[n_bands]).localCheckpoint(eager=True)
+        if close.count() >= 20:
+            return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+    if spark.sql(f"SELECT COUNT(*) AS n FROM ({_SH_FP_SQL})").first()["n"] <= 10_000:
+        return spark.sql(_SH_ALLPAIRS)
+    return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+
+
+_MH_WH, _MH_SH = _spark_shingle_hashes()
+_MH_SIG_SELECT = [f"{_spark_sig_expr(i)} AS s{i}" for i in range(_MH_K)]
+_MH_BAND_ROWS = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band_id, "
+    f"md5(concat_ws(',', {', '.join(f's{b * _MH_RPB + r}' for r in range(_MH_RPB))}))"
+    f" AS band_hash FROM __sqlfast_mh_sigs"
+    for b in range(_MH_BANDS)
+)
+_MH_EQ = " + ".join(
+    f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+)
+_MH_PAIRS_SQL = f"""
+    WITH bands AS (
+{_MH_BAND_ROWS}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({_MH_EQ} AS DOUBLE) / {_MH_K} AS est_jaccard
+    FROM cand
+    JOIN __sqlfast_mh_sigs sa ON sa.doc_id = doc_a
+    JOIN __sqlfast_mh_sigs sb ON sb.doc_id = doc_b
+    ORDER BY est_jaccard DESC, doc_a, doc_b
+    LIMIT 20
+"""
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid form of functions/dedup.dedup_minhash_lsh: the signature
+    pass keeps the original fanout'd DataFrame path (pre-split so the
+    md5 shingle work parallelizes; three selectExpr calls over
+    import-time strings), is materialized once (localCheckpoint — it
+    feeds 6 plan branches), then the band/candidate/verify stage is a
+    single SQL statement over the temp view. Identical plan and
+    results; ~0.5 s less per-invocation py4j construction."""
+    from risingwave_py_spark.catalog import fanout, table
+
+    d = fanout(table(spark, sf_dir, "documents"))
+    sigs = (
+        d.selectExpr("doc_id", f"{_MH_WH} AS __wh")
+        .selectExpr("doc_id", f"{_MH_SH} AS __hs")
+        .selectExpr("doc_id", *_MH_SIG_SELECT)
+        .localCheckpoint(eager=True)
+    )
+    sigs.createOrReplaceTempView("__sqlfast_mh_sigs")
+    return spark.sql(_MH_PAIRS_SQL)
+
+
+from risingwave_py_spark.functions.vectors import (  # noqa: E402
+    N_CELLS as _IVF_CELLS,
+    N_PROBE as _IVF_PROBE,
+    N_QUERIES as _IVF_QUERIES,
+    TOP_K as _IVF_TOPK,
+    _spark_dot,
+    _spark_norm,
+)
+
+
+def _ivf_cos(a: str, b: str) -> str:
+    return f"round({_spark_dot(a, b)} / ({_spark_norm(a)} * {_spark_norm(b)}), 6)"
+
+
+_IVF_SQL = f"""
+    WITH corpus AS (
+        SELECT /*+ REPARTITION(4) */ vec_id, embedding FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cell_id, embedding AS ce
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _IVF_CELLS}
+    ), cells AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT /*+ BROADCAST(cents) */ e.vec_id, e.embedding, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_ivf_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+            FROM corpus e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qe, cell_id FROM (
+            SELECT /*+ BROADCAST(cents) */ e.vec_id AS query_id,
+                   e.embedding AS qe, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_ivf_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
+            FROM embeddings e CROSS JOIN cents c
+            WHERE e.vec_id < {_IVF_QUERIES}
+        ) WHERE rn <= {_IVF_PROBE}
+    ), cand AS (
+        SELECT /*+ BROADCAST(p) */ p.query_id, c.vec_id,
+               {_ivf_cos('p.qe', 'c.embedding')} AS cosine
+        FROM cells c JOIN probes p ON c.cell_id = p.cell_id
+        WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= {_IVF_TOPK}
+"""
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text form of functions/vectors.ann_ivf_topk — same plan
+    (broadcast centroids/probes, REPARTITION(4) mirrors fanout), built
+    in one spark.sql call; see that docstring for the scale analysis."""
+    ensure_views(spark, sf_dir)
+    return spark.sql(_IVF_SQL)
