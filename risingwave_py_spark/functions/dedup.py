@@ -715,3 +715,99 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunks_kept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus (incremental) dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+CROSS_NEW_MOD = 10  # docs with doc_id % 10 >= 8 are the "new batch"
+CROSS_TAU = 0.5  # same dup threshold as the curation pipeline
+
+
+def _cross_corpus_oracle() -> str:
+    return rf"""
+    WITH {_minhash_pair_ctes()}
+    SELECT CASE WHEN doc_a % {CROSS_NEW_MOD} >= 8 THEN doc_a ELSE doc_b END
+               AS new_doc_id,
+           CASE WHEN doc_a % {CROSS_NEW_MOD} >= 8 THEN doc_b ELSE doc_a END
+               AS match_doc_id,
+           est_jaccard
+    FROM scored
+    WHERE (doc_a % {CROSS_NEW_MOD} >= 8) <> (doc_b % {CROSS_NEW_MOD} >= 8)
+      AND est_jaccard >= {CROSS_TAU}
+    ORDER BY new_doc_id, match_doc_id
+    """
+
+
+@register("dedup_cross_corpus", oracle=_cross_corpus_oracle())
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: near-dup the NEW batch (doc_id % 10 >= 8 —
+    the daily crawl) against the EXISTING corpus only, without ever
+    pairing the existing corpus with itself. This is how dedup runs
+    in production: the 100 TB corpus's MinHash band table is built
+    once and kept (here: the band relation filtered to existing
+    docs), and each incoming batch computes signatures for ITS docs
+    only, probes the stored bands, and emits (new, existing, score)
+    dup edges — O(batch) new work per run instead of O(corpus).
+
+    Same signature/band machinery as `dedup_minhash_lsh` (k=16, 4x4
+    bands), same est-Jaccard verification on candidates, threshold
+    {CROSS_TAU} as in `pipeline_curate_corpus`. The band join is
+    new-side x existing-side only — disjoint sides, so no self-pair
+    or ordering predicate is needed."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    wh_expr, sh_expr = _spark_shingle_hashes()
+    sigs = (
+        d.selectExpr("doc_id", f"{wh_expr} AS __wh")
+        .selectExpr("doc_id", f"{sh_expr} AS __hs")
+        .selectExpr(
+            "doc_id",
+            *[f"{_spark_sig_expr(i)} AS s{i}" for i in range(N_MINHASH)],
+        )
+        .localCheckpoint(eager=True)  # feeds bands + both verify sides
+    )
+    band_frames = []
+    for b in range(N_BANDS):
+        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_frames.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
+            )
+        )
+    bands = band_frames[0]
+    for fr in band_frames[1:]:
+        bands = bands.union(fr)
+    is_new = (F.col("doc_id") % CROSS_NEW_MOD) >= 8
+    new_b = bands.filter(is_new).alias("n")
+    old_b = bands.filter(~is_new).alias("o")
+    cand = (
+        new_b.join(
+            old_b,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("o.doc_id").alias("match_doc_id"),
+        )
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, F.col("new_doc_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("match_doc_id") == F.col("sb.doc_id"))
+        .select(
+            "new_doc_id",
+            "match_doc_id",
+            (eq.cast("double") / N_MINHASH).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= CROSS_TAU)
+        .orderBy("new_doc_id", "match_doc_id")
+    )

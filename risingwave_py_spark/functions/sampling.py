@@ -147,3 +147,80 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+MIX_BUDGET_FRACTION = 2  # token budget = total_tokens / 2
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+                   AS n_tokens,
+               CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                    THEN 1 ELSE 3 END AS weight
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(weight) AS BIGINT) AS total_weight
+        FROM tok
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           CAST(floor((total_tokens / {MIX_BUDGET_FRACTION}.0) * weight
+                      / total_weight) AS BIGINT) AS target_tokens,
+           round(((total_tokens / {MIX_BUDGET_FRACTION}.0) * weight
+                  / total_weight) / n_tokens, 6) AS sample_rate,
+           CASE WHEN ((total_tokens / {MIX_BUDGET_FRACTION}.0) * weight
+                      / total_weight) > n_tokens
+                THEN 'upsample' ELSE 'downsample' END AS mode
+    FROM tok, tot
+    ORDER BY source
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture planning: given per-source target weights
+    (curated sources src10+ get 3x the weight of web sources src0-9)
+    and a token budget of total/{MIX_BUDGET_FRACTION}, compute each
+    source's target token count and the sampling rate (>1 = epochs of
+    upsampling) that realizes the mixture — the standard precursor to
+    `sample_uniform_hash`-style deterministic selection.
+
+    Scale shape: one aggregate keyed by source (map-side combined)
+    cross-joined with a one-row total — the totals side is a
+    broadcast, nothing large shuffles twice."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", r"\s+"))
+    tok = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "weight",
+        F.when(F.substring("source", 4, 10).cast("int") < 10, 1).otherwise(3),
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+    target = (
+        (F.col("total_tokens") / float(MIX_BUDGET_FRACTION))
+        * F.col("weight")
+        / F.col("total_weight")
+    )
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.floor(target).cast("long").alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 6).alias("sample_rate"),
+            F.when(target > F.col("n_tokens"), "upsample")
+            .otherwise("downsample")
+            .alias("mode"),
+        )
+        .orderBy("source")
+    )

@@ -461,3 +461,69 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_doc"
         ),
     )
+
+
+PACK_WINDOW = 1024  # tokens per training context window
+
+
+@register(
+    "text_pack_sequences",
+    oracle=rf"""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(regexp_split_to_array(text, '\s+')) AS n_tok,
+               SUM(len(regexp_split_to_array(text, '\s+')))
+                   OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents
+    )
+    SELECT source,
+           CAST(floor((cum - n_tok) / {PACK_WINDOW}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           round(SUM(n_tok) / {PACK_WINDOW}.0, 6) AS fill_ratio
+    FROM t
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concat-and-chunk each
+    source's token stream into {PACK_WINDOW}-token context windows
+    (docs in doc_id order; a doc belongs to the bin where it STARTS).
+    Returns per-(source, bin) packing stats — doc count, token count,
+    fill ratio — the packing-efficiency report a training-data
+    pipeline emits before writing shards.
+
+    Scale shape: one running-sum window partitioned by source (the
+    packing shard), then one hash aggregate — a single shuffle keyed
+    by source, no driver-side loop, no UDF. At 100 TB the shard key
+    is (source, file-group) so no single partition holds a whole
+    source's stream; the bin arithmetic is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    n_tok = F.size(F.split("text", r"\s+"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.sum(n_tok).over(w).alias("cum"),
+    )
+    return (
+        t.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / float(PACK_WINDOW))
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tok") / float(PACK_WINDOW), 6).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin_id")
+    )
