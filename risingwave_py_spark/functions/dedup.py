@@ -811,3 +811,97 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= CROSS_TAU)
         .orderBy("new_doc_id", "match_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (ExactSubstr-style, Lee et al. 2021
+# "Deduplicating Training Data Makes Language Models Better").
+# Reference has no corpus operators (it is a client SDK,
+# /root/reference/risingwave/core.py); this extends the BASELINE.json
+# extension surface with the span-level twin of dedup_exact_docs.
+
+SPAN_TOKENS = 16  # non-overlapping span width
+
+_SPAN_TEXT_DUCK = (
+    "array_to_string(regexp_split_to_array(text, '\\s+')"
+    f"[i*{SPAN_TOKENS}+1 : i*{SPAN_TOKENS}+{SPAN_TOKENS}], ' ')"
+)
+
+
+@register(
+    "dedup_span_exact",
+    oracle=rf"""
+    WITH spans AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(0, len(regexp_split_to_array(text, '\s+')) // {SPAN_TOKENS} - 1),
+                   i -> {duck_hash32(_SPAN_TEXT_DUCK)}
+               )) AS span_hash
+        FROM documents
+        WHERE len(regexp_split_to_array(text, '\s+')) >= {SPAN_TOKENS}
+    ), freq AS (
+        SELECT span_hash, COUNT(DISTINCT doc_id) AS df
+        FROM spans GROUP BY span_hash
+    ), per_doc AS (
+        SELECT s.doc_id, s.source,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+        FROM spans s JOIN freq f USING (span_hash)
+        GROUP BY s.doc_id, s.source
+    )
+    SELECT doc_id, source, n_spans, dup_spans,
+           round(CAST(dup_spans AS DOUBLE) / n_spans, 6) AS dup_fraction,
+           (CAST(dup_spans AS DOUBLE) / n_spans) < 0.5 AS keep
+    FROM per_doc
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: hash every non-overlapping 16-token
+    span, count cross-document span frequency, and score each doc by
+    the fraction of its spans that also appear in another document.
+
+    100 TB shape: the span relation is one narrow (doc_id, span_hash)
+    table — a projection inside codegen (NO per-shingle string
+    shuffle; only the 8-byte hashes move). Frequency is a two-phase
+    hash aggregate; the scoring join keys on span_hash so AQE handles
+    any hot-span skew. This is the standard scalable approximation of
+    suffix-array ExactSubstr dedup."""
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    words = F.split(F.col("text"), r"\s+")
+    spans = (
+        d.filter(F.size(words) >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(split(text, '\\\\s+')) DIV {SPAN_TOKENS} - 1), "
+                    f"i -> "
+                    + spark_hash32(
+                        f"array_join(slice(split(text, '\\\\s+'), i*{SPAN_TOKENS}+1, {SPAN_TOKENS}), ' ')"
+                    )
+                    + ")"
+                )
+            ).alias("span_hash"),
+        )
+    )
+    freq = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        spans.join(freq, "span_hash")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_spans"),
+        )
+    )
+    frac = F.col("dup_spans").cast("double") / F.col("n_spans")
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_spans",
+        "dup_spans",
+        F.round(frac, 6).alias("dup_fraction"),
+        (frac < 0.5).alias("keep"),
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from risingwave_py_spark.catalog import fanout, table
 from risingwave_py_spark.registry import register
@@ -526,4 +527,116 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tok") / float(PACK_WINDOW), 6).alias("fill_ratio"),
         )
         .orderBy("source", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (perplexity proxy) — the KenLM-style
+# filter from CCNet/Gopher pipelines, with the LM trained on the
+# corpus itself. Extension surface (reference is a client SDK with no
+# corpus operators, /root/reference/risingwave/core.py).
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+    )
+    SELECT t.doc_id, t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(SUM(ln(CAST(v.c AS DOUBLE) / tot.n)) / COUNT(*), 6) AS avg_logprob,
+           round(exp(-(SUM(ln(CAST(v.c AS DOUBLE) / tot.n)) / COUNT(*))), 4) AS ppl_proxy
+    FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
+    GROUP BY t.doc_id, t.source
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained unigram
+    LM: P(w) = count(w)/N over the whole corpus, each document scored
+    by its mean token log-probability (and exp(-x) as a perplexity
+    proxy). Low-probability-dense docs are the noise a KenLM filter
+    would drop.
+
+    100 TB shape: vocabulary build is a two-phase hash aggregate
+    (map-side combine); the scoring join keys on the token, so the
+    stop-word head is hot — AQE skew-join splits it, and the join
+    carries only (doc_id, w) + an 8-byte count, never text. The
+    total-count side is a 1-row broadcast."""
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        tok.join(vocab, "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_logprob"),
+            F.round(F.exp(-(F.sum(lp) / F.count("*"))), 4).alias("ppl_proxy"),
+        )
+    )
+
+
+@register(
+    "heavy_hitter_bigrams",
+    oracle=r"""
+    WITH words AS (
+        SELECT source, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents
+    ), bg AS (
+        SELECT source,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM words
+    ), counted AS (
+        SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bg GROUP BY source, bigram
+    ), ranked AS (
+        SELECT source, bigram, n,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rnk
+        FROM counted
+    )
+    SELECT source, bigram, n, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter n-gram mining: top-5 bigrams per source — the
+    boilerplate/template detector in corpus curation (a bigram that
+    dominates a source is navigation chrome or licence text).
+
+    100 TB shape: bigram formation is a codegen projection
+    (transform over the token array — no self-join of adjacent
+    tokens); counting is a two-phase hash aggregate so the map-side
+    combine collapses each partition's duplicates before the single
+    shuffle; the top-k cut runs per source partition. Deterministic
+    tie-break (count DESC, bigram ASC)."""
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    bg = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1), "
+                "i -> concat_ws(' ', element_at(split(lower(text), '\\\\s+'), i), "
+                "element_at(split(lower(text), '\\\\s+'), i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counted = bg.groupBy("source", "bigram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), "bigram")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "bigram", "n", "rnk")
     )

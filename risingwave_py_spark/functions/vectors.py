@@ -559,3 +559,200 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("drop_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering over embeddings (fixed-iteration Lloyd's) and
+# SemDeDup-style semantic dedup (Abbas et al. 2023: cluster first,
+# all-pairs cosine only WITHIN a cluster). Extension surface — the
+# reference is a client SDK with no vector operators
+# (/root/reference/risingwave/core.py).
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+SEMDEDUP_TAU = 0.30
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid.
+
+    100 TB shape: centroids are k rows — ALWAYS broadcast; the
+    distance is a codegen array fold (no explode of the corpus);
+    the argmin is a per-vector min_by, no shuffle beyond the final
+    group. Ties break to the lowest cluster_id on the 6-dp-rounded
+    distance so the assignment is bit-stable across engines."""
+    pairs = e.join(F.broadcast(cents)).withColumn(
+        "sqd", F.round(F.expr(_sqdist_expr("embedding", "cvec")), 6)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("vec_id").orderBy("sqd", "cluster_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id", "sqd")
+    )
+
+
+def _kmeans_recompute(assign: DataFrame) -> DataFrame:
+    """Elementwise-mean centroid recompute: posexplode to
+    (cluster, dim, val), two-phase avg, reassemble ordered array."""
+    dims = assign.select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    avg = dims.groupBy("cluster_id", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("av")
+    )
+    return avg.groupBy("cluster_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, av))), s -> s.av)").alias("cvec")
+    )
+
+
+def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
+        "vec_id", "embedding"
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("cvec"),
+    )
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(e, cents)
+        cents = _kmeans_recompute(assign).localCheckpoint(eager=True)
+    return _kmeans_assign(e, cents)
+
+
+def _duck_kmeans_cte() -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTE text, mirroring the
+    Spark rounding (6 dp on distances before argmin)."""
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+    ).format(d=EMB_DIM)
+    assign = (
+        "a{n} AS (SELECT vec_id, embedding, cluster_id, sqd FROM ("
+        "SELECT e.vec_id, e.embedding, c.cluster_id, round({sq}, 6) AS sqd, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY round({sq}, 6), c.cluster_id) AS rn "
+        "FROM embeddings e CROSS JOIN c{m} c) WHERE rn = 1)"
+    )
+    recompute = (
+        "c{n} AS (SELECT cluster_id, list(av ORDER BY pos) AS cvec FROM ("
+        "SELECT a.cluster_id, t.i AS pos, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS av "
+        "FROM a{m} a, generate_series(1, {d}) t(i) GROUP BY a.cluster_id, t.i) GROUP BY cluster_id)"
+    )
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster_id, "
+        f"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec "
+        f"FROM embeddings WHERE vec_id < {KMEANS_K})"
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(assign.format(n=it, m=it, sq=sq))
+        parts.append(recompute.format(n=it + 1, m=it, d=EMB_DIM))
+    parts.append(assign.format(n=KMEANS_ITERS, m=KMEANS_ITERS, sq=sq))
+    return ",\n".join(parts)
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH {_duck_kmeans_cte()}
+    SELECT vec_id, cluster_id, round(sqd, 4) AS sqdist
+    FROM a{KMEANS_ITERS}
+    """,
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd's iterations, deterministic init from
+    vec_id 0..7): per-vector final cluster assignment + distance.
+
+    100 TB shape: each iteration is one broadcast join (k×d floats)
+    + one codegen distance fold + one two-phase average — the corpus
+    is scanned, never shuffled by pairs; centroids (tiny) are
+    checkpointed per round to cut lineage. Semantic clustering is the
+    front half of SemDeDup and of cluster-balanced mixture sampling."""
+    out = _kmeans_final_assign(spark, sf_dir)
+    return out.select(
+        "vec_id", "cluster_id", F.round("sqd", 4).alias("sqdist")
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_duck_kmeans_cte()},
+    nrm AS (
+        SELECT a.vec_id, a.cluster_id, a.embedding,
+               sqrt(list_sum(list_transform(a.embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+        FROM a{KMEANS_ITERS} a
+    ), pairs AS (
+        SELECT x.cluster_id, x.vec_id AS va, y.vec_id AS vb,
+               round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                   / (x.nrm * y.nrm), 6) AS cosine
+        FROM nrm x JOIN nrm y
+          ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    )
+    SELECT CAST(vb AS BIGINT) AS drop_id,
+           CAST(MIN(va) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+           MAX(cosine) AS max_cosine,
+           CAST(MIN(cluster_id) AS INT) AS cluster_id
+    FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+    GROUP BY vb
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the embedding space, then all-pairs
+    cosine ONLY within each cluster; drop the higher vec_id of any
+    pair above the threshold (deterministic min-id survivor).
+
+    100 TB shape: the quadratic term is bounded per cluster — k grows
+    with the corpus (SemDeDup uses k≈√n) so cluster populations stay
+    ~constant; the pair join is an equi-join on cluster_id (one
+    shuffle of (id, vec, norm)), never a global cross join. Reuses
+    the broadcast-assign/two-phase-recompute k-means above."""
+    assign = _kmeans_final_assign(spark, sf_dir)
+    n = assign.select(
+        "vec_id",
+        "cluster_id",
+        "embedding",
+        F.expr(_spark_norm("embedding")).alias("nrm"),
+    )
+    x, y = n.alias("x"), n.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cluster_id") == F.col("y.cluster_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.cluster_id").alias("cluster_id"),
+            F.col("x.vec_id").alias("va"),
+            F.col("y.vec_id").alias("vb"),
+            F.round(
+                F.expr(_spark_dot("x.embedding", "y.embedding"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .groupBy(F.col("vb").alias("drop_id"))
+        .agg(
+            F.min("va").alias("keep_id"),
+            F.count("*").alias("n_dup_neighbors"),
+            F.max("cosine").alias("max_cosine"),
+            F.min("cluster_id").alias("cluster_id"),
+        )
+    )

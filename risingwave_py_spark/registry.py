@@ -78,14 +78,16 @@ PRIORITY: list[str] = [
     # LLM-pipeline: dedup + capstone
     "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_components", "dedup_simhash", "dedup_cross_corpus",
-    "pipeline_curate_corpus",
+    "dedup_span_exact", "pipeline_curate_corpus",
     # LLM-pipeline: embeddings / ANN
     "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
     "embedding_blocked_pairs", "embedding_label_outliers",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters",
     # LLM-pipeline: text analysis + sampling (representatives)
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     "text_pack_sequences", "corpus_mixture_plan",
+    "text_unigram_logprob", "heavy_hitter_bigrams",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation
     "agg_filtered_conditional",
     # rewritten this round — needs driver re-validation
