@@ -598,3 +598,39 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("cd") >= 0.9, F.col("l_quantity"))).alias("p90_qty"),
         F.count("*").alias("n"),
     )
+
+
+_ASOF_GRAMMAR_SQL = """
+SELECT c.event_id, c.user_id, c.ts AS click_ts,
+       v.event_id AS view_event_id, v.ts AS view_ts
+FROM events c ASOF JOIN events v
+  ON c.user_id = v.user_id AND v.event_type = 'view' AND c.ts >= v.ts
+WHERE c.event_type = 'click'
+"""
+
+
+@register(
+    "asof_join_grammar",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           v.event_id AS view_event_id, v.ts AS view_ts
+    FROM events c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    WHERE c.event_type = 'click'
+    """,
+)
+def asof_join_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RisingWave's ``ASOF JOIN`` SQL grammar end-to-end: the dialect
+    rewriter (plans/rewrite.rewrite_asof_join) turns it into a
+    correlated LATERAL LIMIT-1 subquery; the oracle runs DuckDB's
+    NATIVE ASOF JOIN on the same tables — two independent asof
+    implementations agreeing row-for-row.
+
+    100 TB shape: Catalyst decorrelates the lateral into an equi-join
+    on user_id + per-left-row top-1 — one shuffle, same physical plan
+    family as asof_join_last_click above."""
+    from risingwave_py_spark.catalog import ensure_views
+    from risingwave_py_spark.plans.rewrite import rewrite_asof_join
+
+    ensure_views(spark, sf_dir)
+    return spark.sql(rewrite_asof_join(_ASOF_GRAMMAR_SQL))

@@ -479,6 +479,155 @@ def rewrite_hop(sql: str) -> str:
     return _HOP.sub(sub, sql)
 
 
+# ---------------------------------------------------------------------------
+# ASOF JOIN grammar (RisingWave supports `a ASOF [LEFT] JOIN b ON
+# eq-conds AND ineq` server-side; the reference client passes the SQL
+# through verbatim, /root/reference/risingwave/core.py:161-181).
+# Spark SQL has no ASOF JOIN — rewrite to a correlated LATERAL
+# LIMIT-1 subquery, which Catalyst decorrelates into a join + per-key
+# top-1 (same physical shape as the asof_join_last_click operator).
+# ---------------------------------------------------------------------------
+
+_ASOF = re.compile(
+    r"\b(?!(?:FROM|JOIN|WHERE|ON|AND|OR|SELECT|AS)\b)(?P<left>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?"
+    r"\s+ASOF\s+(?P<outer>LEFT\s+)?JOIN\s+"
+    r"(?P<right>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?=\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT)\b|\s*$|\s*\))",
+    re.I | re.S,
+)
+
+_INEQ_TERM = re.compile(
+    r"^\s*(?P<x>[\w.]+)\s*(?P<op>>=|<=|>|<)\s*(?P<y>[\w.]+)\s*$"
+)
+
+
+def _split_and(cond: str) -> list[str]:
+    """Split a predicate on top-level ANDs (paren-depth aware)."""
+    parts, depth, start = [], 0, 0
+    i, n = 0, len(cond)
+    while i < n:
+        c = cond[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and cond[i : i + 3].upper() == "AND":
+            before = i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+            after = i + 3 >= n or not (cond[i + 3].isalnum() or cond[i + 3] == "_")
+            if before and after:
+                parts.append(cond[start:i])
+                i += 3
+                start = i
+                continue
+        i += 1
+    parts.append(cond[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def rewrite_asof_join(sql: str) -> str:
+    """``l ASOF [LEFT] JOIN r ON eq-conds AND l.t >= r.t`` → the
+    scalable union-window asof plan, entirely in SQL text:
+
+    1. build the asof-match relation M: union the left side's
+       DISTINCT (keys, t) probe domain with the (filtered) right
+       rows, window per key ordered by time, and carry the latest
+       (earliest, for forward asof) right row to each probe with
+       ``last(...) IGNORE NULLS`` — right rows travel as one
+       ``struct(*)`` column, so no column resolution is needed;
+    2. equi-join M back to the left relation on (keys, t).
+
+    One shuffle for the window (on the join keys), one for the
+    join-back — never a correlated-subquery domain join (Catalyst
+    decorrelates ``LATERAL ... LIMIT 1`` into a distinct-timestamp ×
+    right NESTED-LOOP join: quadratic, measured 100× slower at
+    sf0.01). Inclusive vs strict inequality is encoded in the
+    side-sort order; residual right-only ON terms (``r.kind = 'x'``)
+    filter the right branch. Left-only or two-sided non-key terms
+    raise (put them in WHERE)."""
+
+    def sub(m: re.Match) -> str:
+        la = m.group("la") or m.group("left").split(".")[-1]
+        ra = m.group("ra") or m.group("right").split(".")[-1]
+        cond = m.group("cond").strip()
+        eqs: list[tuple[str, str]] = []  # (left col, right col)
+        ineq = None  # (lcol, rcol, forward, strict)
+        residual: list[str] = []
+        for term in _split_and(cond):
+            t = _INEQ_TERM.match(term)
+            lp, rp = la + ".", ra + "."
+            if t:
+                x, op, y = t.group("x"), t.group("op"), t.group("y")
+                if op in (">=", "<=", ">", "<"):
+                    if x.startswith(lp) and y.startswith(rp):
+                        ineq = (x, y, op in ("<=", "<"), op in (">", "<"))
+                        continue
+                    if x.startswith(rp) and y.startswith(lp):
+                        ineq = (y, x, op in (">=", ">"), op in (">", "<"))
+                        continue
+            e = re.match(r"^\s*(?P<x>[\w.]+)\s*=\s*(?P<y>[\w.]+)\s*$", term)
+            if e:
+                x, y = e.group("x"), e.group("y")
+                if x.startswith(lp) and y.startswith(rp):
+                    eqs.append((x, y))
+                    continue
+                if x.startswith(rp) and y.startswith(lp):
+                    eqs.append((y, x))
+                    continue
+            if lp not in term:
+                residual.append(term)
+                continue
+            raise ValueError(
+                f"ASOF JOIN ON supports equalities, one time inequality, "
+                f"and right-side filters; move {term!r} to WHERE"
+            )
+        if ineq is None:
+            raise ValueError(
+                "ASOF JOIN requires one inequality between a left and "
+                f"a right column in the ON clause: {cond!r}"
+            )
+        if not eqs:
+            raise ValueError("ASOF JOIN requires at least one equality key")
+        lt, rt, forward, strict = ineq
+        keys = ", ".join(f"__rw_k{i}" for i in range(len(eqs)))
+        l_keys = ", ".join(f"{l} AS __rw_k{i}" for i, (l, _) in enumerate(eqs))
+        r_keys = ", ".join(f"{r} AS __rw_k{i}" for i, (_, r) in enumerate(eqs))
+        r_where = " AND ".join(residual) if residual else "true"
+        # Side sort: probes are 1; right rows 0 (eligible at equal t)
+        # or 2 (strict: excluded at equal t). Time ASC for backward
+        # asof (l.t >= r.t), DESC for forward.
+        r_side = 2 if strict else 0
+        t_dir = "DESC" if forward else "ASC"
+        join_kw = "LEFT JOIN" if m.group("outer") else "JOIN"
+        on = " AND ".join(
+            [f"{l} = {ra}.__rw_k{i}" for i, (l, _) in enumerate(eqs)]
+            + [f"{lt} = {ra}.__rw_ts"]
+        )
+        return (
+            f"{m.group('left')} AS {la} {join_kw} (\n"
+            f"  SELECT {keys}, __rw_ts, __rw_row.* FROM (\n"
+            f"    SELECT {keys}, __rw_ts, __rw_side,\n"
+            f"           last(__rw_row) IGNORE NULLS OVER (\n"
+            f"             PARTITION BY {keys} ORDER BY __rw_sort {t_dir}, __rw_side ASC\n"
+            f"             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __rw_row\n"
+            f"    FROM (\n"
+            f"      SELECT DISTINCT {l_keys}, {lt} AS __rw_ts, {lt} AS __rw_sort,\n"
+            f"             1 AS __rw_side, NULL AS __rw_row\n"
+            f"      FROM {m.group('left')} AS {la}\n"
+            f"      UNION ALL\n"
+            f"      SELECT {r_keys}, NULL AS __rw_ts, {rt} AS __rw_sort,\n"
+            f"             {r_side} AS __rw_side, struct(*) AS __rw_row\n"
+            f"      FROM {m.group('right')} AS {ra} WHERE {r_where}\n"
+            f"    )\n"
+            f"  ) WHERE __rw_side = 1 AND __rw_row IS NOT NULL\n"
+            f") AS {ra} ON {on}"
+        )
+
+    return _ASOF.sub(sub, sql)
+
+
 def rewrite_version(sql: str, version_string: str) -> str:
     return re.sub(r"\bversion\s*\(\s*\)", f"'{version_string}'", sql, flags=re.I)
 
@@ -521,6 +670,7 @@ def rewrite_json_ops(sql: str) -> str:
 def rewrite_query(sql: str, version_string: str) -> str:
     sql = rewrite_tumble(sql)
     sql = rewrite_hop(sql)
+    sql = rewrite_asof_join(sql)
     sql = rewrite_version(sql, version_string)
     sql = rewrite_json_ops(sql)
     sql = rewrite_information_schema(sql)

@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     # rewritten this round — needs driver re-validation
     "window_ntile_percentrank",
     # analytic operators not yet driver-sampled
+    "asof_join_grammar",
     "asof_join_last_click", "sessionize_events", "agg_salted_skew",
     "interval_join_events", "window_rank_lag", "window_running_sum",
     "window_topk_per_group", "window_range_frame", "gapfill_locf",

@@ -154,3 +154,62 @@ def test_embedding_dedup_is_banded_not_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ReusedExchange" in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """Lloyd's assignment must be broadcast-join + codegen fold —
+    never a shuffled or nested-loop pairing of corpus × centroids."""
+    plan = _plan(spark, sf_dir, "cluster_kmeans_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark, sf_dir):
+    """SemDeDup's cosine pass must be an equi-join on cluster_id
+    (bounded per-cluster all-pairs), not a global cross join."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_clusters")
+    assert "CartesianProduct" not in plan
+    # the x-vs-y pair join keys on cluster_id: an equi join operator
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The span relation that reaches the frequency shuffle must be
+    (doc_id/source, span_hash) — the raw text column never moves."""
+    df = registry.QUERIES["dedup_span_exact"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
+    """The corpus-total (1 row) side must broadcast; the token join
+    may shuffle but carries no text column."""
+    plan = _plan(spark, sf_dir, "text_unigram_logprob")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitter_bigrams_partial_agg(spark, sf_dir):
+    """Two-phase count: map-side combine collapses the Zipf head
+    before the single shuffle."""
+    plan = _plan(spark, sf_dir, "heavy_hitter_bigrams")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_grammar_is_union_window_not_nested_loop(spark, sf_dir):
+    """The ASOF JOIN rewrite must produce the union-window plan:
+    per-key window + equi-join back — never Catalyst's LATERAL
+    decorrelation (distinct-timestamp × right nested-loop join,
+    quadratic in the probe domain)."""
+    plan = _plan(spark, sf_dir, "asof_join_grammar")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

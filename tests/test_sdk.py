@@ -172,3 +172,69 @@ def test_pg_function_shims(rw):
     assert rw.fetchone("SELECT string_to_array('a.b.c', '.') AS a")[0] == ["a", "b", "c"]
     assert rw.fetchone("SELECT array_length(string_to_array('x|y', '|'), 1) AS n")[0] == 2
     assert rw.fetchone("SELECT split_part('x|y|z', '|', 2) AS p")[0] == "y"
+
+
+def test_asof_join_rewrite(rw):
+    """ASOF JOIN grammar end-to-end through engine SQL: backward,
+    strict, forward, and LEFT variants on a hand-built price/quote
+    pair where every expected match is known."""
+    rw.execute("DROP TABLE IF EXISTS t_sdk_trades")
+    rw.execute("DROP TABLE IF EXISTS t_sdk_quotes")
+    rw.insert(data=pd.DataFrame({
+        "sym": ["a", "a", "b"],
+        "tts": pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:10",
+                               "2024-01-01 00:00:05"]),
+    }), table_name="t_sdk_trades", force_flush=True)
+    rw.insert(data=pd.DataFrame({
+        "sym": ["a", "a", "a"],
+        "qts": pd.to_datetime(["2024-01-01 00:00:04", "2024-01-01 00:00:05",
+                               "2024-01-01 00:00:09"]),
+        "px": [1.0, 2.0, 3.0],
+    }), table_name="t_sdk_quotes", force_flush=True)
+
+    # Backward inclusive: latest quote at-or-before each trade.
+    got = rw.fetch(
+        "SELECT t.sym, t.tts, q.px FROM t_sdk_trades t ASOF JOIN t_sdk_quotes q "
+        "ON t.sym = q.sym AND t.tts >= q.qts ORDER BY t.tts"
+    )
+    assert [(r[0], r[2]) for r in got] == [("a", 2.0), ("a", 3.0)]
+
+    # Backward strict: the 00:00:05 quote is no longer eligible for
+    # the 00:00:05 trade.
+    got = rw.fetch(
+        "SELECT t.sym, t.tts, q.px FROM t_sdk_trades t ASOF JOIN t_sdk_quotes q "
+        "ON t.sym = q.sym AND t.tts > q.qts ORDER BY t.tts"
+    )
+    assert [(r[0], r[2]) for r in got] == [("a", 1.0), ("a", 3.0)]
+
+    # Forward inclusive: earliest quote at-or-after each trade. The
+    # 00:00:10 trade has no later quote, so the inner join drops it.
+    got = rw.fetch(
+        "SELECT t.sym, t.tts, q.px FROM t_sdk_trades t ASOF JOIN t_sdk_quotes q "
+        "ON t.sym = q.sym AND t.tts <= q.qts ORDER BY t.tts"
+    )
+    assert [(r[0], r[2]) for r in got] == [("a", 2.0)]
+
+    # LEFT keeps the unmatched 'b' trade with NULL quote.
+    got = rw.fetch(
+        "SELECT t.sym, q.px FROM t_sdk_trades t ASOF LEFT JOIN t_sdk_quotes q "
+        "ON t.sym = q.sym AND t.tts >= q.qts ORDER BY t.sym, t.tts"
+    )
+    assert len(got) == 3
+    assert got[2][0] == "b" and got[2][1] is None
+
+    rw.execute("DROP TABLE t_sdk_trades")
+    rw.execute("DROP TABLE t_sdk_quotes")
+
+
+def test_asof_join_rewrite_rejects_unsupported_terms():
+    from risingwave_py_spark.plans.rewrite import rewrite_asof_join
+
+    with pytest.raises(ValueError, match="inequality"):
+        rewrite_asof_join("SELECT * FROM a x ASOF JOIN b y ON x.k = y.k")
+    with pytest.raises(ValueError, match="equality key"):
+        rewrite_asof_join("SELECT * FROM a x ASOF JOIN b y ON x.t >= y.t")
+    with pytest.raises(ValueError, match="WHERE"):
+        rewrite_asof_join(
+            "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.t >= y.t AND x.z = 1"
+        )
