@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_span_exact",
     "text_quality_scores",
     "ann_cosine_topk",
     "ann_ivf_topk",

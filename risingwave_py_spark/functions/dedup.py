@@ -866,19 +866,22 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate; the scoring join keys on span_hash so AQE handles
     any hot-span skew. This is the standard scalable approximation of
     suffix-array ExactSubstr dedup."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
-    words = F.split(F.col("text"), r"\s+")
+    d = fanout(table(spark, sf_dir, "documents"), parts=8).select(
+        "doc_id", "source", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    # ws is a projected column so the tokenizer runs once per row —
+    # split(...) inside the lambda would re-run per span.
     spans = (
-        d.filter(F.size(words) >= SPAN_TOKENS)
+        d.filter(F.size(F.col("ws")) >= SPAN_TOKENS)
         .select(
             "doc_id",
             "source",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size(split(text, '\\\\s+')) DIV {SPAN_TOKENS} - 1), "
+                    f"transform(sequence(0, size(ws) DIV {SPAN_TOKENS} - 1), "
                     f"i -> "
                     + spark_hash32(
-                        f"array_join(slice(split(text, '\\\\s+'), i*{SPAN_TOKENS}+1, {SPAN_TOKENS}), ' ')"
+                        f"array_join(slice(ws, i*{SPAN_TOKENS}+1, {SPAN_TOKENS}), ' ')"
                     )
                     + ")"
                 )

@@ -622,14 +622,18 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine collapses each partition's duplicates before the single
     shuffle; the top-k cut runs per source partition. Deterministic
     tie-break (count DESC, bigram ASC)."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    d = fanout(table(spark, sf_dir, "documents"), parts=8).select(
+        "source", F.split(F.lower(F.col("text")), r"\s+").alias("ws")
+    )
+    # ws is a projected column: the split runs ONCE per row — putting
+    # split(...) inside the lambda re-evaluates it per element (O(n²)
+    # work per document; measured 6× slower at sf0.1).
     bg = d.select(
         "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(lower(text), '\\\\s+')) - 1), "
-                "i -> concat_ws(' ', element_at(split(lower(text), '\\\\s+'), i), "
-                "element_at(split(lower(text), '\\\\s+'), i + 1)))"
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"
             )
         ).alias("bigram"),
     )

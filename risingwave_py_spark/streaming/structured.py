@@ -452,3 +452,85 @@ def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState: Spark 4's arbitrary-stateful-operator API — the
+# modern successor to applyInPandasWithState (typed state variables,
+# TTL, timers, RocksDB-backed). Used here for RisingWave's core
+# primitive: an always-on incremental aggregation that emits the
+# refreshed row per key on every micro-batch (what `CREATE
+# MATERIALIZED VIEW ... GROUP BY user_id` maintains server-side,
+# /root/reference/risingwave/core.py:453-455).
+# ---------------------------------------------------------------------------
+
+_RUNNING_AGG_OUT = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+)
+
+
+def running_agg_stream(events: DataFrame) -> DataFrame:
+    """Per-user running count/sum via ``transformWithStateInPandas``.
+
+    One ValueState entry per user (RocksDB state store — set
+    ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider before starting the query); each micro-batch folds its
+    Arrow batches into the state and emits the UPDATED aggregate row,
+    exactly the changelog-upsert stream an incremental MV produces.
+
+    100 TB/day shape: state is O(distinct keys), partitioned by the
+    group key across executors; per-batch work is O(batch) with no
+    reshuffle beyond the groupBy exchange. Emission is Update-mode
+    (only touched keys re-emit)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, total = self._agg.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType=_RUNNING_AGG_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
