@@ -241,6 +241,8 @@ class RisingWaveConnection:
             return eng.show_objects(p["what"], p.get("schema"))
         if k in ("SHOW_COLUMNS", "DESCRIBE"):
             return eng.describe(p["name"])
+        if k == "SHOW_CREATE":
+            return eng.show_create(p["name"])
         if k == "EXPLAIN":
             return eng.explain(p["stmt"])
         if k == "CREATE_INDEX":

@@ -435,6 +435,46 @@ class SparkEngine:
         ]
         return ["name", "type"], rows
 
+    def show_create(self, name: str, schema_name: str | None = None):
+        """``SHOW CREATE TABLE|MATERIALIZED VIEW|SOURCE|SINK x`` —
+        reconstructs the object's DDL from the engine catalog, one
+        (name, create_sql) row like the reference server's output."""
+        fq = self.qualify(name, schema_name)
+        if fq in self.mvs:
+            ddl = f"CREATE MATERIALIZED VIEW {fq} AS {self.mvs[fq].stmt}"
+        elif fq in self.sources:
+            props = ", ".join(
+                f"{k} = '{v}'" for k, v in sorted(self.sources[fq].items())
+            )
+            ddl = f"CREATE SOURCE {fq} WITH ({props})"
+        elif fq in self.sinks:
+            props = ", ".join(
+                f"{k} = '{v}'"
+                for k, v in sorted(self.sinks[fq].items())
+                if isinstance(v, str)
+            )
+            ddl = f"CREATE SINK {fq} WITH ({props})"
+        else:
+            _, rows = self.describe(name, schema_name)
+            cols = [f"{n} {t}" for n, t in rows]
+            meta = self.upsert_meta.get(fq)
+            if meta and meta.get("pk"):
+                cols.append(f"PRIMARY KEY ({', '.join(meta['pk'])})")
+            wm = self.watermarks.get(fq)
+            if wm:
+                secs = wm["delay_us"] // 1_000_000
+                cols.append(
+                    f"WATERMARK FOR {wm['col']} AS {wm['col']} "
+                    f"- INTERVAL '{secs} seconds'"
+                )
+            ddl = f"CREATE TABLE {fq} ({', '.join(cols)})"
+            if meta and meta.get("version_col"):
+                ddl += (
+                    " ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN"
+                    f"({meta['version_col']})"
+                )
+        return ["name", "create_sql"], [(fq, ddl)]
+
     def _rewrite_table(self, fq: str, transform) -> None:
         """Stage-and-rename rewrite of a table (same pattern as
         changelog vacuum): no self-overwrite read hazard, and readers

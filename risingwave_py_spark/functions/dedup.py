@@ -106,11 +106,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_MAX_DF; the hot-key guard that keeps the index join O(n·df)
     instead of O(hottest-key²)) → self-join on shingle → |∩| / |∪|.
     Top-20 with a total deterministic order (exact int/int division)."""
-    d = fanout(table(spark, sf_dir, "documents"))
+    d = fanout(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    # ws is a projected column: split() inside the lambda would
+    # re-tokenize per shingle (O(tokens²) per row).
     shingles = F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(split(text, '\\\\s+')) - 2), "
-            "i -> array_join(slice(split(text, '\\\\s+'), i, 3), ' '))"
+            "transform(sequence(1, size(ws) - 2), "
+            "i -> array_join(slice(ws, i, 3), ' '))"
         )
     )
     sh0 = d.select("doc_id", F.explode(shingles).alias("sh"))
@@ -907,4 +911,45 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_spans",
         F.round(frac, 6).alias("dup_fraction"),
         (frac < 0.5).alias("keep"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the hash most production pipelines
+    actually group on: lowercase, strip non-alphanumerics, collapse
+    whitespace, THEN md5. Catches trivially-reformatted copies that
+    raw-byte hashing misses; n_raw_variants counts how many distinct
+    raw texts collapsed into each normalized group.
+
+    100 TB shape: identical to dedup_exact_docs — normalization is a
+    codegen projection, then one two-phase hash aggregate on the
+    16-byte hash. Zero extra shuffles over the raw variant."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(F.md5(norm).alias("norm_hash"), "doc_id", F.md5("text").alias("raw_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
     )

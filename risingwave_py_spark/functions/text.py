@@ -201,10 +201,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash over 5-word shingles (rolling-hash analogue). Shingle
     hashing/min-reduction happens inside codegen via higher-order
     array functions — no explode, no shuffle."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.split(F.col("text"), r"\s+").alias("ws"),
+    )
+    # ws is a projected column: split() inside the lambda would
+    # re-tokenize per shingle (O(tokens²) per row).
     sh = (
-        "transform(sequence(1, size(split(text, '\\\\s+')) - 4), "
-        "i -> " + spark_hash32("array_join(slice(split(text, '\\\\s+'), i, 5), ' ')") + ")"
+        "transform(sequence(1, size(ws) - 4), "
+        "i -> " + spark_hash32("array_join(slice(ws, i, 5), ' ')") + ")"
     )
     return d.select(
         "doc_id",

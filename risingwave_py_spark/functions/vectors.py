@@ -756,3 +756,60 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cluster_id").alias("cluster_id"),
         )
     )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id, e.label,
+               list_sum(list_transform(generate_series(1, len(q.qe)),
+                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(q.qe,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qn,
+               sqrt(list_sum(list_transform(e.embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS en
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id AND e.label % 2 = 0
+    ), scored AS (
+        SELECT query_id, vec_id, label, round(dot / (qn * en), 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(dot / (qn * en), 6) DESC, vec_id) AS rn
+        FROM pairs
+    )
+    SELECT query_id, vec_id, CAST(label AS INT) AS label, cosine, rn AS rank
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (pre-filter strategy): metadata
+    predicate first, cosine top-k only over survivors — the
+    hybrid-search shape every vector store exposes (filter + ANN).
+
+    100 TB shape: the label predicate is pushed to the parquet scan
+    (PushedFilters — no distance math on excluded vectors, and
+    partition/row-group pruning applies when the corpus is laid out
+    by the filter column); the rest is the broadcast-query brute
+    force that anchors recall for the LSH/IVF variants."""
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.filter(F.col("label") % 2 == 0)
+    pairs = (
+        cand.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_spark_dot("qe", "embedding")))
+        .withColumn("qn", F.expr(_spark_norm("qe")))
+        .withColumn("en", F.expr(_spark_norm("embedding")))
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("en")), 6))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine", "rank")
+    )

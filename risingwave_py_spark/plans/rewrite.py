@@ -129,6 +129,14 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        "SHOW_CREATE",
+        re.compile(
+            r"^\s*SHOW\s+CREATE\s+(?:TABLE|MATERIALIZED\s+VIEW|SOURCE|SINK)\s+"
+            r"(?P<name>[\w.]+)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
         "SHOW_COLUMNS",
         re.compile(r"^\s*SHOW\s+COLUMNS\s+FROM\s+(?P<name>[\w.]+)\s*;?\s*$", re.I),
     ),

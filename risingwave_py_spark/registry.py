@@ -78,9 +78,10 @@ PRIORITY: list[str] = [
     # LLM-pipeline: dedup + capstone
     "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_components", "dedup_simhash", "dedup_cross_corpus",
-    "dedup_span_exact", "pipeline_curate_corpus",
+    "dedup_span_exact", "dedup_exact_normalized", "pipeline_curate_corpus",
     # LLM-pipeline: embeddings / ANN
     "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
+    "ann_filtered_topk",
     "embedding_blocked_pairs", "embedding_label_outliers",
     "dedup_embedding_cosine", "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",

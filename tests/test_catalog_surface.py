@@ -125,3 +125,28 @@ def test_create_index_clusters_and_preserves_data(rw):
     rw.execute("DROP INDEX idx_t1_k")
     assert rw.fetch("SHOW INDEXES FROM idx_t1") == []
     rw.execute("DROP TABLE idx_t1")
+
+
+def test_show_create(rw):
+    rw.execute("DROP TABLE IF EXISTS t_cat_sc")
+    rw.execute(
+        "CREATE TABLE t_cat_sc (k INT PRIMARY KEY, v VARCHAR, ver BIGINT) "
+        "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+    )
+    rows = rw.fetch("SHOW CREATE TABLE t_cat_sc")
+    assert rows[0][0] == "public.t_cat_sc"
+    ddl = rows[0][1]
+    assert ddl.startswith("CREATE TABLE public.t_cat_sc (")
+    assert "PRIMARY KEY (k)" in ddl and "VERSION COLUMN(ver)" in ddl
+
+    rw.execute("DROP MATERIALIZED VIEW IF EXISTS mv_cat_sc")
+    rw.execute(
+        "CREATE MATERIALIZED VIEW mv_cat_sc AS "
+        "SELECT k, count(*) AS n FROM t_cat_sc GROUP BY k"
+    )
+    rows = rw.fetch("SHOW CREATE MATERIALIZED VIEW mv_cat_sc")
+    assert rows[0][1].startswith("CREATE MATERIALIZED VIEW public.mv_cat_sc AS")
+    assert "GROUP BY k" in rows[0][1]
+
+    rw.execute("DROP MATERIALIZED VIEW mv_cat_sc")
+    rw.execute("DROP TABLE t_cat_sc")
