@@ -233,3 +233,45 @@ def write_partitioned(df: DataFrame, name: str, partition_cols: str | list[str])
     query over years of data reads one day's files."""
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
     df.write.format("parquet").partitionBy(*cols).mode("overwrite").saveAsTable(name)
+
+
+def zorder_expr(cols: list[str], bits: int = 16) -> "Column":
+    """Z-value (Morton code) of N numeric columns: each column is
+    rank-normalized by the caller to [0, 2^bits) and the bits are
+    interleaved — a codegen fold, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        terms.append(
+            f"aggregate(sequence(0, {bits - 1}), 0L, "
+            f"(acc, i) -> acc | (shiftleft((shiftrightunsigned(CAST({c} AS BIGINT), i) & 1), i * {n} + {j})))"
+        )
+    return F.expr(" | ".join(f"({t})" for t in terms))
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 16, bits: int = 16
+) -> None:
+    """Persist a relation sorted by the Z-value (Morton interleave) of
+    several columns: every output file covers a small HYPER-RECTANGLE
+    of the key space, so min/max footer stats prune files for
+    predicates on ANY of the z-columns — the multi-dimensional
+    generalization of linear sort clustering (which prunes only its
+    leading column). This is the layout lever for a 100 TB fact table
+    queried by several independent dimensions (user, time, score…):
+    Delta/Iceberg OPTIMIZE ZORDER is this exact transform.
+
+    Columns must be non-negative ints fitting in `bits` bits (rank or
+    bucket-encode first). tests/test_scale_layout.py quantifies the
+    pruning against a linear sort on the same data."""
+    z = zorder_expr(cols, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

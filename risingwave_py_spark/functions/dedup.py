@@ -676,8 +676,11 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stage, never shuffled, and the final aggregate is one shuffle
     of (source) partials. This is the query a 100 TB curation run
     executes per snapshot."""
-    d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    # ws projected once per row (split-in-lambda re-evaluates per shingle)
+    words = F.col("ws")
     toks = d.select("doc_id", "source", F.size(words).alias("n_tokens"))
     assign = _component_assignment(spark, sf_dir)
 
@@ -951,5 +954,163 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").alias("n_copies"),
             F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capstone v2: the round-2 curation pipeline — normalized-hash
+# canonicalization → duplicated-span gate → unigram-LM quality gate →
+# per-source yield. Composes dedup_exact_normalized, dedup_span_exact
+# and text_unigram_logprob into ONE query, the way a production
+# curation DAG chains stages over a single corpus snapshot.
+
+_V2_NORM_DUCK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+
+
+_V2_SPAN_TEXT_DUCK = _SPAN_TEXT_DUCK.replace(
+    "regexp_split_to_array(text, '\\s+')", "ws"
+)
+
+
+def _v2_oracle() -> str:
+    span_hash = duck_hash32(_V2_SPAN_TEXT_DUCK)
+    return rf"""
+    WITH base AS (
+        SELECT doc_id, source, text, regexp_split_to_array(text, '\s+') AS ws,
+               {_V2_NORM_DUCK} AS norm_hash
+        FROM documents
+    ), keep1 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY norm_hash ORDER BY doc_id) AS rnk
+            FROM base
+        ) q WHERE rnk = 1
+    ), spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, len(ws) // {SPAN_TOKENS} - 1),
+                   i -> {span_hash}
+               )) AS span_hash
+        FROM keep1 WHERE len(ws) >= {SPAN_TOKENS}
+    ), freq AS (
+        SELECT span_hash, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY span_hash
+    ), dupfrac AS (
+        SELECT s.doc_id,
+               CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_fraction
+        FROM spans s JOIN freq f USING (span_hash) GROUP BY s.doc_id
+    ), keep2 AS (
+        SELECT k.* FROM keep1 k LEFT JOIN dupfrac d USING (doc_id)
+        WHERE COALESCE(d.dup_fraction, 0) < 0.5
+    ), tok AS (
+        SELECT doc_id, source, lower(unnest(ws)) AS w FROM keep2
+    ), vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+    ), scored AS (
+        SELECT t.doc_id, t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               round(SUM(ln(CAST(v.c AS DOUBLE) / tot.n)) / COUNT(*), 6) AS avg_lp
+        FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
+        GROUP BY t.doc_id, t.source
+    ), thresh AS (
+        SELECT round(AVG(avg_lp), 4) AS mean_lp FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           round(AVG(avg_lp), 4) AS avg_quality
+    FROM scored CROSS JOIN thresh
+    WHERE avg_lp >= mean_lp
+    GROUP BY source
+    """
+
+
+@register("pipeline_curate_corpus_v2", oracle=_v2_oracle())
+def pipeline_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 curation capstone, one composed query: (1) NORMALIZED
+    exact dedup (lowercase/strip/collapse hash, min-doc_id survivor),
+    (2) duplicated-span gate (< 50% of 16-token spans shared with
+    another surviving doc), (3) unigram-LM quality gate (per-doc mean
+    token log-probability at or above the surviving corpus's mean),
+    then per-source yield: docs, tokens, mean quality.
+
+    Scale shape: each stage is the proven plan of its standalone
+    operator — codegen normalization + one hash aggregate; span-hash
+    projection + two-phase frequency; token join keyed on the word
+    with a 1-row broadcast total — chained without ever shuffling
+    document text (only hashes, tokens, and per-doc scalars move)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    w1 = Window.partitionBy("norm_hash").orderBy("doc_id")
+    keep1 = (
+        d.withColumn("norm_hash", F.md5(norm))
+        .withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk", "norm_hash", "text")
+    )
+    spans = (
+        keep1.filter(F.size("ws") >= SPAN_TOKENS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) DIV {SPAN_TOKENS} - 1), "
+                    f"i -> "
+                    + spark_hash32(
+                        f"array_join(slice(ws, i*{SPAN_TOKENS}+1, {SPAN_TOKENS}), ' ')"
+                    )
+                    + ")"
+                )
+            ).alias("span_hash"),
+        )
+    )
+    freq = spans.groupBy("span_hash").agg(F.countDistinct("doc_id").alias("df"))
+    dupfrac = (
+        spans.join(freq, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_fraction")
+        )
+    )
+    keep2 = keep1.join(dupfrac, "doc_id", "left").filter(
+        F.coalesce(F.col("dup_fraction"), F.lit(0.0)) < 0.5
+    )
+    tok = keep2.select(
+        "doc_id", "source", F.explode("ws").alias("w0")
+    ).select("doc_id", "source", F.lower("w0").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    scored = (
+        tok.join(vocab, "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(lp) / F.count("*"), 6).alias("avg_lp"),
+        )
+    )
+    thresh = scored.agg(F.round(F.avg("avg_lp"), 4).alias("mean_lp"))
+    return (
+        scored.join(F.broadcast(thresh))
+        .filter(F.col("avg_lp") >= F.col("mean_lp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.round(F.avg("avg_lp"), 4).alias("avg_quality"),
         )
     )

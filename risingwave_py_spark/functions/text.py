@@ -300,8 +300,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train shingle, no shuffle of the training corpus at all. Output:
     per contaminated train doc, how many distinct shingles leaked and
     from how many eval docs."""
-    d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    # ws projected once per row — split() inside the lambda would
+    # re-tokenize per shingle (O(tokens²) per row).
+    words = F.col("ws")
     n = F.size(words)
     shingles = F.when(
         n >= 4,
@@ -406,8 +410,11 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens inside one row — sequence/transform/array_distinct are
     codegen'd higher-order functions, so this is a zero-shuffle linear
     scan at any corpus size; the 3-gram list never leaves the row."""
-    d = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), r"\s+")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("ws")
+    )
+    # ws projected once per row (split-in-lambda re-evaluates per gram)
+    words = F.col("ws")
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), n - F.lit(2)),

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "dedup_exact_docs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_components", "dedup_simhash", "dedup_cross_corpus",
     "dedup_span_exact", "dedup_exact_normalized", "pipeline_curate_corpus",
+    "pipeline_curate_corpus_v2",
     # LLM-pipeline: embeddings / ANN
     "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
     "ann_filtered_topk",

@@ -82,3 +82,67 @@ def test_partitioned_table_prunes(spark, sf_dir):
         assert scan_files < all_files
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout: each parquet file covers a hyper-rectangle of
+    (user_bucket, val_bucket), so footer min/max stats prune files for
+    predicates on EITHER column; a linear sort on user_bucket prunes
+    only its leading column. Quantified against the real footers."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.catalog import table, write_zordered
+
+    BITS, N_FILES = 10, 16
+    # Two uniform, independent 10-bit dimensions derived from the
+    # dense event_id (the fixture's user_id has only ~15 distinct
+    # values at sf0.001 and value is heavily skewed — useless for a
+    # layout experiment).
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % (1 << BITS)).cast("bigint").alias("ub"),
+        ((F.col("event_id") * 2654435761) % (1 << BITS)).cast("bigint").alias("vb"),
+        "event_id",
+    )
+    lin_path, z_path = str(tmp_path / "lin"), str(tmp_path / "zord")
+    (
+        e.repartitionByRange(N_FILES, "ub")
+        .sortWithinPartitions("ub")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    write_zordered(e, z_path, ["ub", "vb"], n_files=N_FILES, bits=BITS)
+
+    def files_overlapping(path: str, col: str, lo: int, hi: int) -> tuple[int, int]:
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   MIN(CAST(stats_min_value AS BIGINT)) AS mn,
+                   MAX(CAST(stats_max_value AS BIGINT)) AS mx
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+            GROUP BY file_name
+            """
+        ).fetchall()
+        total = len(rows)
+        hit = sum(1 for _, mn, mx in rows if mx >= lo and mn <= hi)
+        return hit, total
+
+    # Predicate on the SECONDARY dimension (val bucket range ~10%).
+    lo, hi = 300, 400
+    z_hit, z_total = files_overlapping(z_path, "vb", lo, hi)
+    l_hit, l_total = files_overlapping(lin_path, "vb", lo, hi)
+    # (repartitionByRange may emit slightly fewer than N_FILES when
+    # range boundaries collapse; use the actual file counts.)
+    assert z_total >= N_FILES // 2 and l_total >= N_FILES // 2
+    # Linear-by-user layout: value is uncorrelated, every file spans
+    # the whole val range — no pruning.
+    assert l_hit == l_total
+    # Z-order: only the files whose val-rectangle intersects survive.
+    assert z_hit <= z_total // 2, f"z-order pruned nothing: {z_hit}/{z_total}"
+
+    # Predicate on the LEADING dimension still prunes under z-order.
+    z_hit_u, _ = files_overlapping(z_path, "ub", 0, 100)
+    assert z_hit_u < z_total
