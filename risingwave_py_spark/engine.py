@@ -551,14 +551,57 @@ class SparkEngine:
         self.refresh_info_schema()
 
     def explain(self, stmt: str) -> tuple[list[str], list[tuple]]:
-        """``EXPLAIN <query>`` — the Catalyst physical plan, one line
-        per row (PG's QUERY PLAN shape). EXPLAIN CREATE MATERIALIZED
-        VIEW explains the view's defining query."""
+        """``EXPLAIN [ANALYZE] <query>`` — the Catalyst physical plan,
+        one line per row (PG's QUERY PLAN shape). ANALYZE executes the
+        query and annotates each operator with its runtime SQL metrics
+        (rows, spill, shuffle bytes — RisingWave's EXPLAIN ANALYZE
+        shape). EXPLAIN CREATE MATERIALIZED VIEW explains the view's
+        defining query."""
+        m = re.match(r"^\s*ANALYZE\s+(.+)$", stmt, re.I | re.S)
+        if m:
+            return self._explain_analyze(m.group(1))
         sub = RW.classify(stmt)
         if sub.kind == "CREATE_MV":
             stmt = sub.params["stmt"]
         text = self.sql(f"EXPLAIN {stmt}").collect()[0][0]
         return ["QUERY PLAN"], [(line,) for line in text.rstrip("\n").split("\n")]
+
+    def _explain_analyze(self, stmt: str) -> tuple[list[str], list[tuple]]:
+        """Run the query, then walk the EXECUTED physical plan tree
+        collecting each node's populated SQLMetrics."""
+        sub = RW.classify(stmt)
+        if sub.kind == "CREATE_MV":
+            stmt = sub.params["stmt"]
+        df = self.sql(stmt)
+        df.collect()
+        qe = df._jdf.queryExecution()
+        node = qe.executedPlan()
+        lines: list[tuple[str]] = []
+
+        def walk(n, depth: int) -> None:
+            parts = []
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                v = kv._2().value()
+                if v > 0:
+                    parts.append(f"{kv._1()}={v}")
+            suffix = f"  [{', '.join(sorted(parts))}]" if parts else ""
+            lines.append((("  " * depth) + n.nodeName() + suffix,))
+            # AQE wrappers are leaf-like: descend into their actual
+            # executed subplan.
+            if n.nodeName().startswith("AdaptiveSparkPlan"):
+                walk(n.executedPlan(), depth + 1)
+                return
+            if "QueryStage" in n.nodeName():
+                walk(n.plan(), depth + 1)
+                return
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), depth + 1)
+
+        walk(node, 0)
+        return ["QUERY PLAN"], lines
 
     # -- user-defined functions (SURVEY §2.9; RW embedded-Python UDF) ------
 

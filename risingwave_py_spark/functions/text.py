@@ -657,3 +657,71 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "bigram", "n", "rnk")
     )
+
+
+@register(
+    "corpus_source_drift",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents
+    ), src AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ), src_tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM src GROUP BY source
+    ), corpus AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM src GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM corpus
+    )
+    SELECT s.source,
+           st.n AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           round(SUM((CAST(s.c AS DOUBLE) / st.n)
+                     * ln((CAST(s.c AS DOUBLE) / st.n)
+                          / (CAST(co.cc AS DOUBLE) / tot.nn))), 6) AS kl_divergence
+    FROM src s
+    JOIN src_tot st USING (source)
+    JOIN corpus co USING (w)
+    CROSS JOIN tot
+    GROUP BY s.source, st.n
+    """,
+)
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram ‖ corpus
+    unigram). The data-quality monitor that flags a source whose
+    token distribution has diverged from the corpus — a scraper gone
+    wrong, a language shift, template pollution — before it trains.
+
+    100 TB shape: two chained two-phase aggregates ((source, w) then
+    w), one join keyed on the token (AQE handles the stop-word head),
+    a 1-row broadcast total; KL folds per source in the final
+    aggregate. Token text never leaves the (source, w, count)
+    relation."""
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    tok = d.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    )
+    src = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    src_tot = src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = src.groupBy("w").agg(F.sum("c").alias("cc"))
+    tot = corpus.agg(F.sum("cc").alias("nn"))
+    p_s = F.col("c").cast("double") / F.col("n")
+    p_c = F.col("cc").cast("double") / F.col("nn")
+    return (
+        src.join(src_tot, "source")
+        .join(corpus, "w")
+        .join(F.broadcast(tot))
+        .groupBy("source", "n")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 6).alias("kl_divergence"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "vocab_size",
+            "kl_divergence",
+        )
+    )

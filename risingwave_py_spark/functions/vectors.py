@@ -813,3 +813,111 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN: probe a NEW embedding batch against the stored
+# corpus's IVF cells — the vector twin of dedup_cross_corpus. Only
+# O(new batch) work per increment: the existing corpus's cell
+# assignment is the persisted index; existing × existing pairs are
+# never recomputed.
+
+INC_NEW_MOD = 10  # vec_id % 10 >= 8 → the "new batch"
+INC_TOP = 3
+
+
+@register(
+    "ann_incremental_probe",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS ce
+        FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+    ), existing AS (
+        SELECT * FROM embeddings WHERE vec_id % {INC_NEW_MOD} < 8
+    ), newbatch AS (
+        SELECT * FROM embeddings WHERE vec_id % {INC_NEW_MOD} >= 8
+    ), cells AS (
+        SELECT vec_id, embedding, cell_id FROM (
+            SELECT e.vec_id, e.embedding, c.cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({_duck_cos('e.embedding', 'c.ce')}, 6) DESC, c.cell_id) AS rn
+            FROM existing e, cents c
+        ) q WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qe, cell_id FROM (
+            SELECT n.vec_id AS query_id, n.embedding AS qe, c.cell_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY round({_duck_cos('n.embedding', 'c.ce')}, 6) DESC, c.cell_id) AS rn
+            FROM newbatch n, cents c
+        ) q WHERE rn <= {N_PROBE}
+    ), cand AS (
+        SELECT p.query_id AS new_vec_id, c.vec_id AS match_vec_id,
+               round({_duck_cos('p.qe', 'c.embedding')}, 6) AS cosine
+        FROM probes p JOIN cells c ON c.cell_id = p.cell_id
+    )
+    SELECT new_vec_id, match_vec_id, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY new_vec_id
+              ORDER BY cosine DESC, match_vec_id) AS rn FROM cand)
+    WHERE rn <= {INC_TOP}
+    """,
+)
+def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental vector-index maintenance: a new embedding batch
+    (vec_id % 10 >= 8 plays the day's ingest) probes the EXISTING
+    corpus's IVF cells — nearest N_PROBE cells per new vector, cosine
+    only against those cells' existing members, top-3 matches each.
+
+    100 TB shape: per increment the work is O(|new| · corpus/cells ·
+    nprobe) — the stored cell assignment is the index (a persisted
+    table in production); the corpus is never re-scanned against
+    itself. Same plan family as dedup_cross_corpus for text."""
+    from pyspark.sql import Window as W
+
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    cents = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
+    )
+    is_new = (F.col("vec_id") % INC_NEW_MOD) >= 8
+    cos_ce = F.round(
+        F.expr(_spark_dot("embedding", "ce"))
+        / (F.expr(_spark_norm("embedding")) * F.expr(_spark_norm("ce"))),
+        6,
+    )
+    by_vec = W.partitionBy("vec_id").orderBy(F.desc("__cos"), "cell_id")
+    cells = (
+        e.filter(~is_new)
+        .join(F.broadcast(cents))
+        .withColumn("__cos", cos_ce)
+        .withColumn("__rn", F.row_number().over(by_vec))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    probes = (
+        e.filter(is_new)
+        .join(F.broadcast(cents))
+        .withColumn("__cos", cos_ce)
+        .withColumn("__rn", F.row_number().over(by_vec))
+        .filter(F.col("__rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("new_vec_id"),
+            F.col("embedding").alias("qe"),
+            "cell_id",
+        )
+    )
+    cand = cells.join(probes, "cell_id").select(
+        "new_vec_id",
+        F.col("vec_id").alias("match_vec_id"),
+        F.round(
+            F.expr(_spark_dot("qe", "embedding"))
+            / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+            6,
+        ).alias("cosine"),
+    )
+    by_new = W.partitionBy("new_vec_id").orderBy(F.desc("cosine"), "match_vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(by_new))
+        .filter(F.col("rank") <= INC_TOP)
+        .select("new_vec_id", "match_vec_id", "cosine", "rank")
+    )

@@ -82,14 +82,14 @@ PRIORITY: list[str] = [
     "pipeline_curate_corpus_v2",
     # LLM-pipeline: embeddings / ANN
     "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
-    "ann_filtered_topk",
+    "ann_filtered_topk", "ann_incremental_probe",
     "embedding_blocked_pairs", "embedding_label_outliers",
     "dedup_embedding_cosine", "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",
     # LLM-pipeline: text analysis + sampling (representatives)
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     "text_pack_sequences", "corpus_mixture_plan",
-    "text_unigram_logprob", "heavy_hitter_bigrams",
+    "text_unigram_logprob", "heavy_hitter_bigrams", "corpus_source_drift",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation
     "agg_filtered_conditional",
     # rewritten this round — needs driver re-validation

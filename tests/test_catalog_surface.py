@@ -150,3 +150,23 @@ def test_show_create(rw):
 
     rw.execute("DROP MATERIALIZED VIEW mv_cat_sc")
     rw.execute("DROP TABLE t_cat_sc")
+
+
+def test_explain_analyze_reports_runtime_metrics(rw):
+    rw.execute("DROP TABLE IF EXISTS t_cat_ea")
+    rw.insert(
+        pd.DataFrame({"k": [1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0]}),
+        table_name="t_cat_ea",
+        force_flush=True,
+    )
+    rows = rw.fetch("EXPLAIN ANALYZE SELECT k, sum(v) AS s FROM t_cat_ea GROUP BY k")
+    text = "\n".join(r[0] for r in rows)
+    # the plan ran: per-operator metrics are populated
+    assert "numOutputRows=" in text
+    assert "HashAggregate" in text and "Scan parquet" in text
+    # plain EXPLAIN still returns the unexecuted plan
+    plain = "\n".join(
+        r[0] for r in rw.fetch("EXPLAIN SELECT k FROM t_cat_ea")
+    )
+    assert "numOutputRows=" not in plain
+    rw.execute("DROP TABLE t_cat_ea")
