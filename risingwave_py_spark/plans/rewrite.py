@@ -636,6 +636,26 @@ def rewrite_asof_join(sql: str) -> str:
     return _ASOF.sub(sub, sql)
 
 
+# PG regex-match operators: `expr ~ 'pat'` and friends. Only the
+# literal-RHS shape is rewritten (the one the reference's users write);
+# `~*` injects (?i) into the pattern. LHS is a column/qualified name
+# or a simple call — anything fancier should spell RLIKE directly.
+_PG_REGEX_OP = re.compile(
+    r"(?P<lhs>[\w.]+(?:\([^()]*\))?)\s+(?P<op>!?~\*?)\s+(?P<pat>'(?:[^']|'')*')"
+)
+
+
+def rewrite_pg_regex_ops(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        lhs, op, pat = m.group("lhs"), m.group("op"), m.group("pat")
+        if op.endswith("*"):
+            pat = "'(?i)" + pat[1:]
+        expr = f"{lhs} RLIKE {pat}"
+        return f"NOT ({expr})" if op.startswith("!") else expr
+
+    return _PG_REGEX_OP.sub(sub, sql)
+
+
 def rewrite_version(sql: str, version_string: str) -> str:
     return re.sub(r"\bversion\s*\(\s*\)", f"'{version_string}'", sql, flags=re.I)
 
@@ -679,6 +699,7 @@ def rewrite_query(sql: str, version_string: str) -> str:
     sql = rewrite_tumble(sql)
     sql = rewrite_hop(sql)
     sql = rewrite_asof_join(sql)
+    sql = rewrite_pg_regex_ops(sql)
     sql = rewrite_version(sql, version_string)
     sql = rewrite_json_ops(sql)
     sql = rewrite_information_schema(sql)

@@ -238,3 +238,24 @@ def test_asof_join_rewrite_rejects_unsupported_terms():
         rewrite_asof_join(
             "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.t >= y.t AND x.z = 1"
         )
+
+
+def test_pg_regex_operators(rw):
+    """PG `~` / `!~` / `~*` / `!~*` regex-match operators through the
+    dialect pass; ILIKE and `::` casts are native in Spark 4."""
+    rw.execute("DROP TABLE IF EXISTS t_sdk_rx")
+    rw.insert(data=pd.DataFrame({"s": ["Alpha", "beta", "gamma"]}),
+              table_name="t_sdk_rx", force_flush=True)
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s ~ '^b' ORDER BY s") == [("beta",)]
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s ~* '^a' ORDER BY s") == [("Alpha",)]
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s !~ 'a' ORDER BY s") == []
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s !~* '^[ab]' ORDER BY s") == [("gamma",)]
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s ILIKE 'alpha' ORDER BY s") == [("Alpha",)]
+    # a lone '~' inside a string literal is untouched
+    assert rw.fetch("SELECT '~' AS tilde") == [("~",)]
+    rw.execute("DROP TABLE t_sdk_rx")
