@@ -224,3 +224,68 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS qty_nulls,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS qty_distinct,
+               CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_min,
+               CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS qty_max,
+               CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS ship_nulls,
+               CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS ship_distinct,
+               CAST(MIN(l_shipdate) AS VARCHAR) AS ship_min,
+               CAST(MAX(l_shipdate) AS VARCHAR) AS ship_max,
+               CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS rf_nulls,
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS rf_distinct,
+               MIN(l_returnflag) AS rf_min,
+               MAX(l_returnflag) AS rf_max
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS column_name, n_rows, qty_nulls AS n_nulls,
+           qty_distinct AS n_distinct, qty_min AS min_value, qty_max AS max_value
+    FROM s
+    UNION ALL
+    SELECT 'l_shipdate', n_rows, ship_nulls, ship_distinct, ship_min, ship_max FROM s
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, rf_nulls, rf_distinct, rf_min, rf_max FROM s
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the pre-training data-validation step — what
+    DuckDB spells SUMMARIZE): per-column null count, exact distinct
+    count, min and max, computed in ONE scan and unpivoted to a long
+    (column, stats) shape with stack().
+
+    100 TB shape: a single aggregate over one pass of the table —
+    COUNT(DISTINCT) expands to Spark's expand+two-phase plan (swap to
+    approx_count_distinct when exactness isn't the contract); the
+    stack unpivot is a projection of the 1-row aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("l_quantity")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_distinct"),
+        F.min("l_quantity").cast("decimal(18,2)").cast("string").alias("qty_min"),
+        F.max("l_quantity").cast("decimal(18,2)").cast("string").alias("qty_max"),
+        (F.count("*") - F.count("l_shipdate")).alias("ship_nulls"),
+        F.countDistinct("l_shipdate").alias("ship_distinct"),
+        F.min("l_shipdate").cast("string").alias("ship_min"),
+        F.max("l_shipdate").cast("string").alias("ship_max"),
+        (F.count("*") - F.count("l_returnflag")).alias("rf_nulls"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+    )
+    return s.select(
+        F.expr(
+            "stack(3, "
+            "'l_quantity', n_rows, qty_nulls, qty_distinct, qty_min, qty_max, "
+            "'l_shipdate', n_rows, ship_nulls, ship_distinct, ship_min, ship_max, "
+            "'l_returnflag', n_rows, rf_nulls, rf_distinct, rf_min, rf_max) "
+            "AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

@@ -90,6 +90,7 @@ PRIORITY: list[str] = [
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     "text_pack_sequences", "corpus_mixture_plan",
     "text_unigram_logprob", "heavy_hitter_bigrams", "corpus_source_drift",
+    "profile_lineitem",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation
     "agg_filtered_conditional",
     # rewritten this round — needs driver re-validation
