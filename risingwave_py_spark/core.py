@@ -237,6 +237,9 @@ class RisingWaveConnection:
             eng.rename_table(p["name"], p["new"])
             self._invalidate_insert_ctx(p["name"])
             return None
+        if k == "ALTER_MV_RENAME":
+            eng.rename_mv(p["name"], p["new"])
+            return None
         if k == "SHOW_OBJECTS":
             return eng.show_objects(p["what"], p.get("schema"))
         if k in ("SHOW_COLUMNS", "DESCRIBE"):

@@ -550,6 +550,34 @@ class SparkEngine:
                 cur["rel"] = new_fq
         self.refresh_info_schema()
 
+    def rename_mv(self, name: str, new_name: str,
+                  schema_name: str | None = None) -> None:
+        """``ALTER MATERIALIZED VIEW mv RENAME TO mv2`` — renames the
+        result table + changelog and re-keys the MV state;
+        subscriptions/cursors on the MV follow the rename. The
+        DEFINING statement is untouched (it references base tables)."""
+        fq = self.qualify(name, schema_name)
+        new_fq = self.qualify(new_name, schema_name)
+        if fq not in self.mvs:
+            raise RuntimeError(f"{fq} is not a materialized view")
+        if _split_fq(fq)[0] != _split_fq(new_fq)[0]:
+            raise RuntimeError("RENAME cannot move an MV across schemas")
+        with self._lock:
+            self.spark.sql(f"ALTER TABLE {fq} RENAME TO {new_fq}")
+            cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
+            if self.spark.catalog.tableExists(cl):
+                self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+            state = self.mvs.pop(fq)
+            state.fq = new_fq
+            self.mvs[new_fq] = state
+        for sub in self.subscriptions.values():
+            if sub["rel"] == fq:
+                sub["rel"] = new_fq
+        for cur in self.cursors.values():
+            if cur["rel"] == fq:
+                cur["rel"] = new_fq
+        self.refresh_info_schema()
+
     def explain(self, stmt: str) -> tuple[list[str], list[tuple]]:
         """``EXPLAIN [ANALYZE] <query>`` — the Catalyst physical plan,
         one line per row (PG's QUERY PLAN shape). ANALYZE executes the

@@ -122,6 +122,14 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        "ALTER_MV_RENAME",
+        re.compile(
+            r"^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.]+)\s+"
+            r"RENAME\s+TO\s+(?P<new>[\w.]+)\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
         "ALTER_RENAME",
         re.compile(
             r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+RENAME\s+TO\s+(?P<new>[\w.]+)\s*;?\s*$",

@@ -170,3 +170,21 @@ def test_explain_analyze_reports_runtime_metrics(rw):
     )
     assert "numOutputRows=" not in plain
     rw.execute("DROP TABLE t_cat_ea")
+
+
+def test_alter_mv_rename(rw):
+    rw.execute("DROP TABLE IF EXISTS t_cat_mvr")
+    rw.insert(pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}),
+              table_name="t_cat_mvr", force_flush=True)
+    rw.execute("DROP MATERIALIZED VIEW IF EXISTS mv_cat_r1")
+    rw.execute("CREATE MATERIALIZED VIEW mv_cat_r1 AS "
+               "SELECT k, sum(v) AS s FROM t_cat_mvr GROUP BY k")
+    rw.execute("ALTER MATERIALIZED VIEW mv_cat_r1 RENAME TO mv_cat_r2")
+    assert not rw.check_exist("mv_cat_r1")
+    assert sorted(rw.fetch("SELECT * FROM mv_cat_r2")) == [(1, 3.0), (2, 3.0)]
+    # the renamed MV still refreshes on flush
+    rw.insert(pd.DataFrame({"k": [2], "v": [7.0]}),
+              table_name="t_cat_mvr", force_flush=True)
+    assert sorted(rw.fetch("SELECT * FROM mv_cat_r2")) == [(1, 3.0), (2, 10.0)]
+    rw.execute("DROP MATERIALIZED VIEW mv_cat_r2")
+    rw.execute("DROP TABLE t_cat_mvr")
