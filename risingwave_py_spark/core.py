@@ -246,6 +246,11 @@ class RisingWaveConnection:
             return eng.describe(p["name"])
         if k == "SHOW_CREATE":
             return eng.show_create(p["name"])
+        if k == "SET_VAR":
+            eng.set_var(p.get("key") or "timezone", p.get("val") or p.get("tz") or "")
+            return None
+        if k == "SHOW_VAR":
+            return eng.show_var(p["key"])
         if k == "EXPLAIN":
             return eng.explain(p["stmt"])
         if k == "CREATE_INDEX":

@@ -435,6 +435,35 @@ class SparkEngine:
         ]
         return ["name", "type"], rows
 
+    def set_var(self, key: str, val: str) -> None:
+        """PG/RW ``SET key TO value`` (and ``SET TIME ZONE x``).
+        timezone maps to the Spark session timezone; other variables
+        are session-scoped entries readable back via SHOW."""
+        val = val.strip().strip("'\"")
+        key_norm = key.strip().lower().replace(" ", "")
+        if key_norm in ("timezone", "time.zone"):
+            self.spark.conf.set("spark.sql.session.timeZone", val)
+            key_norm = "timezone"
+        elif key.strip().lower().startswith("spark."):
+            # a Spark conf spelled through the PG grammar still lands
+            # on the session conf
+            self.spark.conf.set(key.strip(), val)
+        if not hasattr(self, "session_vars"):
+            self.session_vars: dict[str, str] = {}
+        self.session_vars[key_norm] = val
+
+    def show_var(self, key: str):
+        """``SHOW key`` — one row, one column named after the variable."""
+        key_norm = key.strip().lower().replace(" ", "")
+        if key_norm in ("timezone", "time.zone"):
+            return ["TimeZone"], [
+                (self.spark.conf.get("spark.sql.session.timeZone"),)
+            ]
+        vars_ = getattr(self, "session_vars", {})
+        if key_norm not in vars_:
+            raise RuntimeError(f"unrecognized configuration parameter {key!r}")
+        return [key_norm], [(vars_[key_norm],)]
+
     def show_create(self, name: str, schema_name: str | None = None):
         """``SHOW CREATE TABLE|MATERIALIZED VIEW|SOURCE|SINK x`` —
         reconstructs the object's DDL from the engine catalog, one

@@ -137,6 +137,14 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         ),
     ),
     (
+        "SET_VAR",
+        re.compile(
+            r"^\s*SET\s+(?:SESSION\s+)?(?:(?:TIME\s+ZONE\s+(?P<tz>.+?))|"
+            r"(?P<key>[\w.]+)\s+(?:TO|=)\s+(?P<val>.+?))\s*;?\s*$",
+            re.I,
+        ),
+    ),
+    (
         "SHOW_CREATE",
         re.compile(
             r"^\s*SHOW\s+CREATE\s+(?:TABLE|MATERIALIZED\s+VIEW|SOURCE|SINK)\s+"
@@ -243,6 +251,12 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
             r"(?P<rest>(VALUES|SELECT)\s+.*?)(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
             re.I | re.S,
         ),
+    ),
+    # LAST: single-word SHOW falls through to a session variable only
+    # after every specific SHOW form above has had its chance.
+    (
+        "SHOW_VAR",
+        re.compile(r"^\s*SHOW\s+(?P<key>TIME\s+ZONE|[\w.]+)\s*;?\s*$", re.I),
     ),
 ]
 

@@ -188,3 +188,30 @@ def test_alter_mv_rename(rw):
     assert sorted(rw.fetch("SELECT * FROM mv_cat_r2")) == [(1, 3.0), (2, 10.0)]
     rw.execute("DROP MATERIALIZED VIEW mv_cat_r2")
     rw.execute("DROP TABLE t_cat_mvr")
+
+
+def test_session_variables(rw, spark):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        rw.execute("SET TIME ZONE 'America/New_York'")
+        assert rw.fetch("SHOW TIME ZONE") == [("America/New_York",)]
+        rw.execute("SET timezone TO 'UTC'")
+        assert rw.fetch("SHOW timezone") == [("UTC",)]
+        rw.execute("SET application_name TO 'curator'")
+        assert rw.fetch("SHOW application_name") == [("curator",)]
+        with pytest.raises(Exception, match="unrecognized"):
+            rw.fetch("SHOW no_such_variable")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_plain_view_passthrough(rw):
+    """Non-materialized CREATE VIEW passes through to Spark and stays
+    out of SHOW TABLES (views aren't tables)."""
+    rw.execute("DROP TABLE IF EXISTS t_cat_pv")
+    rw.insert(pd.DataFrame({"k": [1, 2]}), table_name="t_cat_pv", force_flush=True)
+    rw.execute("CREATE VIEW v_cat_pv AS SELECT k * 10 AS k10 FROM t_cat_pv")
+    assert sorted(rw.fetch("SELECT * FROM v_cat_pv")) == [(10,), (20,)]
+    assert ("v_cat_pv",) not in rw.fetch("SHOW TABLES")
+    rw.execute("DROP VIEW v_cat_pv")
+    rw.execute("DROP TABLE t_cat_pv")
