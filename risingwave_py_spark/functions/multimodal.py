@@ -203,3 +203,126 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 4) -> D
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image pipeline over an uncompressed raw format ("RAW1":
+# magic + <u16 width><u16 height><u8 channels> + w*h*c pixel bytes —
+# the same family as PPM/BMP). Unlike the disclosed fake above, every
+# step here is genuine: the payload is real bytes, decode really
+# parses the header and reshapes the buffer, resize is real
+# nearest-neighbor sampling, and the per-channel means are computed
+# from the resized pixels. The synthetic pixel function has a closed
+# form, so the WHOLE pipeline is DuckDB-oracle-checked end to end —
+# no rows-only concession.
+
+import struct
+
+RAW1_MAGIC = b"RAW1"
+RAW1_H = 32  # source height; width varies 32/48/64 by doc_id % 3
+RESIZE_TO = 16
+
+
+def encode_raw1(doc_id: int) -> bytes:
+    """Synthesize a deterministic RAW1 image for a doc: pixel(y,x,c) =
+    (3x + 7y + 11c + doc_id) mod 256 — real bytes with a real header."""
+    import numpy as np
+
+    w = 32 + (doc_id % 3) * 16
+    h = RAW1_H
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    px = ((3 * x + 7 * y + 11 * c + doc_id) % 256).astype(np.uint8)
+    return RAW1_MAGIC + struct.pack("<HHB", w, h, 3) + px.tobytes()
+
+
+def decode_raw1(payload: bytes):
+    """Parse a RAW1 payload into (H, W, C) uint8 — a real binary-format
+    decoder (magic check, header unpack, buffer reshape)."""
+    import numpy as np
+
+    if payload[:4] != RAW1_MAGIC:
+        raise ValueError("not a RAW1 payload")
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    arr = np.frombuffer(payload[9:], dtype=np.uint8)
+    if arr.size != w * h * c:
+        raise ValueError("truncated RAW1 payload")
+    return arr.reshape(h, w, c)
+
+
+def resize_nearest(arr, out_h: int, out_w: int):
+    """Nearest-neighbor resize by index sampling (what PIL's NEAREST
+    does): src row/col = floor(dst_index * src_extent / dst_extent)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    iy = (np.arange(out_h) * h) // out_h
+    ix = (np.arange(out_w) * w) // out_w
+    return arr[iy][:, ix]
+
+
+@register(
+    "multimodal_image_pipeline",
+    oracle=f"""
+    WITH g AS (
+        SELECT unnest(generate_series(0, {RESIZE_TO - 1})) AS i
+    ), d AS (
+        SELECT doc_id,
+               CAST(32 + (doc_id % 3) * 16 AS BIGINT) AS w,
+               CAST({RAW1_H} AS BIGINT) AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h,
+               (gx.i * d.w) // {RESIZE_TO} AS sx,
+               (gy.i * d.h) // {RESIZE_TO} AS sy
+        FROM d, g gx, g gy
+    )
+    SELECT doc_id, w AS width, h AS height, 3 AS channels,
+           round(AVG(CAST((sx*3 + sy*7 + doc_id) % 256 AS DOUBLE)), 4) AS mean_c0,
+           round(AVG(CAST((sx*3 + sy*7 + 11 + doc_id) % 256 AS DOUBLE)), 4) AS mean_c1,
+           round(AVG(CAST((sx*3 + sy*7 + 22 + doc_id) % 256 AS DOUBLE)), 4) AS mean_c2
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → resize → featurize, all real: RAW1 bytes are
+    synthesized per doc, PARSED back (magic/header/reshape), resized
+    16×16 nearest-neighbor, and reduced to per-channel means — the
+    image-preprocessing DAG of a multimodal training pipeline, with
+    the closed-form pixel function making it fully oracle-checked.
+
+    100 TB shape: one `mapInPandas` stage — Arrow batches of binary
+    in, flat feature rows out, zero shuffle; bytes never reach the
+    driver. Swap encode_raw1 for a parquet binary column and
+    decode_raw1 for PIL/torchvision and nothing else changes."""
+    out_schema = (
+        "doc_id long, width long, height long, channels int, "
+        "mean_c0 double, mean_c1 double, mean_c2 double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                payload = encode_raw1(int(doc_id))
+                img = decode_raw1(payload)
+                h, w, c = img.shape
+                small = resize_nearest(img, RESIZE_TO, RESIZE_TO)
+                means = small.astype(np.float64).mean(axis=(0, 1))
+                rows.append(
+                    (int(doc_id), w, h, c,
+                     round(float(means[0]), 4),
+                     round(float(means[1]), 4),
+                     round(float(means[2]), 4))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels",
+                         "mean_c0", "mean_c1", "mean_c2"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(run, schema=out_schema)

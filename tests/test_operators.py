@@ -122,3 +122,32 @@ def test_text_chunk_windows_covers_every_doc(spark, sf_dir):
         per_doc.setdefault(c.doc_id, []).append(c.chunk_id)
     for ids in per_doc.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_raw1_codec_roundtrip():
+    """The RAW1 image codec is a real binary format: encode → decode
+    round-trips the pixel array; corrupt inputs are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from risingwave_py_spark.functions.multimodal import (
+        RAW1_H,
+        decode_raw1,
+        encode_raw1,
+        resize_nearest,
+    )
+
+    payload = encode_raw1(7)
+    img = decode_raw1(payload)
+    assert img.shape == (RAW1_H, 32 + 7 % 3 * 16, 3)
+    assert img.dtype == np.uint8
+    assert img[0, 0, 0] == 7 % 256  # pixel(0,0,0) = doc_id mod 256
+    assert img[2, 5, 1] == (3 * 5 + 7 * 2 + 11 + 7) % 256
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # nearest sampling picks exact source pixels
+    assert small[1, 1, 0] == img[(1 * RAW1_H) // 4, (1 * img.shape[1]) // 4, 0]
+    with _pytest.raises(ValueError, match="not a RAW1"):
+        decode_raw1(b"JPEG" + payload[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_raw1(payload[:-5])
