@@ -218,6 +218,16 @@ def sample_frames(df: DataFrame, every_s: float = 1.0, max_frames: int = 4) -> D
 
 import struct
 
+
+def _round_half_up(x: float, nd: int) -> float:
+    """SQL ROUND semantics (HALF_UP) — Python's round() is banker's
+    rounding and diverges from both engines on exact ties."""
+    import math
+
+    m = 10 ** nd
+    return math.floor(x * m + 0.5) / m
+
+
 RAW1_MAGIC = b"RAW1"
 RAW1_H = 32  # source height; width varies 32/48/64 by doc_id % 3
 RESIZE_TO = 16
@@ -314,14 +324,125 @@ def multimodal_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 means = small.astype(np.float64).mean(axis=(0, 1))
                 rows.append(
                     (int(doc_id), w, h, c,
-                     round(float(means[0]), 4),
-                     round(float(means[1]), 4),
-                     round(float(means[2]), 4))
+                     _round_half_up(float(means[0]), 4),
+                     _round_half_up(float(means[1]), 4),
+                     _round_half_up(float(means[2]), 4))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "channels",
                          "mean_c0", "mean_c1", "mean_c2"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio pipeline over raw PCM ("PCM1": magic + <u32 n><u16 rate>
+# + int16-LE samples — a WAV data chunk without the RIFF wrapper).
+# Same contract as the image pipeline: real bytes, real header parse,
+# real decimation resample, real RMS/zero-crossing features, and a
+# closed-form sample function so DuckDB checks the whole chain.
+
+PCM1_MAGIC = b"PCM1"
+PCM1_RATE = 16000
+PCM1_DECIMATE = 4
+
+
+def _pcm1_params(doc_id: int) -> tuple[int, int]:
+    """(n_samples, sawtooth step) for a doc's synthetic signal."""
+    return 2048 + (doc_id % 4) * 512, doc_id % 7 + 1
+
+
+def encode_pcm1(doc_id: int) -> bytes:
+    """Synthesize a deterministic PCM1 clip: s[i] = ((i*k) mod 2000)
+    - 1000 — an integer sawtooth with doc-dependent pitch."""
+    import numpy as np
+
+    n, k = _pcm1_params(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    s = ((i * k) % 2000 - 1000).astype(np.int16)
+    return PCM1_MAGIC + struct.pack("<IH", n, PCM1_RATE) + s.tobytes()
+
+
+def decode_pcm1(payload: bytes):
+    """Parse a PCM1 payload into (samples int16 array, sample_rate)."""
+    import numpy as np
+
+    if payload[:4] != PCM1_MAGIC:
+        raise ValueError("not a PCM1 payload")
+    n, rate = struct.unpack("<IH", payload[4:10])
+    s = np.frombuffer(payload[10:], dtype="<i2")
+    if s.size != n:
+        raise ValueError("truncated PCM1 payload")
+    return s, rate
+
+
+@register(
+    "multimodal_audio_pipeline",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(2048 + (doc_id % 4) * 512 AS BIGINT) AS n,
+               doc_id % 7 + 1 AS k
+        FROM documents
+    ), dec AS (
+        SELECT d.doc_id, d.n, d.k, t.i,
+               ((t.i * {PCM1_DECIMATE}) * d.k) % 2000 - 1000 AS s
+        FROM d, LATERAL (SELECT unnest(generate_series(0, d.n // {PCM1_DECIMATE} - 1)) AS i) t
+    ), flags AS (
+        SELECT doc_id, n, s,
+               CASE WHEN (s >= 0) <>
+                   (lead(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                   THEN 1.0 ELSE 0.0 END AS chg
+        FROM dec
+    ), feat AS (
+        SELECT doc_id, n,
+               CAST(COUNT(*) AS BIGINT) AS n_decimated,
+               round(sqrt(AVG(CAST(s AS DOUBLE) * s)), 4) AS rms,
+               round(SUM(chg) / COUNT(*), 4) AS zcr_frac
+        FROM flags GROUP BY doc_id, n
+    )
+    SELECT doc_id, CAST({PCM1_RATE} AS INT) AS sample_rate, n AS n_samples,
+           n_decimated, rms, zcr_frac,
+           round(CAST(n AS DOUBLE) / {PCM1_RATE}, 6) AS duration_s
+    FROM feat
+    """,
+)
+def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → decimate → featurize for audio: PCM1 bytes
+    parsed back to int16 samples, decimated 4× (the cheap resample),
+    then RMS and zero-crossing-rate — the standard audio-quality
+    features a speech pipeline gates on. Closed-form signal ⇒ DuckDB
+    verifies decode + resample + both features exactly.
+
+    100 TB shape: one mapInPandas stage, zero shuffle."""
+    out_schema = (
+        "doc_id long, sample_rate int, n_samples long, n_decimated long, "
+        "rms double, zcr_frac double, duration_s double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                s, rate = decode_pcm1(encode_pcm1(int(doc_id)))
+                dec = s[::PCM1_DECIMATE].astype(np.float64)
+                rms = float(np.sqrt((dec * dec).mean()))
+                nn = (dec >= 0).astype(np.int8)
+                zcr = float((nn[1:] != nn[:-1]).sum()) / dec.size
+                rows.append(
+                    (int(doc_id), rate, int(s.size), int(dec.size),
+                     _round_half_up(rms, 4), _round_half_up(zcr, 4),
+                     _round_half_up(s.size / rate, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "n_decimated",
+                         "rms", "zcr_frac", "duration_s"],
             )
 
     d = table(spark, sf_dir, "documents").select("doc_id")

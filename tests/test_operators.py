@@ -151,3 +151,25 @@ def test_raw1_codec_roundtrip():
         decode_raw1(b"JPEG" + payload[4:])
     with _pytest.raises(ValueError, match="truncated"):
         decode_raw1(payload[:-5])
+
+
+def test_pcm1_codec_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+
+    from risingwave_py_spark.functions.multimodal import (
+        PCM1_RATE,
+        decode_pcm1,
+        encode_pcm1,
+    )
+
+    payload = encode_pcm1(9)
+    s, rate = decode_pcm1(payload)
+    assert rate == PCM1_RATE
+    n, k = 2048 + (9 % 4) * 512, 9 % 7 + 1
+    assert s.size == n and s.dtype == np.int16
+    assert s[0] == -1000 and s[1] == (k % 2000) - 1000
+    with _pytest.raises(ValueError, match="not a PCM1"):
+        decode_pcm1(b"WAVE" + payload[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pcm1(payload[:-2])
