@@ -6,15 +6,22 @@ decode / feature-extraction runs as Arrow-batched Pandas UDFs via
 ``mapInPandas`` so bytes stream through executors without ever
 concentrating on the driver.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic fake behind ``decode_payload`` (clearly marked; swap in
-PIL/torchaudio in production). Everything Spark-side — schema,
-binary columns, partitioning, UDF signatures, Arrow batch shapes —
-is real and tested.
+Two tiers live here:
+
+  * REAL pipelines over uncompressed formats (RAW1 images, PCM1
+    audio, VID1 video — all defined below): genuine binary codecs
+    (magic check, header unpack, buffer reshape), real resize/
+    decimate/frame-sample kernels in numpy, and closed-form synthetic
+    payloads so the ENTIRE encode→decode→transform→featurize chain is
+    DuckDB-oracle-checked.
+  * A disclosed FAKE kernel (``decode_payload``) standing in for
+    compressed-format codecs (JPEG/FLAC/H.264) whose libraries
+    (PIL/torchaudio/pyav) are not in this container — swap the kernel
+    body, nothing else changes.
 
 The fixture has no binary column, so payloads are synthesized
-deterministically from ``documents.text`` (utf-8 bytes): stable
-inputs → oracle-checkable metadata and rows-only-checkable features.
+deterministically (from text bytes or doc_id): stable inputs →
+oracle-checkable outputs.
 """
 
 from __future__ import annotations
@@ -443,6 +450,110 @@ def multimodal_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=["doc_id", "sample_rate", "n_samples", "n_decimated",
                          "rms", "zcr_frac", "duration_s"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL video pipeline ("VID1": magic + <u16 n_frames><u16 w><u16 h>
+# <u8 c> + n_frames RAW frames back to back). Frame sampling — every
+# 2nd frame, capped at 4 — then a per-sampled-frame mean, the
+# keyframe-extraction shape of a video training pipeline. Closed-form
+# pixels ⇒ the whole chain is oracle-checked.
+
+VID1_MAGIC = b"VID1"
+VID1_W = 16
+VID1_H = 16
+VID1_FPS = 2.0
+VID1_STEP = 2
+VID1_MAX_FRAMES = 4
+
+
+def encode_vid1(doc_id: int) -> bytes:
+    """Synthesize a deterministic VID1 clip: 4 + doc_id % 5 frames of
+    16×16×3 with pixel(f,y,x,c) = (3x + 7y + 11c + 13f + doc_id) % 256."""
+    import numpy as np
+
+    nf = 4 + doc_id % 5
+    x = np.arange(VID1_W, dtype=np.int64)[None, None, :, None]
+    y = np.arange(VID1_H, dtype=np.int64)[None, :, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    f = np.arange(nf, dtype=np.int64)[:, None, None, None]
+    px = ((3 * x + 7 * y + 11 * c + 13 * f + doc_id) % 256).astype(np.uint8)
+    return VID1_MAGIC + struct.pack("<HHHB", nf, VID1_W, VID1_H, 3) + px.tobytes()
+
+
+def decode_vid1(payload: bytes):
+    """Parse a VID1 payload into (n_frames, H, W, C) uint8."""
+    import numpy as np
+
+    if payload[:4] != VID1_MAGIC:
+        raise ValueError("not a VID1 payload")
+    nf, w, h, c = struct.unpack("<HHHB", payload[4:11])
+    arr = np.frombuffer(payload[11:], dtype=np.uint8)
+    if arr.size != nf * w * h * c:
+        raise ValueError("truncated VID1 payload")
+    return arr.reshape(nf, h, w, c)
+
+
+@register(
+    "multimodal_video_pipeline",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents
+    ), frames AS (
+        SELECT d.doc_id, d.nf, t.f
+        FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS f) t
+        WHERE t.f % {VID1_STEP} = 0 AND t.f // {VID1_STEP} < {VID1_MAX_FRAMES}
+    ), px AS (
+        SELECT fr.doc_id, fr.nf, fr.f,
+               (3 * gx.x + 7 * gy.y + 11 * gc.c + 13 * fr.f + fr.doc_id) % 256 AS v
+        FROM frames fr,
+             (SELECT unnest(generate_series(0, {VID1_W - 1})) AS x) gx,
+             (SELECT unnest(generate_series(0, {VID1_H - 1})) AS y) gy,
+             (SELECT unnest(generate_series(0, 2)) AS c) gc
+    )
+    SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+           round(CAST(f AS DOUBLE) / {VID1_FPS}, 4) AS ts_s,
+           round(AVG(CAST(v AS DOUBLE)), 4) AS frame_mean
+    FROM px GROUP BY doc_id, nf, f
+    """,
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode → decode → frame-sample → featurize for video: VID1
+    payloads parsed to (frames, H, W, C), every 2nd frame sampled
+    (max 4 — the keyframe budget), each sampled frame reduced to its
+    pixel mean with its timestamp. 1 row in → N frame rows out, the
+    batch-expanding mapInPandas shape a pyav sampler uses.
+
+    100 TB shape: one mapInPandas stage, zero shuffle; frame bytes
+    stay on executors."""
+    out_schema = (
+        "doc_id long, n_frames int, frame_idx int, ts_s double, frame_mean double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                clip = decode_vid1(encode_vid1(int(doc_id)))
+                nf = clip.shape[0]
+                for j, f in enumerate(range(0, nf, VID1_STEP)):
+                    if j >= VID1_MAX_FRAMES:
+                        break
+                    rows.append(
+                        (int(doc_id), nf, f,
+                         _round_half_up(f / VID1_FPS, 4),
+                         _round_half_up(
+                             float(clip[f].astype(np.float64).mean()), 4))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "frame_idx", "ts_s", "frame_mean"],
             )
 
     d = table(spark, sf_dir, "documents").select("doc_id")

@@ -108,7 +108,8 @@ PRIORITY: list[str] = [
     "text_chunk_windows", "text_pii_redact", "text_repetition_ratio",
     "corpus_vocab_stats", "sample_uniform_hash", "sample_split_assign",
     "multimodal_metadata", "multimodal_image_pipeline",
-    "multimodal_audio_pipeline", "multimodal_decode_features",
+    "multimodal_audio_pipeline", "multimodal_video_pipeline",
+    "multimodal_decode_features",
     "scalar_array_lambda",
     # second scalar batteries
     "scalar_string_funcs2", "scalar_date_funcs2", "scalar_math_funcs2",

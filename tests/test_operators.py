@@ -173,3 +173,26 @@ def test_pcm1_codec_roundtrip():
         decode_pcm1(b"WAVE" + payload[4:])
     with _pytest.raises(ValueError, match="truncated"):
         decode_pcm1(payload[:-2])
+
+
+def test_vid1_codec_roundtrip():
+    import numpy as np
+    import pytest as _pytest
+
+    from risingwave_py_spark.functions.multimodal import (
+        VID1_H,
+        VID1_W,
+        decode_vid1,
+        encode_vid1,
+    )
+
+    payload = encode_vid1(11)
+    clip = decode_vid1(payload)
+    assert clip.shape == (4 + 11 % 5, VID1_H, VID1_W, 3)
+    assert clip.dtype == np.uint8
+    assert clip[0, 0, 0, 0] == 11 % 256
+    assert clip[2, 1, 3, 1] == (3 * 3 + 7 * 1 + 11 * 1 + 13 * 2 + 11) % 256
+    with _pytest.raises(ValueError, match="not a VID1"):
+        decode_vid1(b"MPG1" + payload[4:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_vid1(payload[:-7])
