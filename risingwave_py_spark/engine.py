@@ -571,12 +571,19 @@ class SparkEngine:
         if self.spark.catalog.tableExists(cl):
             with self._lock:
                 self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+                if cl in self.vacuum_floor:
+                    self.vacuum_floor[new_cl] = self.vacuum_floor.pop(cl)
         for sub in self.subscriptions.values():
             if sub["rel"] == fq:
                 sub["rel"] = new_fq
         for cur in self.cursors.values():
             if cur["rel"] == fq:
                 cur["rel"] = new_fq
+        if fq in self.watermarks:
+            self.watermarks[new_fq] = self.watermarks.pop(fq)
+        for idx in self.indexes.values():
+            if idx["table"] == fq:
+                idx["table"] = new_fq
         self.refresh_info_schema()
 
     def rename_mv(self, name: str, new_name: str,
@@ -596,6 +603,8 @@ class SparkEngine:
             cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
             if self.spark.catalog.tableExists(cl):
                 self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+                if cl in self.vacuum_floor:
+                    self.vacuum_floor[new_cl] = self.vacuum_floor.pop(cl)
             state = self.mvs.pop(fq)
             state.fq = new_fq
             self.mvs[new_fq] = state
