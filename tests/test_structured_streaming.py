@@ -448,3 +448,74 @@ def test_transform_with_state_running_agg(spark, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """End-to-end STREAMING corpus curation: document stream →
+    content-hash dedup (watermark-bounded state) → token-count quality
+    gate → per-source token accounting via foreachBatch into a result
+    table. The streaming twin of pipeline_curate_corpus, composed
+    entirely from the proven streaming operators."""
+    from risingwave_py_spark.streaming.structured import dedup_stream
+
+    path = str(tmp_path / "docs_stream")
+    os.makedirs(path, exist_ok=True)
+
+    def append(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "source", "text"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+    schema = "doc_id bigint, ts timestamp, source string, text string"
+    result = f"curate_{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(path)
+        deduped = dedup_stream(
+            stream.withColumn("content_hash", F.md5("text")),
+            key_cols=["content_hash"],
+        )
+        kept = deduped.filter(F.size(F.split("text", r"\s+")) >= 3).select(
+            "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+        )
+
+        def merge(batch, _bid):
+            batch.groupBy("source").agg(
+                F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+            ).write.mode("append").saveAsTable(result)
+
+        q = (
+            kept.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(result)
+        return {
+            r.source: (r.docs, r.tokens)
+            for r in spark.table(result)
+            .groupBy("source")
+            .agg(F.sum("docs").alias("docs"), F.sum("tokens").alias("tokens"))
+            .collect()
+        }
+
+    t0 = _ts(0)
+    append([
+        (1, t0, "web", "alpha beta gamma delta"),
+        (2, t0, "web", "alpha beta gamma delta"),   # exact dup → dropped
+        (3, t0, "web", "too short"),                # quality gate → dropped
+        (4, t0, "book", "one two three four five"),
+    ])
+    first = drain()
+    assert first == {"web": (1, 4), "book": (1, 5)}
+
+    # second batch: a cross-batch duplicate (within watermark) is
+    # dropped by streaming state; a fresh doc lands.
+    append([
+        (5, _ts(1), "web", "alpha beta gamma delta"),  # dup of doc 1
+        (6, _ts(1), "web", "six seven eight nine"),
+    ])
+    second = drain()
+    assert second == {"web": (2, 8), "book": (1, 5)}
+    spark.sql(f"DROP TABLE IF EXISTS {result}")
