@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from risingwave_py_spark.catalog import table
+from risingwave_py_spark.catalog import fanout, table
 from risingwave_py_spark.functions.text import duck_hash32, spark_hash32
 from risingwave_py_spark.registry import register
 
@@ -288,4 +288,83 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'l_returnflag', n_rows, rf_nulls, rf_distinct, rf_min, rf_max) "
             "AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
+    )
+
+
+@register(
+    "sample_mixture_apply",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+                   AS n_tokens,
+               CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                    THEN 1 ELSE 3 END AS weight
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(weight) AS BIGINT) AS total_weight
+        FROM tok
+    ), plan AS (
+        SELECT source,
+               CAST(floor((total_tokens / {MIX_BUDGET_FRACTION}.0) * weight
+                          / total_weight) AS BIGINT) AS target_tokens,
+               round(((total_tokens / {MIX_BUDGET_FRACTION}.0) * weight
+                      / total_weight) / n_tokens, 6) AS rate
+        FROM tok, tot
+    ), docs AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tok,
+               CAST(floor(p.rate) AS BIGINT)
+                 + CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            < (p.rate - floor(p.rate)) * 4294967296.0
+                        THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN plan p USING (source)
+    )
+    SELECT d.source, p.target_tokens,
+           CAST(SUM(CASE WHEN d.copies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_selected,
+           CAST(SUM(d.copies) AS BIGINT) AS doc_copies,
+           CAST(SUM(d.n_tok * d.copies) AS BIGINT) AS tokens_selected,
+           round(CAST(SUM(d.n_tok * d.copies) AS DOUBLE) / p.target_tokens, 4) AS fill
+    FROM docs d JOIN plan p USING (source)
+    GROUP BY d.source, p.target_tokens
+    """,
+)
+def sample_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-plan EXECUTION: realize `corpus_mixture_plan`'s rates
+    with deterministic per-doc selection — every doc gets
+    floor(rate) whole copies (upsampling epochs) plus one more iff
+    its 32-bit content hash falls under the fractional remainder.
+    Output compares achieved tokens per source against the plan's
+    target (fill ≈ 1.0 up to per-doc granularity).
+
+    100 TB shape: the plan is a 20-row broadcast; selection is a
+    codegen projection per doc (hash + compare, no RNG state, stable
+    under retries/partitioning — the ONLY sampling that's safe on a
+    cluster); the audit is one two-phase aggregate."""
+    plan = corpus_mixture_plan(spark, sf_dir).select(
+        "source", "target_tokens", F.col("sample_rate").alias("rate")
+    )
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    h = F.expr(spark_hash32("CAST(doc_id AS STRING)"))
+    frac = F.col("rate") - F.floor(F.col("rate"))
+    copies = (
+        F.floor(F.col("rate")).cast("long")
+        + F.when(h < frac * F.lit(4294967296.0), 1).otherwise(0)
+    )
+    docs = (
+        d.select("doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tok"))
+        .join(F.broadcast(plan), "source")
+        .withColumn("copies", copies)
+    )
+    return docs.groupBy("source", "target_tokens").agg(
+        F.sum(F.when(F.col("copies") > 0, 1).otherwise(0)).alias("docs_selected"),
+        F.sum("copies").alias("doc_copies"),
+        F.sum(F.col("n_tok") * F.col("copies")).alias("tokens_selected"),
+        F.round(
+            F.sum(F.col("n_tok") * F.col("copies")).cast("double")
+            / F.col("target_tokens"),
+            4,
+        ).alias("fill"),
     )

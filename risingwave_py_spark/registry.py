@@ -88,7 +88,7 @@ PRIORITY: list[str] = [
     "dedup_semantic_clusters",
     # LLM-pipeline: text analysis + sampling (representatives)
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
-    "text_pack_sequences", "corpus_mixture_plan",
+    "text_pack_sequences", "corpus_mixture_plan", "sample_mixture_apply",
     "text_unigram_logprob", "heavy_hitter_bigrams", "corpus_source_drift",
     "profile_lineitem",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation

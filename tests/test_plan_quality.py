@@ -213,3 +213,23 @@ def test_asof_grammar_is_union_window_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["multimodal_image_pipeline", "multimodal_audio_pipeline",
+     "multimodal_video_pipeline"],
+)
+def test_media_pipelines_are_shuffle_free(spark, sf_dir, name):
+    """Media decode/featurize must stay a pure map: one mapInPandas
+    stage over the scan, zero exchanges."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Exchange" not in plan, name
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), name
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """Table profiling computes every column's stats in ONE pass
+    (formatted mode prints each node twice: tree + detail)."""
+    plan = _plan(spark, sf_dir, "profile_lineitem")
+    assert plan.count("Scan parquet") <= 2
