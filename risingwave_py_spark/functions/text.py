@@ -725,3 +725,61 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle=r"""
+    WITH chars AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM documents, LATERAL (
+            SELECT unnest(generate_series(1, length(text))) AS i) t
+    ), counts AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), lens AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, l.n AS n_chars, l.n_distinct_chars,
+           round(-SUM((CAST(c.c AS DOUBLE) / l.n)
+                      * ln(CAST(c.c AS DOUBLE) / l.n)), 6) AS char_entropy
+    FROM counts c JOIN lens l USING (doc_id)
+    GROUP BY c.doc_id, l.n, l.n_distinct_chars
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    repetition/boilerplate detector (looping or template text has
+    anomalously LOW entropy; binary junk anomalously high). Both
+    engines index characters with substr over a position series, so
+    the computation is bit-identical.
+
+    100 TB shape: the char explode is O(bytes) rows but each row is
+    (doc_id, 1 char) and the per-(doc, char) count collapses it with
+    map-side combine before the single shuffle; alphabet size bounds
+    the reduced relation at ~100 rows per doc."""
+    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    lens = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct_chars")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(lens, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct_chars")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct_chars",
+            "char_entropy",
+        )
+    )
