@@ -1052,12 +1052,15 @@ def pipeline_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w1 = Window.partitionBy("norm_hash").orderBy("doc_id")
+    # checkpoint: keep1 feeds FIVE downstream branches (span index,
+    # dup-fraction join-back, vocab, totals, scoring); without
+    # materialization each branch re-runs the scan + md5 + window.
     keep1 = (
         d.withColumn("norm_hash", F.md5(norm))
         .withColumn("rnk", F.row_number().over(w1))
         .filter(F.col("rnk") == 1)
         .drop("rnk", "norm_hash", "text")
-    )
+    ).localCheckpoint(eager=True)
     spans = (
         keep1.filter(F.size("ws") >= SPAN_TOKENS)
         .select(
@@ -1091,8 +1094,11 @@ def pipeline_curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = keep2.select(
         "doc_id", "source", F.explode("ws").alias("w0")
     ).select("doc_id", "source", F.lower("w0").alias("w"))
-    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
-    total = tok.agg(F.count("*").alias("n"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
+    # corpus total from the (much smaller) vocab, not a second explode
+    total = vocab.agg(F.sum("c").alias("n"))
     lp = F.log(F.col("c").cast("double") / F.col("n"))
     scored = (
         tok.join(vocab, "w")

@@ -133,3 +133,20 @@ def test_create_source_kafka_capability_check(rw):
             },
         )
     assert rw.engine.sources.get("public.k_src") is None
+
+
+def test_show_create_source(rw, tmp_path):
+    path = tmp_path / "scsrc"
+    path.mkdir()
+    (path / "p.csv").write_text("k,v\n1,a\n")
+    s = _name()
+    rw.execute(
+        f"CREATE SOURCE {s} WITH (connector='filesystem', path='{path}', "
+        f"format='csv', header='true', inferSchema='true')"
+    )
+    rows = rw.fetch(f"SHOW CREATE SOURCE {s}")
+    assert rows[0][0] == f"public.{s}"
+    ddl = rows[0][1]
+    assert ddl.startswith(f"CREATE SOURCE public.{s} WITH (")
+    assert "connector = 'filesystem'" in ddl and "format = 'csv'" in ddl
+    rw.execute(f"DROP SOURCE {s}")
