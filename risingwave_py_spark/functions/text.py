@@ -783,3 +783,69 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy",
         )
     )
+
+
+# fixed, published-style weights for the logistic quality filter
+QC_BIAS = -1.0
+QC_W_STOP = 3.0
+QC_W_DISTINCT = 2.0
+QC_W_WLEN = -0.1
+QC_WLEN_CENTER = 5.0
+
+
+@register(
+    "text_quality_classifier",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(text, '\s+') AS words,
+               length(text) AS n_chars_m
+        FROM documents
+    ), f AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(words, w -> list_contains({STOPWORDS!r}, w))) AS DOUBLE)
+                   / len(words) AS stop_r,
+               CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dist_r,
+               CAST(n_chars_m AS DOUBLE) / len(words) AS wlen
+        FROM t
+    )
+    SELECT doc_id, source,
+           round(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * stop_r
+               + {QC_W_DISTINCT} * dist_r
+               + {QC_W_WLEN} * (wlen - {QC_WLEN_CENTER})))), 6) AS quality_p,
+           round(1.0 / (1.0 + exp(-({QC_BIAS} + {QC_W_STOP} * stop_r
+               + {QC_W_DISTINCT} * dist_r
+               + {QC_W_WLEN} * (wlen - {QC_WLEN_CENTER})))), 6) >= 0.5 AS keep
+    FROM f
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext-classifier stage of
+    CCNet/RedPajama pipelines) as a deterministic logistic over the
+    heuristic features: stopword ratio, type-token ratio, and mean
+    word length, with fixed weights. p ≥ 0.5 keeps the doc; swap the
+    hand weights for trained ones without touching the plan.
+
+    100 TB shape: a pure codegen projection — feature extraction and
+    the sigmoid run per-row inside whole-stage codegen, zero
+    shuffles, no Python."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), r"\s+")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_r = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double")
+        / n_words
+    )
+    dist_r = F.size(F.array_distinct(words)).cast("double") / n_words
+    wlen = F.length("text").cast("double") / n_words
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * stop_r
+        + F.lit(QC_W_DISTINCT) * dist_r
+        + F.lit(QC_W_WLEN) * (wlen - F.lit(QC_WLEN_CENTER))
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return d.select(
+        "doc_id", "source", p.alias("quality_p"), (p >= 0.5).alias("keep")
+    )
