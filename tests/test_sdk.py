@@ -259,3 +259,22 @@ def test_pg_regex_operators(rw):
     # a lone '~' inside a string literal is untouched
     assert rw.fetch("SELECT '~' AS tilde") == [("~",)]
     rw.execute("DROP TABLE t_sdk_rx")
+
+
+def test_pg_ordered_set_and_recursive_syntax(rw):
+    """PG ordered-set aggregates and recursive CTEs are native in
+    Spark 4 and reachable through the engine SQL surface unchanged."""
+    assert rw.fetchone(
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY v) "
+        "FROM VALUES (1.0),(2.0),(10.0) t(v)")[0] == 2.0
+    assert rw.fetchone(
+        "SELECT percentile_disc(0.75) WITHIN GROUP (ORDER BY v) "
+        "FROM VALUES (1.0),(2.0),(10.0) t(v)")[0] == 10.0
+    assert rw.fetchone(
+        "SELECT mode() WITHIN GROUP (ORDER BY v) FROM VALUES (1),(2),(2) t(v)")[0] == 2
+    assert rw.fetchone(
+        "SELECT listagg(v, ',') WITHIN GROUP (ORDER BY v) "
+        "FROM VALUES ('b'),('a') t(v)")[0] == "a,b"
+    assert rw.fetchone(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r WHERE n < 5) "
+        "SELECT sum(n) FROM r")[0] == 15
