@@ -67,8 +67,9 @@ PRIORITY: list[str] = [
     "q18_large_volume_customer", "q19_disc_revenue_or",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_prospect_customers",
-    # time-window TVFs
+    # time-window TVFs + the ASOF JOIN grammar
     "tumble_events_15m", "hop_events_30m_15m", "session_window_events",
+    "asof_join_grammar",
     # MV / changelog / streaming scenario suite
     "mv_changelog_scenario", "inc_mv_scenario", "streaming_mv_scenario",
     "upsert_version_scenario", "table_changelog_scenario",
@@ -80,12 +81,12 @@ PRIORITY: list[str] = [
     "dedup_components", "dedup_simhash", "dedup_cross_corpus",
     "dedup_span_exact", "dedup_exact_normalized", "pipeline_curate_corpus",
     "pipeline_curate_corpus_v2",
-    # LLM-pipeline: embeddings / ANN
-    "ann_cosine_topk", "ann_lsh_signatures", "ann_ivf_topk",
-    "ann_filtered_topk", "ann_incremental_probe",
+    # LLM-pipeline: embeddings / ANN / clustering
+    "ann_cosine_topk", "ann_ivf_topk", "ann_filtered_topk",
+    "ann_incremental_probe", "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters", "ann_lsh_signatures",
     "embedding_blocked_pairs", "embedding_label_outliers",
-    "dedup_embedding_cosine", "cluster_kmeans_embeddings",
-    "dedup_semantic_clusters",
+    "dedup_embedding_cosine",
     # LLM-pipeline: text analysis + sampling (representatives)
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     "text_pack_sequences", "corpus_mixture_plan", "sample_mixture_apply",
