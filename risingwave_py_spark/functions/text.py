@@ -849,3 +849,42 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", p.alias("quality_p"), (p >= 0.5).alias("keep")
     )
+
+
+# GPT-2-style pretokenizer, simplified to the RE2∩Java common dialect
+# (no lookahead): contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, residual whitespace.
+BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_SQL = BPE_PAT.replace("'", "''")  # SQL-literal-escaped
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS bpe_tokens,
+           round(CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DOUBLE)
+                 / len(regexp_split_to_array(text, '\s+')), 6) AS bpe_per_word
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (the GPT-2
+    pattern family: contractions / space-prefixed letter runs / digit
+    runs / punctuation runs) next to the whitespace count — the
+    tokens-per-word ratio is the cheap proxy for real tokenizer cost
+    when budgeting a training mix. The pattern avoids lookahead so
+    Spark's Java regex and DuckDB's RE2 match identical token streams.
+
+    100 TB shape: pure codegen projection (regexp_count), zero
+    shuffle."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PAT))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 6).alias("bpe_per_word"),
+    )

@@ -91,7 +91,7 @@ PRIORITY: list[str] = [
     "text_quality_scores", "text_decontaminate", "sample_stratified_quota",
     "text_pack_sequences", "corpus_mixture_plan", "sample_mixture_apply",
     "text_unigram_logprob", "heavy_hitter_bigrams", "corpus_source_drift",
-    "text_char_entropy", "text_quality_classifier",
+    "text_char_entropy", "text_quality_classifier", "text_token_count_bpe",
     "profile_lineitem",
     # round-1 red cell (oracle cast fixed) — needs driver re-validation
     "agg_filtered_conditional",
