@@ -634,3 +634,95 @@ def asof_join_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_views(spark, sf_dir)
     return spark.sql(rewrite_asof_join(_ASOF_GRAMMAR_SQL))
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
+    FROM steps
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per user,
+    the FIRST occurrence time of each step; a user converts a step
+    only if it happens strictly after the previous step's first
+    occurrence — the product-analytics staple RisingWave sells
+    streaming MVs for.
+
+    100 TB shape: one conditional-MIN hash aggregate per user (single
+    shuffle, map-side combined), then a 1-row conditional-count
+    reduce. No joins, no windows."""
+    e = table(spark, sf_dir, "events")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    did_view = F.col("t_view").isNotNull()
+    did_click = did_view & (F.col("t_click") > F.col("t_view"))
+    did_buy = did_click & (F.col("t_buy") > F.col("t_click"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.sum(did_view.cast("int")).alias("step_view"),
+        F.sum(did_click.cast("int")).alias("step_click"),
+        F.sum(did_buy.cast("int")).alias("step_purchase"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_day f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later day-offset they return (first week) — the retention
+    triangle every analytics stack computes.
+
+    100 TB shape: first-seen is one min-aggregate; the join back is
+    keyed on user_id (same key, AQE-co-partitioned); DISTINCT
+    collapses per-(user, day) before the final count. Three hash
+    exchanges total, all on user_id or the small cohort key."""
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+    )

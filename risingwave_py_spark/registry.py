@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     # analytic operators not yet driver-sampled
     "asof_join_grammar",
     "asof_join_last_click", "sessionize_events", "agg_salted_skew",
+    "events_funnel", "events_retention_cohorts",
     "interval_join_events", "window_rank_lag", "window_running_sum",
     "window_topk_per_group", "window_range_frame", "gapfill_locf",
     "recursive_month_spine", "sketch_error_bounds",
