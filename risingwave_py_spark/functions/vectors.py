@@ -921,3 +921,72 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= INC_TOP)
         .select("new_vec_id", "match_vec_id", "cosine", "rank")
     )
+
+
+QF_MIN_TOKENS = 30
+
+
+@register(
+    "ann_quality_filtered",
+    oracle=f"""
+    WITH ok AS (
+        SELECT doc_id FROM documents
+        WHERE len(regexp_split_to_array(text, '\\s+')) >= {QF_MIN_TOKENS}
+    ), corpus AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e JOIN ok ON ok.doc_id = e.vec_id
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+                   6) AS cosine
+        FROM q, corpus c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM pairs)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def ann_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval filter: vector search restricted to
+    documents that pass a TEXT quality gate (≥ 30 tokens), joining the
+    documents and embeddings tables on id — the retrieval-over-curated-
+    corpus shape (RAG over the deduped/quality-filtered snapshot).
+
+    100 TB shape: the quality gate is a semi-join keyed on the id
+    (pushed column pruning: only doc_id + the token count leave the
+    text table); the search side is the proven broadcast-query brute
+    force over the surviving corpus."""
+    docs_ok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", r"\s+")) >= QF_MIN_TOKENS)
+        .select("doc_id")
+    )
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    corpus = e.join(docs_ok, e.vec_id == docs_ok.doc_id, "left_semi")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_spark_dot("qe", "embedding"))
+                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -83,7 +83,8 @@ PRIORITY: list[str] = [
     "pipeline_curate_corpus_v2",
     # LLM-pipeline: embeddings / ANN / clustering
     "ann_cosine_topk", "ann_ivf_topk", "ann_filtered_topk",
-    "ann_incremental_probe", "cluster_kmeans_embeddings",
+    "ann_incremental_probe", "ann_quality_filtered",
+    "cluster_kmeans_embeddings",
     "dedup_semantic_clusters", "ann_lsh_signatures",
     "embedding_blocked_pairs", "embedding_label_outliers",
     "dedup_embedding_cosine",
