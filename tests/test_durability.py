@@ -1,0 +1,76 @@
+"""Engine-catalog durability: a NEW engine over the same warehouse
+restores MVs, upsert tables, subscriptions, UDFs, and the epoch
+high-water mark — the reference server's persistent-catalog contract
+(previously everything but plain tables died with the engine object)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pytest
+
+from risingwave_py_spark import RisingWave
+from risingwave_py_spark.core import RisingWaveConnection
+from risingwave_py_spark.engine import SparkEngine
+
+
+def test_catalog_survives_engine_restart(spark):
+    tag = uuid.uuid4().hex[:8]
+    t, mv, sub = f"dur_t_{tag}", f"dur_mv_{tag}", f"dur_sub_{tag}"
+    rw1 = RisingWave(spark=spark)
+    rw1.insert(pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}),
+               table_name=t, force_flush=True)
+    rw1.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                f"SELECT k, sum(v) AS s FROM {t} GROUP BY k")
+    rw1.execute(f"CREATE SUBSCRIPTION {sub} FROM {mv} WITH (retention = '3600s')")
+    rw1.execute("CREATE FUNCTION dur_double(x INT) RETURNS INT LANGUAGE python AS "
+                "$$def dur_double(x):\n    return x * 2$$")
+    epoch_before = rw1.engine._epoch
+    assert epoch_before > 0
+
+    # A brand-new engine over the same warehouse (simulated restart).
+    e2 = SparkEngine(spark)
+    fq_mv = f"public.{mv}"
+    assert fq_mv in e2.mvs and "GROUP BY" in e2.mvs[fq_mv].stmt.upper()
+    assert f"public.{sub}" in e2.subscriptions
+    assert "dur_double" in e2.udfs
+    assert e2._epoch >= epoch_before  # epochs never repeat
+
+    # The restored engine keeps maintaining the MV.
+    rw2 = RisingWaveConnection(e2)
+    rw2.insert(pd.DataFrame({"k": [2], "v": [7.0]}), table_name=t,
+               force_flush=True)
+    got = {r[0]: r[1] for r in spark.table(fq_mv).collect()}
+    assert got == {1: 3.0, 2: 10.0}
+
+    # restored UDF is callable
+    assert e2.sql("SELECT dur_double(21) AS x").collect()[0][0] == 42
+
+    e2.drop_subscription(sub)
+    e2.drop_mv(mv)
+    e2.drop_table(t)
+
+    # a third engine sees the drops (catalog doc was rewritten)
+    e3 = SparkEngine(spark)
+    assert fq_mv not in e3.mvs and f"public.{sub}" not in e3.subscriptions
+
+
+def test_upsert_table_survives_restart(spark):
+    tag = uuid.uuid4().hex[:8]
+    t = f"dur_up_{tag}"
+    rw1 = RisingWave(spark=spark)
+    rw1.execute(
+        f"CREATE TABLE {t} (k INT PRIMARY KEY, v VARCHAR, ver BIGINT) "
+        f"ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+    )
+    rw1.execute(f"INSERT INTO {t} (k, v, ver) VALUES (1, 'a', 1)")
+
+    e2 = SparkEngine(spark)
+    fq = f"public.{t}"
+    assert fq in e2.upsert_meta and e2.upsert_meta[fq]["version_col"] == "ver"
+    rw2 = RisingWaveConnection(e2)
+    rw2.execute(f"INSERT INTO {t} (k, v, ver) VALUES (1, 'b', 5)")
+    rw2.execute(f"INSERT INTO {t} (k, v, ver) VALUES (1, 'stale', 2)")
+    assert rw2.fetch(f"SELECT * FROM {t}") == [(1, "b", 5)]
+    e2.drop_table(t)
