@@ -1232,14 +1232,34 @@ class SparkEngine:
                 return
             raise RuntimeError(f"sink {fq} already exists")
         connector = props.get("connector", "filesystem").lower()
-        if connector not in ("filesystem", "posix_fs"):
+        if connector == "kafka":
+            # RisingWave kafka-sink properties → Spark's batch kafka
+            # writer. Capability-checked at DDL time: a zero-row probe
+            # write resolves the data source, so a missing
+            # spark-sql-kafka package fails the CREATE, not the flush.
+            topic = props.get("topic")
+            servers = (
+                props.get("properties.bootstrap.server")
+                or props.get("properties.bootstrap.servers")
+            )
+            if not topic or not servers:
+                raise RuntimeError(
+                    "kafka sink requires topic and properties.bootstrap.server"
+                )
+            probe = self.spark.createDataFrame([], "value string")
+            probe.write.format("kafka").option(
+                "kafka.bootstrap.servers", servers
+            ).option("topic", topic).save()
+            fmt, path = "kafka", None
+        elif connector not in ("filesystem", "posix_fs"):
             raise RuntimeError(f"unsupported sink connector {connector!r}")
-        path = props.get("path") or props.get("posix_fs.root")
-        if not path:
-            raise RuntimeError("CREATE SINK requires a path property")
-        fmt = props.get("format", "parquet").lower()
-        if fmt not in self.SOURCE_FORMATS:
-            raise RuntimeError(f"unsupported sink format {fmt!r}")
+        else:
+            path = props.get("path") or props.get("posix_fs.root")
+            if not path:
+                raise RuntimeError("CREATE SINK requires a path property")
+            fmt = props.get("format", "parquet").lower()
+            if fmt not in self.SOURCE_FORMATS:
+                raise RuntimeError(f"unsupported sink format {fmt!r}")
         mode = props.get("type", "append-only").lower()
         if mode not in ("append-only", "changelog"):
             raise RuntimeError(f"unsupported sink type {mode!r}")
@@ -1254,11 +1274,17 @@ class SparkEngine:
             if not self.spark.catalog.tableExists(rel):
                 raise RuntimeError(f"relation {rel} does not exist")
         self._ensure_changelog(rel)
-        opts = {
-            k: v
-            for k, v in props.items()
-            if k not in ("connector", "path", "posix_fs.root", "format", "type", "snapshot")
-        }
+        if fmt == "kafka":
+            opts = {
+                "kafka.bootstrap.servers": servers,
+                "topic": topic,
+            }
+        else:
+            opts = {
+                k: v
+                for k, v in props.items()
+                if k not in ("connector", "path", "posix_fs.root", "format", "type", "snapshot")
+            }
         sink = {
             "rel": rel,
             "path": path,
@@ -1302,6 +1328,11 @@ class SparkEngine:
             sink["pos"] = upto
 
     def _sink_write(self, df: DataFrame, sink: dict) -> None:
+        if sink["format"] == "kafka":
+            # one JSON document per change row, executor-parallel
+            out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+            out.write.format("kafka").options(**sink["opts"]).save()
+            return
         df.write.mode("append").options(**sink["opts"]).format(sink["format"]).save(
             sink["path"]
         )

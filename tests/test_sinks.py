@@ -88,7 +88,7 @@ def test_sink_snapshot_false_and_errors(rw, spark, tmp_path):
     # pre-existing rows skipped, only the post-create epoch arrives
     assert sorted(r.k for r in spark.read.parquet(out).collect()) == [3]
     with pytest.raises(RuntimeError, match="unsupported sink connector"):
-        rw.engine.create_sink(_name(), {"connector": "kafka", "path": "x"}, from_rel=t)
+        rw.engine.create_sink(_name(), {"connector": "jdbc", "path": "x"}, from_rel=t)
     with pytest.raises(RuntimeError, match="unsupported sink type"):
         rw.engine.create_sink(
             _name(), {"path": str(tmp_path / "y"), "type": "upsert-kafka"}, from_rel=t
@@ -96,3 +96,20 @@ def test_sink_snapshot_false_and_errors(rw, spark, tmp_path):
     with pytest.raises(RuntimeError, match="does not exist"):
         rw.engine.create_sink(_name(), {"path": str(tmp_path / "z")}, from_rel="no_such_rel")
     rw.execute(f"DROP SINK {s}")
+
+
+def test_create_sink_kafka_capability_check(rw):
+    """connector='kafka' maps to the batch kafka writer; missing
+    required properties fail first, and without the kafka package on
+    the classpath the zero-row probe write fails the CREATE itself."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        rw.engine.create_sink("k_sink", {"connector": "kafka", "topic": "t"})
+    with pytest.raises(Exception, match="(?i)kafka"):
+        rw.engine.create_sink(
+            "k_sink",
+            {"connector": "kafka", "topic": "t",
+             "properties.bootstrap.server": "localhost:9092"},
+        )
+    assert "public.k_sink" not in rw.engine.sinks
