@@ -73,6 +73,9 @@ class MVState:
         # Incremental-maintenance plan (delta-merge fast path) for
         # append-only simple-aggregation MVs; None → snapshot-diff.
         self.inc: dict | None = None
+        # Incremental plan for append-only INNER-join MVs
+        # (ΔA⋈B ∪ A_old⋈ΔB append path); None → snapshot-diff.
+        self.inc_join: dict | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -1447,6 +1450,147 @@ class SparkEngine:
             q += f" WHERE {inc['where']}"
         return q + f" GROUP BY {inc['grp']}"
 
+    # -- incremental JOIN MVs (delta rules over changelog provenance) ------
+
+    _INCJ_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+        r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+(?:INNER\s+)?JOIN\s+"
+        r"(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+(?P<on>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        re.I | re.S,
+    )
+    _INCJ_BLOCKERS = re.compile(
+        r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
+        r"DISTINCT|OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF)\b|\(\s*SELECT",
+        re.I,
+    )
+
+    def _parse_simple_join(self, stmt: str) -> dict | None:
+        """Incremental plan for an INNER equi-join of two append-only
+        tables (ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB — exact for insert-only
+        bases since selection/projection/join are monotone), or None."""
+        if self._INCJ_BLOCKERS.search(stmt) or stmt.upper().count(" JOIN ") != 1:
+            return None
+        m = self._INCJ_SHAPE.match(stmt)
+        if not m:
+            return None
+        a1, a2 = m.group("a1"), m.group("a2")
+        if a1.upper() in ("JOIN", "ON") or a2.upper() in ("ON", "WHERE") or a1 == a2:
+            return None
+        for term in RW._split_and(m.group("on")):
+            e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
+            if not e or {e.group(1), e.group(3)} != {a1, a2}:
+                return None
+        # SELECT items: qualified refs (al.col [AS alias]) only — they
+        # rebind cleanly when FROM is rebound to the delta views.
+        for item in RW.split_top_level(m.group("sel")):
+            if not re.fullmatch(
+                rf"\s*(?:{a1}|{a2})\.\w+(?:\s+(?:AS\s+)?\w+)?\s*",
+                item,
+                re.I,
+            ):
+                return None
+        return {
+            "a_fq": self.qualify(m.group("t1")),
+            "b_fq": self.qualify(m.group("t2")),
+            "a1": a1,
+            "a2": a2,
+            "sel": m.group("sel").strip(),
+            "on": m.group("on").strip(),
+            "where": (m.group("where") or "").strip() or None,
+        }
+
+    def _incj_stmt(self, incj: dict, view_a: str, view_b: str) -> str:
+        q = (
+            f"SELECT {incj['sel']} FROM {view_a} AS {incj['a1']} "
+            f"JOIN {view_b} AS {incj['a2']} ON {incj['on']}"
+        )
+        if incj["where"]:
+            q += f" WHERE {incj['where']}"
+        return q
+
+    def _refresh_incremental_join(self, state: MVState) -> bool:
+        """Delta refresh for an append-only INNER-join MV: both join
+        sides come from their CHANGELOGS (epoch provenance), so
+        A_old / ΔA / B_full / ΔB are mutually consistent snapshots of
+        the same global epoch counter. ΔOUT rows are pure inserts —
+        published as a result-table append + one changelog batch, no
+        table rewrite and no driver-side collect."""
+        incj = state.inc_join
+        spark = self.spark
+        fq = state.fq
+        cl_a = self.changelog_name(incj["a_fq"])
+        cl_b = self.changelog_name(incj["b_fq"])
+        with self._lock:
+            if (
+                self.vacuum_floor.get(cl_a, 0) > state.last_epoch
+                or self.vacuum_floor.get(cl_b, 0) > state.last_epoch
+            ):
+                state.inc_join = None
+                return False
+            spark.catalog.refreshTable(cl_a)
+            spark.catalog.refreshTable(cl_b)
+            a_log = spark.table(cl_a)
+            b_log = spark.table(cl_b)
+            ma = a_log.agg(F.max("rw_timestamp")).first()[0] or 0
+            mb = b_log.agg(F.max("rw_timestamp")).first()[0] or 0
+            m1 = max(ma, mb)
+            if m1 <= state.last_epoch:
+                self.next_epoch()
+                return True
+            a_log = a_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+            b_log = b_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+        last = state.last_epoch
+        da = a_log.filter(F.col("rw_timestamp") > last)
+        db = b_log.filter(F.col("rw_timestamp") > last)
+        if (
+            da.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+            or db.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+        ):
+            state.inc_join = None  # a base stopped being append-only
+            return False
+
+        def rows(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
+
+        tag = "_".join(_split_fq(fq))
+        v_da, v_db = f"__rw_incj_da_{tag}", f"__rw_incj_db_{tag}"
+        v_aold, v_bfull = f"__rw_incj_ao_{tag}", f"__rw_incj_bf_{tag}"
+        rows(da).createOrReplaceTempView(v_da)
+        rows(db).createOrReplaceTempView(v_db)
+        rows(a_log.filter(F.col("rw_timestamp") <= last)).createOrReplaceTempView(
+            v_aold
+        )
+        rows(b_log).createOrReplaceTempView(v_bfull)
+        try:
+            delta_out = (
+                spark.sql(self._incj_stmt(incj, v_da, v_bfull))
+                .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            for v in (v_da, v_db, v_aold, v_bfull):
+                spark.catalog.dropTempView(v)
+        state.last_epoch = m1
+        if delta_out.isEmpty():
+            self.next_epoch()
+            return True
+        self._ensure_changelog(fq)
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_changelog_tagged(
+                fq,
+                delta_out.withColumn("op", F.lit(OP_INSERT)),
+                epoch,
+            )
+        delta_out.write.mode("append").format("parquet").saveAsTable(fq)
+        spark.catalog.refreshTable(fq)
+        return True
+
     def create_mv(
         self,
         name: str,
@@ -1495,7 +1639,40 @@ class SparkEngine:
                 snap = self.spark.table(base).localCheckpoint(eager=True)
             if has_non_insert or self.vacuum_floor.get(base_cl, 0) > 0:
                 inc = None
+        incj = None
+        if inc is None and not emit_on_close:
+            incj = self._parse_simple_join(rewritten)
+        if incj is not None:
+            cla = self.changelog_name(incj["a_fq"])
+            clb = self.changelog_name(incj["b_fq"])
+            if (
+                incj["a_fq"] in self.upsert_meta
+                or incj["b_fq"] in self.upsert_meta
+                or not self.spark.catalog.tableExists(cla)
+                or not self.spark.catalog.tableExists(clb)
+                or self.vacuum_floor.get(cla, 0) > 0
+                or self.vacuum_floor.get(clb, 0) > 0
+            ):
+                incj = None
+        if incj is not None:
+            # Changelog-consistent induction base, pinned under the
+            # publish lock (same contract as the aggregation path).
+            with self._lock:
+                self.spark.catalog.refreshTable(cla)
+                self.spark.catalog.refreshTable(clb)
+                a_log0 = self.spark.table(cla).localCheckpoint(eager=True)
+                b_log0 = self.spark.table(clb).localCheckpoint(eager=True)
+                m0j = max(
+                    a_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
+                    b_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
+                )
+            if (
+                a_log0.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+                or b_log0.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+            ):
+                incj = None
         base_view = None
+        join_views = None
         if inc is not None:
             # Schema-qualified so same-named MVs in different schemas
             # don't share a session-global temp view; dropped after the
@@ -1503,6 +1680,17 @@ class SparkEngine:
             base_view = "__rw_inc_base_" + "_".join(_split_fq(fq))
             snap.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
+        elif incj is not None:
+            tag = "_".join(_split_fq(fq))
+            va, vb = f"__rw_incj_a0_{tag}", f"__rw_incj_b0_{tag}"
+            a_log0.filter(F.col("op") == OP_INSERT).drop(
+                "op", "rw_timestamp"
+            ).createOrReplaceTempView(va)
+            b_log0.filter(F.col("op") == OP_INSERT).drop(
+                "op", "rw_timestamp"
+            ).createOrReplaceTempView(vb)
+            join_views = (va, vb)
+            df = self.spark.sql(self._incj_stmt(incj, va, vb))
         else:
             df = self.spark.sql(rewritten)
         if emit_on_close:
@@ -1527,6 +1715,9 @@ class SparkEngine:
         finally:
             if base_view is not None:
                 self.spark.catalog.dropTempView(base_view)
+            if join_views is not None:
+                for v in join_views:
+                    self.spark.catalog.dropTempView(v)
         self._ensure_changelog(fq)
         state.key_cols = self._infer_key_cols(stmt, df.columns)
         if inc is not None and state.key_cols and set(state.key_cols) == set(
@@ -1534,6 +1725,9 @@ class SparkEngine:
         ):
             state.inc = inc
             state.last_epoch = m0
+        elif incj is not None:
+            state.inc_join = incj
+            state.last_epoch = m0j
         self.mvs[fq] = state
 
     def drop_mv(self, name: str, schema_name: str | None = None) -> None:
@@ -1770,6 +1964,16 @@ class SparkEngine:
                     state.fq,
                 )
                 state.inc = None
+        if state.inc_join is not None:
+            try:
+                if self._refresh_incremental_join(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental join refresh of %s failed; demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_join = None
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq

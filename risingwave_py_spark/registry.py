@@ -71,7 +71,8 @@ PRIORITY: list[str] = [
     "tumble_events_15m", "hop_events_30m_15m", "session_window_events",
     "asof_join_grammar",
     # MV / changelog / streaming scenario suite
-    "mv_changelog_scenario", "inc_mv_scenario", "streaming_mv_scenario",
+    "mv_changelog_scenario", "inc_mv_scenario", "join_inc_mv_scenario",
+    "streaming_mv_scenario",
     "upsert_version_scenario", "table_changelog_scenario",
     "cascade_mv_scenario", "dml_scenario", "topn_mv_scenario",
     "sink_scenario", "tumble_mv_scenario", "emit_on_close_scenario",

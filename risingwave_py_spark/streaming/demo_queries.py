@@ -536,3 +536,47 @@ def inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "p string, total bigint, n bigint, hi bigint, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "join_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'a', CAST(5.0 AS DOUBLE), 'Insert', CAST(6 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'd', CAST(9.0 AS DOUBLE), 'Insert', CAST(6 AS BIGINT))
+    ) AS t(uid, name, amt, op, rw_timestamp)
+    """,
+)
+def join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-MV maintenance end to end: an INNER equi-join
+    MV over two append-only tables takes the delta path (asserted),
+    ΔA⋈B ∪ A_old⋈ΔB handles a new fact for an existing dim row, a new
+    dim row, and a fact+dim pair arriving in the SAME epoch window
+    without double-counting; the published changelog carries exactly
+    the new join rows. Returns the MV changelog with pinned epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_ij")
+    conn.execute("CREATE TABLE rwdemo_ij.orders (uid BIGINT, amt DOUBLE)")
+    conn.execute("CREATE TABLE rwdemo_ij.users (uid BIGINT, name STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 2], "amt": [10.0, 20.0]}),
+                table_name="orders", schema_name="rwdemo_ij", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2, 3], "name": ["a", "b", "c"]}),
+                table_name="users", schema_name="rwdemo_ij", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_ij.mv AS "
+        "SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+        "FROM rwdemo_ij.orders o JOIN rwdemo_ij.users u ON o.uid = u.uid"
+    )
+    assert eng.mvs["rwdemo_ij.mv"].inc_join is not None, "join fast path not taken"
+    conn.insert(pd.DataFrame({"uid": [1], "amt": [5.0]}),
+                table_name="orders", schema_name="rwdemo_ij", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [4], "name": ["d"]}),
+                table_name="users", schema_name="rwdemo_ij", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [4], "amt": [9.0]}),
+                table_name="orders", schema_name="rwdemo_ij", force_flush=True)
+    assert eng.mvs["rwdemo_ij.mv"].inc_join is not None, "join fast path lost"
+    cl = spark.table("rwdemo_ij.__rw_changelog__mv")
+    rows = [tuple(r) for r in cl.collect()]
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "uid bigint, name string, amt double, op string, rw_timestamp bigint",
+    )

@@ -183,3 +183,92 @@ def test_refresh_never_collects_delta_to_driver(eng_conn):
         eng.spark.createDataFrame = orig
     rows = sorted(conn._dispatch("SELECT * FROM inct.ncm")[1])
     assert rows == [("a", 11), ("b", 102), ("c", 5)]
+
+
+def test_incremental_join_mv_fast_path(spark):
+    """Append-only INNER-join MV takes the delta path: ΔA⋈B ∪
+    A_old⋈ΔB — a new fact for an old dim row, a new dim row, and a
+    fact+dim pair arriving in the SAME flush, with no double count;
+    an UPDATE on a base demotes to snapshot-diff and stays correct."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, mv = f"ijt_o_{tag}", f"ijt_u_{tag}", f"ijt_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1, 2], "amt": [10.0, 20.0]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1, 2, 3], "name": ["a", "b", "c"]}),
+              table_name=u, force_flush=True)
+    rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+               f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+               f"FROM {o} o JOIN {u} u ON o.uid = u.uid")
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [5.0]}), table_name=o,
+              force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [4], "name": ["d"]}), table_name=u,
+              force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [4], "amt": [9.0]}), table_name=o,
+              force_flush=True)
+    assert st.inc_join is not None  # still on the fast path
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (1, "a", 5.0), (1, "a", 10.0), (2, "b", 20.0), (4, "d", 9.0)]
+
+    # dup rows on the fact side keep bag semantics
+    rw.insert(pd.DataFrame({"uid": [1, 1], "amt": [5.0, 5.0]}),
+              table_name=o, force_flush=True)
+    assert st.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")).count((1, "a", 5.0)) == 3
+
+    # UPDATE on a base → demote, snapshot-diff keeps it correct
+    rw.execute(f"UPDATE {o} SET amt = 99 WHERE uid = 2")
+    rw.execute("FLUSH")
+    assert st.inc_join is None
+    assert (2, "b", 99.0) in rw.fetch(f"SELECT * FROM {mv}")
+
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")
+
+
+def test_incremental_join_matches_snapshot_diff(spark):
+    """The delta path and the snapshot-diff path produce identical MV
+    contents for the same input sequence."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    def run(disable_fast: bool):
+        tag = uuid.uuid4().hex[:8]
+        rw = RisingWave(spark=spark)
+        o, u, mv = f"ijx_o_{tag}", f"ijx_u_{tag}", f"ijx_mv_{tag}"
+        rw.insert(pd.DataFrame({"uid": [1, 2, 2], "amt": [1.0, 2.0, 2.5]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [2, 3], "name": ["b", "c"]}),
+                  table_name=u, force_flush=True)
+        rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                   f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+                   f"FROM {o} o JOIN {u} u ON o.uid = u.uid")
+        st = rw.engine.mvs[f"public.{mv}"]
+        if disable_fast:
+            st.inc_join = None
+        rw.insert(pd.DataFrame({"uid": [3, 9], "amt": [7.0, 8.0]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [9], "name": ["z"]}),
+                  table_name=u, force_flush=True)
+        out = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+        rw.execute(f"DROP TABLE {o}")
+        rw.execute(f"DROP TABLE {u}")
+        return out
+
+    assert run(disable_fast=False) == run(disable_fast=True)
