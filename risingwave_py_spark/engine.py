@@ -1454,14 +1454,15 @@ class SparkEngine:
 
     _INCJ_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
-        r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+(?:INNER\s+)?JOIN\s+"
+        r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+"
+        r"(?:(?P<lj>LEFT\s+(?:OUTER\s+)?)|INNER\s+)?JOIN\s+"
         r"(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+(?P<on>.+?)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
         re.I | re.S,
     )
     _INCJ_BLOCKERS = re.compile(
         r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
-        r"DISTINCT|OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF)\b|\(\s*SELECT",
+        r"DISTINCT|OVER|LATERAL|RIGHT|FULL|CROSS|ASOF)\b|\(\s*SELECT",
         re.I,
     )
 
@@ -1469,18 +1470,27 @@ class SparkEngine:
         """Incremental plan for an INNER equi-join of two append-only
         tables (ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB — exact for insert-only
         bases since selection/projection/join are monotone), or None."""
-        if self._INCJ_BLOCKERS.search(stmt) or stmt.upper().count(" JOIN ") != 1:
+        if self._INCJ_BLOCKERS.search(stmt) or stmt.upper().count("JOIN") != 1:
             return None
         m = self._INCJ_SHAPE.match(stmt)
         if not m:
             return None
         a1, a2 = m.group("a1"), m.group("a2")
-        if a1.upper() in ("JOIN", "ON") or a2.upper() in ("ON", "WHERE") or a1 == a2:
+        if (
+            a1.upper() in ("JOIN", "ON", "LEFT", "INNER")
+            or a2.upper() in ("ON", "WHERE")
+            or a1 == a2
+        ):
             return None
+        key_pairs: list[tuple[str, str]] = []  # (a1 col, a2 col)
         for term in RW._split_and(m.group("on")):
             e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
             if not e or {e.group(1), e.group(3)} != {a1, a2}:
                 return None
+            if e.group(1) == a1:
+                key_pairs.append((e.group(2), e.group(4)))
+            else:
+                key_pairs.append((e.group(4), e.group(2)))
         # SELECT items: qualified refs (al.col [AS alias]) only — they
         # rebind cleanly when FROM is rebound to the delta views.
         for item in RW.split_top_level(m.group("sel")):
@@ -1498,12 +1508,17 @@ class SparkEngine:
             "sel": m.group("sel").strip(),
             "on": m.group("on").strip(),
             "where": (m.group("where") or "").strip() or None,
+            "how": "left" if m.group("lj") else "inner",
+            "key_pairs": key_pairs,
         }
 
-    def _incj_stmt(self, incj: dict, view_a: str, view_b: str) -> str:
+    def _incj_stmt(
+        self, incj: dict, view_a: str, view_b: str, how: str = "inner"
+    ) -> str:
+        kw = "LEFT JOIN" if how == "left" else "JOIN"
         q = (
             f"SELECT {incj['sel']} FROM {view_a} AS {incj['a1']} "
-            f"JOIN {view_b} AS {incj['a2']} ON {incj['on']}"
+            f"{kw} {view_b} AS {incj['a2']} ON {incj['on']}"
         )
         if incj["where"]:
             q += f" WHERE {incj['where']}"
@@ -1566,29 +1581,87 @@ class SparkEngine:
             v_aold
         )
         rows(b_log).createOrReplaceTempView(v_bfull)
+        how = incj.get("how", "inner")
+        retr = None
         try:
+            # d1: new left rows against the full (post-batch) right
+            # side — LEFT keeps its padded semantics here; d2: old
+            # left rows gaining matches from the right delta (inner
+            # for both join kinds).
             delta_out = (
-                spark.sql(self._incj_stmt(incj, v_da, v_bfull))
+                spark.sql(self._incj_stmt(incj, v_da, v_bfull, how))
                 .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
                 .localCheckpoint(eager=True)
             )
+            if how == "left":
+                # Retraction rule: an old left row whose key had NO
+                # match before this batch but gains one now must
+                # retract its padded output row. newly-matched keys =
+                # ΔB keys minus B_old keys; the padded row is rebuilt
+                # by LEFT-joining against an EMPTY right side.
+                b_keys = [b for _, b in incj["key_pairs"]]
+                db_keys = spark.table(v_db).select(*b_keys).distinct()
+                bold_keys = (
+                    b_log.filter(
+                        (F.col("rw_timestamp") <= last)
+                        & (F.col("op") == OP_INSERT)
+                    )
+                    .select(*b_keys)
+                    .distinct()
+                )
+                new_keys = db_keys.exceptAll(bold_keys)
+                a_old_df = spark.table(v_aold)
+                cond = None
+                for ak, bk in incj["key_pairs"]:
+                    e = a_old_df[ak] == new_keys[bk]
+                    cond = e if cond is None else (cond & e)
+                affected = a_old_df.join(new_keys, cond, "left_semi")
+                v_aff, v_bempty = f"__rw_incj_af_{tag}", f"__rw_incj_be_{tag}"
+                affected.createOrReplaceTempView(v_aff)
+                spark.table(v_bfull).limit(0).createOrReplaceTempView(v_bempty)
+                try:
+                    retr = spark.sql(
+                        self._incj_stmt(incj, v_aff, v_bempty, "left")
+                    ).localCheckpoint(eager=True)
+                finally:
+                    spark.catalog.dropTempView(v_aff)
+                    spark.catalog.dropTempView(v_bempty)
+                if retr.isEmpty():
+                    retr = None
         finally:
             for v in (v_da, v_db, v_aold, v_bfull):
                 spark.catalog.dropTempView(v)
         state.last_epoch = m1
-        if delta_out.isEmpty():
+        if delta_out.isEmpty() and retr is None:
             self.next_epoch()
             return True
         self._ensure_changelog(fq)
-        with self._lock:
-            epoch = self.next_epoch()
-            self._append_changelog_tagged(
-                fq,
-                delta_out.withColumn("op", F.lit(OP_INSERT)),
-                epoch,
+        tagged = delta_out.withColumn("op", F.lit(OP_INSERT))
+        if retr is not None:
+            tagged = retr.withColumn("op", F.lit(OP_DELETE)).unionByName(tagged)
+        if retr is not None:
+            # padded rows leave the result: bag-exact rewrite staged
+            # then swapped (same pattern as the aggregation path)
+            new_result = (
+                spark.table(fq).exceptAll(retr).unionByName(delta_out)
             )
-        delta_out.write.mode("append").format("parquet").saveAsTable(fq)
-        spark.catalog.refreshTable(fq)
+            db_, tbl_ = _split_fq(fq)
+            stage = f"{db_}.__rw_stage__{tbl_}"
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            self._clear_stale_location(stage)
+            new_result.write.format("parquet").saveAsTable(stage)
+            with self._lock:
+                epoch = self.next_epoch()
+                self._append_changelog_tagged(fq, tagged, epoch)
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
+        else:
+            with self._lock:
+                epoch = self.next_epoch()
+                self._append_changelog_tagged(fq, tagged, epoch)
+            delta_out.write.mode("append").format("parquet").saveAsTable(fq)
+            spark.catalog.refreshTable(fq)
         return True
 
     def create_mv(
@@ -1690,7 +1763,7 @@ class SparkEngine:
                 "op", "rw_timestamp"
             ).createOrReplaceTempView(vb)
             join_views = (va, vb)
-            df = self.spark.sql(self._incj_stmt(incj, va, vb))
+            df = self.spark.sql(self._incj_stmt(incj, va, vb, incj["how"]))
         else:
             df = self.spark.sql(rewritten)
         if emit_on_close:

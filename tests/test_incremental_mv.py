@@ -272,3 +272,83 @@ def test_incremental_join_matches_snapshot_diff(spark):
         return out
 
     assert run(disable_fast=False) == run(disable_fast=True)
+
+
+def test_incremental_left_join_mv_retracts_padded_rows(spark):
+    """LEFT-join fast path: when a right match arrives for a
+    previously-unmatched left row, the padded row is retracted
+    (Delete) and the matched row inserted — in ONE epoch; a new
+    unmatched left row still pads."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, mv = f"ljt_o_{tag}", f"ljt_u_{tag}", f"ljt_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1, 2], "amt": [10.0, 20.0]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1], "name": ["a"]}),
+              table_name=u, force_flush=True)
+    rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+               f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+               f"FROM {o} o LEFT JOIN {u} u ON o.uid = u.uid")
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_join is not None and st.inc_join["how"] == "left"
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str) == [
+        (1, "a", 10.0), (2, None, 20.0)]
+
+    rw.insert(pd.DataFrame({"uid": [2], "name": ["b"]}),
+              table_name=u, force_flush=True)
+    assert st.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str) == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+    ops = {(r.uid, r.name, r.op)
+           for r in spark.table(f"public.__rw_changelog__{mv}").collect()}
+    assert (2, None, "Delete") in ops and (2, "b", "Insert") in ops
+
+    rw.insert(pd.DataFrame({"uid": [5], "amt": [50.0]}),
+              table_name=o, force_flush=True)
+    assert st.inc_join is not None
+    assert (5, None, 50.0) in rw.fetch(f"SELECT * FROM {mv}")
+
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")
+
+
+def test_incremental_left_join_matches_snapshot_diff(spark):
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    def run(disable_fast: bool):
+        tag = uuid.uuid4().hex[:8]
+        rw = RisingWave(spark=spark)
+        o, u, mv = f"ljx_o_{tag}", f"ljx_u_{tag}", f"ljx_mv_{tag}"
+        rw.insert(pd.DataFrame({"uid": [1, 2, 2], "amt": [1.0, 2.0, 2.5]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [2], "name": ["b"]}),
+                  table_name=u, force_flush=True)
+        rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                   f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+                   f"FROM {o} o LEFT JOIN {u} u ON o.uid = u.uid")
+        st = rw.engine.mvs[f"public.{mv}"]
+        if disable_fast:
+            st.inc_join = None
+        # same-flush: match arrives for uid 1 AND a brand-new pair 9
+        rw.insert(pd.DataFrame({"uid": [9], "amt": [8.0]}),
+                  table_name=o, force_flush=False)
+        rw.insert(pd.DataFrame({"uid": [1, 9], "name": ["a", "z"]}),
+                  table_name=u, force_flush=True)
+        out = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
+        rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+        rw.execute(f"DROP TABLE {o}")
+        rw.execute(f"DROP TABLE {u}")
+        return out
+
+    assert run(disable_fast=False) == run(disable_fast=True)
