@@ -1470,7 +1470,9 @@ class SparkEngine:
         """Incremental plan for an INNER equi-join of two append-only
         tables (ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB — exact for insert-only
         bases since selection/projection/join are monotone), or None."""
-        if self._INCJ_BLOCKERS.search(stmt) or stmt.upper().count("JOIN") != 1:
+        if self._INCJ_BLOCKERS.search(stmt):
+            return None
+        if len(re.findall(r"\bJOIN\b", stmt, re.I)) != 1:
             return None
         m = self._INCJ_SHAPE.match(stmt)
         if not m:
@@ -1537,9 +1539,15 @@ class SparkEngine:
         cl_a = self.changelog_name(incj["a_fq"])
         cl_b = self.changelog_name(incj["b_fq"])
         with self._lock:
+            # The join path reconstructs BOTH base tables from their
+            # changelogs' FULL history (A_old/B_full read epochs ≤
+            # last_epoch too) — ANY vacuum of either changelog makes
+            # the history incomplete, so demote on floor > 0, not
+            # floor > last_epoch (the aggregation path's weaker guard
+            # only needs the un-consumed suffix).
             if (
-                self.vacuum_floor.get(cl_a, 0) > state.last_epoch
-                or self.vacuum_floor.get(cl_b, 0) > state.last_epoch
+                self.vacuum_floor.get(cl_a, 0) > 0
+                or self.vacuum_floor.get(cl_b, 0) > 0
             ):
                 state.inc_join = None
                 return False
@@ -1583,6 +1591,7 @@ class SparkEngine:
         rows(b_log).createOrReplaceTempView(v_bfull)
         how = incj.get("how", "inner")
         retr = None
+        b_advanced = mb > last  # ΔB empty ⇒ no retraction can exist
         try:
             # d1: new left rows against the full (post-batch) right
             # side — LEFT keeps its padded semantics here; d2: old
@@ -1593,7 +1602,7 @@ class SparkEngine:
                 .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
                 .localCheckpoint(eager=True)
             )
-            if how == "left":
+            if how == "left" and b_advanced:
                 # Retraction rule: an old left row whose key had NO
                 # match before this batch but gains one now must
                 # retract its padded output row. newly-matched keys =
@@ -1639,7 +1648,6 @@ class SparkEngine:
         tagged = delta_out.withColumn("op", F.lit(OP_INSERT))
         if retr is not None:
             tagged = retr.withColumn("op", F.lit(OP_DELETE)).unionByName(tagged)
-        if retr is not None:
             # padded rows leave the result: bag-exact rewrite staged
             # then swapped (same pattern as the aggregation path)
             new_result = (

@@ -352,3 +352,45 @@ def test_incremental_left_join_matches_snapshot_diff(spark):
         return out
 
     assert run(disable_fast=False) == run(disable_fast=True)
+
+
+def test_join_mv_demotes_after_base_vacuum(spark):
+    """ANY vacuum of a base changelog demotes the join fast path: it
+    reconstructs both tables from FULL changelog history, so a floor
+    > 0 (even below last_epoch) would silently corrupt the join —
+    the refresh must fall back to snapshot-diff and stay correct."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, mv = f"vjt_o_{tag}", f"vjt_u_{tag}", f"vjt_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [10.0]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1, 2], "name": ["a", "b"]}),
+              table_name=u, force_flush=True)
+    rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+               f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+               f"FROM {o} o JOIN {u} u ON o.uid = u.uid")
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_join is not None
+
+    # retention-0 subscription on the RIGHT base + vacuum → floor > 0
+    rw.execute(f"CREATE SUBSCRIPTION vjt_s_{tag} FROM {u} WITH (retention = '0s')")
+    rw.engine.vacuum_changelogs()
+    assert rw.engine.vacuum_floor.get(f"public.__rw_changelog__{u}", 0) > 0
+
+    # next flush demotes instead of merging against truncated history
+    rw.insert(pd.DataFrame({"uid": [2], "amt": [20.0]}),
+              table_name=o, force_flush=True)
+    assert st.inc_join is None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+
+    rw.execute(f"DROP SUBSCRIPTION vjt_s_{tag}")
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")
