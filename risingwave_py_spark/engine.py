@@ -509,17 +509,18 @@ class SparkEngine:
         the authoritative high-water mark)."""
         import json
 
-        def j(d: dict) -> dict:
-            return {
-                k: {
-                    kk: vv
+        def scalarize(v):
+            if isinstance(v, dict):
+                return {
+                    kk: scalarize(vv)
                     for kk, vv in v.items()
-                    if isinstance(vv, (str, int, float, bool, list)) or vv is None
+                    if isinstance(vv, (str, int, float, bool, list, dict))
+                    or vv is None
                 }
-                if isinstance(v, dict)
-                else v
-                for k, v in d.items()
-            }
+            return v
+
+        def j(d: dict) -> dict:
+            return {k: scalarize(v) for k, v in d.items()}
 
         doc = {
             "epoch": self._epoch,
@@ -590,7 +591,8 @@ class SparkEngine:
             if props.get("connector") in self.STREAM_CONNECTORS:
                 try:
                     self._create_stream_source(
-                        src_fq, props["connector"], dict(props), True
+                        src_fq, props["connector"], dict(props), True,
+                        resume=True,
                     )
                 except Exception as e:  # noqa: BLE001
                     logger.warning("could not restart stream source %s: %s", src_fq, e)
@@ -608,7 +610,8 @@ class SparkEngine:
         # the data path).
         max_epoch = 0
         try:
-            for db in {self.default_schema}:
+            for db_obj in self.spark.catalog.listDatabases():
+                db = db_obj.name
                 for t in self.spark.catalog.listTables(db):
                     if t.name.startswith("__rw_changelog__"):
                         m = (
@@ -619,8 +622,13 @@ class SparkEngine:
                         max_epoch = max(max_epoch, m or 0)
         except Exception:  # noqa: BLE001
             pass
-        # the persisted counter floors epochs that were consumed
-        # without emitting changelog rows (empty deltas)
+        # The persisted counter floors epochs consumed without
+        # changelog rows up to the last DDL. Zero-row epochs issued
+        # AFTER the last DDL can be re-issued post-restart — benign:
+        # such epochs stamped no rows (nothing collides) and
+        # subscription progress always points at a DELIVERED row's
+        # epoch, which by definition exists in a changelog and is
+        # covered by max_epoch.
         self._epoch = max(self._epoch, max_epoch, int(doc.get("epoch", 0)))
 
     def show_create(self, name: str, schema_name: str | None = None):
@@ -858,6 +866,7 @@ class SparkEngine:
 
     def drop_function(self, name: str) -> None:
         self.udfs.pop(name, None)
+        self.udf_defs.pop(name, None)  # else it resurrects on restart
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
 
     # -- indexes (RW CREATE INDEX → physical clustering) -------------------
@@ -1115,7 +1124,8 @@ class SparkEngine:
     STREAM_CONNECTORS = ("kafka", "datagen")
 
     def _create_stream_source(
-        self, fq: str, connector: str, props: dict[str, str], ignore_exist: bool
+        self, fq: str, connector: str, props: dict[str, str], ignore_exist: bool,
+        resume: bool = False,
     ) -> None:
         """CREATE SOURCE for a streaming connector: the stream lands in
         a backing table via foreachBatch inserts through insert_df, so
@@ -1126,8 +1136,12 @@ class SparkEngine:
         Capability check: `readStream.format(...).load()` raises
         DATA_SOURCE_NOT_FOUND at DDL time when the connector jar is not
         on the classpath (e.g. kafka in this container) — the failure
-        is at CREATE SOURCE, not first read."""
-        if fq in self.sources or self.spark.catalog.tableExists(fq):
+        is at CREATE SOURCE, not first read.
+
+        ``resume=True`` (catalog restore) re-attaches the readStream to
+        an EXISTING backing table — the exists-check would otherwise
+        silently drop the source on restart."""
+        if not resume and (fq in self.sources or self.spark.catalog.tableExists(fq)):
             if ignore_exist:
                 return
             raise RuntimeError(f"source {fq} already exists")
@@ -1164,10 +1178,11 @@ class SparkEngine:
         for k, v in opts.items():
             reader = reader.option(k, v)
         sdf = reader.load()  # <- capability check (DATA_SOURCE_NOT_FOUND)
-        self._clear_stale_location(fq)
-        self.spark.createDataFrame([], sdf.schema).write.format(
-            "parquet"
-        ).saveAsTable(fq)
+        if not resume:
+            self._clear_stale_location(fq)
+            self.spark.createDataFrame([], sdf.schema).write.format(
+                "parquet"
+            ).saveAsTable(fq)
         self._ensure_changelog(fq)
         db, tbl = _split_fq(fq)
         wh = re.sub(r"^file:", "", self.spark.conf.get("spark.sql.warehouse.dir"))

@@ -74,3 +74,51 @@ def test_upsert_table_survives_restart(spark):
     rw2.execute(f"INSERT INTO {t} (k, v, ver) VALUES (1, 'stale', 2)")
     assert rw2.fetch(f"SELECT * FROM {t}") == [(1, "b", 5)]
     e2.drop_table(t)
+
+
+def test_sink_and_udf_drop_survive_restart(spark, tmp_path):
+    """Review regressions: a restored sink keeps its writer options
+    (flush works after restart), and a DROPPED function must NOT
+    resurrect on restore."""
+    import pandas as pd
+
+    tag = uuid.uuid4().hex[:8]
+    t, sink = f"dur_st_{tag}", f"dur_sk_{tag}"
+    out = str(tmp_path / "sinkout")
+    rw1 = RisingWave(spark=spark)
+    rw1.insert(pd.DataFrame({"k": [1]}), table_name=t, force_flush=True)
+    rw1.execute(f"CREATE SINK {sink} FROM {t} WITH (connector='filesystem', "
+                f"path='{out}', format='parquet')")
+    rw1.execute("CREATE FUNCTION dur_gone(x INT) RETURNS INT LANGUAGE python AS "
+                "$$def dur_gone(x):\n    return x$$")
+    rw1.execute("DROP FUNCTION dur_gone")
+
+    e2 = SparkEngine(spark)
+    assert "dur_gone" not in e2.udfs  # dropped UDF stays dropped
+    fq = f"public.{sink}"
+    assert fq in e2.sinks and isinstance(e2.sinks[fq].get("opts"), dict)
+    # restored sink still forwards new epochs on flush
+    rw2 = RisingWaveConnection(e2)
+    rw2.insert(pd.DataFrame({"k": [2]}), table_name=t, force_flush=True)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert 2 in got
+    e2.drop_sink(sink)
+    e2.drop_table(t)
+
+
+def test_epoch_recovery_covers_all_schemas(spark):
+    """Epochs written only to a non-default schema's changelog must
+    still floor the restored counter."""
+    import pandas as pd
+
+    tag = uuid.uuid4().hex[:8]
+    sch = f"dur_s2_{tag}"
+    rw1 = RisingWave(spark=spark)
+    rw1.execute(f"CREATE SCHEMA {sch}")
+    rw1.insert(pd.DataFrame({"k": [1, 2]}), table_name="t",
+               schema_name=sch, force_flush=True)
+    epoch_before = rw1.engine._epoch
+    e2 = SparkEngine(spark)
+    assert e2._epoch >= epoch_before
+    e2.drop_table(f"{sch}.t")
+    rw1.execute(f"DROP SCHEMA {sch}")
