@@ -547,7 +547,11 @@ class SparkEngine:
             # a prior PROCESS may have left the data dir behind while
             # this session's in-memory catalog has no such table
             self._clear_stale_location(self._catalog_fq())
-            df.write.mode("overwrite").saveAsTable(self._catalog_fq())
+            try:
+                df.write.mode("overwrite").saveAsTable(self._catalog_fq())
+            except Exception:  # noqa: BLE001 — e.g. another process raced us
+                self._clear_stale_location(self._catalog_fq())
+                df.write.mode("overwrite").saveAsTable(self._catalog_fq())
 
     def _restore_catalog(self) -> None:
         """Rehydrate the engine catalog from a previous engine's

@@ -140,7 +140,7 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         "SET_VAR",
         re.compile(
             r"^\s*SET\s+(?:SESSION\s+)?(?:(?:TIME\s+ZONE\s+(?P<tz>.+?))|"
-            r"(?P<key>[\w.]+)\s+(?:TO|=)\s+(?P<val>.+?))\s*;?\s*$",
+            r"(?P<key>[\w.]+)(?:\s+TO\s+|\s*=\s*)(?P<val>.+?))\s*;?\s*$",
             re.I,
         ),
     ),
@@ -248,7 +248,7 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         "INSERT",
         re.compile(
             r"^\s*INSERT\s+INTO\s+(?P<name>[\w.]+)\s*(\((?P<cols>[\w\s,]+)\))?\s*"
-            r"(?P<rest>(VALUES|SELECT)\s+.*?)(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
+            r"(?P<rest>(VALUES|SELECT)\s*.+?)(?:\s+RETURNING\s+(?P<ret>.+?))?\s*;?\s*$",
             re.I | re.S,
         ),
     ),
@@ -349,7 +349,11 @@ PG_TO_SPARK_TYPES = {
     "BYTEA": "BINARY",
 }
 
-_COLDEF = re.compile(r"^\s*(?P<name>\w+)\s+(?P<type>[\w ]+?)(?P<pk>\s+PRIMARY\s+KEY)?\s*$", re.I)
+_COLDEF = re.compile(
+    r"^\s*(?P<name>\w+)\s+(?P<type>[\w ]+?(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?P<pk>\s+PRIMARY\s+KEY)?\s*$",
+    re.I,
+)
 
 # RW watermark DDL inside a CREATE TABLE column list:
 #   WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
@@ -403,7 +407,7 @@ def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
     PG array types (``INT[]``, ``STRING[]``) map to ``ARRAY<t>``."""
     cols: list[tuple[str, str]] = []
     pks: list[str] = []
-    for part in cols_sql.split(","):
+    for part in split_top_level(cols_sql):
         arr = _COLDEF_ARRAY.match(part)
         m = arr or _COLDEF.match(part)
         if not m:
@@ -411,6 +415,16 @@ def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
         name = m.group("name")
         pg_t = " ".join(m.group("type").split()).upper()
         spark_t = PG_TO_SPARK_TYPES.get(pg_t)
+        if spark_t is None:
+            # parameterized DECIMAL/NUMERIC and VARCHAR(n) pass through
+            dm = re.fullmatch(
+                r"(?:DECIMAL|NUMERIC)\s*\((\d+)\s*,\s*(\d+)\)", pg_t
+            )
+            vm = re.fullmatch(r"(?:VARCHAR|CHARACTER VARYING)\s*\(\d+\)", pg_t)
+            if dm:
+                spark_t = f"DECIMAL({dm.group(1)},{dm.group(2)})"
+            elif vm:
+                spark_t = "STRING"
         if spark_t is None:
             raise ValueError(f"unsupported type {pg_t!r} in column {name!r}")
         if arr:
@@ -426,7 +440,8 @@ def parse_columns(cols_sql: str) -> tuple[list[tuple[str, str]], list[str]]:
 # ---------------------------------------------------------------------------
 
 _TUMBLE = re.compile(
-    r"tumble\s*\(\s*(?P<rel>[\w.]+)\s*,\s*(?P<col>\w+)\s*,\s*interval\s+'(?P<ival>[^']+)'\s*\)",
+    r"tumble\s*\(\s*(?P<rel>[\w.]+)\s*,\s*(?P<col>\w+)\s*,"
+    r"\s*interval\s+'(?P<ival>[^']+)'(?:\s+(?P<unit>\w+))?\s*\)",
     re.I,
 )
 
@@ -459,7 +474,10 @@ def rewrite_tumble(sql: str) -> str:
 
     def sub(m: re.Match) -> str:
         rel, col = m.group("rel"), m.group("col")
-        us = interval_to_micros(m.group("ival"))
+        spec = m.group("ival")
+        if m.group("unit"):  # SQL-standard interval '1' second form
+            spec = f"{spec} {m.group('unit')}"
+        us = interval_to_micros(spec)
         return (
             f"(SELECT *, "
             f"timestamp_micros(CAST(floor(unix_micros({col}) / {us}) AS BIGINT) * {us}) AS window_start, "
@@ -472,7 +490,8 @@ def rewrite_tumble(sql: str) -> str:
 
 _HOP = re.compile(
     r"hop\s*\(\s*(?P<rel>[\w.]+)\s*,\s*(?P<col>\w+)\s*,"
-    r"\s*interval\s+'(?P<slide>[^']+)'\s*,\s*interval\s+'(?P<size>[^']+)'\s*\)",
+    r"\s*interval\s+'(?P<slide>[^']+)'(?:\s+(?P<slideunit>\w+))?\s*,"
+    r"\s*interval\s+'(?P<size>[^']+)'(?:\s+(?P<sizeunit>\w+))?\s*\)",
     re.I,
 )
 
@@ -490,8 +509,13 @@ def rewrite_hop(sql: str) -> str:
 
     def sub(m: re.Match) -> str:
         rel, col = m.group("rel"), m.group("col")
-        slide = interval_to_micros(m.group("slide"))
-        size = interval_to_micros(m.group("size"))
+        slide_spec, size_spec = m.group("slide"), m.group("size")
+        if m.group("slideunit"):
+            slide_spec = f"{slide_spec} {m.group('slideunit')}"
+        if m.group("sizeunit"):
+            size_spec = f"{size_spec} {m.group('sizeunit')}"
+        slide = interval_to_micros(slide_spec)
+        size = interval_to_micros(size_spec)
         if size % slide != 0:
             raise ValueError("hop(): window size must be a multiple of slide")
         n = size // slide
@@ -525,7 +549,7 @@ _ASOF = re.compile(
     r"(?P<right>[\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?"
     r"\s+ON\s+(?P<cond>.+?)"
-    r"(?=\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT)\b|\s*$|\s*\))",
+    r"(?=\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|UNION|INTERSECT|EXCEPT)\b|\s*;|\s*$)",
     re.I | re.S,
 )
 
@@ -535,12 +559,21 @@ _INEQ_TERM = re.compile(
 
 
 def _split_and(cond: str) -> list[str]:
-    """Split a predicate on top-level ANDs (paren-depth aware)."""
+    """Split a predicate on top-level ANDs (paren-depth and
+    string-literal aware — an AND inside '...' must not split)."""
     parts, depth, start = [], 0, 0
     i, n = 0, len(cond)
+    in_str = False
     while i < n:
         c = cond[i]
-        if c == "(":
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
@@ -711,7 +744,13 @@ def rewrite_json_ops(sql: str) -> str:
             if step.group("idx") is not None:
                 path += f"[{step.group('idx')}]"
             else:
-                path += f".{step.group('key')}"
+                key = step.group("key")
+                if re.fullmatch(r"\w+", key):
+                    path += f".{key}"
+                else:
+                    # keys containing '.', '[' etc. must be
+                    # bracket-quoted or they read as nested lookups
+                    path += f"['{key}']"
         return f"get_json_object({m.group('base')}, '{path}')"
 
     return _JSON_CHAIN.sub(sub, sql)

@@ -108,8 +108,13 @@ def test_sink_and_udf_drop_survive_restart(spark, tmp_path):
 
 def test_epoch_recovery_covers_all_schemas(spark):
     """Epochs written only to a non-default schema's changelog must
-    still floor the restored counter."""
+    still floor the restored counter. The guarantee is collision
+    freedom with DELIVERED rows: the restored counter must be at
+    least the highest rw_timestamp in ANY schema's changelog (the
+    in-memory counter itself may sit higher after zero-row epochs,
+    which stamp nothing — documented as benign)."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     tag = uuid.uuid4().hex[:8]
     sch = f"dur_s2_{tag}"
@@ -117,8 +122,13 @@ def test_epoch_recovery_covers_all_schemas(spark):
     rw1.execute(f"CREATE SCHEMA {sch}")
     rw1.insert(pd.DataFrame({"k": [1, 2]}), table_name="t",
                schema_name=sch, force_flush=True)
-    epoch_before = rw1.engine._epoch
+    hiwater = (
+        spark.table(f"{sch}.__rw_changelog__t")
+        .agg(F.max("rw_timestamp"))
+        .first()[0]
+    )
+    assert hiwater and hiwater > 0
     e2 = SparkEngine(spark)
-    assert e2._epoch >= epoch_before
+    assert e2._epoch >= hiwater
     e2.drop_table(f"{sch}.t")
     rw1.execute(f"DROP SCHEMA {sch}")

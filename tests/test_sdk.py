@@ -278,3 +278,64 @@ def test_pg_ordered_set_and_recursive_syntax(rw):
     assert rw.fetchone(
         "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r WHERE n < 5) "
         "SELECT sum(n) FROM r")[0] == 15
+
+
+def test_dialect_edge_spellings(rw):
+    """Review regressions in the dialect classifier/rewrites: compact
+    INSERT/SET spellings, string literals containing AND, IN-lists in
+    ASOF ON clauses, dotted JSON keys, unit-outside intervals, and
+    parameterized column types."""
+    import datetime as dt
+
+    from risingwave_py_spark.plans.rewrite import (
+        classify,
+        parse_columns,
+        rewrite_asof_join,
+        rewrite_json_ops,
+        rewrite_tumble,
+    )
+
+    # INSERT INTO t VALUES(...) — no space before the paren — must
+    # still hit the engine's changelog-aware insert path.
+    assert classify("INSERT INTO t VALUES(1,2)").kind == "INSERT"
+    rw.execute("DROP TABLE IF EXISTS t_sdk_edge")
+    rw.execute("CREATE TABLE t_sdk_edge (k INT, v VARCHAR(40), amt DECIMAL(10,2))")
+    rw.execute("INSERT INTO t_sdk_edge VALUES(1, 'x', 2.50)")
+    rw.execute("FLUSH")
+    assert rw.fetch("SELECT * FROM t_sdk_edge") == [(1, "x", 2.50)] or \
+        str(rw.fetch("SELECT * FROM t_sdk_edge")[0][2]) == "2.50"
+    # the insert DID flow through the changelog (not raw spark.sql)
+    assert rw.fetch(
+        "SELECT count(*) FROM public.__rw_changelog__t_sdk_edge")[0][0] == 1
+    rw.execute("DROP TABLE t_sdk_edge")
+
+    # SET without spaces around '='
+    rw.execute("SET application_mode='batch'")
+    assert rw.fetch("SHOW application_mode") == [("batch",)]
+
+    # AND inside a string literal must not split the ON clause
+    sql = rewrite_asof_join(
+        "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.t >= y.t "
+        "AND y.genre = 'rock and roll'"
+    )
+    assert "rock and roll" in sql and "rock AND roll" not in sql
+
+    # IN-list (parens) in the residual + trailing semicolon
+    sql = rewrite_asof_join(
+        "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND y.kind IN ('u', 'v') "
+        "AND x.t >= y.t;"
+    )
+    assert "IN ('u', 'v')" in sql and sql.count("(") == sql.count(")")
+
+    # dotted JSON key → bracket-quoted path
+    assert "$['user.name']" in rewrite_json_ops("SELECT p ->> 'user.name' FROM t")
+    assert "$.name" in rewrite_json_ops("SELECT p ->> 'name' FROM t")
+
+    # SQL-standard unit-outside interval form in tumble()
+    out = rewrite_tumble("SELECT * FROM tumble(t, ts, interval '10' second)")
+    assert "window_start" in out
+
+    # parameterized types parse (DECIMAL split + VARCHAR(n))
+    cols, pks = parse_columns("k INT PRIMARY KEY, v VARCHAR(40), amt DECIMAL(10,2)")
+    assert cols == [("k", "INT"), ("v", "STRING"), ("amt", "DECIMAL(10,2)")]
+    assert pks == ["k"]
