@@ -132,12 +132,22 @@ class RisingWaveConnection:
 
     # -- query path (EP1, SURVEY §3) ----------------------------------
 
+    @staticmethod
+    def _no_params(args) -> None:
+        if args:
+            raise NotImplementedError(
+                "query parameter binding is not supported by the Spark "
+                "engine — inline literals or use DataFrame APIs"
+            )
+
     def execute(self, sql: str, *args) -> None:
         """Run a statement for effect (core.py:161-181)."""
+        self._no_params(args)
         self._dispatch(sql)
 
     def fetch(self, sql: str, format: OutputFormat = OutputFormat.RAW, *args):
         """Run a query, return all rows (core.py:183-212)."""
+        self._no_params(args)
         result = self._dispatch(sql)
         if result is None:
             result = ([], [])
@@ -147,16 +157,20 @@ class RisingWaveConnection:
         return rows
 
     def fetchone(self, sql: str, format: OutputFormat = OutputFormat.RAW, *args):
-        """Run a query, return the first row or None (core.py:215-243)."""
-        cols, rows = self._dispatch(sql) or ([], [])
+        """Run a query, return the first row or None (core.py:215-243).
+        Plain queries collect ONE row (limit pushed into the plan),
+        not the full result."""
+        self._no_params(args)
+        cols, rows = self._dispatch(sql, limit=1) or ([], [])
         if not rows:
             return None
         if format == OutputFormat.DATAFRAME:
             return pd.DataFrame(data=rows[:1], columns=cols)
         return rows[0]
 
-    def _dispatch(self, sql: str):
-        """Route a statement: engine-protocol commands vs Spark SQL."""
+    def _dispatch(self, sql: str, limit: int | None = None):
+        """Route a statement: engine-protocol commands vs Spark SQL.
+        ``limit`` caps plain-query collection (fetchone's path)."""
         eng = self.engine
         cmd = RW.classify(sql)
         k, p = cmd.kind, cmd.params
@@ -279,18 +293,27 @@ class RisingWaveConnection:
         if k == "FETCH_CURSOR":
             return eng.fetch_cursor(p["name"], int(p["n"]))
         if k == "INSERT":
-            fq = eng.qualify(p["name"])
             rest = p["rest"]
+            listed = (
+                [c.strip() for c in p["cols"].split(",")]
+                if p.get("cols")
+                else None
+            )
             if rest.upper().startswith("VALUES"):
-                names = (
-                    [c.strip() for c in p["cols"].split(",")]
-                    if p.get("cols")
-                    else eng.list_columns(p["name"])
-                )
+                names = listed or eng.list_columns(p["name"])
                 src = eng.sql(f"SELECT * FROM ({rest}) AS __v({', '.join(names)})")
             else:
+                # SQL semantics: SELECT output maps to the target (or
+                # the explicit column list) POSITIONALLY — never by
+                # the source's own column names.
                 src = eng.sql(rest)
-                names = src.columns
+                names = listed or eng.list_columns(p["name"])
+                if len(src.columns) != len(names):
+                    raise RuntimeError(
+                        f"INSERT ... SELECT provides {len(src.columns)} "
+                        f"columns for {len(names)} target columns"
+                    )
+                src = src.toDF(*names)
             # align to full table schema (missing cols → NULL)
             full = eng.list_columns(p["name"])
             from pyspark.sql import functions as F
@@ -313,6 +336,8 @@ class RisingWaveConnection:
             return None
         # plain query
         df = eng.sql(sql)
+        if limit is not None:
+            df = df.limit(limit)
         rows = df.collect()
         return df.columns, [tuple(r) for r in rows]
 
@@ -326,6 +351,14 @@ class RisingWaveConnection:
         if key in self._insert_ctx:
             self._insert_ctx[key].flush()
         sdf = self.engine.spark.createDataFrame(data)
+        fq = self.engine.qualify(table_name, schema_name)
+        if self.engine.spark.catalog.tableExists(fq):
+            # insert_df appends POSITIONALLY (insertInto); a pandas
+            # frame with the same columns in another order must be
+            # realigned by name first or values land in wrong columns.
+            tbl_cols = self.engine.list_columns(table_name, schema_name)
+            if set(sdf.columns) == set(tbl_cols) and sdf.columns != tbl_cols:
+                sdf = sdf.select(*tbl_cols)
         self.engine.insert_df(table_name, sdf, schema_name)
         if force_flush:
             self.engine.flush()
@@ -346,19 +379,22 @@ class RisingWaveConnection:
     def _invalidate_insert_ctx(self, name: str) -> None:
         """Drop cached insert contexts for a table whose schema just
         changed (ALTER): their prebuilt column lists are stale."""
-        fq = self.engine.qualify(name)
-        short = fq.split(".", 1)[1]
-        for key in [k for k in self._insert_ctx
-                    if k == fq or k == f"public.{short}" or k.endswith(f".{short}")]:
+        short = self.engine.qualify(name).split(".", 1)[1]
+        # keys are always "schema.table"; suffix match may over-
+        # invalidate a same-named table in another schema (harmless —
+        # the context just rebuilds on next use)
+        for key in [k for k in self._insert_ctx if k.endswith(f".{short}")]:
             del self._insert_ctx[key]
 
     # -- catalog -------------------------------------------------------
 
     def check_exist(self, name: str, schema_name: str = "public") -> bool:
         """information_schema-backed existence check (core.py:338-352)."""
+        nm = name.replace("'", "''")
+        sc = schema_name.replace("'", "''")
         result = self.fetch(
-            f"SELECT * FROM information_schema.tables WHERE table_name = '{name}' "
-            f"and table_schema = '{schema_name}'"
+            f"SELECT * FROM information_schema.tables WHERE table_name = '{nm}' "
+            f"and table_schema = '{sc}'"
         )
         return result is not None and len(result) > 0
 
@@ -523,9 +559,10 @@ class Subscription:
                         progress = data["rw_timestamp"].iloc[-1]
                     else:
                         progress = data[-1][-1]
+                    safe_sub = str(fq_sub).replace("'", "''")
                     self.conn.execute(
                         f"INSERT INTO risingwave_py_sub_progress (sub_name, progress) "
-                        f"VALUES ('{fq_sub}', {progress})"
+                        f"VALUES ('{safe_sub}', {int(progress)})"
                     )
             except KeyboardInterrupt:
                 logger.info("subscription %s is interrupted", fq_sub)

@@ -136,3 +136,41 @@ def test_insert_returning(rw):
     assert got == [("x", 10), ("y", 20)]
     assert sorted(rw.fetch("SELECT a, b FROM ret_t3")) == [(1, "x"), (2, "y")]
     rw.execute("DROP TABLE ret_t3")
+
+
+def test_insert_select_is_positional(rw):
+    """SQL semantics: INSERT ... SELECT maps source columns to the
+    target POSITIONALLY — differently-named/computed source columns
+    must land in the right target columns, never turn into NULLs."""
+    import pytest
+
+    rw.execute("DROP TABLE IF EXISTS ins_sel_t")
+    rw.execute("DROP TABLE IF EXISTS ins_sel_s")
+    rw.execute("CREATE TABLE ins_sel_t (a INT, b STRING)")
+    rw.execute("CREATE TABLE ins_sel_s (x INT, y STRING)")
+    rw.execute("INSERT INTO ins_sel_s VALUES (7, 'hi')")
+    rw.execute("FLUSH")
+    rw.execute("INSERT INTO ins_sel_t SELECT x + 1, y FROM ins_sel_s")
+    rw.execute("FLUSH")
+    assert rw.fetch("SELECT * FROM ins_sel_t") == [(8, "hi")]
+    # explicit column list maps positionally to the listed columns
+    rw.execute("INSERT INTO ins_sel_t (b, a) SELECT y, x FROM ins_sel_s")
+    rw.execute("FLUSH")
+    assert sorted(rw.fetch("SELECT * FROM ins_sel_t")) == [(7, "hi"), (8, "hi")]
+    with pytest.raises(RuntimeError, match="column"):
+        rw.execute("INSERT INTO ins_sel_t SELECT x FROM ins_sel_s")
+    rw.execute("DROP TABLE ins_sel_t")
+    rw.execute("DROP TABLE ins_sel_s")
+
+
+def test_pandas_insert_realigns_column_order(rw):
+    """A pandas frame with the table's columns in a different order
+    must realign by name (insert_df appends positionally)."""
+    import pandas as pd
+
+    rw.execute("DROP TABLE IF EXISTS ins_ord_t")
+    rw.execute("CREATE TABLE ins_ord_t (a INT, b STRING)")
+    rw.insert(pd.DataFrame({"b": ["x"], "a": [1]}), table_name="ins_ord_t",
+              force_flush=True)
+    assert rw.fetch("SELECT * FROM ins_ord_t") == [(1, "x")]
+    rw.execute("DROP TABLE ins_ord_t")
