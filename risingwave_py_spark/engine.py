@@ -1474,14 +1474,14 @@ class SparkEngine:
     _INCJ_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
         r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+"
-        r"(?:(?P<lj>LEFT\s+(?:OUTER\s+)?)|INNER\s+)?JOIN\s+"
+        r"(?:(?P<jt>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?|INNER\s+)?JOIN\s+"
         r"(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+(?P<on>.+?)"
         r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
         re.I | re.S,
     )
     _INCJ_BLOCKERS = re.compile(
         r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
-        r"DISTINCT|OVER|LATERAL|RIGHT|FULL|CROSS|ASOF)\b|\(\s*SELECT",
+        r"DISTINCT|OVER|LATERAL|CROSS|ASOF)\b|\(\s*SELECT",
         re.I,
     )
 
@@ -1498,7 +1498,7 @@ class SparkEngine:
             return None
         a1, a2 = m.group("a1"), m.group("a2")
         if (
-            a1.upper() in ("JOIN", "ON", "LEFT", "INNER")
+            a1.upper() in ("JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "OUTER")
             or a2.upper() in ("ON", "WHERE")
             or a1 == a2
         ):
@@ -1521,7 +1521,8 @@ class SparkEngine:
                 re.I,
             ):
                 return None
-        return {
+        jt = (m.group("jt") or "inner").lower()
+        incj = {
             "a_fq": self.qualify(m.group("t1")),
             "b_fq": self.qualify(m.group("t2")),
             "a1": a1,
@@ -1529,18 +1530,37 @@ class SparkEngine:
             "sel": m.group("sel").strip(),
             "on": m.group("on").strip(),
             "where": (m.group("where") or "").strip() or None,
-            "how": "left" if m.group("lj") else "inner",
+            "how": jt if jt in ("left", "full") else
+                   ("left" if jt == "right" else "inner"),
             "key_pairs": key_pairs,
         }
+        if jt == "right":
+            # RIGHT JOIN ≡ LEFT JOIN with the sides swapped: the
+            # PRESERVED side becomes the engine's "A" side. Aliases
+            # stay glued to their tables; _incj_stmt writes each
+            # side's own alias, so sel/on/where rebind unchanged.
+            incj["a_fq"], incj["b_fq"] = incj["b_fq"], incj["a_fq"]
+            incj["a1"], incj["a2"] = incj["a2"], incj["a1"]
+            incj["key_pairs"] = [(b, a) for a, b in key_pairs]
+        return incj
 
     def _incj_stmt(
-        self, incj: dict, view_a: str, view_b: str, how: str = "inner"
+        self, incj: dict, view_a: str, view_b: str, how: str = "inner",
+        swap: bool = False,
     ) -> str:
-        kw = "LEFT JOIN" if how == "left" else "JOIN"
-        q = (
-            f"SELECT {incj['sel']} FROM {view_a} AS {incj['a1']} "
-            f"{kw} {view_b} AS {incj['a2']} ON {incj['on']}"
-        )
+        """SQL text joining two delta views under the original aliases.
+        ``swap=True`` puts the B side in FROM position (so a LEFT
+        keyword preserves B) — used by the full-outer delta rules."""
+        kw = {"left": "LEFT JOIN", "full": "FULL OUTER JOIN"}.get(how, "JOIN")
+        if swap:
+            frm = (
+                f"FROM {view_b} AS {incj['a2']} {kw} {view_a} AS {incj['a1']}"
+            )
+        else:
+            frm = (
+                f"FROM {view_a} AS {incj['a1']} {kw} {view_b} AS {incj['a2']}"
+            )
+        q = f"SELECT {incj['sel']} {frm} ON {incj['on']}"
         if incj["where"]:
             q += f" WHERE {incj['where']}"
         return q
@@ -1610,54 +1630,104 @@ class SparkEngine:
         rows(b_log).createOrReplaceTempView(v_bfull)
         how = incj.get("how", "inner")
         retr = None
-        b_advanced = mb > last  # ΔB empty ⇒ no retraction can exist
-        try:
-            # d1: new left rows against the full (post-batch) right
-            # side — LEFT keeps its padded semantics here; d2: old
-            # left rows gaining matches from the right delta (inner
-            # for both join kinds).
-            delta_out = (
-                spark.sql(self._incj_stmt(incj, v_da, v_bfull, how))
-                .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
-                .localCheckpoint(eager=True)
-            )
-            if how == "left" and b_advanced:
-                # Retraction rule: an old left row whose key had NO
-                # match before this batch but gains one now must
-                # retract its padded output row. newly-matched keys =
-                # ΔB keys minus B_old keys; the padded row is rebuilt
-                # by LEFT-joining against an EMPTY right side.
-                b_keys = [b for _, b in incj["key_pairs"]]
-                db_keys = spark.table(v_db).select(*b_keys).distinct()
-                bold_keys = (
-                    b_log.filter(
-                        (F.col("rw_timestamp") <= last)
-                        & (F.col("op") == OP_INSERT)
-                    )
-                    .select(*b_keys)
-                    .distinct()
+        a_advanced = ma > last  # ΔA empty ⇒ no right-side retraction
+        b_advanced = mb > last  # ΔB empty ⇒ no left-side retraction
+        v_afull = f"__rw_incj_afull_{tag}"
+        rows(a_log).createOrReplaceTempView(v_afull)
+
+        def _pad_retraction(preserved_view: str, delta_keys_view: str,
+                            old_log: DataFrame, pairs, empty_view_src: str,
+                            swap: bool) -> DataFrame | None:
+            """Rebuild the padded output rows of `preserved_view` rows
+            whose join keys just became matched (keys of the other
+            side's delta minus its pre-batch keys)."""
+            own = [a for a, _ in pairs] if not swap else [b for _, b in pairs]
+            other = [b for _, b in pairs] if not swap else [a for a, _ in pairs]
+            d_keys = spark.table(delta_keys_view).select(*other).distinct()
+            old_keys = (
+                old_log.filter(
+                    (F.col("rw_timestamp") <= last)
+                    & (F.col("op") == OP_INSERT)
                 )
-                new_keys = db_keys.exceptAll(bold_keys)
-                a_old_df = spark.table(v_aold)
-                cond = None
-                for ak, bk in incj["key_pairs"]:
-                    e = a_old_df[ak] == new_keys[bk]
-                    cond = e if cond is None else (cond & e)
-                affected = a_old_df.join(new_keys, cond, "left_semi")
-                v_aff, v_bempty = f"__rw_incj_af_{tag}", f"__rw_incj_be_{tag}"
-                affected.createOrReplaceTempView(v_aff)
-                spark.table(v_bfull).limit(0).createOrReplaceTempView(v_bempty)
+                .select(*other)
+                .distinct()
+            )
+            new_keys = d_keys.exceptAll(old_keys)
+            pres = spark.table(preserved_view)
+            cond = None
+            for oc, nc in zip(own, other):
+                e = pres[oc] == new_keys[nc]
+                cond = e if cond is None else (cond & e)
+            affected = pres.join(new_keys, cond, "left_semi")
+            v_aff = f"__rw_incj_aff_{tag}"
+            v_empty = f"__rw_incj_emp_{tag}"
+            affected.createOrReplaceTempView(v_aff)
+            spark.table(empty_view_src).limit(0).createOrReplaceTempView(v_empty)
+            try:
+                if swap:
+                    out = spark.sql(
+                        self._incj_stmt(incj, v_empty, v_aff, "left", swap=True)
+                    )
+                else:
+                    out = spark.sql(
+                        self._incj_stmt(incj, v_aff, v_empty, "left")
+                    )
+                out = out.localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(v_aff)
+                spark.catalog.dropTempView(v_empty)
+            return None if out.isEmpty() else out
+
+        try:
+            if how == "full":
+                # d1: new A rows, padded when unmatched in B_full;
+                # d2: new B rows, padded when unmatched in A_full
+                # (A_full so a ΔA match suppresses the pad);
+                # overlap: (ΔA ⋈ ΔB) pairs appear in both — subtract.
+                d1 = spark.sql(self._incj_stmt(incj, v_da, v_bfull, "left"))
+                d2 = spark.sql(
+                    self._incj_stmt(incj, v_afull, v_db, "left", swap=True)
+                )
+                overlap = spark.sql(self._incj_stmt(incj, v_da, v_db))
+                delta_out = (
+                    d1.unionByName(d2).exceptAll(overlap)
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                # d1: new left rows against the full (post-batch)
+                # right side — LEFT keeps its padded semantics here;
+                # d2: old left rows gaining matches from ΔB (inner
+                # for both join kinds).
+                delta_out = (
+                    spark.sql(self._incj_stmt(incj, v_da, v_bfull, how))
+                    .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
+                    .localCheckpoint(eager=True)
+                )
+            if how in ("left", "full") and b_advanced:
+                # A-side pads whose keys just matched: retract.
+                retr = _pad_retraction(
+                    v_aold, v_db, b_log, incj["key_pairs"], v_bfull,
+                    swap=False,
+                )
+            if how == "full" and a_advanced:
+                # B-side pads whose keys just matched by ΔA: retract.
+                v_bold = f"__rw_incj_bold_{tag}"
+                rows(
+                    b_log.filter(F.col("rw_timestamp") <= last)
+                ).createOrReplaceTempView(v_bold)
                 try:
-                    retr = spark.sql(
-                        self._incj_stmt(incj, v_aff, v_bempty, "left")
-                    ).localCheckpoint(eager=True)
+                    retr_b = _pad_retraction(
+                        v_bold, v_da, a_log, incj["key_pairs"], v_afull,
+                        swap=True,
+                    )
                 finally:
-                    spark.catalog.dropTempView(v_aff)
-                    spark.catalog.dropTempView(v_bempty)
-                if retr.isEmpty():
-                    retr = None
+                    spark.catalog.dropTempView(v_bold)
+                if retr_b is not None:
+                    retr = (
+                        retr_b if retr is None else retr.unionByName(retr_b)
+                    )
         finally:
-            for v in (v_da, v_db, v_aold, v_bfull):
+            for v in (v_da, v_db, v_aold, v_bfull, v_afull):
                 spark.catalog.dropTempView(v)
         state.last_epoch = m1
         if delta_out.isEmpty() and retr is None:

@@ -394,3 +394,98 @@ def test_join_mv_demotes_after_base_vacuum(spark):
     rw.execute(f"DROP MATERIALIZED VIEW {mv}")
     rw.execute(f"DROP TABLE {o}")
     rw.execute(f"DROP TABLE {u}")
+
+
+def test_incremental_right_and_full_join_mvs(spark):
+    """RIGHT joins normalize to LEFT with swapped sides; FULL OUTER
+    handles retractions on BOTH sides plus the same-flush ΔA⋈ΔB
+    overlap without double-counting."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u = f"rfj_o_{tag}", f"rfj_u_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1, 2], "amt": [10.0, 20.0]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1, 3], "name": ["a", "c"]}),
+              table_name=u, force_flush=True)
+
+    rmv = f"rfj_rmv_{tag}"
+    rw.execute(f"CREATE MATERIALIZED VIEW {rmv} AS "
+               f"SELECT o.uid AS ouid, u.uid AS uuid, o.amt AS amt "
+               f"FROM {o} o RIGHT JOIN {u} u ON o.uid = u.uid")
+    st = rw.engine.mvs[f"public.{rmv}"]
+    assert st.inc_join is not None and st.inc_join["how"] == "left"  # swapped
+    assert sorted(rw.fetch(f"SELECT * FROM {rmv}"), key=str) == [
+        (1, 1, 10.0), (None, 3, None)]
+    rw.insert(pd.DataFrame({"uid": [3], "amt": [30.0]}),
+              table_name=o, force_flush=True)
+    assert st.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {rmv}"), key=str) == [
+        (1, 1, 10.0), (3, 3, 30.0)]
+
+    fmv = f"rfj_fmv_{tag}"
+    rw.execute(f"CREATE MATERIALIZED VIEW {fmv} AS "
+               f"SELECT o.uid AS ouid, u.uid AS uuid, o.amt AS amt "
+               f"FROM {o} o FULL OUTER JOIN {u} u ON o.uid = u.uid")
+    stf = rw.engine.mvs[f"public.{fmv}"]
+    assert stf.inc_join is not None and stf.inc_join["how"] == "full"
+    # same flush: brand-new matched pair, match for the left-pad (2),
+    # and a new unmatched right row (9)
+    rw.insert(pd.DataFrame({"uid": [7], "amt": [70.0]}),
+              table_name=o, force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [7, 2, 9], "name": ["g", "b", "i"]}),
+              table_name=u, force_flush=True)
+    assert stf.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {fmv}"), key=str) == [
+        (1, 1, 10.0), (2, 2, 20.0), (3, 3, 30.0), (7, 7, 70.0),
+        (None, 9, None)]
+    # B-side pad retraction: order arrives for right-padded user 9
+    rw.insert(pd.DataFrame({"uid": [9], "amt": [90.0]}),
+              table_name=o, force_flush=True)
+    assert stf.inc_join is not None
+    assert (9, 9, 90.0) in rw.fetch(f"SELECT * FROM {fmv}")
+    assert (None, 9, None) not in rw.fetch(f"SELECT * FROM {fmv}")
+
+    for v in (rmv, fmv):
+        rw.execute(f"DROP MATERIALIZED VIEW {v}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")
+
+
+def test_incremental_full_join_matches_snapshot_diff(spark):
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    def run(disable_fast: bool):
+        tag = uuid.uuid4().hex[:8]
+        rw = RisingWave(spark=spark)
+        o, u, mv = f"ffx_o_{tag}", f"ffx_u_{tag}", f"ffx_mv_{tag}"
+        rw.insert(pd.DataFrame({"uid": [1, 2, 2], "amt": [1.0, 2.0, 2.5]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [2, 5], "name": ["b", "e"]}),
+                  table_name=u, force_flush=True)
+        rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                   f"SELECT o.uid AS ouid, u.uid AS uuid, o.amt AS amt "
+                   f"FROM {o} o FULL OUTER JOIN {u} u ON o.uid = u.uid")
+        st = rw.engine.mvs[f"public.{mv}"]
+        if disable_fast:
+            st.inc_join = None
+        rw.insert(pd.DataFrame({"uid": [5, 9], "amt": [7.0, 8.0]}),
+                  table_name=o, force_flush=False)
+        rw.insert(pd.DataFrame({"uid": [1, 9], "name": ["a", "z"]}),
+                  table_name=u, force_flush=True)
+        out = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
+        rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+        rw.execute(f"DROP TABLE {o}")
+        rw.execute(f"DROP TABLE {u}")
+        return out
+
+    assert run(disable_fast=False) == run(disable_fast=True)
