@@ -76,6 +76,9 @@ class MVState:
         # Incremental plan for append-only INNER-join MVs
         # (ΔA⋈B ∪ A_old⋈ΔB append path); None → snapshot-diff.
         self.inc_join: dict | None = None
+        # Incremental plan for join+aggregation MVs (join delta →
+        # group-wise merge); None → snapshot-diff.
+        self.inc_joinagg: dict | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -1810,8 +1813,24 @@ class SparkEngine:
             if has_non_insert or self.vacuum_floor.get(base_cl, 0) > 0:
                 inc = None
         incj = None
+        incja = None
         if inc is None and not emit_on_close:
             incj = self._parse_simple_join(rewritten)
+            if incj is None:
+                incja = self._parse_join_agg(rewritten)
+                if incja is not None:
+                    for base in (incja["a_fq"], incja["b_fq"]):
+                        if (
+                            base in self.upsert_meta
+                            or not self.spark.catalog.tableExists(
+                                self.changelog_name(base)
+                            )
+                            or self.vacuum_floor.get(
+                                self.changelog_name(base), 0
+                            ) > 0
+                        ):
+                            incja = None
+                            break
         if incj is not None:
             cla = self.changelog_name(incj["a_fq"])
             clb = self.changelog_name(incj["b_fq"])
@@ -1824,7 +1843,10 @@ class SparkEngine:
                 or self.vacuum_floor.get(clb, 0) > 0
             ):
                 incj = None
-        if incj is not None:
+        if incja is not None:
+            cla = self.changelog_name(incja["a_fq"])
+            clb = self.changelog_name(incja["b_fq"])
+        if incj is not None or incja is not None:
             # Changelog-consistent induction base, pinned under the
             # publish lock (same contract as the aggregation path).
             with self._lock:
@@ -1841,6 +1863,7 @@ class SparkEngine:
                 or b_log0.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
             ):
                 incj = None
+                incja = None
         base_view = None
         join_views = None
         if inc is not None:
@@ -1850,7 +1873,7 @@ class SparkEngine:
             base_view = "__rw_inc_base_" + "_".join(_split_fq(fq))
             snap.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
-        elif incj is not None:
+        elif incj is not None or incja is not None:
             tag = "_".join(_split_fq(fq))
             va, vb = f"__rw_incj_a0_{tag}", f"__rw_incj_b0_{tag}"
             a_log0.filter(F.col("op") == OP_INSERT).drop(
@@ -1860,24 +1883,36 @@ class SparkEngine:
                 "op", "rw_timestamp"
             ).createOrReplaceTempView(vb)
             join_views = (va, vb)
-            df = self.spark.sql(self._incj_stmt(incj, va, vb, incj["how"]))
+            if incj is not None:
+                df = self.spark.sql(self._incj_stmt(incj, va, vb, incj["how"]))
+            else:
+                df = self.spark.sql(
+                    self._incja_agg_stmt(
+                        incja,
+                        f"({self._incja_join_stmt(incja, va, vb)}) AS __j0",
+                    )
+                )
         else:
             df = self.spark.sql(rewritten)
         if emit_on_close:
             df = self._close_filter(state, df)
-        if inc is not None:
+        for plan_name in ("inc", "incja"):
+            plan = inc if plan_name == "inc" else incja
+            if plan is None:
+                continue
             # sums must be exact types: incremental double accumulation
             # would drift from a from-scratch recompute by float
             # rounding, breaking bit-reproducibility (SCALE.md rule 5).
             types = {f.name: f.dataType for f in df.schema.fields}
-            for col, kind in inc["kinds"].items():
-                if col not in types:
-                    inc = None
-                    break
-                if kind == "sum" and isinstance(
-                    types[col], (T.DoubleType, T.FloatType)
+            for col, kind in plan["kinds"].items():
+                if col not in types or (
+                    kind == "sum"
+                    and isinstance(types[col], (T.DoubleType, T.FloatType))
                 ):
-                    inc = None
+                    if plan_name == "inc":
+                        inc = None
+                    else:
+                        incja = None
                     break
         self._clear_stale_location(fq)
         try:
@@ -1897,6 +1932,11 @@ class SparkEngine:
             state.last_epoch = m0
         elif incj is not None:
             state.inc_join = incj
+            state.last_epoch = m0j
+        elif incja is not None and state.key_cols and set(state.key_cols) == set(
+            incja["keys"]
+        ):
+            state.inc_joinagg = incja
             state.last_epoch = m0j
         self.mvs[fq] = state
 
@@ -2017,10 +2057,20 @@ class SparkEngine:
             )
         finally:
             spark.catalog.dropTempView(view)
+        self._merge_agg_delta(state, inc, dagg, m1)
+        return True
+
+    def _merge_agg_delta(self, state: MVState, inc: dict,
+                         dagg: DataFrame, m1: int) -> None:
+        """Group-wise merge of an aggregated delta into the stored MV
+        result + changelog emission (shared by the single-table agg
+        fast path and the join+agg fast path)."""
+        spark = self.spark
+        fq = state.fq
         if dagg.isEmpty():
             state.last_epoch = m1
             self.next_epoch()
-            return True  # every delta row fell to the WHERE clause
+            return  # every delta row fell to the WHERE clause
         old = spark.table(fq)
         cols = old.columns
         keys = inc["keys"]
@@ -2104,6 +2154,196 @@ class SparkEngine:
         else:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
         state.last_epoch = m1
+
+    # -- incremental JOIN + AGGREGATION MVs (the star-join aggregate) --
+
+    _INCJA_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
+        r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+(?:INNER\s+)?JOIN\s+"
+        r"(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+(?P<on>.+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _INCJA_BLOCKERS = re.compile(
+        r"\b(ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|"
+        r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|AVG|STDDEV|VAR)\b|\(\s*SELECT",
+        re.I,
+    )
+
+    def _parse_join_agg(self, stmt: str) -> dict | None:
+        """Incremental plan for ``SELECT keys, sum/count/min/max(...)
+        FROM a JOIN b ON ... [WHERE ...] GROUP BY keys`` over two
+        append-only tables — the star-join aggregate MV. The join
+        delta (ΔA⋈B_new ∪ A_old⋈ΔB, insert-only) feeds the same
+        group-wise merge as the single-table agg fast path. All
+        column references must be alias-qualified."""
+        if self._INCJA_BLOCKERS.search(stmt):
+            return None
+        if len(re.findall(r"\bJOIN\b", stmt, re.I)) != 1:
+            return None
+        m = self._INCJA_SHAPE.match(stmt)
+        if not m:
+            return None
+        a1, a2 = m.group("a1"), m.group("a2")
+        if (
+            a1.upper() in ("JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "OUTER")
+            or a2.upper() in ("ON", "WHERE")
+            or a1 == a2
+        ):
+            return None
+        for term in RW._split_and(m.group("on")):
+            e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
+            if not e or {e.group(1), e.group(3)} != {a1, a2}:
+                return None
+        # collect every qualified ref; everything must be qualified
+        text = " ".join(
+            filter(None, (m.group("sel"), m.group("where"), m.group("grp")))
+        )
+        refs = set(re.findall(rf"\b({a1}|{a2})\.(\w+)", text))
+        bare = re.sub(rf"\b(?:{a1}|{a2})\.\w+", "", text)
+        bare = re.sub(r"'[^']*'", "", bare)  # string literals are fine
+        if re.search(r"[A-Za-z_]\w*\.", bare):
+            return None  # something qualified by an unknown alias
+
+        def flat(al: str, col: str) -> str:
+            return f"__{al}_{col}"
+
+        def flatten(txt: str) -> str:
+            return re.sub(
+                rf"\b({a1}|{a2})\.(\w+)",
+                lambda mm: flat(mm.group(1), mm.group(2)),
+                txt,
+            )
+
+        # Flatten item-by-item: a bare key ref (c.name) must be
+        # aliased BACK to its original column name, or the MV's output
+        # schema would silently change to the internal flat name.
+        sel_items = []
+        for item in RW.split_top_level(m.group("sel")):
+            flat_item = flatten(item).strip()
+            if re.fullmatch(r"__\w+", flat_item):
+                sel_items.append(f"{flat_item} AS {item.strip().split('.')[-1]}")
+            else:
+                sel_items.append(flat_item)
+        flat_sel = ", ".join(sel_items)
+        flat_where = flatten(m.group("where").strip()) if m.group("where") else None
+        flat_grp = flatten(m.group("grp").strip())
+        grp_cols = [g.strip() for g in flat_grp.split(",")]
+        kinds: dict[str, str] = {}
+        keys: list[str] = []
+        for item in RW.split_top_level(flat_sel):
+            am = self._INC_AGG_ITEM.match(item)
+            if am:
+                kinds[am.group("alias")] = am.group("fn").lower()
+                continue
+            km = self._INC_KEY_ITEM.match(item)
+            if not km or km.group("col") not in grp_cols:
+                return None
+            keys.append(km.group("alias") or km.group("col"))
+        if not kinds or not keys:
+            return None
+        join_proj = ", ".join(
+            f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)
+        )
+        return {
+            "a_fq": self.qualify(m.group("t1")),
+            "b_fq": self.qualify(m.group("t2")),
+            "a1": a1,
+            "a2": a2,
+            "on": m.group("on").strip(),
+            "join_proj": join_proj,
+            "sel": flat_sel,
+            "where": flat_where,
+            "grp": flat_grp,
+            "kinds": kinds,
+            "keys": keys,
+        }
+
+    def _incja_join_stmt(self, incja: dict, view_a: str, view_b: str) -> str:
+        return (
+            f"SELECT {incja['join_proj']} FROM {view_a} AS {incja['a1']} "
+            f"JOIN {view_b} AS {incja['a2']} ON {incja['on']}"
+        )
+
+    def _incja_agg_stmt(self, incja: dict, view: str) -> str:
+        q = f"SELECT {incja['sel']} FROM {view}"
+        if incja["where"]:
+            q += f" WHERE {incja['where']}"
+        return q + f" GROUP BY {incja['grp']}"
+
+    def _refresh_incremental_joinagg(self, state: MVState) -> bool:
+        """Join delta → aggregated delta → group-wise merge. Same
+        guards as the plain join path (full-history provenance, so
+        ANY vacuumed prefix demotes)."""
+        incja = state.inc_joinagg
+        spark = self.spark
+        fq = state.fq
+        cl_a = self.changelog_name(incja["a_fq"])
+        cl_b = self.changelog_name(incja["b_fq"])
+        with self._lock:
+            if (
+                self.vacuum_floor.get(cl_a, 0) > 0
+                or self.vacuum_floor.get(cl_b, 0) > 0
+            ):
+                state.inc_joinagg = None
+                return False
+            spark.catalog.refreshTable(cl_a)
+            spark.catalog.refreshTable(cl_b)
+            a_log = spark.table(cl_a)
+            b_log = spark.table(cl_b)
+            ma = a_log.agg(F.max("rw_timestamp")).first()[0] or 0
+            mb = b_log.agg(F.max("rw_timestamp")).first()[0] or 0
+            m1 = max(ma, mb)
+            if m1 <= state.last_epoch:
+                self.next_epoch()
+                return True
+            a_log = a_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+            b_log = b_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+        last = state.last_epoch
+        da = a_log.filter(F.col("rw_timestamp") > last)
+        db = b_log.filter(F.col("rw_timestamp") > last)
+        if (
+            da.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+            or db.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+        ):
+            state.inc_joinagg = None
+            return False
+
+        def rows(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
+
+        tag = "_".join(_split_fq(fq))
+        v_da, v_db = f"__rw_ja_da_{tag}", f"__rw_ja_db_{tag}"
+        v_aold, v_bfull = f"__rw_ja_ao_{tag}", f"__rw_ja_bf_{tag}"
+        rows(da).createOrReplaceTempView(v_da)
+        rows(db).createOrReplaceTempView(v_db)
+        rows(a_log.filter(F.col("rw_timestamp") <= last)).createOrReplaceTempView(
+            v_aold
+        )
+        rows(b_log).createOrReplaceTempView(v_bfull)
+        v_delta = f"__rw_ja_delta_{tag}"
+        try:
+            join_delta = spark.sql(
+                self._incja_join_stmt(incja, v_da, v_bfull)
+            ).unionByName(
+                spark.sql(self._incja_join_stmt(incja, v_aold, v_db))
+            ).localCheckpoint(eager=True)
+            join_delta.createOrReplaceTempView(v_delta)
+            try:
+                dagg = spark.sql(
+                    self._incja_agg_stmt(incja, v_delta)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(v_delta)
+        finally:
+            for v in (v_da, v_db, v_aold, v_bfull):
+                spark.catalog.dropTempView(v)
+        self._merge_agg_delta(state, incja, dagg, m1)
         return True
 
     def refresh_mv(self, state: MVState) -> None:
@@ -2144,6 +2384,17 @@ class SparkEngine:
                     state.fq,
                 )
                 state.inc_join = None
+        if state.inc_joinagg is not None:
+            try:
+                if self._refresh_incremental_joinagg(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental join-agg refresh of %s failed; "
+                    "demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_joinagg = None
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq

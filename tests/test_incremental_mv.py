@@ -489,3 +489,91 @@ def test_incremental_full_join_matches_snapshot_diff(spark):
         return out
 
     assert run(disable_fast=False) == run(disable_fast=True)
+
+
+def test_incremental_join_agg_mv(spark):
+    """Star-join aggregate MV (join + GROUP BY) takes the composed
+    fast path: join delta feeds the group-wise merge; a same-flush
+    fact+dim pair lands once; UPDATE demotes and stays correct."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, mv = f"jat_o_{tag}", f"jat_u_{tag}", f"jat_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1, 1, 2], "qty": [2, 3, 5]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+              table_name=u, force_flush=True)
+    rw.execute(
+        f"CREATE MATERIALIZED VIEW {mv} AS "
+        f"SELECT u.region AS region, sum(o.qty) AS total, count(*) AS n, "
+        f"max(o.qty) AS hi "
+        f"FROM {o} o JOIN {u} u ON o.uid = u.uid GROUP BY u.region")
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        ("eu", 5, 1, 5), ("na", 5, 2, 3)]
+
+    rw.insert(pd.DataFrame({"uid": [1], "qty": [10]}), table_name=o,
+              force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [9], "region": ["ap"]}), table_name=u,
+              force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [9], "qty": [7]}), table_name=o,
+              force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        ("ap", 7, 1, 7), ("eu", 5, 1, 5), ("na", 15, 3, 10)]
+    ops = {(r.region, r.op) for r in
+           spark.table(f"public.__rw_changelog__{mv}")
+           .filter("rw_timestamp > 4").collect()}
+    assert ("na", "UpdateDelete") in ops and ("na", "UpdateInsert") in ops
+    assert ("ap", "Insert") in ops
+
+    rw.execute(f"UPDATE {o} SET qty = 100 WHERE uid = 2")
+    rw.execute("FLUSH")
+    assert st.inc_joinagg is None
+    assert ("eu", 100, 1, 100) in rw.fetch(f"SELECT * FROM {mv}")
+
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")
+
+
+def test_incremental_join_agg_matches_snapshot_diff(spark):
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    def run(disable_fast: bool):
+        tag = uuid.uuid4().hex[:8]
+        rw = RisingWave(spark=spark)
+        o, u, mv = f"jax_o_{tag}", f"jax_u_{tag}", f"jax_mv_{tag}"
+        rw.insert(pd.DataFrame({"uid": [1, 2, 2], "qty": [1, 2, 3]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                  table_name=u, force_flush=True)
+        rw.execute(
+            f"CREATE MATERIALIZED VIEW {mv} AS "
+            f"SELECT u.region AS region, sum(o.qty) AS total, count(*) AS n "
+            f"FROM {o} o JOIN {u} u ON o.uid = u.uid "
+            f"WHERE o.qty > 1 GROUP BY u.region")
+        st = rw.engine.mvs[f"public.{mv}"]
+        if disable_fast:
+            st.inc_joinagg = None
+        rw.insert(pd.DataFrame({"uid": [1, 9], "qty": [8, 4]}),
+                  table_name=o, force_flush=False)
+        rw.insert(pd.DataFrame({"uid": [9], "region": ["na"]}),
+                  table_name=u, force_flush=True)
+        out = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+        rw.execute(f"DROP TABLE {o}")
+        rw.execute(f"DROP TABLE {u}")
+        return out
+
+    assert run(disable_fast=False) == run(disable_fast=True)
