@@ -42,7 +42,6 @@ from __future__ import annotations
 import os
 import re
 import tempfile
-import threading
 from collections.abc import Callable, Iterable
 from typing import Any
 
@@ -115,7 +114,7 @@ class StreamingMV:
         self.key_cols = list(key_cols)
         self.result_table = name
         self.changelog_table = f"{name}__changelog"
-        self._epoch_lock = threading.Lock()
+        self._available_now = True
         self._checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"rw_smv_{os.getpid()}_")
         self._agg = transform(source)
         self.query = None
@@ -145,11 +144,18 @@ class StreamingMV:
         # append the batch (update-mode upsert without a table format
         # that has MERGE; at cluster scale swap this for Delta MERGE).
         kept = current.join(batch, cond, "left_anti")
+        # old values of revised groups — the UpdateDelete half of the
+        # changelog pair (replaying the changelog must retract the old
+        # row or every revision double-counts)
+        old_revised = current.join(batch, cond, "left_semi")
         merged = kept.unionByName(batch).localCheckpoint(eager=True)
         merged.write.mode("overwrite").insertInto(self.result_table, overwrite=True)
-        changelog = revised.withColumn("op", F.lit(OP_UPDATE_INSERT)).unionByName(
-            fresh.withColumn("op", F.lit(OP_INSERT))
-        ).withColumn("rw_timestamp", F.lit(int(epoch_id)).cast("bigint"))
+        changelog = (
+            old_revised.withColumn("op", F.lit(OP_UPDATE_DELETE))
+            .unionByName(revised.withColumn("op", F.lit(OP_UPDATE_INSERT)))
+            .unionByName(fresh.withColumn("op", F.lit(OP_INSERT)))
+            .withColumn("rw_timestamp", F.lit(int(epoch_id)).cast("bigint"))
+        )
         changelog.write.mode("append").insertInto(self.changelog_table)
         # Reads that happened before this batch cached the parquet file
         # listing for both tables; invalidate so readers see this batch.
@@ -164,6 +170,7 @@ class StreamingMV:
             .option("checkpointLocation", self._checkpoint)
             .foreachBatch(self._merge_batch)
         )
+        self._available_now = available_now
         if available_now:
             writer = writer.trigger(availableNow=True)
         elif processing_time:
@@ -173,9 +180,16 @@ class StreamingMV:
 
     def process_all(self) -> None:
         """Reference-FLUSH semantics for this stream: drain everything
-        currently available (core.py:121 parity)."""
-        if self.query is not None:
+        currently available (core.py:121 parity). An availableNow
+        query terminates after the drain, so we wait for termination;
+        a processingTime query never terminates — processAllAvailable
+        blocks until the backlog is consumed and returns."""
+        if self.query is None:
+            return
+        if self._available_now:
             self.query.awaitTermination()
+        else:
+            self.query.processAllAvailable()
 
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:
@@ -486,29 +500,15 @@ def running_agg_stream(events: DataFrame) -> DataFrame:
         StatefulProcessor,
         StatefulProcessorHandle,
     )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    state_schema = StructType(
-        [
-            StructField("n", LongType()),
-            StructField("total", DoubleType()),
-        ]
-    )
 
     class RunningAgg(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._agg = handle.getValueState("agg", state_schema)
+            self._agg = handle.getValueState("agg", "n BIGINT, total DOUBLE")
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._agg.exists():
-                n, total = self._agg.get()
-            else:
-                n, total = 0, 0.0
+            # single state round trip: get() returns None when absent
+            prior = self._agg.get()
+            n, total = prior if prior is not None else (0, 0.0)
             for pdf in rows:
                 n += int(len(pdf))
                 total += float(pdf["value"].sum())

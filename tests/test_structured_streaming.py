@@ -123,14 +123,16 @@ def test_streaming_mv_merge_and_changelog(spark, events_dir):
     assert second[(_ts(0), "click")] == (2, 6.0)  # revised in place
     assert second[(_ts(0), "view")] == (1, 2.0)  # untouched group kept
     assert second[(_ts(15), "click")] == (1, 7.0)  # new group
-    ops = {
-        (r.window_start, r.event_type): r.op
-        for r in spark.table(mv.changelog_table)
+    ops: dict = {}
+    for r in (
+        spark.table(mv.changelog_table)
         .filter(F.col("rw_timestamp") > 0)
         .collect()
-    }
-    assert ops[(_ts(0), "click")] == "UpdateInsert"
-    assert ops[(_ts(15), "click")] == "Insert"
+    ):
+        ops.setdefault((r.window_start, r.event_type), set()).add(r.op)
+    # revised group emits the full retraction pair; new group inserts
+    assert ops[(_ts(0), "click")] == {"UpdateDelete", "UpdateInsert"}
+    assert ops[(_ts(15), "click")] == {"Insert"}
     # changelog epochs monotone non-decreasing
     eps = [r.rw_timestamp for r in spark.table(mv.changelog_table).orderBy("rw_timestamp").collect()]
     assert eps == sorted(eps)
