@@ -323,6 +323,7 @@ def tumble_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (VALUES
         (TIMESTAMP '2024-01-01 09:00:00', 'click', CAST(1 AS BIGINT), 'Insert', CAST(1 AS BIGINT)),
         (TIMESTAMP '2024-01-01 09:00:00', 'view',  CAST(1 AS BIGINT), 'Insert', CAST(1 AS BIGINT)),
+        (TIMESTAMP '2024-01-01 09:00:00', 'click', CAST(1 AS BIGINT), 'UpdateDelete', CAST(2 AS BIGINT)),
         (TIMESTAMP '2024-01-01 09:00:00', 'click', CAST(2 AS BIGINT), 'UpdateInsert', CAST(2 AS BIGINT)),
         (TIMESTAMP '2024-01-01 09:15:00', 'click', CAST(1 AS BIGINT), 'Insert', CAST(2 AS BIGINT))
     ) AS t(window_start, event_type, n_events, op, epoch)
@@ -333,9 +334,10 @@ def streaming_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-source stream → update-mode tumbling aggregate → foreachBatch
     merge + changelog. Two availableNow drains with an insert between
     them produce the reference op sequence — Insert for new windows,
-    UpdateInsert for a revised one (demo.py:50 contract). Micro-batch
-    ids are normalized to dense epochs (their absolute values depend
-    on Spark's empty-batch bookkeeping; their order does not)."""
+    a full UpdateDelete/UpdateInsert retraction pair for a revised one
+    (demo.py:50 contract). Micro-batch ids are normalized to dense
+    epochs (their absolute values depend on Spark's empty-batch
+    bookkeeping; their order does not)."""
     import datetime as dt
     import shutil
     import tempfile
