@@ -72,7 +72,7 @@ PRIORITY: list[str] = [
     "asof_join_grammar",
     # MV / changelog / streaming scenario suite
     "mv_changelog_scenario", "inc_mv_scenario", "join_inc_mv_scenario",
-    "streaming_mv_scenario",
+    "join_agg_inc_mv_scenario", "streaming_mv_scenario",
     "upsert_version_scenario", "table_changelog_scenario",
     "cascade_mv_scenario", "dml_scenario", "topn_mv_scenario",
     "sink_scenario", "tumble_mv_scenario", "emit_on_close_scenario",

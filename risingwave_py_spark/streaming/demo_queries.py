@@ -582,3 +582,49 @@ def join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "uid bigint, name string, amt double, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "join_agg_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('ap', CAST(7 AS BIGINT), CAST(1 AS BIGINT), 'Insert', CAST(6 AS BIGINT)),
+        ('na', CAST(5 AS BIGINT), CAST(2 AS BIGINT), 'UpdateDelete', CAST(6 AS BIGINT)),
+        ('na', CAST(15 AS BIGINT), CAST(3 AS BIGINT), 'UpdateInsert', CAST(6 AS BIGINT))
+    ) AS t(region, total, n, op, rw_timestamp)
+    """,
+)
+def join_agg_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join aggregate MV on the composed fast path (join delta →
+    group-wise merge), end to end: the fast path is asserted, a
+    same-flush fact+dim pair materializes a brand-new group exactly
+    once, and a fact insert for an existing group emits the
+    UpdateDelete/UpdateInsert pair — all without recomputing the full
+    join. Returns the MV changelog with pinned epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_jag")
+    conn.execute("CREATE TABLE rwdemo_jag.fact (uid BIGINT, qty BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_jag.dim (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "qty": [2, 3, 5]}),
+                table_name="fact", schema_name="rwdemo_jag", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                table_name="dim", schema_name="rwdemo_jag", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_jag.mv AS "
+        "SELECT d.region AS region, sum(f.qty) AS total, count(*) AS n "
+        "FROM rwdemo_jag.fact f JOIN rwdemo_jag.dim d ON f.uid = d.uid "
+        "GROUP BY d.region"
+    )
+    assert eng.mvs["rwdemo_jag.mv"].inc_joinagg is not None, "join-agg fast path not taken"
+    conn.insert(pd.DataFrame({"uid": [1], "qty": [10]}),
+                table_name="fact", schema_name="rwdemo_jag", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [9], "region": ["ap"]}),
+                table_name="dim", schema_name="rwdemo_jag", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [9], "qty": [7]}),
+                table_name="fact", schema_name="rwdemo_jag", force_flush=True)
+    assert eng.mvs["rwdemo_jag.mv"].inc_joinagg is not None, "join-agg fast path lost"
+    cl = spark.table("rwdemo_jag.__rw_changelog__mv")
+    rows = [tuple(r) for r in cl.collect()]
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "region string, total bigint, n bigint, op string, rw_timestamp bigint",
+    )
