@@ -1407,7 +1407,8 @@ class SparkEngine:
         r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
         r"|WINDOW|TUMBLE|HOP|SESSION_WINDOW|AVG|STDDEV\w*|VAR_POP|VAR_SAMP"
         r"|PERCENTILE\w*|COLLECT_\w+|ARRAY_AGG|STRING_AGG|LISTAGG|FIRST|LAST"
-        r"|ANY_VALUE|EVERY|BOOL_AND|BOOL_OR)\b"
+        r"|ANY_VALUE|EVERY|BOOL_AND|BOOL_OR"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|UNIX_TIMESTAMP)\b"
         r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
         r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\(",
         re.I,
@@ -2167,7 +2168,9 @@ class SparkEngine:
     )
     _INCJA_BLOCKERS = re.compile(
         r"\b(ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|"
-        r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|AVG|STDDEV|VAR)\b|\(\s*SELECT",
+        r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|AVG|STDDEV|VAR|"
+        r"CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|"
+        r"UNIX_TIMESTAMP)\b|\(\s*SELECT",
         re.I,
     )
 
@@ -2210,11 +2213,22 @@ class SparkEngine:
             return f"__{al}_{col}"
 
         def flatten(txt: str) -> str:
-            return re.sub(
-                rf"\b({a1}|{a2})\.(\w+)",
-                lambda mm: flat(mm.group(1), mm.group(2)),
-                txt,
-            )
+            # substitute only OUTSIDE string literals — a literal
+            # containing "alias.word" must pass through untouched
+            parts = re.split(r"('(?:[^']|'')*')", txt)
+            out = []
+            for i, part in enumerate(parts):
+                if i % 2 == 1:  # a quoted literal
+                    out.append(part)
+                else:
+                    out.append(
+                        re.sub(
+                            rf"\b({a1}|{a2})\.(\w+)",
+                            lambda mm: flat(mm.group(1), mm.group(2)),
+                            part,
+                        )
+                    )
+            return "".join(out)
 
         # Flatten item-by-item: a bare key ref (c.name) must be
         # aliased BACK to its original column name, or the MV's output
@@ -2242,6 +2256,12 @@ class SparkEngine:
                 return None
             keys.append(km.group("alias") or km.group("col"))
         if not kinds or not keys:
+            return None
+        # merge keys must uniquely identify stored rows: every GROUP
+        # BY column selected exactly once and no duplicate output
+        # names (GROUP BY o.region, u.region emitting one 'region'
+        # would let one delta group match multiple stored rows)
+        if len(keys) != len(grp_cols) or len(set(keys)) != len(keys):
             return None
         join_proj = ", ".join(
             f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)

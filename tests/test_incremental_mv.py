@@ -577,3 +577,32 @@ def test_incremental_join_agg_matches_snapshot_diff(spark):
         return out
 
     assert run(disable_fast=False) == run(disable_fast=True)
+
+
+def test_fast_path_guards_reject_unsafe_shapes(spark):
+    """Parser guards from review: time/nondeterministic functions,
+    alias-lookalikes inside string literals, and duplicate bare key
+    names must keep a plan OFF (or correctly ON) the fast paths."""
+    from risingwave_py_spark.engine import SparkEngine
+
+    eng = SparkEngine(spark)
+    # time-dependent WHERE is not incrementally maintainable
+    assert eng._parse_simple_agg(
+        "SELECT p, sum(v) AS t FROM s WHERE d >= current_date GROUP BY p"
+    ) is None
+    assert eng._parse_join_agg(
+        "SELECT u.r AS r, sum(o.q) AS t FROM o o JOIN u u ON o.k = u.k "
+        "WHERE o.d >= current_date GROUP BY u.r"
+    ) is None
+    # duplicate bare key names (GROUP BY o.r, u.r emitting one 'r')
+    assert eng._parse_join_agg(
+        "SELECT u.r AS r, sum(o.q) AS t FROM o o JOIN u u ON o.k = u.k "
+        "GROUP BY o.r, u.r"
+    ) is None
+    # a string literal containing alias.word must survive untouched
+    plan = eng._parse_join_agg(
+        "SELECT u.r AS r, count(*) AS n FROM o o JOIN u u ON o.k = u.k "
+        "WHERE u.note <> 'o.q' GROUP BY u.r"
+    )
+    assert plan is not None and "'o.q'" in plan["where"]
+    assert "__o_q" not in plan["where"]
