@@ -138,7 +138,11 @@ def window_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange + per-partition sort, the same shape as a distributed
     ORDER BY."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    part = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+    # Partition count follows the cluster (like catalog.fanout), not a
+    # literal: correctness is partition-count-independent (pass 2 fixes
+    # up global ranks), so scale it with available parallelism.
+    n_part = max(spark.sparkContext.defaultParallelism, 2)
+    part = o.repartitionByRange(n_part, "o_totalprice", "o_orderkey").withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = W.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")

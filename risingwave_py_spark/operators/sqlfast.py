@@ -198,7 +198,7 @@ _sql_query(
     WITH big AS (SELECT l_orderkey AS big_orderkey FROM lineitem
                  GROUP BY l_orderkey
                  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 270)
-    SELECT /*+ BROADCAST(big, c) */
+    SELECT /*+ BROADCAST(c) */
            c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            {_dsum('l_quantity')} AS sum_qty
     FROM lineitem li

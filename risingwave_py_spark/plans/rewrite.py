@@ -590,6 +590,29 @@ def _split_and(cond: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+# Escape-aware SQL string-literal pattern ('' is the embedded quote).
+# Used to keep text rewrites out of literal contents: "x ~ ''pat''"
+# inside a larger string literal, or the word ASOF in a literal, must
+# pass through untouched.
+_SQL_LITERAL = re.compile(r"('(?:[^']|'')*')")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace every string literal with a \\x00<n>\\x00 placeholder
+    (no letters, so no rewrite pattern can match inside it)."""
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _SQL_LITERAL.sub(repl, sql), lits
+
+
+def _unmask_literals(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
 def rewrite_asof_join(sql: str) -> str:
     """``l ASOF [LEFT] JOIN r ON eq-conds AND l.t >= r.t`` → the
     scalable union-window asof plan, entirely in SQL text:
@@ -688,27 +711,55 @@ def rewrite_asof_join(sql: str) -> str:
             f") AS {ra} ON {on}"
         )
 
-    return _ASOF.sub(sub, sql)
+    # Literal-safe: mask string literals so 'ASOF' inside a literal is
+    # never treated as join syntax; residual ON literals round-trip
+    # through their placeholders into the rewritten text.
+    masked, lits = _mask_literals(sql)
+    if not re.search(r"\bASOF\b", masked, re.I):
+        return sql
+    return _unmask_literals(_ASOF.sub(sub, masked), lits)
 
 
 # PG regex-match operators: `expr ~ 'pat'` and friends. Only the
 # literal-RHS shape is rewritten (the one the reference's users write);
 # `~*` injects (?i) into the pattern. LHS is a column/qualified name
 # or a simple call — anything fancier should spell RLIKE directly.
-_PG_REGEX_OP = re.compile(
-    r"(?P<lhs>[\w.]+(?:\([^()]*\))?)\s+(?P<op>!?~\*?)\s+(?P<pat>'(?:[^']|'')*')"
+_PG_REGEX_TAIL = re.compile(
+    r"(?P<lhs>[\w.]+(?:\([^()]*\))?)\s+(?P<op>!?~\*?)\s*$"
 )
 
 
 def rewrite_pg_regex_ops(sql: str) -> str:
-    def sub(m: re.Match) -> str:
-        lhs, op, pat = m.group("lhs"), m.group("op"), m.group("pat")
-        if op.endswith("*"):
-            pat = "'(?i)" + pat[1:]
-        expr = f"{lhs} RLIKE {pat}"
-        return f"NOT ({expr})" if op.startswith("!") else expr
-
-    return _PG_REGEX_OP.sub(sub, sql)
+    """Literal-aware: the statement is split on (escape-aware) string
+    literals, and `lhs ~` is only recognized at the END of a
+    non-literal segment whose NEXT segment is the pattern literal —
+    so `~` shapes embedded inside a larger string literal are never
+    rewritten."""
+    parts = _SQL_LITERAL.split(sql)
+    if len(parts) == 1 and "~" not in sql:
+        return sql
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        part = parts[i]
+        if i % 2 == 1:  # a string literal — passthrough
+            out.append(part)
+            i += 1
+            continue
+        m = _PG_REGEX_TAIL.search(part)
+        if m and i + 1 < len(parts):
+            lhs, op, pat = m.group("lhs"), m.group("op"), parts[i + 1]
+            if op.endswith("*"):
+                pat = "'(?i)" + pat[1:]
+            expr = f"{lhs} RLIKE {pat}"
+            if op.startswith("!"):
+                expr = f"NOT ({expr})"
+            out.append(part[: m.start()] + expr)
+            i += 2
+            continue
+        out.append(part)
+        i += 1
+    return "".join(out)
 
 
 def rewrite_version(sql: str, version_string: str) -> str:

@@ -233,3 +233,34 @@ def test_profile_is_single_scan(spark, sf_dir):
     (formatted mode prints each node twice: tree + detail)."""
     plan = _plan(spark, sf_dir, "profile_lineitem")
     assert plan.count("Scan parquet") <= 2
+
+
+def test_no_forced_broadcast_of_fact_derived_relations():
+    """Broadcast hints in the SQL fast-path module may only name true
+    dimension tables (bounded size at any SF) — never a CTE derived
+    from a fact table (e.g. q18's `big` orderkey set grows linearly
+    with SF; a hint would force an O(100M-key) broadcast past AQE's
+    size check at 100 TB). AQE decides for those at runtime."""
+    import inspect
+    import re
+
+    from risingwave_py_spark.operators import sqlfast
+
+    src = inspect.getsource(sqlfast)
+    facts = re.compile(r"\b(lineitem|orders|events|documents|embeddings)\b")
+    # Constant-bounded relations (IVF centroids = O(cells) rows, probe
+    # assignments = O(queries × nprobe)) are broadcastable at any SF
+    # even though their source is a fact table.
+    bounded = {"cents", "p"}
+    for stmt in re.findall(r'"""(.*?)"""', src, re.S):
+        # name -> CTE body (balanced-paren capture is overkill here:
+        # bodies in this module never nest parens before FROM <fact>)
+        ctes = dict(re.findall(r"(\w+)\s+AS\s*\(([^)]*)", stmt, re.I))
+        for hint in re.findall(r"/\*\+\s*BROADCAST\(([^)]*)\)\s*\*/", stmt):
+            for rel in (h.strip() for h in hint.split(",")):
+                if rel in bounded:
+                    continue
+                body = ctes.get(rel)
+                assert body is None or not facts.search(body), (
+                    f"forced broadcast of fact-derived relation {rel!r}"
+                )

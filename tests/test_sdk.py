@@ -258,6 +258,14 @@ def test_pg_regex_operators(rw):
         "SELECT s FROM t_sdk_rx WHERE s ILIKE 'alpha' ORDER BY s") == [("Alpha",)]
     # a lone '~' inside a string literal is untouched
     assert rw.fetch("SELECT '~' AS tilde") == [("~",)]
+    # a regex-op SHAPE embedded inside a larger string literal (with
+    # '' escapes) must pass through byte-identical, not become RLIKE
+    assert rw.fetch("SELECT 'x ~ ''pat''' AS s") == [("x ~ 'pat'",)]
+    assert rw.fetch("SELECT 'a.b ~* ''^q''' AS s") == [("a.b ~* '^q'",)]
+    # ...while a REAL operator after such a literal still rewrites
+    assert rw.fetch(
+        "SELECT s FROM t_sdk_rx WHERE s <> 'x ~ ''p''' AND s ~ '^b'"
+    ) == [("beta",)]
     rw.execute("DROP TABLE t_sdk_rx")
 
 
@@ -326,6 +334,10 @@ def test_dialect_edge_spellings(rw):
         "AND x.t >= y.t;"
     )
     assert "IN ('u', 'v')" in sql and sql.count("(") == sql.count(")")
+
+    # the word ASOF inside a string literal is NOT join syntax
+    sql = "SELECT 'the ASOF JOIN keyword' AS doc FROM a"
+    assert rewrite_asof_join(sql) == sql
 
     # dotted JSON key → bracket-quoted path
     assert "$['user.name']" in rewrite_json_ops("SELECT p ->> 'user.name' FROM t")
