@@ -546,15 +546,23 @@ class SparkEngine:
             "epoch_wall": {str(k): v for k, v in self.epoch_wall.items()},
         }
         df = self.spark.createDataFrame([(json.dumps(doc),)], "doc string")
+        cat = self._catalog_fq()
+        stage = cat + "stage__"
         with self._lock:
+            # Stage-then-swap: the new doc is fully committed to a
+            # staging table BEFORE the live catalog is touched, so a
+            # crash at any point leaves a readable doc (either the old
+            # catalog, or — in the drop→rename window — the staged one,
+            # which _restore_catalog falls back to).
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            self._clear_stale_location(stage)
+            df.write.format("parquet").saveAsTable(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
             # a prior PROCESS may have left the data dir behind while
             # this session's in-memory catalog has no such table
-            self._clear_stale_location(self._catalog_fq())
-            try:
-                df.write.mode("overwrite").saveAsTable(self._catalog_fq())
-            except Exception:  # noqa: BLE001 — e.g. another process raced us
-                self._clear_stale_location(self._catalog_fq())
-                df.write.mode("overwrite").saveAsTable(self._catalog_fq())
+            self._clear_stale_location(cat)
+            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+            self.spark.catalog.refreshTable(cat)
 
     def _restore_catalog(self) -> None:
         """Rehydrate the engine catalog from a previous engine's
@@ -567,12 +575,18 @@ class SparkEngine:
         import json
 
         fq = self._catalog_fq()
-        try:
-            if not self.spark.catalog.tableExists(fq):
-                return
-            rows = self.spark.table(fq).limit(1).collect()
-        except Exception:  # noqa: BLE001 — unreadable catalog = fresh start
-            return
+        rows = None
+        # The persist path stages then swaps; a crash in the
+        # drop→rename window leaves only the staged doc — use it.
+        for cand in (fq, fq + "stage__"):
+            try:
+                if not self.spark.catalog.tableExists(cand):
+                    continue
+                rows = self.spark.table(cand).limit(1).collect()
+                if rows:
+                    break
+            except Exception:  # noqa: BLE001 — unreadable = try next
+                continue
         if not rows:
             return
         doc = json.loads(rows[0][0])
@@ -1398,10 +1412,14 @@ class SparkEngine:
     # min/max take least/greatest). Refresh cost becomes
     # O(delta + touched groups), independent of base-table size — the
     # property that makes an aggregation MV viable over a 100 TB fact
-    # table. The first non-Insert base op (UPDATE/DELETE), a vacuumed
-    # delta epoch, or any unexpected error permanently drops the MV
-    # back to the snapshot-diff path (full recompute), which remains
-    # the general-SQL fallback.
+    # table. The single-table agg path is RETRACTION-CAPABLE: delete/
+    # update deltas re-aggregate only the touched groups from the base
+    # table (see _refresh_incremental), so arbitrary DML keeps the MV
+    # on the fast path. A vacuumed unconsumed delta epoch or any
+    # unexpected error demotes to the snapshot-diff path (full
+    # recompute), which remains the general-SQL fallback. The JOIN
+    # fast paths remain append-only (their delta rules need join-side
+    # multiplicity accounting for deletes; non-insert deltas demote).
 
     _INC_BLOCKERS = re.compile(
         r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
@@ -1447,6 +1465,7 @@ class SparkEngine:
             grp_cols.append(ident)
         kinds: dict[str, str] = {}
         keys: list[str] = []
+        key_map: list[tuple[str, str]] = []  # (base col, output name)
         for item in RW.split_top_level(sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
@@ -1455,8 +1474,19 @@ class SparkEngine:
             km = self._INC_KEY_ITEM.match(item)
             if not km or km.group("col") not in grp_cols:
                 return None
-            keys.append(km.group("alias") or km.group("col"))
+            out = km.group("alias") or km.group("col")
+            keys.append(out)
+            key_map.append((km.group("col"), out))
         if not kinds or not keys:
+            return None
+        # key_map must be a bijection grp_cols ↔ output keys: the
+        # retraction path semi-joins the base on these columns, so a
+        # group column selected twice (or not at all) is unsafe.
+        if (
+            len(key_map) != len(grp_cols)
+            or len({c for c, _ in key_map}) != len(key_map)
+            or len(set(keys)) != len(keys)
+        ):
             return None
         return {
             "base_fq": self.qualify(m.group("tbl")),
@@ -1465,6 +1495,7 @@ class SparkEngine:
             "grp": grp.strip(),
             "kinds": kinds,
             "keys": keys,
+            "key_map": key_map,
         }
 
     def _inc_delta_stmt(self, inc: dict, view: str) -> str:
@@ -1485,7 +1516,15 @@ class SparkEngine:
     )
     _INCJ_BLOCKERS = re.compile(
         r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
-        r"DISTINCT|OVER|LATERAL|CROSS|ASOF)\b|\(\s*SELECT",
+        r"DISTINCT|OVER|LATERAL|CROSS|ASOF|"
+        # Volatile functions make delta rules unsound: a WHERE like
+        # `a.ts > now() - interval 1 hour` keeps stale rows the
+        # snapshot-diff path would age out (mirrors _INCJA_BLOCKERS).
+        # Call-shaped ones require the paren so column ALIASES named
+        # uuid/now/random don't spuriously demote the MV.
+        r"CURRENT_TIMESTAMP|CURRENT_DATE)\b"
+        r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\("
+        r"|\(\s*SELECT",
         re.I,
     )
 
@@ -1751,18 +1790,22 @@ class SparkEngine:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._clear_stale_location(stage)
             new_result.write.format("parquet").saveAsTable(stage)
+            # Swap + changelog publication under ONE lock acquisition:
+            # a concurrent reader must never observe the new changelog
+            # epoch against the old table rows (or a missing table in
+            # the drop/rename window) — same contract as insert_df.
             with self._lock:
                 epoch = self.next_epoch()
                 self._append_changelog_tagged(fq, tagged, epoch)
-            spark.sql(f"DROP TABLE IF EXISTS {fq}")
-            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
-            spark.catalog.refreshTable(fq)
+                spark.sql(f"DROP TABLE IF EXISTS {fq}")
+                spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+                spark.catalog.refreshTable(fq)
         else:
             with self._lock:
                 epoch = self.next_epoch()
                 self._append_changelog_tagged(fq, tagged, epoch)
-            delta_out.write.mode("append").format("parquet").saveAsTable(fq)
-            spark.catalog.refreshTable(fq)
+                delta_out.write.mode("append").format("parquet").saveAsTable(fq)
+                spark.catalog.refreshTable(fq)
         return True
 
     def create_mv(
@@ -1807,12 +1850,10 @@ class SparkEngine:
                 self.spark.catalog.refreshTable(base_cl)
                 cl_df = self.spark.table(base_cl)
                 m0 = cl_df.agg(F.max("rw_timestamp")).first()[0] or 0
-                has_non_insert = (
-                    cl_df.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-                )
                 snap = self.spark.table(base).localCheckpoint(eager=True)
-            if has_non_insert or self.vacuum_floor.get(base_cl, 0) > 0:
-                inc = None
+            # NOTE: prior UPDATE/DELETE history on the base is fine —
+            # the induction base is the TABLE snapshot (not a changelog
+            # fold), and the refresh path is retraction-capable.
         incj = None
         incja = None
         if inc is None and not emit_on_close:
@@ -2019,13 +2060,23 @@ class SparkEngine:
             self._append_changelog(fq, delta, OP_INSERT, epoch)
 
     def _refresh_incremental(self, state: MVState) -> bool:
-        """Delta-merge refresh for an append-only simple-agg MV.
+        """Delta-merge refresh for a simple-agg MV — RETRACTION
+        CAPABLE: insert deltas merge group-wise in O(delta); delete /
+        update deltas re-aggregate ONLY the touched groups from the
+        base table (pinned under the publish lock, so the snapshot is
+        exactly the fold of changelog epochs <= m1). The MV therefore
+        STAYS on the fast path across arbitrary DML on its base —
+        never a full recompute. A group whose rows all disappear emits
+        a Delete (GROUP BY semantics: empty group, no row).
+
         Returns True when the refresh was fully handled; False demotes
         the MV to the snapshot-diff path (state.inc cleared)."""
         inc = state.inc
         spark = self.spark
         fq = state.fq
+        tag = "_".join(_split_fq(fq))
         base_cl = self.changelog_name(inc["base_fq"])
+        r_keys = r_rows = None
         with self._lock:
             # Floor check INSIDE the lock: vacuum_changelogs advances
             # the floor and truncates under this lock, so checking
@@ -2045,30 +2096,86 @@ class SparkEngine:
             delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
                 eager=True
             )
-        if delta.filter(F.col("op") != OP_INSERT).limit(1).count() > 0:
-            state.inc = None  # base is no longer append-only
-            return False
-        # Schema-qualified view name: same-named MVs in different
-        # schemas must not clobber each other's delta view.
-        view = "__rw_inc_delta_" + "_".join(_split_fq(fq))
-        delta.drop("op", "rw_timestamp").createOrReplaceTempView(view)
+            has_del = (
+                delta.filter(
+                    F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+                ).limit(1).count()
+                > 0
+            )
+            if has_del:
+                # Touched groups = groups of retracted rows that pass
+                # the MV's WHERE (rows failing it never contributed).
+                v_del = f"__rw_inc_del_{tag}"
+                delta.filter(
+                    F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+                ).drop("op", "rw_timestamp").createOrReplaceTempView(v_del)
+                try:
+                    r_keys = (
+                        spark.sql(self._inc_delta_stmt(inc, v_del))
+                        .select(*inc["keys"])
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                finally:
+                    spark.catalog.dropTempView(v_del)
+                # Re-aggregate touched groups from the base TABLE —
+                # still under the lock, so the table is exactly the
+                # changelog fold at m1 (no concurrent publication can
+                # slip rows from epochs > m1 into the snapshot).
+                spark.catalog.refreshTable(inc["base_fq"])
+                base_df = spark.table(inc["base_fq"]).alias("b")
+                probe = r_keys.select(
+                    *[F.col(out).alias(col) for col, out in inc["key_map"]]
+                ).alias("t")
+                cond = None
+                for col, _ in inc["key_map"]:
+                    e = F.col(f"b.{col}").eqNullSafe(F.col(f"t.{col}"))
+                    cond = e if cond is None else (cond & e)
+                v_base = f"__rw_inc_reagg_{tag}"
+                base_df.join(probe, cond, "left_semi").createOrReplaceTempView(
+                    v_base
+                )
+                try:
+                    r_rows = (
+                        spark.sql(self._inc_delta_stmt(inc, v_base))
+                        .localCheckpoint(eager=True)
+                    )
+                finally:
+                    spark.catalog.dropTempView(v_base)
+        # Insert-side delta (Insert + UpdateInsert halves); rows landing
+        # in retraction-touched groups are EXCLUDED by the merge (their
+        # groups are fully covered by the re-aggregation above).
+        view = f"__rw_inc_delta_{tag}"
+        delta.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)).drop(
+            "op", "rw_timestamp"
+        ).createOrReplaceTempView(view)
         try:
             dagg = spark.sql(self._inc_delta_stmt(inc, view)).localCheckpoint(
                 eager=True
             )
         finally:
             spark.catalog.dropTempView(view)
-        self._merge_agg_delta(state, inc, dagg, m1)
+        retract = (r_keys, r_rows) if has_del else None
+        self._merge_agg_delta(state, inc, dagg, m1, retract)
         return True
 
     def _merge_agg_delta(self, state: MVState, inc: dict,
-                         dagg: DataFrame, m1: int) -> None:
+                         dagg: DataFrame, m1: int,
+                         retract: tuple | None = None) -> None:
         """Group-wise merge of an aggregated delta into the stored MV
         result + changelog emission (shared by the single-table agg
-        fast path and the join+agg fast path)."""
+        fast path and the join+agg fast path).
+
+        ``retract`` — None, or ``(r_keys, r_rows)``: groups listed in
+        ``r_keys`` are REPLACED wholesale by their re-aggregated rows
+        in ``r_rows`` (a group absent from r_rows emits Delete; a new
+        one emits Insert; a changed one the UpdateDelete/UpdateInsert
+        pair). The insert-delta merge below runs only over groups NOT
+        in r_keys, so nothing double-counts. Exactly ONE epoch is
+        consumed either way."""
         spark = self.spark
         fq = state.fq
-        if dagg.isEmpty():
+        if dagg.isEmpty() and retract is None:
             state.last_epoch = m1
             self.next_epoch()
             return  # every delta row fell to the WHERE clause
@@ -2077,6 +2184,54 @@ class SparkEngine:
         keys = inc["keys"]
         vals = [c for c in cols if c not in keys]
         types = {f.name: f.dataType for f in old.schema.fields}
+        repl_del = repl_ins = repl_updd = repl_updi = repl_rows = None
+        if retract is not None:
+            r_keys, r_rows = retract
+            ok = old.alias("o2")
+            tk = r_keys.alias("t2")
+            kcond = None
+            for k in keys:
+                e = F.col(f"o2.{k}").eqNullSafe(F.col(f"t2.{k}"))
+                kcond = e if kcond is None else (kcond & e)
+            old_t = ok.join(tk, kcond, "left_semi")
+            old = ok.join(tk, kcond, "left_anti")
+            dk = dagg.alias("d2")
+            dcond = None
+            for k in keys:
+                e = F.col(f"d2.{k}").eqNullSafe(F.col(f"t2.{k}"))
+                dcond = e if dcond is None else (dcond & e)
+            dagg = dk.join(tk, dcond, "left_anti")
+            # Replacement diff: stored touched rows vs re-aggregated
+            # rows, null-safe on keys, with presence markers (a NULL
+            # group key is a legitimate value, not an absence signal).
+            repl_rows = r_rows.select(
+                *[F.col(c).cast(types[c]).alias(c) for c in cols]
+            )
+            po = old_t.withColumn("__po", F.lit(1)).alias("po")
+            pn = repl_rows.withColumn("__pn", F.lit(1)).alias("pn")
+            rcond = None
+            for k in keys:
+                e = F.col(f"po.{k}").eqNullSafe(F.col(f"pn.{k}"))
+                rcond = e if rcond is None else (rcond & e)
+            jr = po.join(pn, rcond, "full_outer").localCheckpoint(eager=True)
+            vdiff = None
+            for v in vals:
+                e = ~F.col(f"po.{v}").eqNullSafe(F.col(f"pn.{v}"))
+                vdiff = e if vdiff is None else (vdiff | e)
+            both = F.col("po.__po").isNotNull() & F.col("pn.__pn").isNotNull()
+            repl_del = jr.filter(F.col("pn.__pn").isNull()).select(
+                *[F.col(f"po.{c}").alias(c) for c in cols]
+            )
+            repl_ins = jr.filter(F.col("po.__po").isNull()).select(
+                *[F.col(f"pn.{c}").alias(c) for c in cols]
+            )
+            changed_r = jr.filter(both & vdiff)
+            repl_updd = changed_r.select(
+                *[F.col(f"po.{c}").alias(c) for c in cols]
+            )
+            repl_updi = changed_r.select(
+                *[F.col(f"pn.{c}").alias(c) for c in cols]
+            )
         o = old.withColumn("__o", F.lit(1)).alias("o")
         d = dagg.alias("d")
         cond = None
@@ -2121,6 +2276,13 @@ class SparkEngine:
             (upd_ins, OP_UPDATE_INSERT),
             (inserts, OP_INSERT),
         ]
+        if retract is not None:
+            batches += [
+                (repl_updd, OP_UPDATE_DELETE),
+                (repl_updi, OP_UPDATE_INSERT),
+                (repl_ins, OP_INSERT),
+                (repl_del, OP_DELETE),
+            ]
 
         # New result = untouched old rows + merged touched rows; only
         # touched groups are rewritten logically (at production scale
@@ -2133,6 +2295,9 @@ class SparkEngine:
         new_result = old.join(touched, anti, "left_anti").unionByName(
             touched.select(*cols)
         )
+        if retract is not None:
+            # retraction-touched groups re-enter as their re-agg rows
+            new_result = new_result.unionByName(repl_rows)
         db, tbl = _split_fq(fq)
         stage = f"{db}.__rw_stage__{tbl}"
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
@@ -2144,15 +2309,17 @@ class SparkEngine:
         # single append under the lock — no driver-side collect.
         tagged = self._tag_ops(batches).localCheckpoint(eager=True)
         any_change = not tagged.isEmpty()
+        # Swap + changelog publication under ONE lock acquisition
+        # (same reader-consistency contract as insert_df and the
+        # join fast path).
         with self._lock:
             epoch = self.next_epoch()
             if any_change:
                 self._append_changelog_tagged(fq, tagged, epoch)
-        if any_change:
-            spark.sql(f"DROP TABLE IF EXISTS {fq}")
-            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
-            spark.catalog.refreshTable(fq)
-        else:
+                spark.sql(f"DROP TABLE IF EXISTS {fq}")
+                spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+                spark.catalog.refreshTable(fq)
+        if not any_change:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
         state.last_epoch = m1
 
@@ -2199,13 +2366,16 @@ class SparkEngine:
             e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
             if not e or {e.group(1), e.group(3)} != {a1, a2}:
                 return None
-        # collect every qualified ref; everything must be qualified
+        # collect every qualified ref; everything must be qualified.
+        # Strip quoted literals FIRST (escape-aware, same split as
+        # flatten below): a literal like 'o.nonexistent' must not
+        # inject a phantom column into join_proj.
         text = " ".join(
             filter(None, (m.group("sel"), m.group("where"), m.group("grp")))
         )
-        refs = set(re.findall(rf"\b({a1}|{a2})\.(\w+)", text))
-        bare = re.sub(rf"\b(?:{a1}|{a2})\.\w+", "", text)
-        bare = re.sub(r"'[^']*'", "", bare)  # string literals are fine
+        text_nolit = re.sub(r"'(?:[^']|'')*'", " ", text)
+        refs = set(re.findall(rf"\b({a1}|{a2})\.(\w+)", text_nolit))
+        bare = re.sub(rf"\b(?:{a1}|{a2})\.\w+", "", text_nolit)
         if re.search(r"[A-Za-z_]\w*\.", bare):
             return None  # something qualified by an unknown alias
 
@@ -2590,10 +2760,10 @@ class SparkEngine:
         (e.g. published by a previous engine instance) is treated as
         YOUNG — never destroy history whose age is unknown.
 
-        Scale note: the cutoff works over the changelog's distinct
-        epochs (one row per epoch), and the rewrite stages the
-        surviving rows into a new table then renames — no collect of
-        changelog data to the driver."""
+        Scale note: the cutoff is computed driver-side from the
+        epoch_wall map plus one executor-side aggregate (min unstamped
+        epoch) — no collect of changelog epochs — and the rewrite
+        stages the surviving rows into a new table then renames."""
         for sub in self.subscriptions.values():
             cl = self.changelog_name(sub["rel"])
             if not self.spark.catalog.tableExists(cl):
@@ -2607,20 +2777,40 @@ class SparkEngine:
         drop+rename rewrite never races a polling cursor's read."""
         self.spark.catalog.refreshTable(cl)
         cutoff = time.time() - max(int(sub["retention_s"]), 0)
-        epochs = [
-            r[0]
-            for r in self.spark.table(cl)
+        # Aggregate cutoff, no collect of changelog epochs: wall times
+        # are monotone in the epoch counter (stamped at next_epoch;
+        # restarts resume above the recovered max), so the expired set
+        # is a PREFIX. The candidate floor comes from the driver-side
+        # epoch_wall map alone; epochs present in the changelog below
+        # the candidate but with no wall stamp (issued after the last
+        # persisted DDL by a crashed instance) have unknown age and cap
+        # the prefix — never destroy history whose age is unknown.
+        expired_known = [e for e, w in self.epoch_wall.items() if w <= cutoff]
+        if not expired_known:
+            return  # nothing provably older than the retained window
+        cand = max(expired_known)
+        stamped_le = [(e,) for e in self.epoch_wall if e <= cand]
+        stamped_df = self.spark.createDataFrame(
+            stamped_le, "rw_timestamp bigint"
+        )
+        min_unstamped = (
+            self.spark.table(cl)
             .select("rw_timestamp")
-            .distinct()
-            .collect()
-        ]
-        expired = [
-            e for e in epochs if self.epoch_wall.get(e, cutoff + 1) <= cutoff
-        ]
-        if not expired:
+            .filter(F.col("rw_timestamp") <= cand)
+            .join(stamped_df, "rw_timestamp", "left_anti")
+            .agg(F.min("rw_timestamp"))
+            .first()[0]
+        )
+        keep_from = cand + 1 if min_unstamped is None else min_unstamped
+        has_expired = (
+            self.spark.table(cl)
+            .filter(F.col("rw_timestamp") < keep_from)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not has_expired:
             return  # nothing older than the retained window
-        surviving = [e for e in epochs if e not in set(expired)]
-        keep_from = min(surviving) if surviving else self._epoch + 1
         self.vacuum_floor[cl] = max(self.vacuum_floor.get(cl, 0), keep_from - 1)
         stage = f"{cl}__vacuum_stage"
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")

@@ -628,3 +628,66 @@ def join_agg_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "region string, total bigint, n bigint, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "dml_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('x', CAST(15 AS BIGINT), CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(10 AS BIGINT), 'UpdateInsert', CAST(3 AS BIGINT)),
+        ('x', CAST(8 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(5 AS BIGINT), 'UpdateDelete', CAST(3 AS BIGINT)),
+        ('y', CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(4 AS BIGINT), 'Delete', CAST(5 AS BIGINT)),
+        ('w', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'Insert', CAST(8 AS BIGINT)),
+        ('x', CAST(11 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(10 AS BIGINT), 'UpdateInsert', CAST(8 AS BIGINT)),
+        ('x', CAST(15 AS BIGINT), CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(10 AS BIGINT), 'UpdateDelete', CAST(8 AS BIGINT))
+    ) AS t(p, total, n, lo, hi, op, rw_timestamp)
+    """,
+)
+def dml_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable incremental MV maintenance (the RisingWave
+    server's core IVM behavior for MVs over mutable tables —
+    /root/reference/risingwave/core.py:453-455 with UPDATE/DELETE DML
+    reachable via core.py:161-181): UPDATE and DELETE on the base
+    KEEP the MV on the delta fast path (asserted at every step —
+    never a snapshot-diff recompute). Touched groups re-aggregate
+    from the base; a group emptied by DELETE leaves the MV with a
+    Delete op; a mixed delete+insert flush merges both in one epoch.
+    Returns the MV changelog with pinned logical epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dinc")
+    conn.execute("CREATE TABLE rwdemo_dinc.ev (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["x", "x", "y"], "v": [3, 5, 4]}),
+                table_name="ev", schema_name="rwdemo_dinc", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dinc.agg AS "
+        "SELECT p, sum(v) AS total, count(*) AS n, min(v) AS lo, max(v) AS hi "
+        "FROM rwdemo_dinc.ev GROUP BY p"
+    )
+    st = eng.mvs["rwdemo_dinc.agg"]
+    assert st.inc is not None, "fast path not taken"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_dinc.s FROM rwdemo_dinc.agg "
+        "WITH (retention = '86400s')"
+    )
+    conn.execute(
+        "DECLARE rwdemo_dinc_cur subscription cursor for rwdemo_dinc.s SINCE 0"
+    )
+    # UPDATE: group x re-aggregates; UpdateDelete/UpdateInsert pair
+    conn.execute("UPDATE rwdemo_dinc.ev SET v = 10 WHERE p = 'x' AND v = 3")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "UPDATE demoted the MV off the fast path"
+    # DELETE emptying group y: Delete op, row leaves the MV
+    conn.execute("DELETE FROM rwdemo_dinc.ev WHERE p = 'y'")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DELETE demoted the MV off the fast path"
+    # mixed flush: a delete touching x plus inserts (new group w and
+    # another x row) consumed by ONE refresh
+    conn.execute("DELETE FROM rwdemo_dinc.ev WHERE p = 'x' AND v = 5")
+    conn.insert(pd.DataFrame({"p": ["w", "x"], "v": [2, 1]}),
+                table_name="ev", schema_name="rwdemo_dinc", force_flush=True)
+    assert st.inc is not None, "mixed DML flush demoted the MV"
+    cols, rows = eng.fetch_cursor("rwdemo_dinc_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, total bigint, n bigint, lo bigint, hi bigint, "
+        "op string, rw_timestamp bigint",
+    )

@@ -85,10 +85,33 @@ def test_incremental_mv_fast_path_and_demotion(eng_conn):
     epochs = [r[-1] for r in ch]
     assert epochs == sorted(epochs)
 
-    # Non-append DML demotes to snapshot-diff; results stay correct.
+    # Retraction: UPDATE on the base STAYS on the fast path — the
+    # touched groups re-aggregate from the base (O(delta + touched
+    # groups)), never a full recompute.
     conn.execute("UPDATE inct.t SET v = 4 WHERE p = 'a' AND v = 1")
     eng.flush()
-    assert st.inc is None, "UPDATE on the base must demote the MV"
+    assert st.inc is not None, "UPDATE on the base must NOT demote the MV"
+    assert _mv_rows(conn) == _recompute(conn)
+    cols, ch = eng.fetch_cursor("c1", 100)
+    ops = sorted((r[0], r[-2]) for r in ch)
+    assert ops == [("a", "UpdateDelete"), ("a", "UpdateInsert")]
+
+    # DELETE emptying a whole group: the group's row leaves the MV
+    # with a Delete op (GROUP BY semantics — empty group, no row).
+    conn.execute("DELETE FROM inct.t WHERE p = 'c'")
+    eng.flush()
+    assert st.inc is not None, "DELETE on the base must NOT demote the MV"
+    assert _mv_rows(conn) == _recompute(conn)
+    cols, ch = eng.fetch_cursor("c1", 100)
+    assert sorted((r[0], r[-2]) for r in ch) == [("c", "Delete")]
+
+    # Mixed epoch: deletes + inserts into the SAME group plus an
+    # insert into an untouched group, merged in one refresh.
+    conn.execute("DELETE FROM inct.t WHERE p = 'b' AND v = 10")
+    conn.insert(pd.DataFrame({"p": ["b", "e"], "v": [50, 1]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    eng.flush()
+    assert st.inc is not None
     assert _mv_rows(conn) == _recompute(conn)
 
 
@@ -606,3 +629,25 @@ def test_fast_path_guards_reject_unsafe_shapes(spark):
     )
     assert plan is not None and "'o.q'" in plan["where"]
     assert "__o_q" not in plan["where"]
+    # a string literal naming a NONEXISTENT alias.column must not
+    # inject a phantom column into join_proj (the refs scan strips
+    # literals before collecting qualified refs)
+    plan = eng._parse_join_agg(
+        "SELECT u.r AS r, count(*) AS n FROM o o JOIN u u ON o.k = u.k "
+        "WHERE u.note <> 'o.nonexistent' GROUP BY u.r"
+    )
+    assert plan is not None and "o.nonexistent" not in plan["join_proj"]
+    # time-dependent WHERE on the PLAIN-join fast path (same volatile
+    # guard as the agg paths): must stay off the fast path
+    assert eng._parse_simple_join(
+        "SELECT o.x AS x, u.y AS y FROM o o JOIN u u ON o.k = u.k "
+        "WHERE o.ts > now() - interval 1 hour"
+    ) is None
+    assert eng._parse_simple_join(
+        "SELECT o.x AS x, u.y AS y FROM o o JOIN u u ON o.k = u.k "
+        "WHERE o.d >= current_date"
+    ) is None
+    # ...but aliases merely NAMED like volatile functions are fine
+    assert eng._parse_simple_join(
+        "SELECT o.x AS uuid, u.y AS random FROM o o JOIN u u ON o.k = u.k"
+    ) is not None

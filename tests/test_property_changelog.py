@@ -67,6 +67,8 @@ def test_mv_matches_model_and_changelog_replay(rw, ops):
     rw.execute(f"CREATE TABLE {tag} (p STRING, v BIGINT)")
     rw.mv(stmt=f"SELECT p, sum(v) AS total, count(*) AS n FROM {tag} GROUP BY p",
           name=f"{tag}_mv")
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc is not None
     rw.execute(
         f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{tag}_mv "
         "WITH (retention = '86400s')"
@@ -93,6 +95,11 @@ def test_mv_matches_model_and_changelog_replay(rw, ops):
                 rw.execute(f"DELETE FROM {tag} WHERE p = '{key}'")
                 model = [(k, v) for k, v in model if k != key]
         rw.execute("FLUSH")
+        # Retraction capability: ARBITRARY DML (updates/deletes
+        # included) keeps the MV on the incremental fast path.
+        assert st_mv.inc is not None, (
+            "DML sequence must not demote the retraction-capable agg MV"
+        )
 
         mv_rows = Counter(
             (r[0], r[1], r[2]) for r in rw.fetch(f"SELECT p, total, n FROM {tag}_mv")
