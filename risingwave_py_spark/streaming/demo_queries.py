@@ -384,7 +384,8 @@ def streaming_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [tuple(r) for r in out.collect()]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP VIEW IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}__data")
         spark.sql(f"DROP TABLE IF EXISTS {name}__changelog")
         shutil.rmtree(src_dir, ignore_errors=True)
     return spark.createDataFrame(

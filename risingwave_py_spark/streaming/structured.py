@@ -98,6 +98,15 @@ class StreamingMV:
     ``transform`` maps the raw stream to an aggregated streaming
     DataFrame (caller controls watermark/window/keys); ``key_cols``
     are the aggregate's group keys used for the merge.
+
+    Storage layout (scale): the physical result lives in a
+    ``<name>__data`` table PARTITIONED BY a key-hash bucket; the merge
+    rewrites only the buckets the batch touches (dynamic partition
+    overwrite), so per-batch write cost is O(changed buckets' rows),
+    not O(result size). ``<name>`` itself is a view projecting the
+    user-facing columns, so consumers see exactly the aggregate's
+    schema. At true cluster scale the same layout maps 1:1 onto a
+    Delta/Iceberg MERGE keyed by the bucket.
     """
 
     def __init__(
@@ -108,12 +117,15 @@ class StreamingMV:
         transform: Callable[[DataFrame], DataFrame],
         key_cols: list[str],
         checkpoint_dir: str | None = None,
+        n_buckets: int = 64,
     ):
         self.spark = spark
         self.name = name
         self.key_cols = list(key_cols)
-        self.result_table = name
+        self.result_table = name           # user-facing view
+        self.data_table = f"{name}__data"  # bucket-partitioned storage
         self.changelog_table = f"{name}__changelog"
+        self.n_buckets = max(int(n_buckets), 1)
         self._available_now = True
         self._checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"rw_smv_{os.getpid()}_")
         self._agg = transform(source)
@@ -121,35 +133,73 @@ class StreamingMV:
 
     # -- foreachBatch sink -------------------------------------------------
 
+    def _bucket(self) -> "F.Column":
+        return F.pmod(
+            F.hash(*[F.col(k) for k in self.key_cols]), F.lit(self.n_buckets)
+        ).alias("__rw_bucket")
+
     def _merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = self.spark
         batch = batch.localCheckpoint(eager=True)  # cut lineage; batch is reused 3×
-        if not spark.catalog.tableExists(self.result_table):
-            batch.limit(0).write.format("parquet").saveAsTable(self.result_table)
+        out_cols = batch.columns
+        batch_b = batch.withColumn("__rw_bucket", self._bucket())
+        if not spark.catalog.tableExists(self.data_table):
+            batch_b.limit(0).write.format("parquet").partitionBy(
+                "__rw_bucket"
+            ).saveAsTable(self.data_table)
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {self.result_table} AS "
+                f"SELECT {', '.join(out_cols)} FROM {self.data_table}"
+            )
             cl = batch.withColumn("op", F.lit("x")).withColumn(
                 "rw_timestamp", F.lit(0).cast("bigint")
             )
             cl.limit(0).write.format("parquet").saveAsTable(self.changelog_table)
+        # Buckets this batch touches: bounded by n_buckets (a constant),
+        # so the collect is O(1) — and it lets the read below PRUNE to
+        # touched partitions instead of scanning the whole result.
+        touched = sorted(
+            r[0] for r in batch_b.select("__rw_bucket").distinct().collect()
+        )
         # Eager snapshot: revised/fresh/kept are evaluated after the
         # overwrite below — without the checkpoint they would re-read
-        # the already-merged table and misclassify every key.
-        current = spark.table(self.result_table).localCheckpoint(eager=True)
+        # the already-merged partitions and misclassify every key.
+        current = (
+            spark.table(self.data_table)
+            .filter(F.col("__rw_bucket").isin(touched))
+            .localCheckpoint(eager=True)
+        )
         on = [batch[k].eqNullSafe(current[k]) for k in self.key_cols]
         cond = on[0]
         for c in on[1:]:
             cond = cond & c
         revised = batch.join(current, cond, "left_semi")
         fresh = batch.join(current, cond, "left_anti")
-        # Result-table merge: keep rows whose key is NOT in the batch,
-        # append the batch (update-mode upsert without a table format
-        # that has MERGE; at cluster scale swap this for Delta MERGE).
+        # Merge WITHIN the touched buckets only: keep their rows whose
+        # key is not in the batch, add the batch, dynamically overwrite
+        # just those partitions. Untouched buckets are never rewritten.
         kept = current.join(batch, cond, "left_anti")
         # old values of revised groups — the UpdateDelete half of the
         # changelog pair (replaying the changelog must retract the old
         # row or every revision double-counts)
-        old_revised = current.join(batch, cond, "left_semi")
-        merged = kept.unionByName(batch).localCheckpoint(eager=True)
-        merged.write.mode("overwrite").insertInto(self.result_table, overwrite=True)
+        old_revised = current.join(batch, cond, "left_semi").select(*out_cols)
+        merged = (
+            kept.unionByName(batch_b)
+            .select(*spark.table(self.data_table).columns)
+            .localCheckpoint(eager=True)
+        )
+        # Session conf, not a write option: insertInto does not honor
+        # the per-writer partitionOverwriteMode option, and STATIC
+        # overwrite here would drop every untouched bucket.
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev_mode = spark.conf.get(conf_key, "STATIC")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            merged.write.mode("overwrite").insertInto(
+                self.data_table, overwrite=True
+            )
+        finally:
+            spark.conf.set(conf_key, prev_mode)
         changelog = (
             old_revised.withColumn("op", F.lit(OP_UPDATE_DELETE))
             .unionByName(revised.withColumn("op", F.lit(OP_UPDATE_INSERT)))
@@ -159,7 +209,7 @@ class StreamingMV:
         changelog.write.mode("append").insertInto(self.changelog_table)
         # Reads that happened before this batch cached the parquet file
         # listing for both tables; invalidate so readers see this batch.
-        spark.catalog.refreshTable(self.result_table)
+        spark.catalog.refreshTable(self.data_table)
         spark.catalog.refreshTable(self.changelog_table)
 
     # -- lifecycle ---------------------------------------------------------
@@ -194,6 +244,13 @@ class StreamingMV:
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:
             self.query.stop()
+
+    def drop(self) -> None:
+        """Stop the query and remove the view + backing tables."""
+        self.stop()
+        self.spark.sql(f"DROP VIEW IF EXISTS {self.result_table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.data_table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.changelog_table}")
 
 
 # ---------------------------------------------------------------------------

@@ -137,8 +137,72 @@ def test_streaming_mv_merge_and_changelog(spark, events_dir):
     eps = [r.rw_timestamp for r in spark.table(mv.changelog_table).orderBy("rw_timestamp").collect()]
     assert eps == sorted(eps)
 
-    spark.sql(f"DROP TABLE IF EXISTS {mv.result_table}")
-    spark.sql(f"DROP TABLE IF EXISTS {mv.changelog_table}")
+    mv.drop()
+
+
+def test_streaming_mv_merge_rewrites_only_touched_buckets(spark, events_dir):
+    """Scale invariant: the foreachBatch merge is O(changed groups),
+    not O(result size) — a micro-batch touching one group must rewrite
+    only that group's bucket partition, leaving every other bucket's
+    files byte-for-byte untouched (path AND mtime)."""
+    from risingwave_py_spark.streaming.structured import _table_location
+
+    path, append = events_dir
+    # Batch 1: 4 windows × 6 event types (all within one hour, so the
+    # 1 h watermark cannot drop batch 2) → many groups, many buckets.
+    rows = []
+    kinds = ["click", "view", "buy", "scroll", "hover", "share"]
+    for m in (0, 16, 31, 46):
+        for i, kind in enumerate(kinds):
+            rows.append((i, _ts(m, 9), kind, 1.0))
+    append(rows)
+    name = f"smvb_{uuid.uuid4().hex[:8]}"
+    mv = StreamingMV(
+        spark, name, _read_stream(spark, path),
+        transform=lambda df: tumbling_counts_stream(df, width="15 minutes"),
+        key_cols=["window_start", "event_type"],
+    )
+    mv.start(available_now=True)
+    mv.process_all()
+
+    loc = _table_location(spark, mv.data_table)
+    def listing():
+        out = {}
+        for root, _dirs, files in os.walk(loc):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[os.path.relpath(p, loc)] = os.stat(p).st_mtime_ns
+        return out
+
+    before = listing()
+    n_buckets_before = len({p.split("/")[0] for p in before})
+    assert n_buckets_before >= 4, "test needs groups spread over buckets"
+
+    # Batch 2: ONE group revised (latest window — not late).
+    append([(1, _ts(47, 9), "click", 5.0)])
+    mv.start(available_now=True)
+    mv.process_all()
+    after = listing()
+
+    changed = {
+        p for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert changed, "the touched bucket must have been rewritten"
+    changed_buckets = {p.split("/")[0] for p in changed}
+    assert len(changed_buckets) == 1, (
+        f"one-group batch must rewrite exactly one bucket, got {changed_buckets}"
+    )
+    # result correctness unaffected by the partitioned layout
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table(mv.result_table).collect()
+    }
+    assert got[(_ts(45, 9), "click")] == 2  # revised group
+    assert got[(_ts(0, 9), "view")] == 1    # untouched group kept
+    assert len(got) == 24
+    mv.drop()
 
 
 def test_stream_table_reads_engine_table(spark, rw):
