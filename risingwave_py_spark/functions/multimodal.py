@@ -8,16 +8,18 @@ concentrating on the driver.
 
 Two tiers live here:
 
-  * REAL pipelines over uncompressed formats (RAW1 images, PCM1
-    audio, VID1 video — all defined below): genuine binary codecs
-    (magic check, header unpack, buffer reshape), real resize/
-    decimate/frame-sample kernels in numpy, and closed-form synthetic
-    payloads so the ENTIRE encode→decode→transform→featurize chain is
-    DuckDB-oracle-checked.
+  * REAL pipelines over real formats: uncompressed RAW1 images, PCM1
+    audio, VID1 video (genuine binary codecs — magic check, header
+    unpack, buffer reshape; real resize/decimate/frame-sample numpy
+    kernels), plus the ZC01 COMPRESSED container (stdlib zlib
+    inflate wrapping any of the three). Closed-form synthetic
+    payloads make the ENTIRE encode→compress→inflate→decode→
+    featurize chain DuckDB-oracle-checked — no rows-only queries.
   * A disclosed FAKE kernel (``decode_payload``) standing in for
-    compressed-format codecs (JPEG/FLAC/H.264) whose libraries
+    lossy-format codecs (JPEG/FLAC/H.264) whose libraries
     (PIL/torchaudio/pyav) are not in this container — swap the kernel
-    body, nothing else changes.
+    body, nothing else changes. Kept as the documented plug point;
+    no registered query depends on it.
 
 The fixture has no binary column, so payloads are synthesized
 deterministically (from text bytes or doc_id): stable inputs →
@@ -128,24 +130,140 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: stub decode isn't SQL
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline: payload synth → mapInPandas stub decode →
-    per-modality feature aggregation. The decode stage is Python, so
-    the driver records a rows-only check for this one."""
-    d = with_payload(table(spark, sf_dir, "documents"))
-    feats = extract_features(d)
-    return (
-        feats.groupBy("modality")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("byte_mean"), 6).alias("avg_byte_mean"),
-            F.round(F.avg("byte_std"), 6).alias("avg_byte_std"),
-            F.min("n_bytes").alias("min_bytes"),
-            F.max("n_bytes").alias("max_bytes"),
-        )
-        .orderBy("modality")
+# ---------------------------------------------------------------------------
+# COMPRESSED-container decode ("ZC01": magic + zlib deflate stream
+# wrapping a RAW1 / PCM1 / VID1 payload). This replaces the round-1/2
+# rows-only stub: the decompression is REAL (stdlib zlib — the same
+# inflate step a PNG/gzip codec performs), the inner codecs are the
+# real parsers above, and the features have closed forms — so the
+# whole compressed-decode chain is DuckDB-oracle-checked. Compressed
+# SIZE is deliberately not part of the output (deflate byte output
+# may vary across zlib builds; content after inflate never does).
+
+ZC_MAGIC = b"ZC01"
+ZC_IMG_RESIZE = 8     # image feature: 8×8 nearest-resize mean
+ZC_AUD_DECIMATE = 16  # audio feature: 16× decimated mean
+# video feature: frame 0, row y=0 (16 px × 3 ch)
+
+
+def encode_container(doc_id: int) -> bytes:
+    """Modality-dispatched (doc_id % 3 → image/audio/video) synthetic
+    media payload, deflate-compressed inside a ZC01 container."""
+    import zlib
+
+    m = doc_id % 3
+    inner = (encode_raw1, encode_pcm1, encode_vid1)[m](doc_id)
+    return ZC_MAGIC + zlib.compress(inner, 6)
+
+
+def decode_container(payload: bytes) -> bytes:
+    """Real decompression: magic check + zlib inflate."""
+    import zlib
+
+    if payload[:4] != ZC_MAGIC:
+        raise ValueError("not a ZC01 container")
+    return zlib.decompress(payload[4:])
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH img AS (
+        SELECT d.doc_id, CAST(9 + 32*32*3 AS BIGINT) AS raw_bytes,
+               CAST(SUM((12*gx.i + 28*gy.j + 11*gc.c + d.doc_id) % 256) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d,
+             (SELECT unnest(generate_series(0, {ZC_IMG_RESIZE - 1})) AS i) gx,
+             (SELECT unnest(generate_series(0, {ZC_IMG_RESIZE - 1})) AS j) gy,
+             (SELECT unnest(generate_series(0, 2)) AS c) gc
+        GROUP BY d.doc_id
+    ), aud AS (
+        SELECT d.doc_id, CAST(10 + 2*d.n AS BIGINT) AS raw_bytes,
+               CAST(SUM((t.i * {ZC_AUD_DECIMATE} * d.k) % 2000 - 1000) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM (SELECT doc_id, 2048 + (doc_id % 4) * 512 AS n, doc_id % 7 + 1 AS k
+              FROM documents WHERE doc_id % 3 = 1) d,
+             LATERAL (SELECT unnest(generate_series(0, d.n // {ZC_AUD_DECIMATE} - 1)) AS i) t
+        GROUP BY d.doc_id, d.n
+    ), vid AS (
+        SELECT d.doc_id, CAST(11 + (4 + d.doc_id % 5) * 768 AS BIGINT) AS raw_bytes,
+               CAST(SUM((3*gx.x + 11*gc.c + d.doc_id) % 256) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS cn
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d,
+             (SELECT unnest(generate_series(0, 15)) AS x) gx,
+             (SELECT unnest(generate_series(0, 2)) AS c) gc
+        GROUP BY d.doc_id
+    ), per_doc AS (
+        SELECT 'image' AS modality, raw_bytes, csum, cn FROM img
+        UNION ALL SELECT 'audio', raw_bytes, csum, cn FROM aud
+        UNION ALL SELECT 'video', raw_bytes, csum, cn FROM vid
     )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(raw_bytes) AS BIGINT) AS total_raw_bytes,
+           CAST(SUM(csum) AS BIGINT) AS content_sum,
+           CAST(SUM(cn) AS BIGINT) AS content_n,
+           round(CAST(SUM(csum) AS DOUBLE) / SUM(cn), 6) AS avg_content
+    FROM per_doc GROUP BY modality ORDER BY modality
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-container decode pipeline, fully hash-checked (the
+    last rows-only query through round 2): every doc's media payload
+    is a zlib-deflated RAW1/PCM1/VID1 container; the kernel INFLATES
+    it (real stdlib decompression — the inflate step of PNG/gzip),
+    parses the inner codec, and reduces to an exact integer content
+    sum per doc (image: 8×8 nearest-resize; audio: 16× decimation;
+    video: frame-0 top row). Integer sums make the cross-modality
+    aggregate bit-reproducible: the only float is ONE final division
+    from two BIGINTs, identical in Spark and DuckDB.
+
+    100 TB shape: one mapInPandas stage over the doc list (zero
+    shuffle until the 3-group rollup); bytes never leave executors."""
+    out_schema = (
+        "modality string, doc_raw_bytes long, csum long, cn long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                raw = decode_container(encode_container(doc_id))
+                m = doc_id % 3
+                if m == 0:
+                    img = decode_raw1(raw)
+                    small = resize_nearest(img, ZC_IMG_RESIZE, ZC_IMG_RESIZE)
+                    csum, cn = int(small.astype(np.int64).sum()), small.size
+                elif m == 1:
+                    s, _rate = decode_pcm1(raw)
+                    dec = s[::ZC_AUD_DECIMATE].astype(np.int64)
+                    csum, cn = int(dec.sum()), dec.size
+                else:
+                    clip = decode_vid1(raw)
+                    row0 = clip[0, 0].astype(np.int64)  # (W, C)
+                    csum, cn = int(row0.sum()), row0.size
+                rows.append((MODALITIES[m], len(raw), csum, cn))
+            yield pd.DataFrame(
+                rows, columns=["modality", "doc_raw_bytes", "csum", "cn"]
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    per_doc = d.mapInPandas(run, schema=out_schema)
+    agg = per_doc.groupBy("modality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_raw_bytes").alias("total_raw_bytes"),
+        F.sum("csum").alias("content_sum"),
+        F.sum("cn").alias("content_n"),
+    )
+    return agg.select(
+        "modality", "n_docs", "total_raw_bytes", "content_sum", "content_n",
+        F.round(
+            F.col("content_sum").cast("double") / F.col("content_n"), 6
+        ).alias("avg_content"),
+    ).orderBy("modality")
 
 
 RESIZE_SCHEMA = (
