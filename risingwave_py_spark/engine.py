@@ -295,7 +295,17 @@ class SparkEngine:
             empty = base.withColumn("op", F.lit("x")).withColumn(
                 "rw_timestamp", F.lit(0).cast("bigint")
             ).limit(0)
-            empty.write.format("parquet").saveAsTable(cl)
+            # PARTITIONED BY the epoch: every append lands in its own
+            # partition directory, so a cursor's `SINCE` poll and an
+            # incremental refresh's `> last_epoch` read PRUNE to the
+            # unconsumed suffix instead of listing/scanning the whole
+            # history (vacuum bounds the partition count to the
+            # retention window). rw_timestamp is already the LAST
+            # column, so the partitioned schema is byte-identical for
+            # every reader.
+            empty.write.format("parquet").partitionBy(
+                "rw_timestamp"
+            ).saveAsTable(cl)
 
     # -- ingest ------------------------------------------------------------
 
@@ -547,7 +557,15 @@ class SparkEngine:
         }
         df = self.spark.createDataFrame([(json.dumps(doc),)], "doc string")
         cat = self._catalog_fq()
-        stage = cat + "stage__"
+        # Stage name is PER-ENGINE: two live engines over one warehouse
+        # (restart tests, multi-client) must never clobber each other's
+        # in-flight stage write; only the final drop+rename swap is
+        # shared, and that is retried (last writer wins).
+        if not hasattr(self, "_engine_tag"):
+            import uuid as _uuid
+
+            self._engine_tag = _uuid.uuid4().hex[:8]
+        stage = f"{cat}stage_{self._engine_tag}__"
         with self._lock:
             # Stage-then-swap: the new doc is fully committed to a
             # staging table BEFORE the live catalog is touched, so a
@@ -557,11 +575,17 @@ class SparkEngine:
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._clear_stale_location(stage)
             df.write.format("parquet").saveAsTable(stage)
-            self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
-            # a prior PROCESS may have left the data dir behind while
-            # this session's in-memory catalog has no such table
-            self._clear_stale_location(cat)
-            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                # a prior PROCESS may have left the data dir behind
+                # while this session's catalog has no such table
+                self._clear_stale_location(cat)
+                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+            except Exception:  # noqa: BLE001 — another engine won the
+                # swap between our drop and rename; replace its doc
+                self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                self._clear_stale_location(cat)
+                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
             self.spark.catalog.refreshTable(cat)
 
     def _restore_catalog(self) -> None:
@@ -577,8 +601,19 @@ class SparkEngine:
         fq = self._catalog_fq()
         rows = None
         # The persist path stages then swaps; a crash in the
-        # drop→rename window leaves only the staged doc — use it.
-        for cand in (fq, fq + "stage__"):
+        # drop→rename window leaves only a staged doc — fall back to
+        # any stage table a dead engine left behind.
+        cands = [fq]
+        try:
+            _db, _tbl = _split_fq(fq)
+            cands += [
+                f"{_db}.{t.name}"
+                for t in self.spark.catalog.listTables(_db)
+                if t.name.startswith(_tbl + "stage_")
+            ]
+        except Exception:  # noqa: BLE001 — no schema yet = fresh start
+            pass
+        for cand in cands:
             try:
                 if not self.spark.catalog.tableExists(cand):
                     continue
@@ -754,11 +789,20 @@ class SparkEngine:
             raise RuntimeError("RENAME is only supported for plain tables")
         if _split_fq(fq)[0] != _split_fq(new_fq)[0]:
             raise RuntimeError("RENAME cannot move a table across schemas")
+        self._clear_stale_location(new_fq)  # debris from a dead process
         self.spark.sql(f"ALTER TABLE {fq} RENAME TO {new_fq}")
         cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
         if self.spark.catalog.tableExists(cl):
             with self._lock:
+                self._clear_stale_location(new_cl)
                 self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+                # changelogs are partitioned; RENAME drops partition
+                # metadata — recover or the table reads as empty
+                # (legacy unpartitioned changelogs raise: nothing to do)
+                try:
+                    self.spark.catalog.recoverPartitions(new_cl)
+                except Exception:  # noqa: BLE001
+                    pass
                 if cl in self.vacuum_floor:
                     self.vacuum_floor[new_cl] = self.vacuum_floor.pop(cl)
         for sub in self.subscriptions.values():
@@ -787,10 +831,18 @@ class SparkEngine:
         if _split_fq(fq)[0] != _split_fq(new_fq)[0]:
             raise RuntimeError("RENAME cannot move an MV across schemas")
         with self._lock:
+            self._clear_stale_location(new_fq)  # debris from a dead process
             self.spark.sql(f"ALTER TABLE {fq} RENAME TO {new_fq}")
             cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
             if self.spark.catalog.tableExists(cl):
+                self._clear_stale_location(new_cl)
                 self.spark.sql(f"ALTER TABLE {cl} RENAME TO {new_cl}")
+                # partitioned changelog: recover partition metadata
+                # (legacy unpartitioned changelogs raise: nothing to do)
+                try:
+                    self.spark.catalog.recoverPartitions(new_cl)
+                except Exception:  # noqa: BLE001
+                    pass
                 if cl in self.vacuum_floor:
                     self.vacuum_floor[new_cl] = self.vacuum_floor.pop(cl)
             state = self.mvs.pop(fq)
@@ -1113,12 +1165,43 @@ class SparkEngine:
         if connector in self.STREAM_CONNECTORS:
             self._create_stream_source(fq, connector, props, ignore_exist)
             return
-        if connector not in ("filesystem", "posix_fs"):
+        if connector not in ("filesystem", "posix_fs", "s3", "s3_v2"):
             raise RuntimeError(
                 f"unsupported source connector {connector!r} "
-                f"(supported: filesystem, posix_fs, {', '.join(self.STREAM_CONNECTORS)})"
+                f"(supported: filesystem, posix_fs, s3, s3_v2, "
+                f"{', '.join(self.STREAM_CONNECTORS)})"
             )
         path = props.get("path") or props.get("posix_fs.root")
+        if connector in ("s3", "s3_v2"):
+            # RisingWave s3 WITH-properties → Spark's s3a filesystem
+            # (reference reach: pass-through DDL, core.py:161-181). The
+            # object-store path IS a Spark file source — same format
+            # machinery as filesystem; schema inference at DDL time is
+            # the capability check (no hadoop-aws jar / no reachable
+            # endpoint ⇒ CREATE SOURCE fails, not first read). An
+            # explicit `path` property overrides the derived URI (any
+            # scheme Spark's Hadoop FS layer knows — the dev/test path).
+            hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+            cred_map = {
+                "s3.credentials.access": "fs.s3a.access.key",
+                "s3.credentials.secret": "fs.s3a.secret.key",
+                "s3.region_name": "fs.s3a.endpoint.region",
+                "s3.endpoint_url": "fs.s3a.endpoint",
+            }
+            for rw_key, hadoop_key in cred_map.items():
+                if props.get(rw_key):
+                    hc.set(hadoop_key, props[rw_key])
+            if not path:
+                bucket = props.get("s3.bucket_name")
+                if not bucket:
+                    raise RuntimeError(
+                        "s3 source requires s3.bucket_name (or a path override)"
+                    )
+                # glob patterns narrow to their literal prefix — Spark
+                # lists recursively under it; partition pruning and
+                # pushdown apply as with any file source
+                prefix = props.get("match_pattern", "").split("*")[0]
+                path = f"s3a://{bucket}/{prefix}".rstrip("/")
         if not path:
             raise RuntimeError("CREATE SOURCE requires a path property")
         fmt = props.get("format", "parquet").lower()
@@ -1132,6 +1215,7 @@ class SparkEngine:
             k: v
             for k, v in props.items()
             if k not in ("connector", "path", "posix_fs.root", "format")
+            and not k.startswith("s3.") and k != "match_pattern"
         }
         self.spark.catalog.createTable(fq, source=fmt, path=path, **opts)
         self.sources[fq] = dict(props, format=fmt, path=path)
@@ -2777,48 +2861,58 @@ class SparkEngine:
         drop+rename rewrite never races a polling cursor's read."""
         self.spark.catalog.refreshTable(cl)
         cutoff = time.time() - max(int(sub["retention_s"]), 0)
-        # Aggregate cutoff, no collect of changelog epochs: wall times
-        # are monotone in the epoch counter (stamped at next_epoch;
-        # restarts resume above the recovered max), so the expired set
-        # is a PREFIX. The candidate floor comes from the driver-side
-        # epoch_wall map alone; epochs present in the changelog below
-        # the candidate but with no wall stamp (issued after the last
-        # persisted DDL by a crashed instance) have unknown age and cap
-        # the prefix — never destroy history whose age is unknown.
-        expired_known = [e for e, w in self.epoch_wall.items() if w <= cutoff]
-        if not expired_known:
-            return  # nothing provably older than the retained window
-        cand = max(expired_known)
-        stamped_le = [(e,) for e in self.epoch_wall if e <= cand]
-        stamped_df = self.spark.createDataFrame(
-            stamped_le, "rw_timestamp bigint"
-        )
-        min_unstamped = (
+        # Expiry is decided per epoch PRESENT IN THIS CHANGELOG by
+        # joining its (pruned, one-row-per-partition) epoch column
+        # against the driver's wall-stamp map shipped as a DataFrame —
+        # never by collecting changelog epochs to the driver, and never
+        # from the global stamp map alone (stale high-numbered stamps
+        # restored from a prior engine whose counter was higher would
+        # poison a purely driver-side cutoff). An epoch with no stamp
+        # has unknown age and survives — never destroy history whose
+        # age is unknown.
+        if self.epoch_wall:
+            stamps = self.spark.createDataFrame(
+                list(self.epoch_wall.items()),
+                "rw_timestamp bigint, __rw_wall double",
+            )
+        else:
+            stamps = self.spark.createDataFrame(
+                [], "rw_timestamp bigint, __rw_wall double"
+            )
+        eps = (
             self.spark.table(cl)
             .select("rw_timestamp")
-            .filter(F.col("rw_timestamp") <= cand)
-            .join(stamped_df, "rw_timestamp", "left_anti")
-            .agg(F.min("rw_timestamp"))
-            .first()[0]
+            .distinct()
+            .join(F.broadcast(stamps), "rw_timestamp", "left")
         )
-        keep_from = cand + 1 if min_unstamped is None else min_unstamped
-        has_expired = (
-            self.spark.table(cl)
-            .filter(F.col("rw_timestamp") < keep_from)
-            .limit(1)
-            .count()
-            > 0
-        )
-        if not has_expired:
+        alive = F.col("__rw_wall").isNull() | (F.col("__rw_wall") > cutoff)
+        row = eps.agg(
+            F.min(F.when(alive, F.col("rw_timestamp"))).alias("keep_from"),
+            F.min(F.when(~alive, F.col("rw_timestamp"))).alias("first_expired"),
+        ).first()
+        if row["first_expired"] is None:
             return  # nothing older than the retained window
+        keep_from = (
+            row["keep_from"] if row["keep_from"] is not None else self._epoch + 1
+        )
+        if row["first_expired"] >= keep_from:
+            # Expired epochs sit at/above the first survivor:
+            # truncation is a PREFIX operation (the SINCE contract), so
+            # there is nothing droppable below the survivor — no-op.
+            return
         self.vacuum_floor[cl] = max(self.vacuum_floor.get(cl, 0), keep_from - 1)
         stage = f"{cl}__vacuum_stage"
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
         (
             self.spark.table(cl)
             .filter(F.col("rw_timestamp") >= keep_from)
-            .write.saveAsTable(stage)
+            .write.partitionBy("rw_timestamp")  # keep the pruning layout
+            .saveAsTable(stage)
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")
+        # RENAME on a PARTITIONED managed table moves the data dir but
+        # drops the partition metadata — recover it from the directory
+        # structure or the table reads as empty.
+        self.spark.catalog.recoverPartitions(cl)
         self.spark.catalog.refreshTable(cl)

@@ -132,3 +132,35 @@ def test_epoch_recovery_covers_all_schemas(spark):
     assert e2._epoch >= hiwater
     e2.drop_table(f"{sch}.t")
     rw1.execute(f"DROP SCHEMA {sch}")
+
+
+def test_epoch_wall_times_survive_restart(spark):
+    """Epoch→wall-time stamps persist with the catalog: after an engine
+    restart, PRE-restart epochs still age out of a retention window on
+    schedule (previously their age was unknown forever, so they were
+    never vacuumed)."""
+    tag = uuid.uuid4().hex[:8]
+    t, sub = f"durw_t_{tag}", f"durw_s_{tag}"
+    rw1 = RisingWave(spark=spark)
+    eng1 = rw1.engine
+    for batch in ([1], [2]):
+        rw1.insert(pd.DataFrame({"k": batch}), table_name=t, force_flush=True)
+    rw1.execute(f"CREATE SUBSCRIPTION {sub} FROM {t} WITH (retention = '60s')")
+    eng1.declare_cursor("durw_probe", sub, since=0)
+    _, rows = eng1.fetch_cursor("durw_probe", 100)
+    epochs = [r[-1] for r in rows]
+    assert len(epochs) == 2
+    # age both epochs past the window, then persist (any DDL persists;
+    # do it explicitly to model 'stamps written before the crash')
+    for e in epochs:
+        eng1.epoch_wall[e] -= 3600
+    eng1._persist_catalog()
+
+    e2 = SparkEngine(spark)  # restart
+    assert all(e in e2.epoch_wall for e in epochs), "stamps not restored"
+    e2.vacuum_changelogs()
+    e2.declare_cursor("durw_cur", sub, since=0)
+    _, rows2 = e2.fetch_cursor("durw_cur", 100)
+    assert rows2 == [], "pre-restart epochs must vacuum on schedule"
+    e2.drop_subscription(sub)
+    e2.drop_table(t)

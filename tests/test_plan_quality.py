@@ -264,3 +264,37 @@ def test_no_forced_broadcast_of_fact_derived_relations():
                 assert body is None or not facts.search(body), (
                     f"forced broadcast of fact-derived relation {rel!r}"
                 )
+
+
+def test_changelog_since_read_prunes_partitions(spark):
+    """Changelog tables are partitioned by epoch: a cursor's SINCE
+    poll (rw_timestamp > N) must reach the scan as a partition filter
+    — pruning to the unconsumed suffix — not as a data filter over the
+    full history."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    eng = SparkEngine(spark)
+    conn = RisingWaveConnection(eng)
+    conn.execute("DROP TABLE IF EXISTS t_clprune")
+    for v in (1, 2, 3):
+        conn.insert(pd.DataFrame({"k": [v]}), table_name="t_clprune",
+                    force_flush=True)
+    cl = eng.changelog_name("public.t_clprune")
+    plan = (
+        spark.table(cl)
+        .filter(F.col("rw_timestamp") > 2)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PartitionFilters" in plan
+    assert "rw_timestamp" in plan.split("PartitionFilters", 1)[1][:200]
+    conn.execute("DROP TABLE t_clprune")

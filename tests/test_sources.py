@@ -150,3 +150,33 @@ def test_show_create_source(rw, tmp_path):
     assert ddl.startswith(f"CREATE SOURCE public.{s} WITH (")
     assert "connector = 'filesystem'" in ddl and "format = 'csv'" in ddl
     rw.execute(f"DROP SOURCE {s}")
+
+
+def test_create_source_s3_with_path_override(rw, tmp_path, spark):
+    """s3-connector sources are Spark file sources over an object-store
+    URI: RisingWave's s3.* WITH-properties map to fs.s3a.* Hadoop conf,
+    and an explicit `path` override (any Hadoop FS scheme) exercises
+    the identical format machinery locally."""
+    path = tmp_path / "s3src"
+    path.mkdir()
+    pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}).to_parquet(path / "p.parquet")
+    s = _name()
+    rw.execute(
+        f"CREATE SOURCE {s} WITH (connector='s3', "
+        f"s3.region_name='us-east-1', s3.bucket_name='ignored-by-override', "
+        f"path='{path}', format='parquet')"
+    )
+    assert sorted(rw.fetch(f"SELECT k, v FROM {s}")) == [(1, "x"), (2, "y")]
+    # the region property reached the Hadoop conf (the s3a mapping)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hc.get("fs.s3a.endpoint.region") == "us-east-1"
+    rw.execute(f"DROP SOURCE {s}")
+
+
+def test_create_source_s3_requires_bucket(rw):
+    import pytest
+
+    with pytest.raises(Exception, match="s3.bucket_name"):
+        rw.execute(
+            f"CREATE SOURCE {_name()} WITH (connector='s3', format='parquet')"
+        )

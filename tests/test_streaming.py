@@ -164,7 +164,10 @@ def test_vacuum_changelogs_applies_retention(rw):
     rw.execute("DROP TABLE IF EXISTS vac_ev")
     for batch in ([1], [2], [3], [4]):
         rw.insert(pd.DataFrame({"k": batch}), table_name="vac_ev", force_flush=True)
-    rw.execute("CREATE SUBSCRIPTION vac_s FROM vac_ev WITH (retention = '5s')")
+    # 120 s window: wide enough that slow DDL under full-suite load
+    # can never age the FRESH epochs past it (the aged ones are pushed
+    # a full hour back, far beyond any plausible test latency).
+    rw.execute("CREATE SUBSCRIPTION vac_s FROM vac_ev WITH (retention = '120s')")
     # Discover the four insert epochs from the changelog itself (other
     # tests' MV refreshes also consume engine epochs, so current_epoch
     # is not the insert epoch), then age the first two past the window.
