@@ -82,6 +82,12 @@ class MVState:
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
+        # True once a fast path is ruled out PERMANENTLY (unsupported
+        # shape, double-typed SUM, upsert base, join history vacuumed,
+        # refresh exception): stops the snapshot-diff path from
+        # re-attempting the re-arm probe every flush. Engine restarts
+        # reset it (fresh MVState), which is exactly the re-arm case.
+        self.fastpath_blocked = False
         # Serializes whole refreshes of THIS MV: two threads flushing
         # concurrently must not both read pending epochs > last_epoch
         # and double-merge the same delta (the snapshot-diff path is
@@ -1613,9 +1619,10 @@ class SparkEngine:
     )
 
     def _parse_simple_join(self, stmt: str) -> dict | None:
-        """Incremental plan for an INNER equi-join of two append-only
-        tables (ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB — exact for insert-only
-        bases since selection/projection/join are monotone), or None."""
+        """Incremental plan for a two-table equi-join MV (ΔOUT =
+        ΔA⋈B_new ∪ A_old⋈ΔB for insert-only batches; batches with
+        UPDATE/DELETE take the touched-key retraction branch in
+        _join_retract_refresh), or None."""
         if self._INCJ_BLOCKERS.search(stmt):
             return None
         if len(re.findall(r"\bJOIN\b", stmt, re.I)) != 1:
@@ -1704,6 +1711,9 @@ class SparkEngine:
         fq = state.fq
         cl_a = self.changelog_name(incj["a_fq"])
         cl_b = self.changelog_name(incj["b_fq"])
+        # (Since round 3 this path is retraction-capable: batches with
+        # UPDATE/DELETE branch to _join_retract_refresh below rather
+        # than demoting; only a vacuumed prefix demotes.)
         with self._lock:
             # The join path reconstructs BOTH base tables from their
             # changelogs' FULL history (A_old/B_full read epochs ≤
@@ -1716,6 +1726,7 @@ class SparkEngine:
                 or self.vacuum_floor.get(cl_b, 0) > 0
             ):
                 state.inc_join = None
+                state.fastpath_blocked = True  # history gone for good
                 return False
             spark.catalog.refreshTable(cl_a)
             spark.catalog.refreshTable(cl_b)
@@ -1737,11 +1748,16 @@ class SparkEngine:
         da = a_log.filter(F.col("rw_timestamp") > last)
         db = b_log.filter(F.col("rw_timestamp") > last)
         if (
-            da.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-            or db.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
+            da.filter(
+                F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+            ).limit(1).count() > 0
+            or db.filter(
+                F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+            ).limit(1).count() > 0
         ):
-            state.inc_join = None  # a base stopped being append-only
-            return False
+            # UPDATE/DELETE in the batch: retraction branch (touched-key
+            # recompute + bag diff) instead of demoting.
+            return self._join_retract_refresh(state, incj, a_log, b_log, m1)
 
         def rows(df: DataFrame) -> DataFrame:
             return df.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
@@ -1751,16 +1767,19 @@ class SparkEngine:
         v_aold, v_bfull = f"__rw_incj_ao_{tag}", f"__rw_incj_bf_{tag}"
         rows(da).createOrReplaceTempView(v_da)
         rows(db).createOrReplaceTempView(v_db)
-        rows(a_log.filter(F.col("rw_timestamp") <= last)).createOrReplaceTempView(
-            v_aold
-        )
-        rows(b_log).createOrReplaceTempView(v_bfull)
+        # History views are FOLDS (insert minus retraction bags): prior
+        # batches may have contained DML even though this batch is
+        # insert-only; fold == insert projection for append-only logs.
+        self._fold_rows(
+            a_log.filter(F.col("rw_timestamp") <= last)
+        ).createOrReplaceTempView(v_aold)
+        self._fold_rows(b_log).createOrReplaceTempView(v_bfull)
         how = incj.get("how", "inner")
         retr = None
         a_advanced = ma > last  # ΔA empty ⇒ no right-side retraction
         b_advanced = mb > last  # ΔB empty ⇒ no left-side retraction
         v_afull = f"__rw_incj_afull_{tag}"
-        rows(a_log).createOrReplaceTempView(v_afull)
+        self._fold_rows(a_log).createOrReplaceTempView(v_afull)
 
         def _pad_retraction(preserved_view: str, delta_keys_view: str,
                             old_log: DataFrame, pairs, empty_view_src: str,
@@ -1771,10 +1790,12 @@ class SparkEngine:
             own = [a for a, _ in pairs] if not swap else [b for _, b in pairs]
             other = [b for _, b in pairs] if not swap else [a for a, _ in pairs]
             d_keys = spark.table(delta_keys_view).select(*other).distinct()
+            # Pre-batch key set from the FOLD: a key inserted then
+            # deleted before this batch must count as new when ΔB
+            # re-inserts it (its A pads exist and must retract).
             old_keys = (
-                old_log.filter(
-                    (F.col("rw_timestamp") <= last)
-                    & (F.col("op") == OP_INSERT)
+                self._fold_rows(
+                    old_log.filter(F.col("rw_timestamp") <= last)
                 )
                 .select(*other)
                 .distinct()
@@ -1839,7 +1860,7 @@ class SparkEngine:
             if how == "full" and a_advanced:
                 # B-side pads whose keys just matched by ΔA: retract.
                 v_bold = f"__rw_incj_bold_{tag}"
-                rows(
+                self._fold_rows(
                     b_log.filter(F.col("rw_timestamp") <= last)
                 ).createOrReplaceTempView(v_bold)
                 try:
@@ -1890,6 +1911,118 @@ class SparkEngine:
                 self._append_changelog_tagged(fq, tagged, epoch)
                 delta_out.write.mode("append").format("parquet").saveAsTable(fq)
                 spark.catalog.refreshTable(fq)
+        return True
+
+    def _join_retract_refresh(
+        self,
+        state: MVState,
+        incj: dict,
+        a_log: DataFrame,
+        b_log: DataFrame,
+        m1: int,
+    ) -> bool:
+        """Retraction refresh for a plain-join MV whose delta epochs
+        contain UPDATE/DELETE (the RisingWave server's IVM over a
+        mutable base — /root/reference/risingwave/core.py:453-455 with
+        DML reachable via core.py:161-181): recompute the join ONLY
+        over TOUCHED join keys — keys present in either side's delta,
+        inserts and retractions alike — before and after the batch,
+        and bag-diff the two restrictions.
+
+        Exact for INNER/LEFT/FULL: an equi-join output row's existence
+        (outer pads included) depends only on the rows carrying its own
+        key on both sides, which are unchanged for untouched keys, and
+        restricting BOTH sides to the same key set preserves every
+        match and every pad within it. NULL delta keys are restricted
+        null-safely; the join condition itself stays non-null-safe, so
+        NULL-key pads diff correctly.
+
+        Cost: O(fold + |touched keys' rows| join) per flush — never a
+        recompute of the full join. Emits net Insert/Delete (the same
+        vocabulary the snapshot-diff bag path uses for non-keyed MVs),
+        cancelling intra-batch insert/delete pairs first so applying
+        the delete bag to the stored result is always exact."""
+        spark = self.spark
+        fq = state.fq
+        last = state.last_epoch
+        a_keys = [a for a, _ in incj["key_pairs"]]
+        b_keys = [b for _, b in incj["key_pairs"]]
+        da = a_log.filter(F.col("rw_timestamp") > last)
+        db = b_log.filter(F.col("rw_timestamp") > last)
+        touched = (
+            da.select(*a_keys)
+            .unionByName(
+                db.select(
+                    *[F.col(b).alias(a) for a, b in incj["key_pairs"]]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+        def restrict(df: DataFrame, cols: list[str]) -> DataFrame:
+            probe = touched.select(
+                *[F.col(a).alias(c) for a, c in zip(a_keys, cols)]
+            ).alias("t")
+            s = df.alias("s")
+            cond = None
+            for c in cols:
+                e = F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+                cond = e if cond is None else (cond & e)
+            return s.join(probe, cond, "left_semi")
+
+        a_old = restrict(
+            self._fold_rows(a_log.filter(F.col("rw_timestamp") <= last)),
+            a_keys,
+        )
+        a_new = restrict(self._fold_rows(a_log), a_keys)
+        b_old = restrict(
+            self._fold_rows(b_log.filter(F.col("rw_timestamp") <= last)),
+            b_keys,
+        )
+        b_new = restrict(self._fold_rows(b_log), b_keys)
+        tag = "_".join(_split_fq(fq))
+        names = [f"__rw_jr_{p}_{tag}" for p in ("ao", "an", "bo", "bn")]
+        for df, v in zip((a_old, a_new, b_old, b_new), names):
+            df.createOrReplaceTempView(v)
+        how = incj.get("how", "inner")
+        try:
+            old_out = spark.sql(self._incj_stmt(incj, names[0], names[2], how))
+            new_out = spark.sql(self._incj_stmt(incj, names[1], names[3], how))
+            netdel = old_out.exceptAll(new_out).localCheckpoint(eager=True)
+            netins = new_out.exceptAll(old_out).localCheckpoint(eager=True)
+        finally:
+            for v in names:
+                spark.catalog.dropTempView(v)
+        state.last_epoch = m1
+        if netdel.isEmpty() and netins.isEmpty():
+            self.next_epoch()
+            return True
+        self._ensure_changelog(fq)
+        tagged = netdel.withColumn("op", F.lit(OP_DELETE)).unionByName(
+            netins.withColumn("op", F.lit(OP_INSERT))
+        )
+        if netdel.isEmpty():
+            with self._lock:
+                epoch = self.next_epoch()
+                self._append_changelog_tagged(fq, tagged, epoch)
+                netins.write.mode("append").format("parquet").saveAsTable(fq)
+                spark.catalog.refreshTable(fq)
+            return True
+        new_result = spark.table(fq).exceptAll(netdel).unionByName(netins)
+        db_, tbl_ = _split_fq(fq)
+        stage = f"{db_}.__rw_stage__{tbl_}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        new_result.write.format("parquet").saveAsTable(stage)
+        # Swap + changelog publication under ONE lock acquisition
+        # (same contract as the insert path above).
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_changelog_tagged(fq, tagged, epoch)
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
         return True
 
     def create_mv(
@@ -1984,12 +2117,8 @@ class SparkEngine:
                     a_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
                     b_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
                 )
-            if (
-                a_log0.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-                or b_log0.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-            ):
-                incj = None
-                incja = None
+            # BOTH join paths fold mixed-op history and retract, so
+            # prior DML on a base doesn't cost either the fast path.
         base_view = None
         join_views = None
         if inc is not None:
@@ -2002,12 +2131,11 @@ class SparkEngine:
         elif incj is not None or incja is not None:
             tag = "_".join(_split_fq(fq))
             va, vb = f"__rw_incj_a0_{tag}", f"__rw_incj_b0_{tag}"
-            a_log0.filter(F.col("op") == OP_INSERT).drop(
-                "op", "rw_timestamp"
-            ).createOrReplaceTempView(va)
-            b_log0.filter(F.col("op") == OP_INSERT).drop(
-                "op", "rw_timestamp"
-            ).createOrReplaceTempView(vb)
+            # Folds, not insert projections: both join paths admit
+            # bases with UPDATE/DELETE history (fold == insert
+            # projection when the history is append-only).
+            self._fold_rows(a_log0).createOrReplaceTempView(va)
+            self._fold_rows(b_log0).createOrReplaceTempView(vb)
             join_views = (va, vb)
             if incj is not None:
                 df = self.spark.sql(self._incj_stmt(incj, va, vb, incj["how"]))
@@ -2500,6 +2628,7 @@ class SparkEngine:
         grp_cols = [g.strip() for g in flat_grp.split(",")]
         kinds: dict[str, str] = {}
         keys: list[str] = []
+        key_map: list[tuple[str, str]] = []  # (flat col, output name)
         for item in RW.split_top_level(flat_sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
@@ -2508,7 +2637,9 @@ class SparkEngine:
             km = self._INC_KEY_ITEM.match(item)
             if not km or km.group("col") not in grp_cols:
                 return None
-            keys.append(km.group("alias") or km.group("col"))
+            out = km.group("alias") or km.group("col")
+            keys.append(out)
+            key_map.append((km.group("col"), out))
         if not kinds or not keys:
             return None
         # merge keys must uniquely identify stored rows: every GROUP
@@ -2532,6 +2663,7 @@ class SparkEngine:
             "grp": flat_grp,
             "kinds": kinds,
             "keys": keys,
+            "key_map": key_map,
         }
 
     def _incja_join_stmt(self, incja: dict, view_a: str, view_b: str) -> str:
@@ -2546,10 +2678,39 @@ class SparkEngine:
             q += f" WHERE {incja['where']}"
         return q + f" GROUP BY {incja['grp']}"
 
+    @staticmethod
+    def _fold_rows(log_df: DataFrame) -> DataFrame:
+        """Bag fold of a changelog slice: inserted rows minus retracted
+        rows (exceptAll, multiplicity-exact) — the table state the
+        slice's epochs produce. Equals the plain insert projection when
+        the slice is append-only."""
+        ins = log_df.filter(
+            F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+        ).drop("op", "rw_timestamp")
+        dels = log_df.filter(
+            F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+        ).drop("op", "rw_timestamp")
+        return ins.exceptAll(dels)
+
     def _refresh_incremental_joinagg(self, state: MVState) -> bool:
-        """Join delta → aggregated delta → group-wise merge. Same
-        guards as the plain join path (full-history provenance, so
-        ANY vacuumed prefix demotes)."""
+        """Join delta → aggregated delta → group-wise merge — RETRACTION
+        CAPABLE: UPDATE/DELETE on either base keeps the MV on the fast
+        path. Insert deltas follow the classic rule (ΔA⋈B_new ∪
+        A_old⋈ΔB) over changelog FOLDS (insert minus retraction bags,
+        so mixed-op history is exact); groups touched by a retracted
+        join pair — keys of (ΔA_del ⋈ B_ever) ∪ (A_ever ⋈ ΔB_del), a
+        cheap superset — are re-aggregated from the post-batch folds
+        and REPLACED via the shared _merge_agg_delta retract rule
+        (min/max exact too; an emptied group emits Delete).
+
+        Cost: O(Δ ⋈ other side) for the deltas; delete epochs add the
+        touched-group re-aggregation — when every GROUP BY key comes
+        from ONE join side (the star-schema norm), that side's fold is
+        semi-restricted to the touched keys BEFORE the join, so the
+        re-agg join output is only the touched groups' pairs.
+
+        Same vacuum guard as the plain join path (full-history
+        provenance: ANY vacuumed prefix demotes)."""
         incja = state.inc_joinagg
         spark = self.spark
         fq = state.fq
@@ -2561,6 +2722,7 @@ class SparkEngine:
                 or self.vacuum_floor.get(cl_b, 0) > 0
             ):
                 state.inc_joinagg = None
+                state.fastpath_blocked = True  # history gone for good
                 return False
             spark.catalog.refreshTable(cl_a)
             spark.catalog.refreshTable(cl_b)
@@ -2581,25 +2743,33 @@ class SparkEngine:
         last = state.last_epoch
         da = a_log.filter(F.col("rw_timestamp") > last)
         db = b_log.filter(F.col("rw_timestamp") > last)
-        if (
-            da.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-            or db.filter(F.col("op") != OP_INSERT).limit(1).count() > 0
-        ):
-            state.inc_joinagg = None
-            return False
+        da_del = da.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
+            "op", "rw_timestamp"
+        )
+        db_del = db.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
+            "op", "rw_timestamp"
+        )
+        has_del = (
+            da_del.limit(1).count() > 0 or db_del.limit(1).count() > 0
+        )
 
-        def rows(df: DataFrame) -> DataFrame:
-            return df.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
+        def ins_rows(df: DataFrame) -> DataFrame:
+            return df.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
 
         tag = "_".join(_split_fq(fq))
         v_da, v_db = f"__rw_ja_da_{tag}", f"__rw_ja_db_{tag}"
         v_aold, v_bfull = f"__rw_ja_ao_{tag}", f"__rw_ja_bf_{tag}"
-        rows(da).createOrReplaceTempView(v_da)
-        rows(db).createOrReplaceTempView(v_db)
-        rows(a_log.filter(F.col("rw_timestamp") <= last)).createOrReplaceTempView(
-            v_aold
-        )
-        rows(b_log).createOrReplaceTempView(v_bfull)
+        views = [v_da, v_db, v_aold, v_bfull]
+        ins_rows(da).createOrReplaceTempView(v_da)
+        ins_rows(db).createOrReplaceTempView(v_db)
+        self._fold_rows(
+            a_log.filter(F.col("rw_timestamp") <= last)
+        ).createOrReplaceTempView(v_aold)
+        b_new_fold = self._fold_rows(b_log).localCheckpoint(eager=True)
+        b_new_fold.createOrReplaceTempView(v_bfull)
+        retract = None
         v_delta = f"__rw_ja_delta_{tag}"
         try:
             join_delta = spark.sql(
@@ -2614,11 +2784,125 @@ class SparkEngine:
                 ).localCheckpoint(eager=True)
             finally:
                 spark.catalog.dropTempView(v_delta)
+            if has_del:
+                retract = self._joinagg_retract(
+                    incja, tag, a_log, b_log, b_new_fold, da_del, db_del
+                )
         finally:
-            for v in (v_da, v_db, v_aold, v_bfull):
+            for v in views:
                 spark.catalog.dropTempView(v)
-        self._merge_agg_delta(state, incja, dagg, m1)
+        self._merge_agg_delta(state, incja, dagg, m1, retract)
         return True
+
+    def _joinagg_retract(
+        self,
+        incja: dict,
+        tag: str,
+        a_log: DataFrame,
+        b_log: DataFrame,
+        b_new_fold: DataFrame,
+        da_del: DataFrame,
+        db_del: DataFrame,
+    ):
+        """(touched_keys, re_agg) for a join+agg refresh with deletes.
+        Touched groups come from the retracted-pair SUPERSET (deleted
+        rows joined against every row the other side EVER inserted —
+        over-approximation is harmless: an untouched group re-agg's to
+        its stored value and emits nothing)."""
+        spark = self.spark
+
+        def ever_rows(log: DataFrame) -> DataFrame:
+            return log.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
+
+        a_new_fold = self._fold_rows(a_log).localCheckpoint(eager=True)
+        v_dadel, v_dbdel = f"__rw_jar_dad_{tag}", f"__rw_jar_dbd_{tag}"
+        v_aever, v_bever = f"__rw_jar_ae_{tag}", f"__rw_jar_be_{tag}"
+        v_pairs = f"__rw_jar_p_{tag}"
+        da_del.createOrReplaceTempView(v_dadel)
+        db_del.createOrReplaceTempView(v_dbdel)
+        ever_rows(a_log).createOrReplaceTempView(v_aever)
+        ever_rows(b_log).createOrReplaceTempView(v_bever)
+        try:
+            del_pairs = spark.sql(
+                self._incja_join_stmt(incja, v_dadel, v_bever)
+            ).unionByName(
+                spark.sql(self._incja_join_stmt(incja, v_aever, v_dbdel))
+            )
+            del_pairs.createOrReplaceTempView(v_pairs)
+            try:
+                touched = (
+                    spark.sql(self._incja_agg_stmt(incja, v_pairs))
+                    .select(*incja["keys"])
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                spark.catalog.dropTempView(v_pairs)
+        finally:
+            for v in (v_dadel, v_dbdel, v_aever, v_bever):
+                spark.catalog.dropTempView(v)
+
+        # Re-aggregate touched groups from the post-batch folds. If all
+        # GROUP BY keys come from one join side, semi-restrict THAT
+        # side before the join (star-schema pushdown: the join output
+        # is then exactly the touched groups' pairs).
+        def side_of(flat: str) -> str | None:
+            for al in (incja["a1"], incja["a2"]):
+                if flat.startswith(f"__{al}_"):
+                    return al
+            return None
+
+        sides = {side_of(flat) for flat, _ in incja["key_map"]}
+        va2, vb2 = f"__rw_jar_a2_{tag}", f"__rw_jar_b2_{tag}"
+        a_src, b_src = a_new_fold, b_new_fold
+        if len(sides) == 1 and None not in sides:
+            al = next(iter(sides))
+            base_cols = [
+                (flat[len(f"__{al}_"):], out) for flat, out in incja["key_map"]
+            ]
+            probe = touched.select(
+                *[F.col(out).alias(col) for col, out in base_cols]
+            ).alias("t")
+            side_df = (a_src if al == incja["a1"] else b_src).alias("s")
+            cond = None
+            for col, _ in base_cols:
+                e = F.col(f"s.{col}").eqNullSafe(F.col(f"t.{col}"))
+                cond = e if cond is None else (cond & e)
+            restricted = side_df.join(probe, cond, "left_semi")
+            if al == incja["a1"]:
+                a_src = restricted
+            else:
+                b_src = restricted
+        a_src.createOrReplaceTempView(va2)
+        b_src.createOrReplaceTempView(vb2)
+        v_jout = f"__rw_jar_jo_{tag}"
+        try:
+            jout = spark.sql(self._incja_join_stmt(incja, va2, vb2))
+            if len(sides) != 1 or None in sides:
+                # generic path: restrict the join OUTPUT to touched
+                # groups on the flattened key columns
+                jo = jout.alias("jo")
+                pr = touched.select(
+                    *[F.col(out).alias(flat) for flat, out in incja["key_map"]]
+                ).alias("pr")
+                cond = None
+                for flat, _ in incja["key_map"]:
+                    e = F.col(f"jo.{flat}").eqNullSafe(F.col(f"pr.{flat}"))
+                    cond = e if cond is None else (cond & e)
+                jout = jo.join(pr, cond, "left_semi")
+            jout.createOrReplaceTempView(v_jout)
+            try:
+                re_agg = spark.sql(
+                    self._incja_agg_stmt(incja, v_jout)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(v_jout)
+        finally:
+            for v in (va2, vb2):
+                spark.catalog.dropTempView(v)
+        return (touched, re_agg)
 
     def refresh_mv(self, state: MVState) -> None:
         """Recompute the MV and emit changelog deltas.

@@ -692,3 +692,144 @@ def dml_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p string, total bigint, n bigint, lo bigint, hi bigint, "
         "op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "dml_join_agg_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('na', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(8 AS BIGINT), 'UpdateInsert', CAST(4 AS BIGINT)),
+        ('na', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'UpdateDelete', CAST(4 AS BIGINT)),
+        ('eu', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(5 AS BIGINT), 'Delete', CAST(6 AS BIGINT)),
+        ('ap', CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), 'Insert', CAST(10 AS BIGINT)),
+        ('na', CAST(10 AS BIGINT), CAST(2 AS BIGINT), CAST(8 AS BIGINT), 'UpdateDelete', CAST(10 AS BIGINT)),
+        ('na', CAST(8 AS BIGINT), CAST(1 AS BIGINT), CAST(8 AS BIGINT), 'UpdateInsert', CAST(10 AS BIGINT))
+    ) AS t(region, total, n, hi, op, rw_timestamp)
+    """,
+)
+def dml_join_agg_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable JOIN+AGG incremental maintenance (the
+    RisingWave server's IVM over a mutable star schema —
+    /root/reference/risingwave/core.py:453-455 with UPDATE/DELETE
+    reachable via core.py:161-181): DML on the fact or the dimension
+    keeps the MV on the composed fast path (asserted at every step).
+    A fact UPDATE re-aggregates only its touched group; a dimension
+    DELETE that empties a group emits Delete; min/max stay exact
+    because touched groups re-aggregate from the changelog folds.
+    Returns the MV changelog with pinned logical epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_djag")
+    conn.execute("CREATE TABLE rwdemo_djag.fact (uid BIGINT, qty BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_djag.dim (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "qty": [2, 3, 5]}),
+                table_name="fact", schema_name="rwdemo_djag", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                table_name="dim", schema_name="rwdemo_djag", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_djag.mv AS "
+        "SELECT d.region AS region, sum(f.qty) AS total, count(*) AS n, "
+        "max(f.qty) AS hi "
+        "FROM rwdemo_djag.fact f JOIN rwdemo_djag.dim d ON f.uid = d.uid "
+        "GROUP BY d.region"
+    )
+    st = eng.mvs["rwdemo_djag.mv"]
+    assert st.inc_joinagg is not None, "join-agg fast path not taken"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_djag.s FROM rwdemo_djag.mv "
+        "WITH (retention = '86400s')"
+    )
+    conn.execute(
+        "DECLARE rwdemo_djag_cur subscription cursor for rwdemo_djag.s SINCE 0"
+    )
+    # fact UPDATE touching group na (max participant: 3 -> 8)
+    conn.execute("UPDATE rwdemo_djag.fact SET qty = 8 WHERE uid = 1 AND qty = 3")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "fact UPDATE demoted the join-agg MV"
+    # dim DELETE emptying group eu
+    conn.execute("DELETE FROM rwdemo_djag.dim WHERE region = 'eu'")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "dim DELETE demoted the join-agg MV"
+    # mixed flush: fact delete + same-flush fact+dim pair for a new group
+    conn.execute("DELETE FROM rwdemo_djag.fact WHERE qty = 2")
+    conn.insert(pd.DataFrame({"uid": [9], "qty": [4]}),
+                table_name="fact", schema_name="rwdemo_djag", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [9], "region": ["ap"]}),
+                table_name="dim", schema_name="rwdemo_djag", force_flush=True)
+    assert st.inc_joinagg is not None, "mixed DML flush demoted the MV"
+    cols, rows = eng.fetch_cursor("rwdemo_djag_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "region string, total bigint, n bigint, hi bigint, "
+        "op string, rw_timestamp bigint",
+    )
+
+
+@register(
+    "dml_join_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'na', CAST(3 AS BIGINT), 'Delete', CAST(4 AS BIGINT)),
+        (CAST(1 AS BIGINT), 'na', CAST(8 AS BIGINT), 'Insert', CAST(4 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'eu', CAST(5 AS BIGINT), 'Insert', CAST(6 AS BIGINT)),
+        (CAST(2 AS BIGINT), NULL, CAST(5 AS BIGINT), 'Delete', CAST(6 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'eu', CAST(5 AS BIGINT), 'Delete', CAST(8 AS BIGINT)),
+        (CAST(2 AS BIGINT), NULL, CAST(5 AS BIGINT), 'Insert', CAST(8 AS BIGINT)),
+        (CAST(1 AS BIGINT), 'na', CAST(2 AS BIGINT), 'Delete', CAST(12 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'ap', CAST(7 AS BIGINT), 'Insert', CAST(12 AS BIGINT))
+    ) AS t(uid, region, qty, op, rw_timestamp)
+    """,
+)
+def dml_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable PLAIN-JOIN incremental maintenance (the
+    RisingWave server's IVM over a mutable star schema —
+    /root/reference/risingwave/core.py:453-455 with UPDATE/DELETE
+    reachable via core.py:161-181) on a LEFT join: DML on the fact or
+    the dimension keeps the MV on the fast path (asserted at every
+    step). A fact UPDATE revises its join rows; a dim insert retracts
+    pads; a dim DELETE resurrects them; a mixed flush folds deletes
+    and inserts in one epoch. Returns the MV changelog with pinned
+    logical epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_djj")
+    conn.execute("CREATE TABLE rwdemo_djj.fact (uid BIGINT, qty BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_djj.dim (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "qty": [2, 3, 5]}),
+                table_name="fact", schema_name="rwdemo_djj", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1], "region": ["na"]}),
+                table_name="dim", schema_name="rwdemo_djj", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_djj.mv AS "
+        "SELECT f.uid AS uid, d.region AS region, f.qty AS qty "
+        "FROM rwdemo_djj.fact f LEFT JOIN rwdemo_djj.dim d ON f.uid = d.uid"
+    )
+    st = eng.mvs["rwdemo_djj.mv"]
+    assert st.inc_join is not None, "plain-join fast path not taken"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_djj.s FROM rwdemo_djj.mv "
+        "WITH (retention = '86400s')"
+    )
+    conn.execute(
+        "DECLARE rwdemo_djj_cur subscription cursor for rwdemo_djj.s SINCE 0"
+    )
+    # fact UPDATE revising one joined row (retraction branch)
+    conn.execute("UPDATE rwdemo_djj.fact SET qty = 8 WHERE uid = 1 AND qty = 3")
+    conn.execute("FLUSH")
+    assert st.inc_join is not None, "fact UPDATE demoted the join MV"
+    # dim insert matches the padded fact row (pad retracts, insert path)
+    conn.insert(pd.DataFrame({"uid": [2], "region": ["eu"]}),
+                table_name="dim", schema_name="rwdemo_djj", force_flush=True)
+    assert st.inc_join is not None
+    # dim DELETE un-matches it again (pad resurrects, retraction branch)
+    conn.execute("DELETE FROM rwdemo_djj.dim WHERE uid = 2")
+    conn.execute("FLUSH")
+    assert st.inc_join is not None, "dim DELETE demoted the join MV"
+    # mixed flush: fact delete + new fact+dim pair in one epoch
+    conn.execute("DELETE FROM rwdemo_djj.fact WHERE qty = 2")
+    conn.insert(pd.DataFrame({"uid": [3], "qty": [7]}),
+                table_name="fact", schema_name="rwdemo_djj", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [3], "region": ["ap"]}),
+                table_name="dim", schema_name="rwdemo_djj", force_flush=True)
+    assert st.inc_join is not None, "mixed DML flush demoted the MV"
+    cols, rows = eng.fetch_cursor("rwdemo_djj_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "uid bigint, region string, qty bigint, op string, rw_timestamp bigint",
+    )

@@ -250,11 +250,20 @@ def test_incremental_join_mv_fast_path(spark):
     assert st.inc_join is not None
     assert sorted(rw.fetch(f"SELECT * FROM {mv}")).count((1, "a", 5.0)) == 3
 
-    # UPDATE on a base → demote, snapshot-diff keeps it correct
+    # UPDATE on a base stays on the fast path (touched-key retraction)
     rw.execute(f"UPDATE {o} SET amt = 99 WHERE uid = 2")
     rw.execute("FLUSH")
-    assert st.inc_join is None
+    assert st.inc_join is not None, "UPDATE must NOT demote the join MV"
     assert (2, "b", 99.0) in rw.fetch(f"SELECT * FROM {mv}")
+    assert (2, "b", 20.0) not in rw.fetch(f"SELECT * FROM {mv}")
+
+    # DELETE on the dim side removes all of a key's join rows
+    rw.execute(f"DELETE FROM {u} WHERE uid = 1")
+    rw.execute("FLUSH")
+    assert st.inc_join is not None, "DELETE must NOT demote the join MV"
+    assert not any(r[0] == 1 for r in rw.fetch(f"SELECT * FROM {mv}"))
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (2, "b", 99.0), (4, "d", 9.0)]
 
     rw.execute(f"DROP MATERIALIZED VIEW {mv}")
     rw.execute(f"DROP TABLE {o}")
@@ -289,10 +298,19 @@ def test_incremental_join_matches_snapshot_diff(spark):
         rw.insert(pd.DataFrame({"uid": [9], "name": ["z"]}),
                   table_name=u, force_flush=True)
         out = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        # retraction leg: mixed UPDATE/DELETE/insert in one flush must
+        # match snapshot-diff exactly (dup fact rows included)
+        rw.execute(f"UPDATE {o} SET amt = 50 WHERE uid = 2")
+        rw.execute(f"DELETE FROM {u} WHERE uid = 3")
+        rw.insert(pd.DataFrame({"uid": [2], "amt": [9.9]}),
+                  table_name=o, force_flush=True)
+        if not disable_fast:
+            assert st.inc_join is not None, "DML demoted the join MV"
+        out2 = sorted(rw.fetch(f"SELECT * FROM {mv}"))
         rw.execute(f"DROP MATERIALIZED VIEW {mv}")
         rw.execute(f"DROP TABLE {o}")
         rw.execute(f"DROP TABLE {u}")
-        return out
+        return out, out2
 
     assert run(disable_fast=False) == run(disable_fast=True)
 
@@ -369,10 +387,19 @@ def test_incremental_left_join_matches_snapshot_diff(spark):
         rw.insert(pd.DataFrame({"uid": [1, 9], "name": ["a", "z"]}),
                   table_name=u, force_flush=True)
         out = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
+        # retraction leg: a dim DELETE UN-matches left rows (pads must
+        # reappear) and a fact UPDATE revises matched rows — both in
+        # one flush, fast path must equal snapshot-diff
+        rw.execute(f"DELETE FROM {u} WHERE uid = 2")
+        rw.execute(f"UPDATE {o} SET amt = 3.5 WHERE uid = 1")
+        rw.execute("FLUSH")
+        if not disable_fast:
+            assert st.inc_join is not None, "DML demoted the LEFT-join MV"
+        out2 = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
         rw.execute(f"DROP MATERIALIZED VIEW {mv}")
         rw.execute(f"DROP TABLE {o}")
         rw.execute(f"DROP TABLE {u}")
-        return out
+        return out, out2
 
     assert run(disable_fast=False) == run(disable_fast=True)
 
@@ -506,10 +533,19 @@ def test_incremental_full_join_matches_snapshot_diff(spark):
         rw.insert(pd.DataFrame({"uid": [1, 9], "name": ["a", "z"]}),
                   table_name=u, force_flush=True)
         out = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
+        # retraction leg on a FULL join: deleting one side's last row
+        # for a key resurrects the OTHER side's pad; an UPDATE revises
+        # matched rows — fast path must equal snapshot-diff
+        rw.execute(f"DELETE FROM {u} WHERE uid = 9")
+        rw.execute(f"UPDATE {o} SET amt = 6.25 WHERE uid = 2")
+        rw.execute("FLUSH")
+        if not disable_fast:
+            assert st.inc_join is not None, "DML demoted the FULL-join MV"
+        out2 = sorted(rw.fetch(f"SELECT * FROM {mv}"), key=str)
         rw.execute(f"DROP MATERIALIZED VIEW {mv}")
         rw.execute(f"DROP TABLE {o}")
         rw.execute(f"DROP TABLE {u}")
-        return out
+        return out, out2
 
     assert run(disable_fast=False) == run(disable_fast=True)
 
@@ -556,10 +592,40 @@ def test_incremental_join_agg_mv(spark):
     assert ("na", "UpdateDelete") in ops and ("na", "UpdateInsert") in ops
     assert ("ap", "Insert") in ops
 
+    def recompute():
+        return sorted(rw.fetch(
+            f"SELECT u.region AS region, sum(o.qty) AS total, count(*) AS n, "
+            f"max(o.qty) AS hi FROM {o} o JOIN {u} u ON o.uid = u.uid "
+            f"GROUP BY u.region"))
+
+    # Retraction: UPDATE on the FACT stays on the fast path (touched
+    # groups re-aggregate from the changelog folds).
     rw.execute(f"UPDATE {o} SET qty = 100 WHERE uid = 2")
     rw.execute("FLUSH")
-    assert st.inc_joinagg is None
+    assert st.inc_joinagg is not None, "UPDATE must NOT demote join-agg MV"
     assert ("eu", 100, 1, 100) in rw.fetch(f"SELECT * FROM {mv}")
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+
+    # DELETE on the DIM empties a group: its row leaves with Delete.
+    rw.execute(f"DELETE FROM {u} WHERE region = 'ap'")
+    rw.execute("FLUSH")
+    assert st.inc_joinagg is not None, "DELETE must NOT demote join-agg MV"
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+    assert not any(r[0] == "ap" for r in rw.fetch(f"SELECT * FROM {mv}"))
+    dels = {(r.region, r.op) for r in
+            spark.table(f"public.__rw_changelog__{mv}")
+            .filter("op = 'Delete'").collect()}
+    assert ("ap", "Delete") in dels
+
+    # Mixed flush: delete + inserts consumed by one refresh; min/max
+    # stay exact because touched groups re-aggregate, never un-merge.
+    rw.execute(f"DELETE FROM {o} WHERE qty = 10")
+    rw.insert(pd.DataFrame({"uid": [1, 3], "qty": [4, 9]}), table_name=o,
+              force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [3], "region": ["sa"]}), table_name=u,
+              force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
 
     rw.execute(f"DROP MATERIALIZED VIEW {mv}")
     rw.execute(f"DROP TABLE {o}")
@@ -594,10 +660,20 @@ def test_incremental_join_agg_matches_snapshot_diff(spark):
         rw.insert(pd.DataFrame({"uid": [9], "region": ["na"]}),
                   table_name=u, force_flush=True)
         out = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        # retraction leg: DML on fact AND dim, mixed with inserts in
+        # one flush — the fast path must match snapshot-diff exactly
+        # (including the WHERE interplay and an emptied group)
+        rw.execute(f"UPDATE {o} SET qty = 6 WHERE uid = 2 AND qty = 2")
+        rw.execute(f"DELETE FROM {u} WHERE region = 'eu'")
+        rw.insert(pd.DataFrame({"uid": [1], "qty": [2]}),
+                  table_name=o, force_flush=True)
+        if not disable_fast:
+            assert st.inc_joinagg is not None, "DML demoted the join-agg MV"
+        out2 = sorted(rw.fetch(f"SELECT * FROM {mv}"))
         rw.execute(f"DROP MATERIALIZED VIEW {mv}")
         rw.execute(f"DROP TABLE {o}")
         rw.execute(f"DROP TABLE {u}")
-        return out
+        return out, out2
 
     assert run(disable_fast=False) == run(disable_fast=True)
 

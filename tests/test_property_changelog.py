@@ -203,3 +203,268 @@ def test_incremental_fast_path_matches_model(rw, ops):
         rw.engine.drop_subscription(f"{tag}_sub")
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         rw.execute(f"DROP TABLE IF EXISTS {tag}")
+
+
+# ---------------------------------------------------------------------------
+# Join+agg retraction property: random DML on BOTH sides of a star join
+# ---------------------------------------------------------------------------
+
+_UIDS = [1, 2, 3]
+_REGIONS = ["na", "eu", "ap"]
+
+_jfact_ins = st.tuples(
+    st.just("fact_ins"),
+    st.lists(
+        st.tuples(st.sampled_from(_UIDS), st.integers(0, 9)),
+        min_size=1, max_size=3,
+    ),
+)
+_jdim_ins = st.tuples(
+    st.just("dim_ins"), st.sampled_from(_UIDS), st.sampled_from(_REGIONS)
+)
+_jfact_upd = st.tuples(
+    st.just("fact_upd"), st.sampled_from(_UIDS), st.integers(10, 19)
+)
+_jfact_del = st.tuples(st.just("fact_del"), st.sampled_from(_UIDS))
+_jdim_del = st.tuples(st.just("dim_del"), st.sampled_from(_REGIONS))
+
+_join_ops_seq = st.lists(
+    st.one_of(_jfact_ins, _jdim_ins, _jfact_upd, _jfact_del, _jdim_del),
+    min_size=1, max_size=4,
+)
+
+
+def _expected_joinagg(
+    fact: list[tuple[int, int]], dim: list[tuple[int, str]]
+) -> Counter:
+    agg: dict[str, list] = {}
+    for fuid, qty in fact:
+        for duid, region in dim:  # bag join: every matching pair counts
+            if fuid == duid:
+                a = agg.setdefault(region, [0, 0, None])
+                a[0] += qty
+                a[1] += 1
+                a[2] = qty if a[2] is None else max(a[2], qty)
+    return Counter((k, t, n, hi) for k, (t, n, hi) in agg.items())
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_join_ops_seq)
+def test_joinagg_fast_path_matches_model_under_dml(rw, ops):
+    """Retraction-capable join+agg IVM (engine._joinagg_retract): for
+    ANY DML sequence on fact OR dim — including dim deletes that empty
+    groups and duplicate dim keys that fan out the bag join — the MV
+    stays on the composed fast path, equals a from-scratch recompute
+    AND the Python bag-join model, and its changelog replays to the
+    MV state with monotonic epochs."""
+    tag = f"t_pja_{next(_ids)}"
+    fact: list[tuple[int, int]] = []
+    dim: list[tuple[int, str]] = []
+    rw.execute(f"CREATE TABLE {tag}_f (uid BIGINT, qty BIGINT)")
+    rw.execute(f"CREATE TABLE {tag}_d (uid BIGINT, region STRING)")
+    rw.mv(
+        stmt=(
+            f"SELECT d.region AS region, sum(f.qty) AS total, "
+            f"count(*) AS n, max(f.qty) AS hi "
+            f"FROM {tag}_f f JOIN {tag}_d d ON f.uid = d.uid "
+            f"GROUP BY d.region"
+        ),
+        name=f"{tag}_mv",
+    )
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc_joinagg is not None
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{tag}_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute(f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0")
+    try:
+        for op in ops:
+            if op[0] == "fact_ins":
+                rows = op[1]
+                rw.insert(
+                    data=pd.DataFrame(
+                        {"uid": [u for u, _ in rows], "qty": [q for _, q in rows]}
+                    ),
+                    table_name=f"{tag}_f",
+                    force_flush=True,
+                )
+                fact.extend(rows)
+            elif op[0] == "dim_ins":
+                _, uid, region = op
+                rw.insert(
+                    data=pd.DataFrame({"uid": [uid], "region": [region]}),
+                    table_name=f"{tag}_d",
+                    force_flush=True,
+                )
+                dim.append((uid, region))
+            elif op[0] == "fact_upd":
+                _, uid, qty = op
+                rw.execute(f"UPDATE {tag}_f SET qty = {qty} WHERE uid = {uid}")
+                fact = [(u, qty if u == uid else q) for u, q in fact]
+            elif op[0] == "fact_del":
+                _, uid = op
+                rw.execute(f"DELETE FROM {tag}_f WHERE uid = {uid}")
+                fact = [(u, q) for u, q in fact if u != uid]
+            else:
+                _, region = op
+                rw.execute(f"DELETE FROM {tag}_d WHERE region = '{region}'")
+                dim = [(u, r) for u, r in dim if r != region]
+        rw.execute("FLUSH")
+        assert st_mv.inc_joinagg is not None, (
+            "DML sequence must not demote the retraction-capable join+agg MV"
+        )
+
+        mv_rows = Counter(tuple(r) for r in rw.fetch(f"SELECT * FROM {tag}_mv"))
+        recomputed = Counter(
+            tuple(r)
+            for r in rw.fetch(
+                f"SELECT d.region AS region, sum(f.qty) AS total, "
+                f"count(*) AS n, max(f.qty) AS hi "
+                f"FROM {tag}_f f JOIN {tag}_d d ON f.uid = d.uid "
+                f"GROUP BY d.region"
+            )
+        )
+        assert mv_rows == recomputed == _expected_joinagg(fact, dim)
+
+        _, ch = rw.engine.fetch_cursor(f"{tag}_cur", 100000)
+        replayed: Counter = Counter()
+        last_epoch = -1
+        for row in ch:
+            *vals, op_name, epoch = row
+            assert epoch >= last_epoch
+            last_epoch = epoch
+            key = tuple(vals)
+            if op_name in ("Insert", "UpdateInsert"):
+                replayed[key] += 1
+            else:
+                assert op_name in ("Delete", "UpdateDelete"), op_name
+                replayed[key] -= 1
+                if replayed[key] == 0:
+                    del replayed[key]
+        assert replayed == mv_rows
+    finally:
+        rw.engine.drop_subscription(f"{tag}_sub")
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}_f")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}_d")
+
+
+def _expected_leftjoin(
+    fact: list[tuple[int, int]], dim: list[tuple[int, str]]
+) -> Counter:
+    out: Counter = Counter()
+    for fuid, qty in fact:
+        matches = [r for u, r in dim if u == fuid]
+        if matches:
+            for r in matches:  # bag join fan-out
+                out[(fuid, r, qty)] += 1
+        else:
+            out[(fuid, None, qty)] += 1  # LEFT pad
+    return out
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_join_ops_seq)
+def test_plain_join_fast_path_matches_model_under_dml(rw, ops):
+    """Retraction-capable plain-join IVM (engine._join_retract_refresh)
+    on a LEFT join: for ANY DML sequence on fact OR dim — including
+    dim deletes that resurrect pads and duplicate dim keys that fan
+    out — the MV stays on the fast path, equals a from-scratch
+    recompute AND the Python bag-join model, and its changelog replays
+    to the MV state with monotonic epochs."""
+    tag = f"t_pjj_{next(_ids)}"
+    fact: list[tuple[int, int]] = []
+    dim: list[tuple[int, str]] = []
+    rw.execute(f"CREATE TABLE {tag}_f (uid BIGINT, qty BIGINT)")
+    rw.execute(f"CREATE TABLE {tag}_d (uid BIGINT, region STRING)")
+    rw.mv(
+        stmt=(
+            f"SELECT f.uid AS uid, d.region AS region, f.qty AS qty "
+            f"FROM {tag}_f f LEFT JOIN {tag}_d d ON f.uid = d.uid"
+        ),
+        name=f"{tag}_mv",
+    )
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc_join is not None
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{tag}_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute(f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0")
+    try:
+        for op in ops:
+            if op[0] == "fact_ins":
+                rows = op[1]
+                rw.insert(
+                    data=pd.DataFrame(
+                        {"uid": [u for u, _ in rows], "qty": [q for _, q in rows]}
+                    ),
+                    table_name=f"{tag}_f",
+                    force_flush=True,
+                )
+                fact.extend(rows)
+            elif op[0] == "dim_ins":
+                _, uid, region = op
+                rw.insert(
+                    data=pd.DataFrame({"uid": [uid], "region": [region]}),
+                    table_name=f"{tag}_d",
+                    force_flush=True,
+                )
+                dim.append((uid, region))
+            elif op[0] == "fact_upd":
+                _, uid, qty = op
+                rw.execute(f"UPDATE {tag}_f SET qty = {qty} WHERE uid = {uid}")
+                fact = [(u, qty if u == uid else q) for u, q in fact]
+            elif op[0] == "fact_del":
+                _, uid = op
+                rw.execute(f"DELETE FROM {tag}_f WHERE uid = {uid}")
+                fact = [(u, q) for u, q in fact if u != uid]
+            else:
+                _, region = op
+                rw.execute(f"DELETE FROM {tag}_d WHERE region = '{region}'")
+                dim = [(u, r) for u, r in dim if r != region]
+        rw.execute("FLUSH")
+        assert st_mv.inc_join is not None, (
+            "DML sequence must not demote the retraction-capable join MV"
+        )
+
+        mv_rows = Counter(tuple(r) for r in rw.fetch(f"SELECT * FROM {tag}_mv"))
+        recomputed = Counter(
+            tuple(r)
+            for r in rw.fetch(
+                f"SELECT f.uid AS uid, d.region AS region, f.qty AS qty "
+                f"FROM {tag}_f f LEFT JOIN {tag}_d d ON f.uid = d.uid"
+            )
+        )
+        assert mv_rows == recomputed == _expected_leftjoin(fact, dim)
+
+        _, ch = rw.engine.fetch_cursor(f"{tag}_cur", 100000)
+        replayed: Counter = Counter()
+        last_epoch = -1
+        for row in ch:
+            *vals, op_name, epoch = row
+            assert epoch >= last_epoch
+            last_epoch = epoch
+            key = tuple(vals)
+            if op_name in ("Insert", "UpdateInsert"):
+                replayed[key] += 1
+            else:
+                assert op_name in ("Delete", "UpdateDelete"), op_name
+                replayed[key] -= 1
+                if replayed[key] == 0:
+                    del replayed[key]
+        assert replayed == mv_rows
+    finally:
+        rw.engine.drop_subscription(f"{tag}_sub")
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}_f")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}_d")
