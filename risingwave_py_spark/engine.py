@@ -1526,8 +1526,16 @@ class SparkEngine:
         r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>[\w.\s,]+?)\s*;?\s*$",
         re.I | re.S,
     )
+    # Agg args may be scalar EXPRESSIONS (sum(price * (1 - disc))) —
+    # one paren-nesting level; deeper nesting falls back to
+    # snapshot-diff. The merge rule only depends on the agg FUNCTION
+    # (sum/count add, min/max least/greatest), never the argument, and
+    # the retraction re-agg evaluates the original select list, so any
+    # deterministic argument is safe (volatiles are blocked above;
+    # DISTINCT is blocked; double-typed sums are rejected later).
     _INC_AGG_ITEM = re.compile(
-        r"^\s*(?P<fn>sum|count|min|max)\s*\(\s*(?P<arg>\*|[^()]*?)\s*\)"
+        r"^\s*(?P<fn>sum|count|min|max)\s*\(\s*"
+        r"(?P<arg>\*|(?:[^()]|\([^()]*\))*?)\s*\)"
         r"\s+AS\s+(?P<alias>\w+)\s*$",
         re.I,
     )
@@ -2078,7 +2086,7 @@ class SparkEngine:
             if incj is None:
                 incja = self._parse_join_agg(rewritten)
                 if incja is not None:
-                    for base in (incja["a_fq"], incja["b_fq"]):
+                    for base, _ in incja["sides"]:
                         if (
                             base in self.upsert_meta
                             or not self.spark.catalog.tableExists(
@@ -2102,25 +2110,34 @@ class SparkEngine:
                 or self.vacuum_floor.get(clb, 0) > 0
             ):
                 incj = None
-        if incja is not None:
-            cla = self.changelog_name(incja["a_fq"])
-            clb = self.changelog_name(incja["b_fq"])
-        if incj is not None or incja is not None:
+        side_cls: list[str] = []
+        if incj is not None:
+            side_cls = [
+                self.changelog_name(incj["a_fq"]),
+                self.changelog_name(incj["b_fq"]),
+            ]
+        elif incja is not None:
+            side_cls = [self.changelog_name(b) for b, _ in incja["sides"]]
+        logs0: list[DataFrame] = []
+        m0j = 0
+        if side_cls:
             # Changelog-consistent induction base, pinned under the
             # publish lock (same contract as the aggregation path).
             with self._lock:
-                self.spark.catalog.refreshTable(cla)
-                self.spark.catalog.refreshTable(clb)
-                a_log0 = self.spark.table(cla).localCheckpoint(eager=True)
-                b_log0 = self.spark.table(clb).localCheckpoint(eager=True)
+                for cl in side_cls:
+                    self.spark.catalog.refreshTable(cl)
+                logs0 = [
+                    self.spark.table(cl).localCheckpoint(eager=True)
+                    for cl in side_cls
+                ]
                 m0j = max(
-                    a_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
-                    b_log0.agg(F.max("rw_timestamp")).first()[0] or 0,
+                    lg.agg(F.max("rw_timestamp")).first()[0] or 0
+                    for lg in logs0
                 )
             # BOTH join paths fold mixed-op history and retract, so
             # prior DML on a base doesn't cost either the fast path.
         base_view = None
-        join_views = None
+        join_views: list[str] | None = None
         if inc is not None:
             # Schema-qualified so same-named MVs in different schemas
             # don't share a session-global temp view; dropped after the
@@ -2130,44 +2147,35 @@ class SparkEngine:
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
         elif incj is not None or incja is not None:
             tag = "_".join(_split_fq(fq))
-            va, vb = f"__rw_incj_a0_{tag}", f"__rw_incj_b0_{tag}"
             # Folds, not insert projections: both join paths admit
             # bases with UPDATE/DELETE history (fold == insert
             # projection when the history is append-only).
-            self._fold_rows(a_log0).createOrReplaceTempView(va)
-            self._fold_rows(b_log0).createOrReplaceTempView(vb)
-            join_views = (va, vb)
+            join_views = []
+            for i, lg in enumerate(logs0):
+                v = f"__rw_incj_s{i}0_{tag}"
+                self._fold_rows(lg).createOrReplaceTempView(v)
+                join_views.append(v)
             if incj is not None:
-                df = self.spark.sql(self._incj_stmt(incj, va, vb, incj["how"]))
+                df = self.spark.sql(
+                    self._incj_stmt(
+                        incj, join_views[0], join_views[1], incj["how"]
+                    )
+                )
             else:
                 df = self.spark.sql(
                     self._incja_agg_stmt(
                         incja,
-                        f"({self._incja_join_stmt(incja, va, vb)}) AS __j0",
+                        f"({self._incja_join_stmt(incja, join_views)}) AS __j0",
                     )
                 )
         else:
             df = self.spark.sql(rewritten)
         if emit_on_close:
             df = self._close_filter(state, df)
-        for plan_name in ("inc", "incja"):
-            plan = inc if plan_name == "inc" else incja
-            if plan is None:
-                continue
-            # sums must be exact types: incremental double accumulation
-            # would drift from a from-scratch recompute by float
-            # rounding, breaking bit-reproducibility (SCALE.md rule 5).
-            types = {f.name: f.dataType for f in df.schema.fields}
-            for col, kind in plan["kinds"].items():
-                if col not in types or (
-                    kind == "sum"
-                    and isinstance(types[col], (T.DoubleType, T.FloatType))
-                ):
-                    if plan_name == "inc":
-                        inc = None
-                    else:
-                        incja = None
-                    break
+        if inc is not None and not self._fastpath_types_ok(inc, df):
+            inc = None
+        if incja is not None and not self._fastpath_types_ok(incja, df):
+            incja = None
         self._clear_stale_location(fq)
         try:
             df.write.format("parquet").saveAsTable(fq)
@@ -2537,14 +2545,6 @@ class SparkEngine:
 
     # -- incremental JOIN + AGGREGATION MVs (the star-join aggregate) --
 
-    _INCJA_SHAPE = re.compile(
-        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+"
-        r"(?P<t1>[\w.]+)\s+(?:AS\s+)?(?P<a1>\w+)\s+(?:INNER\s+)?JOIN\s+"
-        r"(?P<t2>[\w.]+)\s+(?:AS\s+)?(?P<a2>\w+)\s+ON\s+(?P<on>.+?)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?"
-        r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
-        re.I | re.S,
-    )
     _INCJA_BLOCKERS = re.compile(
         r"\b(ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|"
         r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|AVG|STDDEV|VAR|"
@@ -2553,41 +2553,84 @@ class SparkEngine:
         re.I,
     )
 
+    _INCJA_FROM_SEG = re.compile(
+        r"^\s*(?P<tbl>[\w.]+)\s+(?:AS\s+)?(?P<alias>\w+)\s*$", re.I
+    )
+    _INCJA_JOIN_SEG = re.compile(
+        r"^\s*(?P<tbl>[\w.]+)\s+(?:AS\s+)?(?P<alias>\w+)\s+ON\s+(?P<on>.+)$",
+        re.I | re.S,
+    )
+    _RESERVED_ALIASES = frozenset(
+        ("JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "WHERE",
+         "GROUP", "CROSS")
+    )
+
     def _parse_join_agg(self, stmt: str) -> dict | None:
         """Incremental plan for ``SELECT keys, sum/count/min/max(...)
-        FROM a JOIN b ON ... [WHERE ...] GROUP BY keys`` over two
-        append-only tables — the star-join aggregate MV. The join
-        delta (ΔA⋈B_new ∪ A_old⋈ΔB, insert-only) feeds the same
+        FROM s0 JOIN s1 ON ... [JOIN s2 ON ...]* [WHERE ...] GROUP BY
+        keys`` over N tables — the star-join aggregate MV (fact + any
+        number of dimensions, the 100 TB norm). The N-way join delta
+        (telescoping Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁) feeds the same
         group-wise merge as the single-table agg fast path. All
         column references must be alias-qualified."""
         if self._INCJA_BLOCKERS.search(stmt):
             return None
-        if len(re.findall(r"\bJOIN\b", stmt, re.I)) != 1:
-            return None
-        m = self._INCJA_SHAPE.match(stmt)
+        m = re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<frm>.+?)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
         if not m:
             return None
-        a1, a2 = m.group("a1"), m.group("a2")
-        if (
-            a1.upper() in ("JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "OUTER")
-            or a2.upper() in ("ON", "WHERE")
-            or a1 == a2
+        segs = re.split(r"\s+(?:INNER\s+)?JOIN\s+", m.group("frm"), flags=re.I)
+        if len(segs) < 2:
+            return None
+        first = self._INCJA_FROM_SEG.match(segs[0])
+        if not first:
+            return None
+        sides: list[tuple[str, str]] = [
+            (self.qualify(first.group("tbl")), first.group("alias"))
+        ]
+        ons: list[str] = []
+        for seg in segs[1:]:
+            jm = self._INCJA_JOIN_SEG.match(seg)
+            if not jm:
+                return None
+            sides.append((self.qualify(jm.group("tbl")), jm.group("alias")))
+            ons.append(jm.group("on").strip())
+        aliases = [al for _, al in sides]
+        if len(set(aliases)) != len(aliases) or any(
+            al.upper() in self._RESERVED_ALIASES for al in aliases
         ):
             return None
-        for term in RW._split_and(m.group("on")):
-            e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
-            if not e or {e.group(1), e.group(3)} != {a1, a2}:
-                return None
+        # Every ON term must be an equi-condition between two DISTINCT
+        # introduced aliases, and join i may only reference aliases
+        # introduced by then (standard SQL scoping) — that's what makes
+        # the telescoping delta rule exact.
+        for i, on in enumerate(ons):
+            in_scope = set(aliases[: i + 2])
+            for term in RW._split_and(on):
+                e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
+                if (
+                    not e
+                    or e.group(1) == e.group(3)
+                    or e.group(1) not in in_scope
+                    or e.group(3) not in in_scope
+                ):
+                    return None
         # collect every qualified ref; everything must be qualified.
         # Strip quoted literals FIRST (escape-aware, same split as
         # flatten below): a literal like 'o.nonexistent' must not
         # inject a phantom column into join_proj.
+        alias_alt = "|".join(re.escape(a) for a in aliases)
         text = " ".join(
             filter(None, (m.group("sel"), m.group("where"), m.group("grp")))
         )
         text_nolit = re.sub(r"'(?:[^']|'')*'", " ", text)
-        refs = set(re.findall(rf"\b({a1}|{a2})\.(\w+)", text_nolit))
-        bare = re.sub(rf"\b(?:{a1}|{a2})\.\w+", "", text_nolit)
+        refs = set(re.findall(rf"\b({alias_alt})\.(\w+)", text_nolit))
+        bare = re.sub(rf"\b(?:{alias_alt})\.\w+", "", text_nolit)
         if re.search(r"[A-Za-z_]\w*\.", bare):
             return None  # something qualified by an unknown alias
 
@@ -2605,7 +2648,7 @@ class SparkEngine:
                 else:
                     out.append(
                         re.sub(
-                            rf"\b({a1}|{a2})\.(\w+)",
+                            rf"\b({alias_alt})\.(\w+)",
                             lambda mm: flat(mm.group(1), mm.group(2)),
                             part,
                         )
@@ -2652,11 +2695,8 @@ class SparkEngine:
             f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)
         )
         return {
-            "a_fq": self.qualify(m.group("t1")),
-            "b_fq": self.qualify(m.group("t2")),
-            "a1": a1,
-            "a2": a2,
-            "on": m.group("on").strip(),
+            "sides": sides,  # [(fq, alias), ...] in FROM order
+            "ons": ons,  # on-condition for join i (binds sides[i+1])
             "join_proj": join_proj,
             "sel": flat_sel,
             "where": flat_where,
@@ -2666,17 +2706,34 @@ class SparkEngine:
             "key_map": key_map,
         }
 
-    def _incja_join_stmt(self, incja: dict, view_a: str, view_b: str) -> str:
-        return (
-            f"SELECT {incja['join_proj']} FROM {view_a} AS {incja['a1']} "
-            f"JOIN {view_b} AS {incja['a2']} ON {incja['on']}"
-        )
+    def _incja_join_stmt(self, incja: dict, views: list[str]) -> str:
+        """Join all N sides' views under their original aliases,
+        projecting the flattened column namespace."""
+        aliases = [al for _, al in incja["sides"]]
+        frm = f"{views[0]} AS {aliases[0]}"
+        for i, on in enumerate(incja["ons"]):
+            frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
+        return f"SELECT {incja['join_proj']} FROM {frm}"
 
     def _incja_agg_stmt(self, incja: dict, view: str) -> str:
         q = f"SELECT {incja['sel']} FROM {view}"
         if incja["where"]:
             q += f" WHERE {incja['where']}"
         return q + f" GROUP BY {incja['grp']}"
+
+    @staticmethod
+    def _fastpath_types_ok(plan: dict, df: DataFrame) -> bool:
+        """Sums must be exact types: incremental double accumulation
+        would drift from a from-scratch recompute by float rounding,
+        breaking bit-reproducibility (SCALE.md rule 5)."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for col, kind in plan["kinds"].items():
+            if col not in types or (
+                kind == "sum"
+                and isinstance(types[col], (T.DoubleType, T.FloatType))
+            ):
+                return False
+        return True
 
     @staticmethod
     def _fold_rows(log_df: DataFrame) -> DataFrame:
@@ -2693,65 +2750,59 @@ class SparkEngine:
         return ins.exceptAll(dels)
 
     def _refresh_incremental_joinagg(self, state: MVState) -> bool:
-        """Join delta → aggregated delta → group-wise merge — RETRACTION
-        CAPABLE: UPDATE/DELETE on either base keeps the MV on the fast
-        path. Insert deltas follow the classic rule (ΔA⋈B_new ∪
-        A_old⋈ΔB) over changelog FOLDS (insert minus retraction bags,
-        so mixed-op history is exact); groups touched by a retracted
-        join pair — keys of (ΔA_del ⋈ B_ever) ∪ (A_ever ⋈ ΔB_del), a
-        cheap superset — are re-aggregated from the post-batch folds
-        and REPLACED via the shared _merge_agg_delta retract rule
-        (min/max exact too; an emptied group emits Delete).
+        """N-way join delta → aggregated delta → group-wise merge —
+        RETRACTION CAPABLE: UPDATE/DELETE on ANY base keeps the MV on
+        the fast path. Insert deltas follow the telescoping rule
+        (Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁) over changelog FOLDS
+        (insert minus retraction bags, so mixed-op history is exact);
+        groups touched by a retracted join tuple — keys of
+        Σᵢ ever₀ ⋈ … ⋈ Δᵢ_del ⋈ … ⋈ everₙ₋₁, a cheap superset — are
+        re-aggregated from the post-batch folds and REPLACED via the
+        shared _merge_agg_delta retract rule (min/max exact too; an
+        emptied group emits Delete).
 
-        Cost: O(Δ ⋈ other side) for the deltas; delete epochs add the
-        touched-group re-aggregation — when every GROUP BY key comes
-        from ONE join side (the star-schema norm), that side's fold is
-        semi-restricted to the touched keys BEFORE the join, so the
-        re-agg join output is only the touched groups' pairs.
+        Cost: O(Σᵢ Δᵢ ⋈ other sides) for the deltas; delete epochs add
+        the touched-group re-aggregation — when every GROUP BY key
+        comes from ONE join side (the star-schema norm), that side's
+        fold is semi-restricted to the touched keys BEFORE the join,
+        so the re-agg join output is only the touched groups' tuples.
 
         Same vacuum guard as the plain join path (full-history
         provenance: ANY vacuumed prefix demotes)."""
         incja = state.inc_joinagg
         spark = self.spark
         fq = state.fq
-        cl_a = self.changelog_name(incja["a_fq"])
-        cl_b = self.changelog_name(incja["b_fq"])
+        n = len(incja["sides"])
+        cls = [self.changelog_name(b) for b, _ in incja["sides"]]
         with self._lock:
-            if (
-                self.vacuum_floor.get(cl_a, 0) > 0
-                or self.vacuum_floor.get(cl_b, 0) > 0
-            ):
+            if any(self.vacuum_floor.get(cl, 0) > 0 for cl in cls):
                 state.inc_joinagg = None
                 state.fastpath_blocked = True  # history gone for good
                 return False
-            spark.catalog.refreshTable(cl_a)
-            spark.catalog.refreshTable(cl_b)
-            a_log = spark.table(cl_a)
-            b_log = spark.table(cl_b)
-            ma = a_log.agg(F.max("rw_timestamp")).first()[0] or 0
-            mb = b_log.agg(F.max("rw_timestamp")).first()[0] or 0
-            m1 = max(ma, mb)
+            for cl in cls:
+                spark.catalog.refreshTable(cl)
+            logs = [spark.table(cl) for cl in cls]
+            m1 = max(
+                lg.agg(F.max("rw_timestamp")).first()[0] or 0 for lg in logs
+            )
             if m1 <= state.last_epoch:
                 self.next_epoch()
                 return True
-            a_log = a_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                eager=True
-            )
-            b_log = b_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                eager=True
-            )
+            logs = [
+                lg.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                    eager=True
+                )
+                for lg in logs
+            ]
         last = state.last_epoch
-        da = a_log.filter(F.col("rw_timestamp") > last)
-        db = b_log.filter(F.col("rw_timestamp") > last)
-        da_del = da.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
-            "op", "rw_timestamp"
-        )
-        db_del = db.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
-            "op", "rw_timestamp"
-        )
-        has_del = (
-            da_del.limit(1).count() > 0 or db_del.limit(1).count() > 0
-        )
+        deltas = [lg.filter(F.col("rw_timestamp") > last) for lg in logs]
+        del_rows = [
+            d.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
+                "op", "rw_timestamp"
+            )
+            for d in deltas
+        ]
+        has_del = any(dr.limit(1).count() > 0 for dr in del_rows)
 
         def ins_rows(df: DataFrame) -> DataFrame:
             return df.filter(
@@ -2759,24 +2810,36 @@ class SparkEngine:
             ).drop("op", "rw_timestamp")
 
         tag = "_".join(_split_fq(fq))
-        v_da, v_db = f"__rw_ja_da_{tag}", f"__rw_ja_db_{tag}"
-        v_aold, v_bfull = f"__rw_ja_ao_{tag}", f"__rw_ja_bf_{tag}"
-        views = [v_da, v_db, v_aold, v_bfull]
-        ins_rows(da).createOrReplaceTempView(v_da)
-        ins_rows(db).createOrReplaceTempView(v_db)
-        self._fold_rows(
-            a_log.filter(F.col("rw_timestamp") <= last)
-        ).createOrReplaceTempView(v_aold)
-        b_new_fold = self._fold_rows(b_log).localCheckpoint(eager=True)
-        b_new_fold.createOrReplaceTempView(v_bfull)
+        # Per-side views: Δᵢ inserts, pre-batch (old) fold, post-batch
+        # (new) fold. New folds are checkpointed — they feed up to n-1
+        # delta terms plus the retraction re-aggregation.
+        v_dins = [f"__rw_ja_d{i}_{tag}" for i in range(n)]
+        v_old = [f"__rw_ja_o{i}_{tag}" for i in range(n)]
+        v_new = [f"__rw_ja_n{i}_{tag}" for i in range(n)]
+        new_folds = [
+            self._fold_rows(lg).localCheckpoint(eager=True) for lg in logs
+        ]
+        for i in range(n):
+            ins_rows(deltas[i]).createOrReplaceTempView(v_dins[i])
+            self._fold_rows(
+                logs[i].filter(F.col("rw_timestamp") <= last)
+            ).createOrReplaceTempView(v_old[i])
+            new_folds[i].createOrReplaceTempView(v_new[i])
         retract = None
         v_delta = f"__rw_ja_delta_{tag}"
         try:
-            join_delta = spark.sql(
-                self._incja_join_stmt(incja, v_da, v_bfull)
-            ).unionByName(
-                spark.sql(self._incja_join_stmt(incja, v_aold, v_db))
-            ).localCheckpoint(eager=True)
+            # Telescoping delta: Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁ —
+            # exact for the insert part of the batch; each term is
+            # O(Δᵢ ⋈ dims) with the fact-side delta joined only once.
+            join_delta = None
+            for i in range(n):
+                term_views = v_new[:i] + [v_dins[i]] + v_old[i + 1:]
+                term = spark.sql(self._incja_join_stmt(incja, term_views))
+                join_delta = (
+                    term if join_delta is None
+                    else join_delta.unionByName(term)
+                )
+            join_delta = join_delta.localCheckpoint(eager=True)
             join_delta.createOrReplaceTempView(v_delta)
             try:
                 dagg = spark.sql(
@@ -2786,10 +2849,10 @@ class SparkEngine:
                 spark.catalog.dropTempView(v_delta)
             if has_del:
                 retract = self._joinagg_retract(
-                    incja, tag, a_log, b_log, b_new_fold, da_del, db_del
+                    incja, tag, logs, new_folds, del_rows
                 )
         finally:
-            for v in views:
+            for v in v_dins + v_old + v_new:
                 spark.catalog.dropTempView(v)
         self._merge_agg_delta(state, incja, dagg, m1, retract)
         return True
@@ -2798,39 +2861,43 @@ class SparkEngine:
         self,
         incja: dict,
         tag: str,
-        a_log: DataFrame,
-        b_log: DataFrame,
-        b_new_fold: DataFrame,
-        da_del: DataFrame,
-        db_del: DataFrame,
+        logs: list[DataFrame],
+        new_folds: list[DataFrame],
+        del_rows: list[DataFrame],
     ):
-        """(touched_keys, re_agg) for a join+agg refresh with deletes.
-        Touched groups come from the retracted-pair SUPERSET (deleted
-        rows joined against every row the other side EVER inserted —
-        over-approximation is harmless: an untouched group re-agg's to
-        its stored value and emits nothing)."""
+        """(touched_keys, re_agg) for an N-way join+agg refresh with
+        deletes. Touched groups come from the retracted-tuple SUPERSET
+        (each side's deleted rows joined against every row the other
+        sides EVER inserted — over-approximation is harmless: an
+        untouched group re-agg's to its stored value and emits
+        nothing)."""
         spark = self.spark
+        n = len(logs)
+        aliases = [al for _, al in incja["sides"]]
 
         def ever_rows(log: DataFrame) -> DataFrame:
             return log.filter(
                 F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
             ).drop("op", "rw_timestamp")
 
-        a_new_fold = self._fold_rows(a_log).localCheckpoint(eager=True)
-        v_dadel, v_dbdel = f"__rw_jar_dad_{tag}", f"__rw_jar_dbd_{tag}"
-        v_aever, v_bever = f"__rw_jar_ae_{tag}", f"__rw_jar_be_{tag}"
+        v_del = [f"__rw_jar_d{i}_{tag}" for i in range(n)]
+        v_ever = [f"__rw_jar_e{i}_{tag}" for i in range(n)]
         v_pairs = f"__rw_jar_p_{tag}"
-        da_del.createOrReplaceTempView(v_dadel)
-        db_del.createOrReplaceTempView(v_dbdel)
-        ever_rows(a_log).createOrReplaceTempView(v_aever)
-        ever_rows(b_log).createOrReplaceTempView(v_bever)
+        for i in range(n):
+            del_rows[i].createOrReplaceTempView(v_del[i])
+            ever_rows(logs[i]).createOrReplaceTempView(v_ever[i])
         try:
-            del_pairs = spark.sql(
-                self._incja_join_stmt(incja, v_dadel, v_bever)
-            ).unionByName(
-                spark.sql(self._incja_join_stmt(incja, v_aever, v_dbdel))
-            )
-            del_pairs.createOrReplaceTempView(v_pairs)
+            del_tuples = None
+            for i in range(n):
+                if del_rows[i].isEmpty():
+                    continue
+                term_views = v_ever[:i] + [v_del[i]] + v_ever[i + 1:]
+                term = spark.sql(self._incja_join_stmt(incja, term_views))
+                del_tuples = (
+                    term if del_tuples is None
+                    else del_tuples.unionByName(term)
+                )
+            del_tuples.createOrReplaceTempView(v_pairs)
             try:
                 touched = (
                     spark.sql(self._incja_agg_stmt(incja, v_pairs))
@@ -2841,46 +2908,44 @@ class SparkEngine:
             finally:
                 spark.catalog.dropTempView(v_pairs)
         finally:
-            for v in (v_dadel, v_dbdel, v_aever, v_bever):
+            for v in v_del + v_ever:
                 spark.catalog.dropTempView(v)
 
         # Re-aggregate touched groups from the post-batch folds. If all
-        # GROUP BY keys come from one join side, semi-restrict THAT
+        # GROUP BY keys come from ONE join side, semi-restrict THAT
         # side before the join (star-schema pushdown: the join output
-        # is then exactly the touched groups' pairs).
+        # is then exactly the touched groups' tuples).
         def side_of(flat: str) -> str | None:
-            for al in (incja["a1"], incja["a2"]):
+            for al in aliases:
                 if flat.startswith(f"__{al}_"):
                     return al
             return None
 
-        sides = {side_of(flat) for flat, _ in incja["key_map"]}
-        va2, vb2 = f"__rw_jar_a2_{tag}", f"__rw_jar_b2_{tag}"
-        a_src, b_src = a_new_fold, b_new_fold
-        if len(sides) == 1 and None not in sides:
-            al = next(iter(sides))
+        key_sides = {side_of(flat) for flat, _ in incja["key_map"]}
+        srcs = list(new_folds)
+        single_side = len(key_sides) == 1 and None not in key_sides
+        if single_side:
+            al = next(iter(key_sides))
+            idx = aliases.index(al)
             base_cols = [
                 (flat[len(f"__{al}_"):], out) for flat, out in incja["key_map"]
             ]
             probe = touched.select(
                 *[F.col(out).alias(col) for col, out in base_cols]
             ).alias("t")
-            side_df = (a_src if al == incja["a1"] else b_src).alias("s")
+            side_df = srcs[idx].alias("s")
             cond = None
             for col, _ in base_cols:
                 e = F.col(f"s.{col}").eqNullSafe(F.col(f"t.{col}"))
                 cond = e if cond is None else (cond & e)
-            restricted = side_df.join(probe, cond, "left_semi")
-            if al == incja["a1"]:
-                a_src = restricted
-            else:
-                b_src = restricted
-        a_src.createOrReplaceTempView(va2)
-        b_src.createOrReplaceTempView(vb2)
+            srcs[idx] = side_df.join(probe, cond, "left_semi")
+        v_src = [f"__rw_jar_s{i}_{tag}" for i in range(n)]
+        for i in range(n):
+            srcs[i].createOrReplaceTempView(v_src[i])
         v_jout = f"__rw_jar_jo_{tag}"
         try:
-            jout = spark.sql(self._incja_join_stmt(incja, va2, vb2))
-            if len(sides) != 1 or None in sides:
+            jout = spark.sql(self._incja_join_stmt(incja, v_src))
+            if not single_side:
                 # generic path: restrict the join OUTPUT to touched
                 # groups on the flattened key columns
                 jo = jout.alias("jo")
@@ -2900,9 +2965,129 @@ class SparkEngine:
             finally:
                 spark.catalog.dropTempView(v_jout)
         finally:
-            for v in (va2, vb2):
+            for v in v_src:
                 spark.catalog.dropTempView(v)
         return (touched, re_agg)
+
+    def _prepare_fastpath_rearm(self, state: MVState):
+        """Fast-path recovery for an MV currently on snapshot-diff —
+        after an engine restart (MVState restores with all plans None;
+        the reference server's IVM likewise survives restarts,
+        /root/reference/risingwave/core.py:453-455) or after an
+        agg-path vacuum demotion. Re-derives the plan exactly like
+        create_mv: pin a consistent induction base under the publish
+        lock, recompute the result FROM THAT BASE (never the live
+        tables — concurrency-safe), and re-enter the fast path with
+        last_epoch = the pinned watermark.
+
+        Returns (new_result_df, finalize) — the caller materializes
+        new_result_df as this refresh's recompute and calls finalize()
+        after publishing — or None. Permanent ineligibility (shape,
+        types, upsert base, truncated join history) sets
+        state.fastpath_blocked so the probe runs at most once."""
+        spark = self.spark
+        stmt = state.stmt
+        tag = "_".join(_split_fq(state.fq))
+        inc = self._parse_simple_agg(stmt)
+        if inc is not None:
+            base = inc["base_fq"]
+            base_cl = self.changelog_name(base)
+            if base in self.upsert_meta or not (
+                state.key_cols and set(state.key_cols) == set(inc["keys"])
+            ):
+                state.fastpath_blocked = True
+                return None
+            if not spark.catalog.tableExists(base_cl):
+                return None  # may appear after the first insert
+            with self._lock:
+                spark.catalog.refreshTable(base_cl)
+                m0 = (
+                    spark.table(base_cl).agg(F.max("rw_timestamp")).first()[0]
+                    or 0
+                )
+                snap = spark.table(base).localCheckpoint(eager=True)
+            view = f"__rw_rearm_{tag}"
+            snap.createOrReplaceTempView(view)
+            try:
+                df = spark.sql(self._inc_delta_stmt(inc, view))
+                if not self._fastpath_types_ok(inc, df):
+                    state.fastpath_blocked = True
+                    return None
+                df = df.localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(view)
+
+            def finalize_inc():
+                state.inc = inc
+                state.last_epoch = m0
+
+            return df, finalize_inc
+
+        incj = self._parse_simple_join(stmt)
+        incja = None if incj is not None else self._parse_join_agg(stmt)
+        if incj is None and incja is None:
+            state.fastpath_blocked = True
+            return None
+        if incj is not None:
+            bases = [incj["a_fq"], incj["b_fq"]]
+        else:
+            bases = [b for b, _ in incja["sides"]]
+        cls = [self.changelog_name(b) for b in bases]
+        if any(b in self.upsert_meta for b in bases):
+            state.fastpath_blocked = True
+            return None
+        if incja is not None and not (
+            state.key_cols and set(state.key_cols) == set(incja["keys"])
+        ):
+            state.fastpath_blocked = True
+            return None
+        if not all(spark.catalog.tableExists(cl) for cl in cls):
+            return None  # may appear after the first inserts
+        if any(self.vacuum_floor.get(cl, 0) > 0 for cl in cls):
+            # join paths need FULL history; a vacuumed prefix never
+            # comes back
+            state.fastpath_blocked = True
+            return None
+        with self._lock:
+            for cl in cls:
+                spark.catalog.refreshTable(cl)
+            logs0 = [
+                spark.table(cl).localCheckpoint(eager=True) for cl in cls
+            ]
+            m0j = max(
+                lg.agg(F.max("rw_timestamp")).first()[0] or 0 for lg in logs0
+            )
+        views = [f"__rw_rearm_s{i}_{tag}" for i in range(len(logs0))]
+        for lg, v in zip(logs0, views):
+            self._fold_rows(lg).createOrReplaceTempView(v)
+        try:
+            if incj is not None:
+                df = spark.sql(
+                    self._incj_stmt(incj, views[0], views[1], incj["how"])
+                )
+            else:
+                df = spark.sql(
+                    self._incja_agg_stmt(
+                        incja,
+                        f"({self._incja_join_stmt(incja, views)}) AS __j0",
+                    )
+                )
+                if not self._fastpath_types_ok(incja, df):
+                    state.fastpath_blocked = True
+                    return None
+            df = df.localCheckpoint(eager=True)
+        finally:
+            for v in views:
+                spark.catalog.dropTempView(v)
+
+        def finalize_join():
+            if incj is not None:
+                state.inc_join = incj
+            else:
+                state.inc_joinagg = incja
+            state.last_epoch = m0j
+
+        return df, finalize_join
 
     def refresh_mv(self, state: MVState) -> None:
         """Recompute the MV and emit changelog deltas.
@@ -2932,6 +3117,7 @@ class SparkEngine:
                     state.fq,
                 )
                 state.inc = None
+                state.fastpath_blocked = True
         if state.inc_join is not None:
             try:
                 if self._refresh_incremental_join(state):
@@ -2942,6 +3128,7 @@ class SparkEngine:
                     state.fq,
                 )
                 state.inc_join = None
+                state.fastpath_blocked = True
         if state.inc_joinagg is not None:
             try:
                 if self._refresh_incremental_joinagg(state):
@@ -2953,16 +3140,34 @@ class SparkEngine:
                     state.fq,
                 )
                 state.inc_joinagg = None
+                state.fastpath_blocked = True
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
+        rearm = None
+        if (
+            not state.emit_on_close
+            and not state.fastpath_blocked
+            and state.inc is None
+            and state.inc_join is None
+            and state.inc_joinagg is None
+        ):
+            try:
+                rearm = self._prepare_fastpath_rearm(state)
+            except Exception:  # pragma: no cover - defensive
+                logger.exception("fast-path re-arm probe of %s failed", fq)
+                state.fastpath_blocked = True
+                rearm = None
         db, tbl = _split_fq(fq)
         stage = f"{db}.__rw_stage__{tbl}"
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
         self._clear_stale_location(stage)
-        spark.sql(RW.rewrite_query(state.stmt, self.version_string)).write.format(
-            "parquet"
-        ).saveAsTable(stage)
+        src = (
+            rearm[0]
+            if rearm is not None
+            else spark.sql(RW.rewrite_query(state.stmt, self.version_string))
+        )
+        src.write.format("parquet").saveAsTable(stage)
 
         old = spark.table(fq)
         new = spark.table(stage)
@@ -3045,6 +3250,10 @@ class SparkEngine:
             spark.catalog.refreshTable(fq)
         else:
             spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        if rearm is not None:
+            # Published from the pinned induction base: re-enter the
+            # fast path with last_epoch = the pinned watermark.
+            rearm[1]()
 
     # -- subscriptions -----------------------------------------------------
 

@@ -63,7 +63,7 @@ def load_all() -> None:
 PRIORITY: list[str] = [
     # NEW this round: retraction-capable incremental MV maintenance
     "dml_inc_mv_scenario", "dml_join_agg_inc_mv_scenario",
-    "dml_join_inc_mv_scenario",
+    "dml_join_inc_mv_scenario", "star3_inc_mv_scenario",
     # OVER-window / analytic battery (never driver-sampled)
     "window_rank_lag", "window_running_sum", "window_topk_per_group",
     "window_ntile_percentrank", "window_range_frame", "window_filtered_agg",

@@ -833,3 +833,77 @@ def dml_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "uid bigint, region string, qty bigint, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "star3_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('na', 'x', CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'UpdateDelete', CAST(7 AS BIGINT)),
+        ('na', 'x', CAST(9 AS BIGINT), CAST(2 AS BIGINT), 'UpdateInsert', CAST(7 AS BIGINT)),
+        ('na', 'y', CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'UpdateDelete', CAST(9 AS BIGINT)),
+        ('na', 'y', CAST(9 AS BIGINT), CAST(1 AS BIGINT), 'UpdateInsert', CAST(9 AS BIGINT)),
+        ('na', 'y', CAST(9 AS BIGINT), CAST(1 AS BIGINT), 'Delete', CAST(11 AS BIGINT))
+    ) AS t(region, cat, total, n, op, rw_timestamp)
+    """,
+)
+def star3_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way star-schema incremental maintenance (the RisingWave
+    server's IVM over fact + multiple dimensions —
+    /root/reference/risingwave/core.py:453-455): a 3-way join+agg MV
+    takes the composed fast path (asserted), inserts on all three
+    sides merge via the telescoping delta, and UPDATE/DELETE on any
+    side re-aggregates only touched groups. Returns the MV changelog
+    with pinned logical epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_s3")
+    conn.execute("CREATE TABLE rwdemo_s3.fact (uid BIGINT, pid BIGINT, qty BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_s3.dimu (uid BIGINT, region STRING)")
+    conn.execute("CREATE TABLE rwdemo_s3.dimp (pid BIGINT, cat STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "pid": [10, 11, 10],
+                              "qty": [2, 3, 5]}),
+                table_name="fact", schema_name="rwdemo_s3", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                table_name="dimu", schema_name="rwdemo_s3", force_flush=True)
+    conn.insert(pd.DataFrame({"pid": [10, 11], "cat": ["x", "y"]}),
+                table_name="dimp", schema_name="rwdemo_s3", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_s3.mv AS "
+        "SELECT u.region AS region, p.cat AS cat, sum(f.qty) AS total, "
+        "count(*) AS n "
+        "FROM rwdemo_s3.fact f JOIN rwdemo_s3.dimu u ON f.uid = u.uid "
+        "JOIN rwdemo_s3.dimp p ON f.pid = p.pid "
+        "GROUP BY u.region, p.cat"
+    )
+    st = eng.mvs["rwdemo_s3.mv"]
+    assert st.inc_joinagg is not None and len(st.inc_joinagg["sides"]) == 3, (
+        "3-way star fast path not taken"
+    )
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_s3.s FROM rwdemo_s3.mv "
+        "WITH (retention = '86400s')"
+    )
+    conn.execute(
+        "DECLARE rwdemo_s3_cur subscription cursor for rwdemo_s3.s SINCE 0"
+    )
+    # insert on every side in ONE flush (telescoping delta, new group)
+    conn.insert(pd.DataFrame({"uid": [3], "pid": [12], "qty": [7]}),
+                table_name="fact", schema_name="rwdemo_s3", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [3], "region": ["na"]}),
+                table_name="dimu", schema_name="rwdemo_s3", force_flush=False)
+    conn.insert(pd.DataFrame({"pid": [12], "cat": ["x"]}),
+                table_name="dimp", schema_name="rwdemo_s3", force_flush=True)
+    assert st.inc_joinagg is not None
+    # fact UPDATE touching one group
+    conn.execute("UPDATE rwdemo_s3.fact SET qty = 9 WHERE uid = 1 AND pid = 11")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "fact UPDATE demoted the 3-way MV"
+    # dim2 DELETE emptying the (na, y) group
+    conn.execute("DELETE FROM rwdemo_s3.dimp WHERE cat = 'y'")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "dim DELETE demoted the 3-way MV"
+    cols, rows = eng.fetch_cursor("rwdemo_s3_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "region string, cat string, total bigint, n bigint, "
+        "op string, rw_timestamp bigint",
+    )

@@ -164,3 +164,90 @@ def test_epoch_wall_times_survive_restart(spark):
     assert rows2 == [], "pre-restart epochs must vacuum on schedule"
     e2.drop_subscription(sub)
     e2.drop_table(t)
+
+
+def test_fast_paths_rearm_after_restart(spark):
+    """After an engine restart the IVM plans are gone (MVState
+    restores with inc/inc_join/inc_joinagg = None). The FIRST refresh
+    re-arms them from a freshly pinned induction base
+    (engine._prepare_fastpath_rearm); subsequent flushes — DML
+    included — run incrementally and stay exact."""
+    tag = uuid.uuid4().hex[:8]
+    t, f_, d = f"ra_t_{tag}", f"ra_f_{tag}", f"ra_d_{tag}"
+    agg_mv, join_mv, ja_mv = f"ra_am_{tag}", f"ra_jm_{tag}", f"ra_jam_{tag}"
+    rw1 = RisingWave(spark=spark)
+    rw1.insert(pd.DataFrame({"p": ["a", "b"], "v": [1, 2]}),
+               table_name=t, force_flush=True)
+    rw1.insert(pd.DataFrame({"uid": [1, 2], "qty": [3, 5]}),
+               table_name=f_, force_flush=True)
+    rw1.insert(pd.DataFrame({"uid": [1], "region": ["na"]}),
+               table_name=d, force_flush=True)
+    rw1.execute(f"CREATE MATERIALIZED VIEW {agg_mv} AS "
+                f"SELECT p, sum(v) AS total, count(*) AS n FROM {t} GROUP BY p")
+    rw1.execute(f"CREATE MATERIALIZED VIEW {join_mv} AS "
+                f"SELECT f.uid AS uid, d.region AS region, f.qty AS qty "
+                f"FROM {f_} f LEFT JOIN {d} d ON f.uid = d.uid")
+    rw1.execute(f"CREATE MATERIALIZED VIEW {ja_mv} AS "
+                f"SELECT d.region AS region, sum(f.qty) AS total "
+                f"FROM {f_} f JOIN {d} d ON f.uid = d.uid GROUP BY d.region")
+    for mv in (agg_mv, join_mv, ja_mv):
+        st = rw1.engine.mvs[f"public.{mv}"]
+        assert (st.inc, st.inc_join, st.inc_joinagg) != (None, None, None)
+
+    e2 = SparkEngine(spark)
+    conn2 = RisingWaveConnection(e2)
+    states = {mv: e2.mvs[f"public.{mv}"] for mv in (agg_mv, join_mv, ja_mv)}
+    for st in states.values():
+        assert st.inc is None and st.inc_join is None and st.inc_joinagg is None
+        assert not st.fastpath_blocked
+
+    # First refresh after restart: snapshot-diff publishes, then the
+    # fast path re-arms with a pinned watermark.
+    conn2.insert(pd.DataFrame({"p": ["a"], "v": [7]}),
+                 table_name=t, force_flush=True)
+    conn2.insert(pd.DataFrame({"uid": [2], "region": ["eu"]}),
+                 table_name=d, force_flush=True)
+    assert states[agg_mv].inc is not None, "agg MV must re-arm"
+    assert states[join_mv].inc_join is not None, "join MV must re-arm"
+    assert states[ja_mv].inc_joinagg is not None, "join-agg MV must re-arm"
+
+    # DML now runs on the retraction-capable fast paths and stays exact.
+    conn2.execute(f"UPDATE {t} SET v = 9 WHERE p = 'b'")
+    conn2.execute(f"DELETE FROM {d} WHERE region = 'na'")
+    conn2.execute("FLUSH")
+    assert states[agg_mv].inc is not None
+    assert states[join_mv].inc_join is not None
+    assert states[ja_mv].inc_joinagg is not None
+    assert sorted(conn2._dispatch(f"SELECT * FROM {agg_mv}")[1]) == sorted(
+        conn2._dispatch(
+            f"SELECT p, sum(v) AS total, count(*) AS n FROM {t} GROUP BY p"
+        )[1]
+    )
+    assert sorted(conn2._dispatch(f"SELECT * FROM {join_mv}")[1], key=str) == sorted(
+        conn2._dispatch(
+            f"SELECT f.uid AS uid, d.region AS region, f.qty AS qty "
+            f"FROM {f_} f LEFT JOIN {d} d ON f.uid = d.uid"
+        )[1],
+        key=str,
+    )
+    assert sorted(conn2._dispatch(f"SELECT * FROM {ja_mv}")[1]) == sorted(
+        conn2._dispatch(
+            f"SELECT d.region AS region, sum(f.qty) AS total "
+            f"FROM {f_} f JOIN {d} d ON f.uid = d.uid GROUP BY d.region"
+        )[1]
+    )
+
+    # Ineligible shapes block after ONE probe, not retry forever.
+    avg_mv = f"ra_avg_{tag}"
+    rw1.execute(f"CREATE MATERIALIZED VIEW {avg_mv} AS "
+                f"SELECT p, avg(v) AS av FROM {t} GROUP BY p")
+    e3 = SparkEngine(spark)
+    conn3 = RisingWaveConnection(e3)
+    st_avg = e3.mvs[f"public.{avg_mv}"]
+    conn3.insert(pd.DataFrame({"p": ["c"], "v": [4]}),
+                 table_name=t, force_flush=True)
+    assert st_avg.inc is None and st_avg.fastpath_blocked
+    for mv in (agg_mv, join_mv, ja_mv, avg_mv):
+        conn3.execute(f"DROP MATERIALIZED VIEW IF EXISTS {mv}")
+    for tb in (t, f_, d):
+        conn3.execute(f"DROP TABLE IF EXISTS {tb}")

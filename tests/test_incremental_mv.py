@@ -293,6 +293,7 @@ def test_incremental_join_matches_snapshot_diff(spark):
         st = rw.engine.mvs[f"public.{mv}"]
         if disable_fast:
             st.inc_join = None
+            st.fastpath_blocked = True  # keep the re-arm probe off
         rw.insert(pd.DataFrame({"uid": [3, 9], "amt": [7.0, 8.0]}),
                   table_name=o, force_flush=True)
         rw.insert(pd.DataFrame({"uid": [9], "name": ["z"]}),
@@ -381,6 +382,7 @@ def test_incremental_left_join_matches_snapshot_diff(spark):
         st = rw.engine.mvs[f"public.{mv}"]
         if disable_fast:
             st.inc_join = None
+            st.fastpath_blocked = True  # keep the re-arm probe off
         # same-flush: match arrives for uid 1 AND a brand-new pair 9
         rw.insert(pd.DataFrame({"uid": [9], "amt": [8.0]}),
                   table_name=o, force_flush=False)
@@ -528,6 +530,7 @@ def test_incremental_full_join_matches_snapshot_diff(spark):
         st = rw.engine.mvs[f"public.{mv}"]
         if disable_fast:
             st.inc_join = None
+            st.fastpath_blocked = True  # keep the re-arm probe off
         rw.insert(pd.DataFrame({"uid": [5, 9], "amt": [7.0, 8.0]}),
                   table_name=o, force_flush=False)
         rw.insert(pd.DataFrame({"uid": [1, 9], "name": ["a", "z"]}),
@@ -655,6 +658,7 @@ def test_incremental_join_agg_matches_snapshot_diff(spark):
         st = rw.engine.mvs[f"public.{mv}"]
         if disable_fast:
             st.inc_joinagg = None
+            st.fastpath_blocked = True  # keep the re-arm probe off
         rw.insert(pd.DataFrame({"uid": [1, 9], "qty": [8, 4]}),
                   table_name=o, force_flush=False)
         rw.insert(pd.DataFrame({"uid": [9], "region": ["na"]}),
@@ -727,3 +731,210 @@ def test_fast_path_guards_reject_unsafe_shapes(spark):
     assert eng._parse_simple_join(
         "SELECT o.x AS uuid, u.y AS random FROM o o JOIN u u ON o.k = u.k"
     ) is not None
+
+
+def test_incremental_agg_expression_args(eng_conn):
+    """Aggregates over scalar EXPRESSIONS — including one nesting level,
+    the revenue-MV shape sum(v * (w + 1)) — take the fast path and stay
+    exact under arbitrary DML (the merge rule depends only on the agg
+    function; the retraction re-agg evaluates the full select list)."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.te (p STRING, v BIGINT, w BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a", "a", "b"], "v": [1, 2, 3],
+                              "w": [10, 20, 30]}),
+                table_name="te", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.me AS "
+        "SELECT p, sum(v * (w + 1)) AS rev, max(v + w) AS hi, count(*) AS n "
+        "FROM inct.te WHERE v < 100 GROUP BY p"
+    )
+    st = eng.mvs["inct.me"]
+    assert st.inc is not None, "expression-arg agg must take the fast path"
+
+    def recompute():
+        return sorted(conn._dispatch(
+            "SELECT p, sum(v * (w + 1)) AS rev, max(v + w) AS hi, count(*) AS n "
+            "FROM inct.te WHERE v < 100 GROUP BY p")[1])
+
+    conn.insert(pd.DataFrame({"p": ["a", "c"], "v": [5, 7], "w": [1, 2]}),
+                table_name="te", schema_name="inct", force_flush=True)
+    assert st.inc is not None
+    assert sorted(conn._dispatch("SELECT * FROM inct.me")[1]) == recompute()
+
+    conn.execute("UPDATE inct.te SET w = 99 WHERE p = 'b'")
+    conn.execute("DELETE FROM inct.te WHERE p = 'a' AND v = 1")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DML must not demote the expression-arg MV"
+    assert sorted(conn._dispatch("SELECT * FROM inct.me")[1]) == recompute()
+
+
+def test_incremental_joinagg_expression_args(eng_conn):
+    """Join+agg fast path with expression aggregates over qualified
+    refs (flattened namespace must rewrite inside the expression)."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.jef (uid BIGINT, qty BIGINT)")
+    conn.execute("CREATE TABLE inct.jed (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "qty": [2, 3, 5]}),
+                table_name="jef", schema_name="inct", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                table_name="jed", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.jem AS "
+        "SELECT d.region AS region, sum(f.qty * (f.qty + 1)) AS s2, "
+        "count(*) AS n "
+        "FROM inct.jef f JOIN inct.jed d ON f.uid = d.uid GROUP BY d.region"
+    )
+    st = eng.mvs["inct.jem"]
+    assert st.inc_joinagg is not None, (
+        "expression-arg join agg must take the fast path"
+    )
+
+    def recompute():
+        return sorted(conn._dispatch(
+            "SELECT d.region AS region, sum(f.qty * (f.qty + 1)) AS s2, "
+            "count(*) AS n "
+            "FROM inct.jef f JOIN inct.jed d ON f.uid = d.uid "
+            "GROUP BY d.region")[1])
+
+    conn.insert(pd.DataFrame({"uid": [2], "qty": [7]}),
+                table_name="jef", schema_name="inct", force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(conn._dispatch("SELECT * FROM inct.jem")[1]) == recompute()
+
+    conn.execute("UPDATE inct.jef SET qty = 4 WHERE qty = 3")
+    conn.execute("DELETE FROM inct.jed WHERE region = 'eu'")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None
+    assert sorted(conn._dispatch("SELECT * FROM inct.jem")[1]) == recompute()
+
+
+def test_incremental_three_way_join_agg_mv(spark):
+    """N-way star join+agg IVM: fact ⋈ dim1 ⋈ dim2 GROUP BY dim keys
+    takes the fast path; inserts on any side merge via the telescoping
+    delta, and UPDATE/DELETE on ANY of the three sides stays on the
+    fast path via touched-group re-aggregation."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, p, mv = f"tw_o_{tag}", f"tw_u_{tag}", f"tw_p_{tag}", f"tw_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1, 1, 2], "pid": [10, 11, 10],
+                            "qty": [2, 3, 5]}),
+              table_name=o, force_flush=True)
+    rw.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+              table_name=u, force_flush=True)
+    rw.insert(pd.DataFrame({"pid": [10, 11], "cat": ["x", "y"]}),
+              table_name=p, force_flush=True)
+    rw.execute(
+        f"CREATE MATERIALIZED VIEW {mv} AS "
+        f"SELECT u.region AS region, p.cat AS cat, sum(o.qty) AS total, "
+        f"count(*) AS n, max(o.qty) AS hi "
+        f"FROM {o} o JOIN {u} u ON o.uid = u.uid "
+        f"JOIN {p} p ON o.pid = p.pid "
+        f"GROUP BY u.region, p.cat"
+    )
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_joinagg is not None, "3-way star join must take the fast path"
+    assert len(st.inc_joinagg["sides"]) == 3
+
+    def recompute():
+        return sorted(rw.fetch(
+            f"SELECT u.region AS region, p.cat AS cat, sum(o.qty) AS total, "
+            f"count(*) AS n, max(o.qty) AS hi "
+            f"FROM {o} o JOIN {u} u ON o.uid = u.uid "
+            f"JOIN {p} p ON o.pid = p.pid "
+            f"GROUP BY u.region, p.cat"))
+
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+
+    # inserts on every side in one flush (telescoping delta)
+    rw.insert(pd.DataFrame({"uid": [3], "pid": [12], "qty": [7]}),
+              table_name=o, force_flush=False)
+    rw.insert(pd.DataFrame({"uid": [3], "region": ["na"]}),
+              table_name=u, force_flush=False)
+    rw.insert(pd.DataFrame({"pid": [12], "cat": ["x"]}),
+              table_name=p, force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+
+    # UPDATE on the fact
+    rw.execute(f"UPDATE {o} SET qty = 9 WHERE uid = 1 AND pid = 11")
+    rw.execute("FLUSH")
+    assert st.inc_joinagg is not None, "fact UPDATE must not demote"
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+
+    # DELETE on dim2 (empties every group with cat 'y')
+    rw.execute(f"DELETE FROM {p} WHERE cat = 'y'")
+    rw.execute("FLUSH")
+    assert st.inc_joinagg is not None, "dim2 DELETE must not demote"
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+    assert not any(r[1] == "y" for r in rw.fetch(f"SELECT * FROM {mv}"))
+
+    # mixed flush: dim1 delete + fact insert + dim2 re-insert
+    rw.execute(f"DELETE FROM {u} WHERE region = 'eu'")
+    rw.insert(pd.DataFrame({"uid": [2], "pid": [11], "qty": [4]}),
+              table_name=o, force_flush=False)
+    rw.insert(pd.DataFrame({"pid": [11], "cat": ["y"]}),
+              table_name=p, force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == recompute()
+
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    for t in (o, u, p):
+        rw.execute(f"DROP TABLE {t}")
+
+
+def test_incremental_three_way_matches_snapshot_diff(spark):
+    """Fast-path vs snapshot-diff equivalence for the 3-way star."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    def run(disable_fast: bool):
+        tag = uuid.uuid4().hex[:8]
+        rw = RisingWave(spark=spark)
+        o, u, p, mv = (f"twx_o_{tag}", f"twx_u_{tag}", f"twx_p_{tag}",
+                       f"twx_mv_{tag}")
+        rw.insert(pd.DataFrame({"uid": [1, 2, 2], "pid": [10, 10, 11],
+                                "qty": [1, 2, 3]}),
+                  table_name=o, force_flush=True)
+        rw.insert(pd.DataFrame({"uid": [1, 2], "region": ["na", "eu"]}),
+                  table_name=u, force_flush=True)
+        rw.insert(pd.DataFrame({"pid": [10, 11], "cat": ["x", "y"]}),
+                  table_name=p, force_flush=True)
+        rw.execute(
+            f"CREATE MATERIALIZED VIEW {mv} AS "
+            f"SELECT u.region AS region, p.cat AS cat, sum(o.qty) AS total, "
+            f"min(o.qty) AS lo "
+            f"FROM {o} o JOIN {u} u ON o.uid = u.uid "
+            f"JOIN {p} p ON o.pid = p.pid "
+            f"GROUP BY u.region, p.cat"
+        )
+        st = rw.engine.mvs[f"public.{mv}"]
+        if disable_fast:
+            st.inc_joinagg = None
+            st.fastpath_blocked = True  # keep the re-arm probe off
+        rw.insert(pd.DataFrame({"uid": [1], "pid": [11], "qty": [8]}),
+                  table_name=o, force_flush=True)
+        out = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        rw.execute(f"UPDATE {o} SET qty = 6 WHERE uid = 2 AND pid = 10")
+        rw.execute(f"DELETE FROM {u} WHERE region = 'na'")
+        rw.insert(pd.DataFrame({"uid": [3], "region": ["ap"]}),
+                  table_name=u, force_flush=False)
+        rw.insert(pd.DataFrame({"uid": [3], "pid": [10], "qty": [5]}),
+                  table_name=o, force_flush=True)
+        if not disable_fast:
+            assert st.inc_joinagg is not None, "DML demoted the 3-way MV"
+        out2 = sorted(rw.fetch(f"SELECT * FROM {mv}"))
+        rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+        for t in (o, u, p):
+            rw.execute(f"DROP TABLE {t}")
+        return out, out2
+
+    assert run(disable_fast=False) == run(disable_fast=True)

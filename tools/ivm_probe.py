@@ -1,0 +1,136 @@
+"""Empirical IVM scaling probe: measure MV refresh cost as the BASE
+table grows, for the incremental fast paths vs snapshot-diff.
+
+The claim under test (SCALE.md "Incremental delta-merge"): fast-path
+flush cost tracks the DELTA (+ touched groups), not the base size —
+so the fast/snapshot gap must widen roughly linearly with base rows,
+for inserts AND for retraction (UPDATE/DELETE) batches.
+
+Method: load k × 100k rows of a lineitem-derived fact into an engine
+table (one bulk insert), create agg / join+agg MVs, then time
+  - a 100-row insert flush,
+  - an UPDATE flush touching ONE group (retraction path),
+on the fast path and again with the fast path disabled
+(fastpath_blocked, snapshot-diff). Each timing is a full engine flush
+including changelog publication.
+
+Usage: python tools/ivm_probe.py [--scales 1,4,8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+
+
+def probe(spark, k: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.catalog import table
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    import shutil
+
+    schema = f"ivmp{k}"
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{schema}.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema=schema)
+    conn = RisingWaveConnection(eng)
+
+    li = table(spark, BASE, "lineitem").limit(100_000 * k)
+    fact = li.select(
+        F.col("l_orderkey").alias("k"),
+        (F.col("l_partkey") % 100).alias("g"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    eng.insert_df("fact", fact, schema_name=schema)
+    conn.execute("FLUSH")
+    dim_rows = spark.range(100).select(
+        F.col("id").alias("g"), F.concat(F.lit("grp"), F.col("id")).alias("name")
+    )
+    eng.insert_df("dim", dim_rows, schema_name=schema)
+    conn.execute("FLUSH")
+    n_rows = 100_000 * k
+
+    conn.execute(
+        f"CREATE MATERIALIZED VIEW {schema}.agg_mv AS "
+        f"SELECT g, sum(v) AS total, count(*) AS n, max(v) AS hi "
+        f"FROM {schema}.fact GROUP BY g"
+    )
+    conn.execute(
+        f"CREATE MATERIALIZED VIEW {schema}.ja_mv AS "
+        f"SELECT d.name AS name, sum(f.v) AS total, count(*) AS n "
+        f"FROM {schema}.fact f JOIN {schema}.dim d ON f.g = d.g "
+        f"GROUP BY d.name"
+    )
+    st_agg = eng.mvs[f"{schema}.agg_mv"]
+    st_ja = eng.mvs[f"{schema}.ja_mv"]
+    assert st_agg.inc is not None and st_ja.inc_joinagg is not None
+
+    import pandas as pd
+
+    def timed_flush() -> float:
+        t0 = time.monotonic()
+        conn.execute("FLUSH")
+        return time.monotonic() - t0
+
+    out: dict = {"k": k, "base_rows": n_rows}
+
+    def one_round(label: str) -> None:
+        conn.insert(
+            pd.DataFrame({"k": list(range(100)), "g": [i % 100 for i in range(100)],
+                          "v": [5] * 100}),
+            table_name="fact", schema_name=schema, force_flush=False,
+        )
+        out[f"insert_{label}"] = timed_flush()
+        conn.execute(f"UPDATE {schema}.fact SET v = 7 WHERE g = 3 AND v = 5")
+        out[f"update_{label}"] = timed_flush()
+
+    one_round("fast")
+    assert st_agg.inc is not None and st_ja.inc_joinagg is not None, (
+        "probe DML must stay on the fast paths"
+    )
+    # disable the fast paths → snapshot-diff recompute per flush
+    st_agg.inc = None
+    st_ja.inc_joinagg = None
+    st_agg.fastpath_blocked = True
+    st_ja.fastpath_blocked = True
+    one_round("snap")
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,8")
+    args = ap.parse_args()
+
+    from risingwave_py_spark.session import build_session
+
+    spark = build_session()
+    rows = []
+    for k in [int(s) for s in args.scales.split(",")]:
+        r = probe(spark, k)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    print("\n| base rows | insert fast | insert snap | update fast | update snap |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['base_rows']:,} | {r['insert_fast']:.2f}s | "
+            f"{r['insert_snap']:.2f}s | {r['update_fast']:.2f}s | "
+            f"{r['update_snap']:.2f}s |"
+        )
+
+
+if __name__ == "__main__":
+    main()
