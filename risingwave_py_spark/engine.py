@@ -1708,89 +1708,127 @@ class SparkEngine:
         return q
 
     def _refresh_incremental_join(self, state: MVState) -> bool:
-        """Delta refresh for an append-only INNER-join MV: both join
-        sides come from their CHANGELOGS (epoch provenance), so
-        A_old / ΔA / B_full / ΔB are mutually consistent snapshots of
-        the same global epoch counter. ΔOUT rows are pure inserts —
-        published as a result-table append + one changelog batch, no
-        table rewrite and no driver-side collect."""
+        """Delta refresh for a two-table equi-join MV. Insert-only
+        batches append ΔOUT (no table rewrite); batches with DML take
+        the touched-key retraction branch.
+
+        The publish lock is held for the WHOLE refresh: partner tables
+        are read LAZILY (no O(table) snapshot copies) and stay
+        consistent because every publication path acquires this same
+        re-entrant lock — the agg path's pin-under-lock contract,
+        extended to cover the computation instead of paying for a
+        materialized copy."""
+        with self._lock:
+            return self._refresh_incremental_join_locked(state)
+
+    def _refresh_incremental_join_locked(self, state: MVState) -> bool:
         incj = state.inc_join
         spark = self.spark
         fq = state.fq
-        cl_a = self.changelog_name(incj["a_fq"])
-        cl_b = self.changelog_name(incj["b_fq"])
-        # (Since round 3 this path is retraction-capable: batches with
-        # UPDATE/DELETE branch to _join_retract_refresh below rather
-        # than demoting; only a vacuumed prefix demotes.)
+        a_fq, b_fq = incj["a_fq"], incj["b_fq"]
+        cl_a = self.changelog_name(a_fq)
+        cl_b = self.changelog_name(b_fq)
+        last = state.last_epoch
+        how = incj.get("how", "inner")
         with self._lock:
-            # The join path reconstructs BOTH base tables from their
-            # changelogs' FULL history (A_old/B_full read epochs ≤
-            # last_epoch too) — ANY vacuum of either changelog makes
-            # the history incomplete, so demote on floor > 0, not
-            # floor > last_epoch (the aggregation path's weaker guard
-            # only needs the un-consumed suffix).
+            # Only the un-consumed delta suffix comes from the
+            # changelog (partner state is pinned TABLE snapshots — the
+            # table IS the fold of all published epochs, every
+            # publication swapping table + changelog under this lock),
+            # so the demotion rule is floor > last_epoch, same as the
+            # agg path — and the re-arm probe recovers the fast path
+            # at the next refresh.
             if (
-                self.vacuum_floor.get(cl_a, 0) > 0
-                or self.vacuum_floor.get(cl_b, 0) > 0
+                self.vacuum_floor.get(cl_a, 0) > last
+                or self.vacuum_floor.get(cl_b, 0) > last
             ):
-                state.inc_join = None
-                state.fastpath_blocked = True  # history gone for good
+                state.inc_join = None  # unconsumed epochs vacuumed
                 return False
             spark.catalog.refreshTable(cl_a)
             spark.catalog.refreshTable(cl_b)
-            a_log = spark.table(cl_a)
-            b_log = spark.table(cl_b)
-            ma = a_log.agg(F.max("rw_timestamp")).first()[0] or 0
-            mb = b_log.agg(F.max("rw_timestamp")).first()[0] or 0
+            ma = spark.table(cl_a).agg(F.max("rw_timestamp")).first()[0] or 0
+            mb = spark.table(cl_b).agg(F.max("rw_timestamp")).first()[0] or 0
             m1 = max(ma, mb)
-            if m1 <= state.last_epoch:
+            if m1 <= last:
                 self.next_epoch()
                 return True
-            a_log = a_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                eager=True
-            )
-            b_log = b_log.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                eager=True
-            )
-        last = state.last_epoch
-        da = a_log.filter(F.col("rw_timestamp") > last)
-        db = b_log.filter(F.col("rw_timestamp") > last)
-        if (
-            da.filter(
+
+            def delta_slice(cl: str) -> DataFrame:
+                return (
+                    spark.table(cl)
+                    .filter(
+                        (F.col("rw_timestamp") > last)
+                        & (F.col("rw_timestamp") <= m1)
+                    )
+                    .localCheckpoint(eager=True)
+                )
+
+            da = delta_slice(cl_a)
+            db = delta_slice(cl_b)
+            da_ins = da.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
+            db_ins = db.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
+            da_del = da.filter(
                 F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
-            ).limit(1).count() > 0
-            or db.filter(
+            ).drop("op", "rw_timestamp")
+            db_del = db.filter(
                 F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
-            ).limit(1).count() > 0
-        ):
+            ).drop("op", "rw_timestamp")
+            a_has, b_has = not da_ins.isEmpty(), not db_ins.isEmpty()
+            has_del = not da_del.isEmpty() or not db_del.isEmpty()
+        # (The enclosing wrapper still holds the lock — tables below
+        # are read lazily and stay consistent through publication.)
+        # Expose only the partner tables some term will actually scan:
+        # a fact-append flush on an inner/left join never touches the
+        # fact table at all.
+        if has_del or how == "full":
+            need_a = need_b = True
+        elif how == "left":
+            # ΔB alone still needs B state (pad retraction derives
+            # the pre-batch key set from it) and A state (the
+            # padded rows being retracted).
+            need_a = b_has
+            need_b = a_has or b_has
+        else:
+            need_a, need_b = b_has, a_has
+        ts_a = ts_b = None
+        if need_a:
+            spark.catalog.refreshTable(a_fq)
+            ts_a = spark.table(a_fq)
+        if need_b:
+            spark.catalog.refreshTable(b_fq)
+            ts_b = spark.table(b_fq)
+        if has_del:
             # UPDATE/DELETE in the batch: retraction branch (touched-key
             # recompute + bag diff) instead of demoting.
-            return self._join_retract_refresh(state, incj, a_log, b_log, m1)
-
-        def rows(df: DataFrame) -> DataFrame:
-            return df.filter(F.col("op") == OP_INSERT).drop("op", "rw_timestamp")
+            return self._join_retract_refresh(
+                state, incj, ts_a, ts_b, da_ins, da_del, db_ins, db_del, m1
+            )
 
         tag = "_".join(_split_fq(fq))
         v_da, v_db = f"__rw_incj_da_{tag}", f"__rw_incj_db_{tag}"
         v_aold, v_bfull = f"__rw_incj_ao_{tag}", f"__rw_incj_bf_{tag}"
-        rows(da).createOrReplaceTempView(v_da)
-        rows(db).createOrReplaceTempView(v_db)
-        # History views are FOLDS (insert minus retraction bags): prior
-        # batches may have contained DML even though this batch is
-        # insert-only; fold == insert projection for append-only logs.
-        self._fold_rows(
-            a_log.filter(F.col("rw_timestamp") <= last)
-        ).createOrReplaceTempView(v_aold)
-        self._fold_rows(b_log).createOrReplaceTempView(v_bfull)
-        how = incj.get("how", "inner")
+        da_ins.createOrReplaceTempView(v_da)
+        db_ins.createOrReplaceTempView(v_db)
+        # Pre-batch partner state, algebraically: table − Δins (the
+        # batch is all-insert here). Views over un-needed sides are
+        # never created — and never scanned.
+        if need_a:
+            ts_a.exceptAll(da_ins).createOrReplaceTempView(v_aold)
+        if need_b:
+            ts_b.createOrReplaceTempView(v_bfull)
         retr = None
-        a_advanced = ma > last  # ΔA empty ⇒ no right-side retraction
-        b_advanced = mb > last  # ΔB empty ⇒ no left-side retraction
+        a_advanced = a_has  # ΔA empty ⇒ no right-side retraction
+        b_advanced = b_has  # ΔB empty ⇒ no left-side retraction
         v_afull = f"__rw_incj_afull_{tag}"
-        self._fold_rows(a_log).createOrReplaceTempView(v_afull)
+        if need_a:
+            ts_a.createOrReplaceTempView(v_afull)
 
         def _pad_retraction(preserved_view: str, delta_keys_view: str,
-                            old_log: DataFrame, pairs, empty_view_src: str,
+                            other_old: DataFrame, pairs, empty_view_src: str,
                             swap: bool) -> DataFrame | None:
             """Rebuild the padded output rows of `preserved_view` rows
             whose join keys just became matched (keys of the other
@@ -1798,16 +1836,11 @@ class SparkEngine:
             own = [a for a, _ in pairs] if not swap else [b for _, b in pairs]
             other = [b for _, b in pairs] if not swap else [a for a, _ in pairs]
             d_keys = spark.table(delta_keys_view).select(*other).distinct()
-            # Pre-batch key set from the FOLD: a key inserted then
-            # deleted before this batch must count as new when ΔB
-            # re-inserts it (its A pads exist and must retract).
-            old_keys = (
-                self._fold_rows(
-                    old_log.filter(F.col("rw_timestamp") <= last)
-                )
-                .select(*other)
-                .distinct()
-            )
+            # Pre-batch key set from the pre-batch relation: a key
+            # whose rows were all deleted before this batch must count
+            # as new when ΔB re-inserts it (its A pads exist and must
+            # retract).
+            old_keys = other_old.select(*other).distinct()
             new_keys = d_keys.exceptAll(old_keys)
             pres = spark.table(preserved_view)
             cond = None
@@ -1835,46 +1868,64 @@ class SparkEngine:
             return None if out.isEmpty() else out
 
         try:
+            # Terms with an empty delta side are SKIPPED outright —
+            # their output is empty and skipping avoids even planning
+            # a scan over the partner relation.
+            parts: list[DataFrame] = []
             if how == "full":
                 # d1: new A rows, padded when unmatched in B_full;
                 # d2: new B rows, padded when unmatched in A_full
                 # (A_full so a ΔA match suppresses the pad);
                 # overlap: (ΔA ⋈ ΔB) pairs appear in both — subtract.
-                d1 = spark.sql(self._incj_stmt(incj, v_da, v_bfull, "left"))
-                d2 = spark.sql(
-                    self._incj_stmt(incj, v_afull, v_db, "left", swap=True)
-                )
-                overlap = spark.sql(self._incj_stmt(incj, v_da, v_db))
-                delta_out = (
-                    d1.unionByName(d2).exceptAll(overlap)
-                    .localCheckpoint(eager=True)
-                )
+                if a_has:
+                    parts.append(
+                        spark.sql(self._incj_stmt(incj, v_da, v_bfull, "left"))
+                    )
+                if b_has:
+                    parts.append(
+                        spark.sql(
+                            self._incj_stmt(incj, v_afull, v_db, "left",
+                                            swap=True)
+                        )
+                    )
+                delta_out = parts[0]
+                for p in parts[1:]:
+                    delta_out = delta_out.unionByName(p)
+                if a_has and b_has:
+                    overlap = spark.sql(self._incj_stmt(incj, v_da, v_db))
+                    delta_out = delta_out.exceptAll(overlap)
+                delta_out = delta_out.localCheckpoint(eager=True)
             else:
                 # d1: new left rows against the full (post-batch)
                 # right side — LEFT keeps its padded semantics here;
                 # d2: old left rows gaining matches from ΔB (inner
                 # for both join kinds).
-                delta_out = (
-                    spark.sql(self._incj_stmt(incj, v_da, v_bfull, how))
-                    .unionByName(spark.sql(self._incj_stmt(incj, v_aold, v_db)))
-                    .localCheckpoint(eager=True)
-                )
+                if a_has:
+                    parts.append(
+                        spark.sql(self._incj_stmt(incj, v_da, v_bfull, how))
+                    )
+                if b_has:
+                    parts.append(
+                        spark.sql(self._incj_stmt(incj, v_aold, v_db))
+                    )
+                delta_out = parts[0]
+                for p in parts[1:]:
+                    delta_out = delta_out.unionByName(p)
+                delta_out = delta_out.localCheckpoint(eager=True)
             if how in ("left", "full") and b_advanced:
                 # A-side pads whose keys just matched: retract.
                 retr = _pad_retraction(
-                    v_aold, v_db, b_log, incj["key_pairs"], v_bfull,
-                    swap=False,
+                    v_aold, v_db, ts_b.exceptAll(db_ins), incj["key_pairs"],
+                    v_bfull, swap=False,
                 )
             if how == "full" and a_advanced:
                 # B-side pads whose keys just matched by ΔA: retract.
                 v_bold = f"__rw_incj_bold_{tag}"
-                self._fold_rows(
-                    b_log.filter(F.col("rw_timestamp") <= last)
-                ).createOrReplaceTempView(v_bold)
+                ts_b.exceptAll(db_ins).createOrReplaceTempView(v_bold)
                 try:
                     retr_b = _pad_retraction(
-                        v_bold, v_da, a_log, incj["key_pairs"], v_afull,
-                        swap=True,
+                        v_bold, v_da, ts_a.exceptAll(da_ins),
+                        incj["key_pairs"], v_afull, swap=True,
                     )
                 finally:
                     spark.catalog.dropTempView(v_bold)
@@ -1883,8 +1934,10 @@ class SparkEngine:
                         retr_b if retr is None else retr.unionByName(retr_b)
                     )
         finally:
-            for v in (v_da, v_db, v_aold, v_bfull, v_afull):
-                spark.catalog.dropTempView(v)
+            for v, made in ((v_da, True), (v_db, True), (v_aold, need_a),
+                            (v_bfull, need_b), (v_afull, need_a)):
+                if made:
+                    spark.catalog.dropTempView(v)
         state.last_epoch = m1
         if delta_out.isEmpty() and retr is None:
             self.next_epoch()
@@ -1925,8 +1978,12 @@ class SparkEngine:
         self,
         state: MVState,
         incj: dict,
-        a_log: DataFrame,
-        b_log: DataFrame,
+        ts_a: DataFrame,
+        ts_b: DataFrame,
+        da_ins: DataFrame,
+        da_del: DataFrame,
+        db_ins: DataFrame,
+        db_del: DataFrame,
         m1: int,
     ) -> bool:
         """Retraction refresh for a plain-join MV whose delta epochs
@@ -1935,7 +1992,10 @@ class SparkEngine:
         DML reachable via core.py:161-181): recompute the join ONLY
         over TOUCHED join keys — keys present in either side's delta,
         inserts and retractions alike — before and after the batch,
-        and bag-diff the two restrictions.
+        and bag-diff the two restrictions. Both sides' state comes
+        from the pinned TABLE snapshots (post-batch), with pre-batch
+        state recovered algebraically as table − Δins + Δdel — O(table
+        + delta), never O(changelog history).
 
         Exact for INNER/LEFT/FULL: an equi-join output row's existence
         (outer pads included) depends only on the rows carrying its own
@@ -1945,22 +2005,19 @@ class SparkEngine:
         null-safely; the join condition itself stays non-null-safe, so
         NULL-key pads diff correctly.
 
-        Cost: O(fold + |touched keys' rows| join) per flush — never a
-        recompute of the full join. Emits net Insert/Delete (the same
-        vocabulary the snapshot-diff bag path uses for non-keyed MVs),
-        cancelling intra-batch insert/delete pairs first so applying
-        the delete bag to the stored result is always exact."""
+        Emits net Insert/Delete (the same vocabulary the snapshot-diff
+        bag path uses for non-keyed MVs), cancelling intra-batch
+        insert/delete pairs first so applying the delete bag to the
+        stored result is always exact."""
         spark = self.spark
         fq = state.fq
-        last = state.last_epoch
         a_keys = [a for a, _ in incj["key_pairs"]]
         b_keys = [b for _, b in incj["key_pairs"]]
-        da = a_log.filter(F.col("rw_timestamp") > last)
-        db = b_log.filter(F.col("rw_timestamp") > last)
         touched = (
-            da.select(*a_keys)
+            da_ins.select(*a_keys)
+            .unionByName(da_del.select(*a_keys))
             .unionByName(
-                db.select(
+                db_ins.unionByName(db_del).select(
                     *[F.col(b).alias(a) for a, b in incj["key_pairs"]]
                 )
             )
@@ -1980,15 +2037,13 @@ class SparkEngine:
             return s.join(probe, cond, "left_semi")
 
         a_old = restrict(
-            self._fold_rows(a_log.filter(F.col("rw_timestamp") <= last)),
-            a_keys,
+            ts_a.exceptAll(da_ins).unionByName(da_del), a_keys
         )
-        a_new = restrict(self._fold_rows(a_log), a_keys)
+        a_new = restrict(ts_a, a_keys)
         b_old = restrict(
-            self._fold_rows(b_log.filter(F.col("rw_timestamp") <= last)),
-            b_keys,
+            ts_b.exceptAll(db_ins).unionByName(db_del), b_keys
         )
-        b_new = restrict(self._fold_rows(b_log), b_keys)
+        b_new = restrict(ts_b, b_keys)
         tag = "_".join(_split_fq(fq))
         names = [f"__rw_jr_{p}_{tag}" for p in ("ao", "an", "bo", "bn")]
         for df, v in zip((a_old, a_new, b_old, b_new), names):
@@ -2086,15 +2141,15 @@ class SparkEngine:
             if incj is None:
                 incja = self._parse_join_agg(rewritten)
                 if incja is not None:
+                    # (No vacuum-floor condition: the induction base is
+                    # a table snapshot with last_epoch = current max, so
+                    # any existing floor ≤ last is irrelevant.)
                     for base, _ in incja["sides"]:
                         if (
                             base in self.upsert_meta
                             or not self.spark.catalog.tableExists(
                                 self.changelog_name(base)
                             )
-                            or self.vacuum_floor.get(
-                                self.changelog_name(base), 0
-                            ) > 0
                         ):
                             incja = None
                             break
@@ -2106,8 +2161,6 @@ class SparkEngine:
                 or incj["b_fq"] in self.upsert_meta
                 or not self.spark.catalog.tableExists(cla)
                 or not self.spark.catalog.tableExists(clb)
-                or self.vacuum_floor.get(cla, 0) > 0
-                or self.vacuum_floor.get(clb, 0) > 0
             ):
                 incj = None
         side_cls: list[str] = []
@@ -2118,24 +2171,31 @@ class SparkEngine:
             ]
         elif incja is not None:
             side_cls = [self.changelog_name(b) for b, _ in incja["sides"]]
-        logs0: list[DataFrame] = []
+        snaps0: list[DataFrame] = []
         m0j = 0
         if side_cls:
-            # Changelog-consistent induction base, pinned under the
-            # publish lock (same contract as the aggregation path).
+            if incj is not None:
+                side_fqs = [incj["a_fq"], incj["b_fq"]]
+            else:
+                side_fqs = [b for b, _ in incja["sides"]]
+            # Consistent induction base, pinned under the publish lock
+            # (same contract as the aggregation path): the TABLE
+            # snapshot is the fold of all published epochs ≤ m0j, so
+            # prior DML history is free and nothing scans the
+            # changelog at creation time.
             with self._lock:
                 for cl in side_cls:
                     self.spark.catalog.refreshTable(cl)
-                logs0 = [
-                    self.spark.table(cl).localCheckpoint(eager=True)
-                    for cl in side_cls
-                ]
                 m0j = max(
-                    lg.agg(F.max("rw_timestamp")).first()[0] or 0
-                    for lg in logs0
+                    self.spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
+                    or 0
+                    for cl in side_cls
                 )
-            # BOTH join paths fold mixed-op history and retract, so
-            # prior DML on a base doesn't cost either the fast path.
+                for b in side_fqs:
+                    self.spark.catalog.refreshTable(b)
+                    snaps0.append(
+                        self.spark.table(b).localCheckpoint(eager=True)
+                    )
         base_view = None
         join_views: list[str] | None = None
         if inc is not None:
@@ -2147,13 +2207,10 @@ class SparkEngine:
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
         elif incj is not None or incja is not None:
             tag = "_".join(_split_fq(fq))
-            # Folds, not insert projections: both join paths admit
-            # bases with UPDATE/DELETE history (fold == insert
-            # projection when the history is append-only).
             join_views = []
-            for i, lg in enumerate(logs0):
+            for i, sn in enumerate(snaps0):
                 v = f"__rw_incj_s{i}0_{tag}"
-                self._fold_rows(lg).createOrReplaceTempView(v)
+                sn.createOrReplaceTempView(v)
                 join_views.append(v)
             if incj is not None:
                 df = self.spark.sql(
@@ -2735,49 +2792,52 @@ class SparkEngine:
                 return False
         return True
 
-    @staticmethod
-    def _fold_rows(log_df: DataFrame) -> DataFrame:
-        """Bag fold of a changelog slice: inserted rows minus retracted
-        rows (exceptAll, multiplicity-exact) — the table state the
-        slice's epochs produce. Equals the plain insert projection when
-        the slice is append-only."""
-        ins = log_df.filter(
-            F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
-        ).drop("op", "rw_timestamp")
-        dels = log_df.filter(
-            F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
-        ).drop("op", "rw_timestamp")
-        return ins.exceptAll(dels)
-
     def _refresh_incremental_joinagg(self, state: MVState) -> bool:
         """N-way join delta → aggregated delta → group-wise merge —
         RETRACTION CAPABLE: UPDATE/DELETE on ANY base keeps the MV on
         the fast path. Insert deltas follow the telescoping rule
-        (Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁) over changelog FOLDS
-        (insert minus retraction bags, so mixed-op history is exact);
-        groups touched by a retracted join tuple — keys of
-        Σᵢ ever₀ ⋈ … ⋈ Δᵢ_del ⋈ … ⋈ everₙ₋₁, a cheap superset — are
-        re-aggregated from the post-batch folds and REPLACED via the
-        shared _merge_agg_delta retract rule (min/max exact too; an
-        emptied group emits Delete).
+        (Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁); groups touched by a
+        retracted join tuple — keys of each side's deleted rows joined
+        against the other sides' (current ∪ just-deleted) rows, a
+        cheap superset — are re-aggregated from the post-batch state
+        and REPLACED via the shared _merge_agg_delta retract rule
+        (min/max exact too; an emptied group emits Delete).
 
-        Cost: O(Σᵢ Δᵢ ⋈ other sides) for the deltas; delete epochs add
-        the touched-group re-aggregation — when every GROUP BY key
-        comes from ONE join side (the star-schema norm), that side's
-        fold is semi-restricted to the touched keys BEFORE the join,
-        so the re-agg join output is only the touched groups' tuples.
+        SCALE DESIGN: partner-side relations are pinned TABLE
+        snapshots, never changelog folds — the table IS the fold of
+        all published epochs (every publication swaps table +
+        changelog under one lock), so cost is O(table), not
+        O(history); pre-batch state is recovered algebraically as
+        table − Δins + Δdel. Terms whose Δᵢ is empty are SKIPPED
+        OUTRIGHT and their partner tables never pinned or scanned: the
+        common fact-only flush touches the fact delta and the (small)
+        dimension tables only. When every GROUP BY key comes from ONE
+        join side (the star-schema norm), the retraction re-agg
+        semi-restricts that side to the touched keys BEFORE the join.
 
-        Same vacuum guard as the plain join path (full-history
-        provenance: ANY vacuumed prefix demotes)."""
+        Vacuum guard: only the un-consumed delta suffix comes from the
+        changelog, so the demotion rule is floor > last_epoch (same as
+        the single-table agg path) — and the re-arm probe recovers the
+        fast path at the next refresh.
+
+        The publish lock is held for the WHOLE refresh (re-entrant):
+        partner tables are read lazily with no snapshot copies, and
+        stay consistent because every publication path acquires the
+        same lock."""
+        with self._lock:
+            return self._refresh_incremental_joinagg_locked(state)
+
+    def _refresh_incremental_joinagg_locked(self, state: MVState) -> bool:
         incja = state.inc_joinagg
         spark = self.spark
         fq = state.fq
         n = len(incja["sides"])
-        cls = [self.changelog_name(b) for b, _ in incja["sides"]]
+        bases = [b for b, _ in incja["sides"]]
+        cls = [self.changelog_name(b) for b in bases]
+        last = state.last_epoch
         with self._lock:
-            if any(self.vacuum_floor.get(cl, 0) > 0 for cl in cls):
-                state.inc_joinagg = None
-                state.fastpath_blocked = True  # history gone for good
+            if any(self.vacuum_floor.get(cl, 0) > last for cl in cls):
+                state.inc_joinagg = None  # unconsumed epochs vacuumed
                 return False
             for cl in cls:
                 spark.catalog.refreshTable(cl)
@@ -2785,75 +2845,108 @@ class SparkEngine:
             m1 = max(
                 lg.agg(F.max("rw_timestamp")).first()[0] or 0 for lg in logs
             )
-            if m1 <= state.last_epoch:
+            if m1 <= last:
                 self.next_epoch()
                 return True
-            logs = [
-                lg.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                    eager=True
-                )
+            # Pin the delta slices (cheap — footer stats + epoch
+            # partitions prune the scan to the new epochs).
+            deltas = [
+                lg.filter(
+                    (F.col("rw_timestamp") > last)
+                    & (F.col("rw_timestamp") <= m1)
+                ).localCheckpoint(eager=True)
                 for lg in logs
             ]
-        last = state.last_epoch
-        deltas = [lg.filter(F.col("rw_timestamp") > last) for lg in logs]
-        del_rows = [
-            d.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
-                "op", "rw_timestamp"
-            )
-            for d in deltas
-        ]
-        has_del = any(dr.limit(1).count() > 0 for dr in del_rows)
-
-        def ins_rows(df: DataFrame) -> DataFrame:
-            return df.filter(
-                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
-            ).drop("op", "rw_timestamp")
-
+            ins_rows = [
+                d.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)).drop(
+                    "op", "rw_timestamp"
+                )
+                for d in deltas
+            ]
+            del_rows = [
+                d.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)).drop(
+                    "op", "rw_timestamp"
+                )
+                for d in deltas
+            ]
+            has_ins = [not r.isEmpty() for r in ins_rows]
+            has_del_i = [not r.isEmpty() for r in del_rows]
+            has_del = any(has_del_i)
+        # (The enclosing wrapper still holds the lock — tables below
+        # are read lazily, no snapshot copies, consistent through
+        # publication.) Expose only the sides some term actually
+        # reads: all sides when retracting, otherwise the partners of
+        # sides with a non-empty insert delta.
+        need = set()
+        if has_del:
+            need = set(range(n))
+        else:
+            for i in range(n):
+                if has_ins[i]:
+                    need |= {j for j in range(n) if j != i}
+        tabs: dict[int, DataFrame] = {}
+        for j in sorted(need):
+            spark.catalog.refreshTable(bases[j])
+            tabs[j] = spark.table(bases[j])
         tag = "_".join(_split_fq(fq))
-        # Per-side views: Δᵢ inserts, pre-batch (old) fold, post-batch
-        # (new) fold. New folds are checkpointed — they feed up to n-1
-        # delta terms plus the retraction re-aggregation.
         v_dins = [f"__rw_ja_d{i}_{tag}" for i in range(n)]
         v_old = [f"__rw_ja_o{i}_{tag}" for i in range(n)]
         v_new = [f"__rw_ja_n{i}_{tag}" for i in range(n)]
-        new_folds = [
-            self._fold_rows(lg).localCheckpoint(eager=True) for lg in logs
-        ]
+        made: list[str] = []
         for i in range(n):
-            ins_rows(deltas[i]).createOrReplaceTempView(v_dins[i])
-            self._fold_rows(
-                logs[i].filter(F.col("rw_timestamp") <= last)
-            ).createOrReplaceTempView(v_old[i])
-            new_folds[i].createOrReplaceTempView(v_new[i])
+            if has_ins[i]:
+                ins_rows[i].createOrReplaceTempView(v_dins[i])
+                made.append(v_dins[i])
+            if i in tabs:
+                tabs[i].createOrReplaceTempView(v_new[i])
+                made.append(v_new[i])
+                # pre-batch state, algebraically: table − Δins + Δdel
+                old_i = tabs[i]
+                if has_ins[i]:
+                    old_i = old_i.exceptAll(ins_rows[i])
+                if has_del_i[i]:
+                    old_i = old_i.unionByName(del_rows[i])
+                old_i.createOrReplaceTempView(v_old[i])
+                made.append(v_old[i])
         retract = None
         v_delta = f"__rw_ja_delta_{tag}"
         try:
-            # Telescoping delta: Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁ —
-            # exact for the insert part of the batch; each term is
-            # O(Δᵢ ⋈ dims) with the fact-side delta joined only once.
+            # Telescoping delta over the NON-EMPTY insert sides only.
             join_delta = None
             for i in range(n):
+                if not has_ins[i]:
+                    continue
                 term_views = v_new[:i] + [v_dins[i]] + v_old[i + 1:]
                 term = spark.sql(self._incja_join_stmt(incja, term_views))
                 join_delta = (
                     term if join_delta is None
                     else join_delta.unionByName(term)
                 )
-            join_delta = join_delta.localCheckpoint(eager=True)
-            join_delta.createOrReplaceTempView(v_delta)
-            try:
-                dagg = spark.sql(
-                    self._incja_agg_stmt(incja, v_delta)
-                ).localCheckpoint(eager=True)
-            finally:
-                spark.catalog.dropTempView(v_delta)
+            if join_delta is None:
+                dagg = None
+            else:
+                join_delta = join_delta.localCheckpoint(eager=True)
+                join_delta.createOrReplaceTempView(v_delta)
+                try:
+                    dagg = spark.sql(
+                        self._incja_agg_stmt(incja, v_delta)
+                    ).localCheckpoint(eager=True)
+                finally:
+                    spark.catalog.dropTempView(v_delta)
             if has_del:
                 retract = self._joinagg_retract(
-                    incja, tag, logs, new_folds, del_rows
+                    incja, tag, tabs, del_rows, has_del_i
                 )
         finally:
-            for v in v_dins + v_old + v_new:
+            for v in made:
                 spark.catalog.dropTempView(v)
+        if dagg is None and retract is None:
+            state.last_epoch = m1
+            self.next_epoch()
+            return True
+        if dagg is None:
+            # delete-only batch: empty insert delta with the MV schema
+            dagg = spark.table(fq).limit(0)
         self._merge_agg_delta(state, incja, dagg, m1, retract)
         return True
 
@@ -2861,37 +2954,40 @@ class SparkEngine:
         self,
         incja: dict,
         tag: str,
-        logs: list[DataFrame],
-        new_folds: list[DataFrame],
+        tabs: dict[int, DataFrame],
         del_rows: list[DataFrame],
+        has_del_i: list[bool],
     ):
         """(touched_keys, re_agg) for an N-way join+agg refresh with
-        deletes. Touched groups come from the retracted-tuple SUPERSET
-        (each side's deleted rows joined against every row the other
-        sides EVER inserted — over-approximation is harmless: an
-        untouched group re-agg's to its stored value and emits
-        nothing)."""
+        deletes. Touched groups come from the retracted-tuple SUPERSET:
+        each side's deleted rows joined against the other sides'
+        (current table ∪ just-deleted) rows — the union covers every
+        partner counted in the stored result (pre-batch rows are
+        current or just-deleted) AND intra-batch insert+delete pairs.
+        Over-approximation is harmless: an untouched group re-agg's to
+        its stored value and emits nothing."""
         spark = self.spark
-        n = len(logs)
+        n = len(del_rows)
         aliases = [al for _, al in incja["sides"]]
 
-        def ever_rows(log: DataFrame) -> DataFrame:
-            return log.filter(
-                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
-            ).drop("op", "rw_timestamp")
+        def partner(i: int) -> DataFrame:
+            df = tabs[i]
+            if has_del_i[i]:
+                df = df.unionByName(del_rows[i]).distinct()
+            return df
 
         v_del = [f"__rw_jar_d{i}_{tag}" for i in range(n)]
-        v_ever = [f"__rw_jar_e{i}_{tag}" for i in range(n)]
+        v_prt = [f"__rw_jar_e{i}_{tag}" for i in range(n)]
         v_pairs = f"__rw_jar_p_{tag}"
         for i in range(n):
             del_rows[i].createOrReplaceTempView(v_del[i])
-            ever_rows(logs[i]).createOrReplaceTempView(v_ever[i])
+            partner(i).createOrReplaceTempView(v_prt[i])
         try:
             del_tuples = None
             for i in range(n):
-                if del_rows[i].isEmpty():
+                if not has_del_i[i]:
                     continue
-                term_views = v_ever[:i] + [v_del[i]] + v_ever[i + 1:]
+                term_views = v_prt[:i] + [v_del[i]] + v_prt[i + 1:]
                 term = spark.sql(self._incja_join_stmt(incja, term_views))
                 del_tuples = (
                     term if del_tuples is None
@@ -2908,13 +3004,14 @@ class SparkEngine:
             finally:
                 spark.catalog.dropTempView(v_pairs)
         finally:
-            for v in v_del + v_ever:
+            for v in v_del + v_prt:
                 spark.catalog.dropTempView(v)
 
-        # Re-aggregate touched groups from the post-batch folds. If all
-        # GROUP BY keys come from ONE join side, semi-restrict THAT
-        # side before the join (star-schema pushdown: the join output
-        # is then exactly the touched groups' tuples).
+        # Re-aggregate touched groups from the post-batch TABLE
+        # snapshots. If all GROUP BY keys come from ONE join side,
+        # semi-restrict THAT side before the join (star-schema
+        # pushdown: the join output is then exactly the touched
+        # groups' tuples).
         def side_of(flat: str) -> str | None:
             for al in aliases:
                 if flat.startswith(f"__{al}_"):
@@ -2922,7 +3019,7 @@ class SparkEngine:
             return None
 
         key_sides = {side_of(flat) for flat, _ in incja["key_map"]}
-        srcs = list(new_folds)
+        srcs = [tabs[i] for i in range(n)]
         single_side = len(key_sides) == 1 and None not in key_sides
         if single_side:
             al = next(iter(key_sides))
@@ -3043,23 +3140,25 @@ class SparkEngine:
             return None
         if not all(spark.catalog.tableExists(cl) for cl in cls):
             return None  # may appear after the first inserts
-        if any(self.vacuum_floor.get(cl, 0) > 0 for cl in cls):
-            # join paths need FULL history; a vacuumed prefix never
-            # comes back
-            state.fastpath_blocked = True
-            return None
+        # (No vacuum-floor condition: the join paths read only the
+        # delta suffix > last_epoch from the changelog, and re-arm
+        # pins last_epoch = current max — so even a fully vacuumed
+        # history is fine. This is what makes a vacuum demotion a
+        # one-flush fallback rather than permanent.)
         with self._lock:
             for cl in cls:
                 spark.catalog.refreshTable(cl)
-            logs0 = [
-                spark.table(cl).localCheckpoint(eager=True) for cl in cls
-            ]
             m0j = max(
-                lg.agg(F.max("rw_timestamp")).first()[0] or 0 for lg in logs0
+                spark.table(cl).agg(F.max("rw_timestamp")).first()[0] or 0
+                for cl in cls
             )
-        views = [f"__rw_rearm_s{i}_{tag}" for i in range(len(logs0))]
-        for lg, v in zip(logs0, views):
-            self._fold_rows(lg).createOrReplaceTempView(v)
+            snaps0 = []
+            for b in bases:
+                spark.catalog.refreshTable(b)
+                snaps0.append(spark.table(b).localCheckpoint(eager=True))
+        views = [f"__rw_rearm_s{i}_{tag}" for i in range(len(snaps0))]
+        for sn, v in zip(snaps0, views):
+            sn.createOrReplaceTempView(v)
         try:
             if incj is not None:
                 df = spark.sql(
@@ -3382,11 +3481,18 @@ class SparkEngine:
         row = eps.agg(
             F.min(F.when(alive, F.col("rw_timestamp"))).alias("keep_from"),
             F.min(F.when(~alive, F.col("rw_timestamp"))).alias("first_expired"),
+            F.max(F.col("rw_timestamp")).alias("max_ep"),
         ).first()
         if row["first_expired"] is None:
             return  # nothing older than the retained window
+        # When EVERY epoch expires, the truncated prefix ends at the
+        # changelog's own max epoch — not the global counter, which
+        # may be far ahead (other objects' publications) and would
+        # overstate the floor, demoting MVs whose last consumed epoch
+        # is below the counter but at-or-above everything dropped.
         keep_from = (
-            row["keep_from"] if row["keep_from"] is not None else self._epoch + 1
+            row["keep_from"] if row["keep_from"] is not None
+            else row["max_ep"] + 1
         )
         if row["first_expired"] >= keep_from:
             # Expired epochs sit at/above the first survivor:

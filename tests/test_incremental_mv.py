@@ -406,11 +406,14 @@ def test_incremental_left_join_matches_snapshot_diff(spark):
     assert run(disable_fast=False) == run(disable_fast=True)
 
 
-def test_join_mv_demotes_after_base_vacuum(spark):
-    """ANY vacuum of a base changelog demotes the join fast path: it
-    reconstructs both tables from FULL changelog history, so a floor
-    > 0 (even below last_epoch) would silently corrupt the join —
-    the refresh must fall back to snapshot-diff and stay correct."""
+def test_join_mv_survives_consumed_vacuum_demotes_on_unconsumed(spark):
+    """Vacuum semantics for the join fast path (weakened in round 3:
+    partner state comes from pinned table snapshots, so only the
+    un-consumed delta suffix is read from the changelog): a floor ≤
+    last_epoch is harmless and the fast path SURVIVES; vacuuming
+    epochs the MV has not consumed yet demotes for ONE flush
+    (snapshot-diff stays correct), after which the re-arm probe
+    recovers the fast path."""
     import uuid
 
     import pandas as pd
@@ -430,17 +433,44 @@ def test_join_mv_demotes_after_base_vacuum(spark):
     st = rw.engine.mvs[f"public.{mv}"]
     assert st.inc_join is not None
 
-    # retention-0 subscription on the RIGHT base + vacuum → floor > 0
+    # retention-0 subscription on the RIGHT base + vacuum → floor > 0,
+    # but every vacuumed epoch was already consumed (≤ last_epoch)
     rw.execute(f"CREATE SUBSCRIPTION vjt_s_{tag} FROM {u} WITH (retention = '0s')")
     rw.engine.vacuum_changelogs()
-    assert rw.engine.vacuum_floor.get(f"public.__rw_changelog__{u}", 0) > 0
+    floor = rw.engine.vacuum_floor.get(f"public.__rw_changelog__{u}", 0)
+    assert 0 < floor <= st.last_epoch
 
-    # next flush demotes instead of merging against truncated history
+    # fast path SURVIVES a consumed-prefix vacuum and stays exact
     rw.insert(pd.DataFrame({"uid": [2], "amt": [20.0]}),
               table_name=o, force_flush=True)
-    assert st.inc_join is None
+    assert st.inc_join is not None, "consumed-prefix vacuum must not demote"
     assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
         (1, "a", 10.0), (2, "b", 20.0)]
+
+    # now vacuum UN-consumed epochs: insert into u (epoch > last seen
+    # by the MV — no flush), vacuum everything, then flush. The fast
+    # path demotes (truncated delta), the SAME refresh falls back to
+    # snapshot-diff AND the re-arm probe recovers the fast path from a
+    # fresh induction base — all in one flush, results exact.
+    rw.engine.insert_df(
+        u, spark.createDataFrame([(3, "c")], "uid bigint, name string")
+    )
+    rw.engine.vacuum_changelogs()
+    assert rw.engine.vacuum_floor.get(
+        f"public.__rw_changelog__{u}", 0
+    ) > st.last_epoch
+    rw.execute("FLUSH")
+    assert st.inc_join is not None, "same-flush re-arm must recover"
+    assert not st.fastpath_blocked
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (1, "a", 10.0), (2, "b", 20.0)]
+
+    # ...and subsequent DML runs incrementally against the new base
+    rw.insert(pd.DataFrame({"uid": [3], "amt": [30.0]}),
+              table_name=o, force_flush=True)
+    assert st.inc_join is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)]
 
     rw.execute(f"DROP SUBSCRIPTION vjt_s_{tag}")
     rw.execute(f"DROP MATERIALIZED VIEW {mv}")

@@ -468,3 +468,156 @@ def test_plain_join_fast_path_matches_model_under_dml(rw, ops):
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         rw.execute(f"DROP TABLE IF EXISTS {tag}_f")
         rw.execute(f"DROP TABLE IF EXISTS {tag}_d")
+
+
+# ---------------------------------------------------------------------------
+# 3-way star join+agg retraction property: DML on fact and both dims
+# ---------------------------------------------------------------------------
+
+_PIDS = [10, 11]
+_CATS = ["x", "y"]
+
+_s3fact_ins = st.tuples(
+    st.just("fact_ins"), st.sampled_from(_UIDS), st.sampled_from(_PIDS),
+    st.integers(0, 9),
+)
+_s3dimu_ins = st.tuples(
+    st.just("dimu_ins"), st.sampled_from(_UIDS), st.sampled_from(_REGIONS)
+)
+_s3dimp_ins = st.tuples(
+    st.just("dimp_ins"), st.sampled_from(_PIDS), st.sampled_from(_CATS)
+)
+_s3fact_del = st.tuples(st.just("fact_del"), st.sampled_from(_UIDS))
+_s3dimu_del = st.tuples(st.just("dimu_del"), st.sampled_from(_REGIONS))
+_s3dimp_del = st.tuples(st.just("dimp_del"), st.sampled_from(_CATS))
+
+_star3_ops_seq = st.lists(
+    st.one_of(_s3fact_ins, _s3dimu_ins, _s3dimp_ins,
+              _s3fact_del, _s3dimu_del, _s3dimp_del),
+    min_size=2, max_size=4,
+)
+
+
+def _expected_star3(fact, dimu, dimp) -> Counter:
+    agg: dict = {}
+    for fuid, fpid, qty in fact:
+        for duid, region in dimu:
+            if duid != fuid:
+                continue
+            for dpid, cat in dimp:
+                if dpid != fpid:
+                    continue
+                a = agg.setdefault((region, cat), [0, 0])
+                a[0] += qty
+                a[1] += 1
+    return Counter((r, c, t, n) for (r, c), (t, n) in agg.items())
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_star3_ops_seq)
+def test_star3_fast_path_matches_model_under_dml(rw, ops):
+    """3-way star join+agg IVM under random DML on the fact and BOTH
+    dimensions: stays on the fast path, equals recompute AND the
+    Python bag-join model, changelog replays to the MV state."""
+    tag = f"t_ps3_{next(_ids)}"
+    fact: list = []
+    dimu: list = []
+    dimp: list = []
+    rw.execute(f"CREATE TABLE {tag}_f (uid BIGINT, pid BIGINT, qty BIGINT)")
+    rw.execute(f"CREATE TABLE {tag}_u (uid BIGINT, region STRING)")
+    rw.execute(f"CREATE TABLE {tag}_p (pid BIGINT, cat STRING)")
+    rw.mv(
+        stmt=(
+            f"SELECT u.region AS region, p.cat AS cat, sum(f.qty) AS total, "
+            f"count(*) AS n "
+            f"FROM {tag}_f f JOIN {tag}_u u ON f.uid = u.uid "
+            f"JOIN {tag}_p p ON f.pid = p.pid "
+            f"GROUP BY u.region, p.cat"
+        ),
+        name=f"{tag}_mv",
+    )
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc_joinagg is not None
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM public.{tag}_mv "
+        "WITH (retention = '86400s')"
+    )
+    rw.execute(f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0")
+    try:
+        for op in ops:
+            if op[0] == "fact_ins":
+                _, uid, pid, qty = op
+                rw.insert(
+                    data=pd.DataFrame({"uid": [uid], "pid": [pid], "qty": [qty]}),
+                    table_name=f"{tag}_f", force_flush=True,
+                )
+                fact.append((uid, pid, qty))
+            elif op[0] == "dimu_ins":
+                _, uid, region = op
+                rw.insert(
+                    data=pd.DataFrame({"uid": [uid], "region": [region]}),
+                    table_name=f"{tag}_u", force_flush=True,
+                )
+                dimu.append((uid, region))
+            elif op[0] == "dimp_ins":
+                _, pid, cat = op
+                rw.insert(
+                    data=pd.DataFrame({"pid": [pid], "cat": [cat]}),
+                    table_name=f"{tag}_p", force_flush=True,
+                )
+                dimp.append((pid, cat))
+            elif op[0] == "fact_del":
+                _, uid = op
+                rw.execute(f"DELETE FROM {tag}_f WHERE uid = {uid}")
+                fact = [r for r in fact if r[0] != uid]
+            elif op[0] == "dimu_del":
+                _, region = op
+                rw.execute(f"DELETE FROM {tag}_u WHERE region = '{region}'")
+                dimu = [r for r in dimu if r[1] != region]
+            else:
+                _, cat = op
+                rw.execute(f"DELETE FROM {tag}_p WHERE cat = '{cat}'")
+                dimp = [r for r in dimp if r[1] != cat]
+        rw.execute("FLUSH")
+        assert st_mv.inc_joinagg is not None, (
+            "DML sequence must not demote the 3-way star MV"
+        )
+
+        mv_rows = Counter(tuple(r) for r in rw.fetch(f"SELECT * FROM {tag}_mv"))
+        recomputed = Counter(
+            tuple(r)
+            for r in rw.fetch(
+                f"SELECT u.region AS region, p.cat AS cat, sum(f.qty) AS total, "
+                f"count(*) AS n "
+                f"FROM {tag}_f f JOIN {tag}_u u ON f.uid = u.uid "
+                f"JOIN {tag}_p p ON f.pid = p.pid "
+                f"GROUP BY u.region, p.cat"
+            )
+        )
+        assert mv_rows == recomputed == _expected_star3(fact, dimu, dimp)
+
+        _, ch = rw.engine.fetch_cursor(f"{tag}_cur", 100000)
+        replayed: Counter = Counter()
+        last_epoch = -1
+        for row in ch:
+            *vals, op_name, epoch = row
+            assert epoch >= last_epoch
+            last_epoch = epoch
+            key = tuple(vals)
+            if op_name in ("Insert", "UpdateInsert"):
+                replayed[key] += 1
+            else:
+                assert op_name in ("Delete", "UpdateDelete"), op_name
+                replayed[key] -= 1
+                if replayed[key] == 0:
+                    del replayed[key]
+        assert replayed == mv_rows
+    finally:
+        rw.engine.drop_subscription(f"{tag}_sub")
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        for t in (f"{tag}_f", f"{tag}_u", f"{tag}_p"):
+            rw.execute(f"DROP TABLE IF EXISTS {t}")

@@ -6,7 +6,7 @@ flush cost tracks the DELTA (+ touched groups), not the base size —
 so the fast/snapshot gap must widen roughly linearly with base rows,
 for inserts AND for retraction (UPDATE/DELETE) batches.
 
-Method: load k × 100k rows of a lineitem-derived fact into an engine
+Method: load k × 100k synthetic fact rows (100 groups) into an engine
 table (one bulk insert), create agg / join+agg MVs, then time
   - a 100-row insert flush,
   - an UPDATE flush touching ONE group (retraction path),
@@ -30,10 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = "/root/testdata/sf0.1"
 
 
-def probe(spark, k: int) -> dict:
+def probe(spark, k: int, groups: int = 100) -> dict:
     from pyspark.sql import functions as F
 
-    from risingwave_py_spark.catalog import table
     from risingwave_py_spark.core import RisingWaveConnection
     from risingwave_py_spark.engine import SparkEngine
 
@@ -46,15 +45,14 @@ def probe(spark, k: int) -> dict:
     eng = SparkEngine(spark=spark, default_schema=schema)
     conn = RisingWaveConnection(eng)
 
-    li = table(spark, BASE, "lineitem").limit(100_000 * k)
-    fact = li.select(
-        F.col("l_orderkey").alias("k"),
-        (F.col("l_partkey") % 100).alias("g"),
-        F.col("l_quantity").cast("bigint").alias("v"),
+    fact = spark.range(100_000 * k).select(
+        F.col("id").alias("k"),
+        (F.col("id") % groups).alias("g"),
+        (F.col("id") % 50).alias("v"),
     )
     eng.insert_df("fact", fact, schema_name=schema)
     conn.execute("FLUSH")
-    dim_rows = spark.range(100).select(
+    dim_rows = spark.range(groups).select(
         F.col("id").alias("g"), F.concat(F.lit("grp"), F.col("id")).alias("name")
     )
     eng.insert_df("dim", dim_rows, schema_name=schema)
@@ -83,7 +81,7 @@ def probe(spark, k: int) -> dict:
         conn.execute("FLUSH")
         return time.monotonic() - t0
 
-    out: dict = {"k": k, "base_rows": n_rows}
+    out: dict = {"k": k, "base_rows": n_rows, "groups": groups}
 
     def one_round(label: str) -> None:
         conn.insert(
@@ -112,6 +110,7 @@ def probe(spark, k: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,8")
+    ap.add_argument("--groups", type=int, default=100)
     args = ap.parse_args()
 
     from risingwave_py_spark.session import build_session
@@ -119,7 +118,7 @@ def main() -> None:
     spark = build_session()
     rows = []
     for k in [int(s) for s in args.scales.split(",")]:
-        r = probe(spark, k)
+        r = probe(spark, k, args.groups)
         rows.append(r)
         print(json.dumps(r), flush=True)
     print("\n| base rows | insert fast | insert snap | update fast | update snap |")
