@@ -53,11 +53,11 @@ def load_all() -> None:
 # The driver's correctness gate samples the FIRST 50 queries in the
 # order ``__spark_entry__.queries()`` yields them. Round 1 sampled its
 # first 50, round 2 the (different) PRIORITY 50 — cumulative driver
-# coverage 100/157. Round 3 rotates the window a third time: every
+# coverage 100/160. Round 3 rotates the window a third time: every
 # query that has NEVER had a driver CORRECTNESS row sorts first (the
 # OVER-window/analytic battery, the text/sampling suite, the
 # embeddings/ANN remainder, multimodal, and this round's new
-# retraction scenario), so cumulative coverage reaches ~150/157. The
+# retraction scenario), so cumulative coverage reaches ~150/160. The
 # local verify sweep (tools/verify_queries.py) remains the backstop
 # for everything.
 PRIORITY: list[str] = [
