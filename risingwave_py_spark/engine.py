@@ -1505,11 +1505,13 @@ class SparkEngine:
     # table. The single-table agg path is RETRACTION-CAPABLE: delete/
     # update deltas re-aggregate only the touched groups from the base
     # table (see _refresh_incremental), so arbitrary DML keeps the MV
-    # on the fast path. A vacuumed unconsumed delta epoch or any
-    # unexpected error demotes to the snapshot-diff path (full
-    # recompute), which remains the general-SQL fallback. The JOIN
-    # fast paths remain append-only (their delta rules need join-side
-    # multiplicity accounting for deletes; non-insert deltas demote).
+    # on the fast path. The JOIN and join+agg fast paths are also
+    # retraction-capable: a batch containing deletes takes the
+    # touched-key recompute + bag-diff branch (_join_retract_refresh /
+    # _joinagg_retract) instead of demoting. A vacuumed unconsumed
+    # delta epoch (changelog floor > last_epoch) or any unexpected
+    # error still demotes to the snapshot-diff path (full recompute),
+    # which remains the general-SQL fallback.
 
     _INC_BLOCKERS = re.compile(
         r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
@@ -2036,12 +2038,17 @@ class SparkEngine:
                 cond = e if cond is None else (cond & e)
             return s.join(probe, cond, "left_semi")
 
+        # Pre-batch bag = (post-batch ∪ Δdel) − Δins, in THAT order:
+        # a row value inserted and deleted within the same batch has
+        # ins-count > post-batch count, so subtracting Δins first
+        # would under-subtract (exceptAll floors at zero) and leave a
+        # phantom pre-batch row behind.
         a_old = restrict(
-            ts_a.exceptAll(da_ins).unionByName(da_del), a_keys
+            ts_a.unionByName(da_del).exceptAll(da_ins), a_keys
         )
         a_new = restrict(ts_a, a_keys)
         b_old = restrict(
-            ts_b.exceptAll(db_ins).unionByName(db_del), b_keys
+            ts_b.unionByName(db_del).exceptAll(db_ins), b_keys
         )
         b_new = restrict(ts_b, b_keys)
         tag = "_".join(_split_fq(fq))
@@ -2900,12 +2907,17 @@ class SparkEngine:
             if i in tabs:
                 tabs[i].createOrReplaceTempView(v_new[i])
                 made.append(v_new[i])
-                # pre-batch state, algebraically: table − Δins + Δdel
+                # pre-batch state, algebraically: (table + Δdel) − Δins
+                # — union the deletes back BEFORE subtracting inserts
+                # so a same-batch insert/delete/re-insert of one value
+                # (ins-count > post-batch count) still subtracts fully;
+                # exceptAll floors at zero, so the other order leaves a
+                # phantom pre-batch row.
                 old_i = tabs[i]
-                if has_ins[i]:
-                    old_i = old_i.exceptAll(ins_rows[i])
                 if has_del_i[i]:
                     old_i = old_i.unionByName(del_rows[i])
+                if has_ins[i]:
+                    old_i = old_i.exceptAll(ins_rows[i])
                 old_i.createOrReplaceTempView(v_old[i])
                 made.append(v_old[i])
         retract = None

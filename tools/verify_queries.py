@@ -23,6 +23,74 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def pandas_cell(v) -> str:
+    """Normalize one pandas-path cell (Spark df.toPandas() / DuckDB
+    .df()) to the canonical string a value-level driver hasher would
+    agree on across both engines.
+
+    Calibrated against three rounds of driver CORRECTNESS rows:
+    int32-vs-int64, ns-vs-us timestamps, and date-vs-midnight-
+    timestamp columns were all driver-GREEN (so they normalize equal
+    here), while DuckDB HUGEINT→float64 ("9926.0" vs "9926") and
+    Spark DECIMAL→object(Decimal) ("123.40" vs "123.4") were driver
+    hash-RED — both stay UNEQUAL under this normalization, so a local
+    pass implies a driver pass for every divergence class observed."""
+    import decimal
+
+    if v is None:
+        return "NULL"
+    # numpy scalar → python scalar (kills int32/int64, bool_ wrappers)
+    if hasattr(v, "item") and getattr(v, "ndim", 1) == 0:
+        v = v.item()
+    if isinstance(v, (list, tuple)) or (
+        hasattr(v, "tolist") and getattr(v, "ndim", 0) >= 1
+    ):
+        return "[" + ",".join(pandas_cell(x) for x in list(v)) + "]"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # deliberately != repr(float) — driver-red class
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, dt.datetime):  # incl. pd.Timestamp; NaT handled below
+        return v.replace(tzinfo=None).isoformat(timespec="microseconds")
+    if isinstance(v, dt.date):
+        # a DATE column may come back as TIMESTAMP-at-midnight from
+        # the other engine's pandas conversion — observed driver-green
+        return dt.datetime(v.year, v.month, v.day).isoformat(
+            timespec="microseconds"
+        )
+    if v != v:  # pd.NaT / other NaN-likes
+        return "NULL"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def pandas_repr_problems(pdf, odf) -> list[str]:
+    """Compare the two results through the PANDAS path (the driver's
+    apparent representation), cell-normalized by :func:`pandas_cell`.
+    Catches representation divergences the collect()/fetchall() hash
+    can't see while staying green on every pattern the real driver
+    has accepted."""
+    out: list[str] = []
+    if sorted(pdf.columns) != sorted(odf.columns):
+        return [f"pandas cols {sorted(pdf.columns)} != {sorted(odf.columns)}"]
+    cols = sorted(pdf.columns)
+    rows_s = sorted(
+        "\x1f".join(pandas_cell(r[c]) for c in cols) for _, r in pdf.iterrows()
+    )
+    rows_o = sorted(
+        "\x1f".join(pandas_cell(r[c]) for c in cols) for _, r in odf.iterrows()
+    )
+    for x, y in zip(rows_s, rows_o):
+        if x != y:
+            out.append(f"pandas row diff: {x[:120]} != {y[:120]}")
+            if len(out) >= 3:
+                break
+    return out
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
@@ -59,6 +127,10 @@ def main() -> int:
         "--repeat", type=int, default=1,
         help="run the sweep N times in ONE Spark session (session-reuse flakes)",
     )
+    ap.add_argument(
+        "--no-pandas", dest="pandas", action="store_false", default=True,
+        help="skip the strict pandas-path (driver-representation) check",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -92,6 +164,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        dec_cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        ]
         el = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows (no oracle) [{el:.1f}s]")
@@ -106,6 +182,13 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        if dec_cols:
+            # Spark DECIMAL lands in pandas as object(decimal.Decimal)
+            # while DuckDB DECIMAL lands as float64 — a driver that
+            # compares through pandas sees a representation mismatch
+            # even when values are identical (the window_filtered_agg
+            # r3 red). Registry rule: CAST to DOUBLE on both sides.
+            problems.append(f"spark DECIMAL output cols (cast to DOUBLE): {dec_cols}")
         # DuckDB HUGEINT (e.g. SUM over integers) becomes float64 via
         # pandas on the driver side while Spark emits int64 — invisible
         # to fetchall() (both give Python int) but a driver hash fail.
@@ -121,6 +204,13 @@ def main() -> int:
             problems.append(f"cols spark={sorted(cols)} oracle={sorted(ocols)}")
         if len(rows) != len(orows):
             problems.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
+        if not problems and args.pandas:
+            try:
+                pdf = df.toPandas()
+                odf = con.execute(oracles[name]).df()
+                problems.extend(pandas_repr_problems(pdf, odf))
+            except Exception as e:  # noqa: BLE001
+                problems.append(f"pandas-path error: {e}")
         if not problems:
             hs, ho = table_digest(cols, rows), table_digest(ocols, orows)
             if hs != ho:
