@@ -541,7 +541,13 @@ class SparkEngine:
         def j(d: dict) -> dict:
             return {k: scalarize(v) for k, v in d.items()}
 
+        # Monotonic persist stamp: restore picks the candidate doc
+        # (live catalog or any leftover stage) with the HIGHEST stamp,
+        # never "whatever listTables yields first". Seeded from the
+        # restored doc at startup so it keeps rising across restarts.
+        self._persist_seq = getattr(self, "_persist_seq", 0) + 1
         doc = {
+            "persist_seq": self._persist_seq,
             "epoch": self._epoch,
             "mvs": {
                 fq: {
@@ -576,23 +582,61 @@ class SparkEngine:
             # Stage-then-swap: the new doc is fully committed to a
             # staging table BEFORE the live catalog is touched, so a
             # crash at any point leaves a readable doc (either the old
-            # catalog, or — in the drop→rename window — the staged one,
-            # which _restore_catalog falls back to).
-            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
-            self._clear_stale_location(stage)
-            df.write.format("parquet").saveAsTable(stage)
-            try:
-                self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
-                # a prior PROCESS may have left the data dir behind
-                # while this session's catalog has no such table
-                self._clear_stale_location(cat)
-                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
-            except Exception:  # noqa: BLE001 — another engine won the
-                # swap between our drop and rename; replace its doc
-                self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
-                self._clear_stale_location(cat)
-                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+            # catalog, or — in the drop→rename window — the staged one;
+            # _restore_catalog picks the highest-stamped readable doc).
+            for _attempt in range(3):
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                self._clear_stale_location(stage)
+                df.write.format("parquet").saveAsTable(stage)
+                try:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                    # a prior PROCESS may have left the data dir behind
+                    # while this session's catalog has no such table
+                    self._clear_stale_location(cat)
+                    self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+                    break
+                except Exception:  # noqa: BLE001 — another engine won
+                    # the swap between our drop and rename (or GC'd our
+                    # stage as superseded); replace, re-staging if gone
+                    if not self.spark.catalog.tableExists(stage):
+                        continue  # stage vanished — rebuild and retry
+                    self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                    self._clear_stale_location(cat)
+                    self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
+                    break
             self.spark.catalog.refreshTable(cat)
+            self._gc_foreign_stages(cat, doc["persist_seq"])
+
+    def _gc_foreign_stages(
+        self, cat_fq: str, installed_seq: int, keep: str | None = None
+    ) -> None:
+        """Drop leftover stage tables from OTHER engines whose doc is
+        superseded by the stamp just installed. Stages with a higher
+        stamp (a concurrent engine about to win the swap),
+        in-flight/unreadable stages, and ``keep`` (the stage a restore
+        just read the newest doc from) are left alone. Normally there
+        are zero foreign stages, so this is one listTables probe."""
+        import json
+
+        try:
+            db, tbl = _split_fq(cat_fq)
+            mine = f"{tbl}stage_{getattr(self, '_engine_tag', None)}__"
+            for t in self.spark.catalog.listTables(db):
+                if not t.name.startswith(tbl + "stage_") or t.name == mine:
+                    continue
+                stage_fq = f"{db}.{t.name}"
+                if keep is not None and stage_fq == keep:
+                    continue
+                try:
+                    rows = self.spark.table(stage_fq).limit(1).collect()
+                    d = json.loads(rows[0][0]) if rows else {}
+                    seq = int(d.get("persist_seq", d.get("epoch", 0)))
+                except Exception:  # noqa: BLE001 — in-flight: keep
+                    continue
+                if seq <= installed_seq:
+                    self.spark.sql(f"DROP TABLE IF EXISTS {stage_fq}")
+        except Exception:  # noqa: BLE001 — GC is best-effort
+            pass
 
     def _restore_catalog(self) -> None:
         """Rehydrate the engine catalog from a previous engine's
@@ -605,32 +649,45 @@ class SparkEngine:
         import json
 
         fq = self._catalog_fq()
-        rows = None
         # The persist path stages then swaps; a crash in the
-        # drop→rename window leaves only a staged doc — fall back to
-        # any stage table a dead engine left behind.
-        cands = [fq]
+        # drop→rename window leaves only a staged doc. Read EVERY
+        # readable candidate (live catalog + any stage a dead engine
+        # left) and restore the HIGHEST persist_seq stamp —
+        # listTables order is arbitrary, and a stage from a long-dead
+        # engine must never shadow the newest doc.
+        stage_cands: list[str] = []
         try:
             _db, _tbl = _split_fq(fq)
-            cands += [
+            stage_cands = [
                 f"{_db}.{t.name}"
                 for t in self.spark.catalog.listTables(_db)
                 if t.name.startswith(_tbl + "stage_")
             ]
         except Exception:  # noqa: BLE001 — no schema yet = fresh start
             pass
-        for cand in cands:
+        doc, best_seq, winner = None, -1, None
+        for cand in [fq] + stage_cands:
             try:
                 if not self.spark.catalog.tableExists(cand):
                     continue
                 rows = self.spark.table(cand).limit(1).collect()
-                if rows:
-                    break
+                if not rows:
+                    continue
+                d = json.loads(rows[0][0])
             except Exception:  # noqa: BLE001 — unreadable = try next
                 continue
-        if not rows:
+            seq = int(d.get("persist_seq", d.get("epoch", 0)))
+            if seq > best_seq:  # strict >: the live catalog wins ties
+                doc, best_seq, winner = d, seq, cand
+        if doc is None:
             return
-        doc = json.loads(rows[0][0])
+        # Keep the stamp rising across restarts, then GC the
+        # now-superseded stages so they never shadow a future restore.
+        # The winner itself is protected: if the newest doc lives ONLY
+        # in a crashed engine's stage, dropping it before this engine
+        # re-persists would lose the catalog to a crash right here.
+        self._persist_seq = max(getattr(self, "_persist_seq", 0), best_seq)
+        self._gc_foreign_stages(fq, best_seq, keep=winner)
         for mv_fq, m in doc.get("mvs", {}).items():
             if self.spark.catalog.tableExists(mv_fq):
                 self.mvs[mv_fq] = MVState(
@@ -692,6 +749,12 @@ class SparkEngine:
         # epoch, which by definition exists in a changelog and is
         # covered by max_epoch.
         self._epoch = max(self._epoch, max_epoch, int(doc.get("epoch", 0)))
+        if winner != fq:
+            # The newest doc was recovered from a crashed engine's
+            # stage: re-commit it to the live catalog immediately —
+            # that persist (stamped best_seq+1) also GCs the crashed
+            # stage once the doc is safely swapped in.
+            self._persist_catalog()
 
     def show_create(self, name: str, schema_name: str | None = None):
         """``SHOW CREATE TABLE|MATERIALIZED VIEW|SOURCE|SINK x`` —
@@ -1996,7 +2059,10 @@ class SparkEngine:
         inserts and retractions alike — before and after the batch,
         and bag-diff the two restrictions. Both sides' state comes
         from the pinned TABLE snapshots (post-batch), with pre-batch
-        state recovered algebraically as table − Δins + Δdel — O(table
+        state recovered algebraically as (table + Δdel) − Δins, in
+        THAT order (union the deletes back BEFORE subtracting the
+        inserts — same-batch insert+delete of one value otherwise
+        under-subtracts, leaving a phantom pre-batch row) — O(table
         + delta), never O(changelog history).
 
         Exact for INNER/LEFT/FULL: an equi-join output row's existence
@@ -3458,6 +3524,23 @@ class SparkEngine:
                 continue
             with self._lock:
                 self._vacuum_one(sub, cl)
+        # Prune wall stamps nothing can consult anymore: an epoch at or
+        # below EVERY subscribed changelog's vacuum floor has been
+        # truncated out of each changelog that decides expiry by stamp,
+        # so its entry only grows driver memory and the persisted
+        # catalog doc (rewritten after every DDL) without bound.
+        # Unsubscribed changelogs never vacuum, hence never consult
+        # stamps; a later subscription sees pre-prune epochs as
+        # unknown-age = young, which over-retains but never destroys.
+        subbed = {
+            self.changelog_name(s["rel"]) for s in self.subscriptions.values()
+        }
+        if subbed and self.epoch_wall:
+            floor = min(self.vacuum_floor.get(cl, 0) for cl in subbed)
+            if floor > 0:
+                self.epoch_wall = {
+                    e: w for e, w in self.epoch_wall.items() if e > floor
+                }
 
     def _vacuum_one(self, sub: dict, cl: str) -> None:
         """Compact one changelog to its epochs younger than the

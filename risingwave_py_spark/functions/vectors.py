@@ -243,7 +243,6 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("ann_ivf_topk", oracle=_ivf_oracle())
 def _cents_packed(e: DataFrame) -> DataFrame:
     """The IVF centroid set packed into ONE row: an array of structs
     (cell_id, ce, cn) sorted by cell_id, norms precomputed. Cross-
@@ -311,6 +310,7 @@ def _probe_cells(e: DataFrame, cents1: DataFrame, n_probe: int) -> DataFrame:
     )
 
 
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: partition the corpus into cells around fixed centroids,
     probe only the query's nearest cells, brute-force inside them.

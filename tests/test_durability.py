@@ -251,3 +251,99 @@ def test_fast_paths_rearm_after_restart(spark):
         conn3.execute(f"DROP MATERIALIZED VIEW IF EXISTS {mv}")
     for tb in (t, f_, d):
         conn3.execute(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_restore_prefers_newest_doc_after_crash_mid_swap(spark):
+    """Crash in the persist drop→rename window with an OLDER foreign
+    stage present: the restore must pick the highest-stamped readable
+    doc — never whatever listTables yields first — GC the stale stage,
+    and re-commit the recovered doc to the live catalog."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    tag = uuid.uuid4().hex[:8]
+    t, mv = f"durc_t_{tag}", f"durc_mv_{tag}"
+    rw1 = RisingWave(spark=spark)
+    rw1.insert(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}), table_name=t,
+               force_flush=True)
+    rw1.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                f"SELECT k, sum(v) AS s FROM {t} GROUP BY k")
+    eng1 = rw1.engine
+    cat = eng1._catalog_fq()
+
+    # A long-dead engine's leftover stage: a low-stamp doc that lacks
+    # the MV created above. Before the stamped-selection fix, restore
+    # could pick this one and silently roll the catalog back.
+    stale = json.loads(spark.table(cat).first()[0])
+    stale["persist_seq"] = 1
+    stale["mvs"] = {}
+    spark.createDataFrame([(json.dumps(stale),)], "doc string") \
+        .write.format("parquet").saveAsTable(f"{cat}stage_deadbeef__")
+
+    # Simulate the crash mid-swap: the live catalog is gone and the
+    # newest doc lives ONLY in the crashing engine's stage.
+    crashed = f"{cat}stage_feedface__"
+    spark.sql(f"ALTER TABLE {cat} RENAME TO {crashed}")
+
+    e2 = SparkEngine(spark)
+    assert f"public.{mv}" in e2.mvs, "newest (staged) doc must win restore"
+    assert spark.catalog.tableExists(cat), "recovered doc re-committed"
+    assert not spark.catalog.tableExists(f"{cat}stage_deadbeef__"), \
+        "superseded foreign stage must be GC'd"
+    assert not spark.catalog.tableExists(crashed), \
+        "crashed stage must be GC'd once the doc is re-committed"
+    # the restored engine still maintains the MV
+    conn2 = RisingWaveConnection(e2)
+    conn2.insert(pd.DataFrame({"k": [2], "v": [5.0]}), table_name=t,
+                 force_flush=True)
+    got = {r[0]: r[1] for r in spark.table(f"public.{mv}").collect()}
+    assert got == {1: 1.0, 2: 7.0}
+    e2.drop_mv(mv)
+    e2.drop_table(t)
+
+
+def test_epoch_wall_pruned_at_vacuum(spark):
+    """Stamps at/below every subscribed changelog's vacuum floor are
+    dropped at vacuum time (previously the map — re-persisted after
+    every DDL — grew one entry per flush forever), and pre-floor
+    epochs still never resurrect through a SINCE-0 cursor."""
+    tag = uuid.uuid4().hex[:8]
+    t, sub = f"durp_t_{tag}", f"durp_s_{tag}"
+    rw = RisingWave(spark=spark)
+    eng = rw.engine
+    for batch in ([1], [2], [3]):
+        rw.insert(pd.DataFrame({"k": batch}), table_name=t, force_flush=True)
+    rw.execute(f"CREATE SUBSCRIPTION {sub} FROM {t} WITH (retention = '60s')")
+    cl = eng.changelog_name(f"public.{t}")
+    epochs = sorted(
+        r[0] for r in
+        spark.table(cl).select("rw_timestamp").distinct().collect()
+    )
+    assert len(epochs) == 3
+    n_before = len(eng.epoch_wall)
+    for e in epochs[:2]:  # age the first two epochs past the window
+        eng.epoch_wall[e] -= 3600
+    # Restrict the engine to THIS test's subscription so leftover
+    # subscriptions from other tests (floor 0) can't hold the prune
+    # floor down; restored afterwards.
+    saved_subs = dict(eng.subscriptions)
+    eng.subscriptions = {
+        k: v for k, v in saved_subs.items() if k == f"public.{sub}"
+    }
+    try:
+        eng.vacuum_changelogs()
+    finally:
+        eng.subscriptions = saved_subs
+    floor = eng.vacuum_floor[cl]
+    assert floor >= epochs[1]
+    assert all(e > floor for e in eng.epoch_wall), \
+        "stamps at/below the floor must be pruned"
+    assert len(eng.epoch_wall) < n_before
+    assert epochs[2] in eng.epoch_wall, "live epoch keeps its stamp"
+    # pre-floor epochs never resurrect
+    eng.declare_cursor("durp_cur", sub, since=0)
+    _, rows = eng.fetch_cursor("durp_cur", 100)
+    assert [r[0] for r in rows] == [3]
+    eng.drop_subscription(sub)
+    eng.drop_table(t)

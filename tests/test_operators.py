@@ -23,6 +23,53 @@ def test_every_oracle_has_query():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
+def test_every_registered_callable_takes_spark_and_sf_dir():
+    """A misplaced @register decorator (e.g. landing on a helper when
+    code is inserted between decorator and def) registers a callable
+    with the wrong arity; the driver then crashes with TypeError.
+    Guard the whole registry by signature, without the sqlfast
+    overrides masking a bad earlier registration."""
+    import inspect
+    import importlib
+
+    # Fresh registry with ONLY the non-sqlfast modules: overrides in
+    # sqlfast must not be what makes a name callable.
+    saved_q, saved_o = dict(registry.QUERIES), dict(registry.ORACLES)
+    try:
+        registry.QUERIES.clear()
+        registry.ORACLES.clear()
+        for mod in (
+            "risingwave_py_spark.operators.relational",
+            "risingwave_py_spark.operators.time_windows",
+            "risingwave_py_spark.operators.analytic",
+            "risingwave_py_spark.operators.tpch_extra",
+            "risingwave_py_spark.functions.dedup",
+            "risingwave_py_spark.functions.vectors",
+            "risingwave_py_spark.functions.text",
+            "risingwave_py_spark.functions.multimodal",
+            "risingwave_py_spark.functions.sampling",
+            "risingwave_py_spark.streaming.demo_queries",
+        ):
+            importlib.reload(importlib.import_module(mod))
+        for name, fn in registry.QUERIES.items():
+            params = [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty
+                and p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                )
+            ]
+            assert len(params) == 2, (name, fn)
+    finally:
+        registry.QUERIES.clear()
+        registry.QUERIES.update(saved_q)
+        registry.ORACLES.clear()
+        registry.ORACLES.update(saved_o)
+
+
 def test_q1_values(spark, sf_dir):
     rows = {
         (r.l_returnflag, r.l_linestatus): r

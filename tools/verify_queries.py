@@ -52,7 +52,12 @@ def pandas_cell(v) -> str:
         return f"dec:{v}"  # deliberately != repr(float) — driver-red class
     if isinstance(v, bool):
         return str(int(v))
-    if isinstance(v, dt.datetime):  # incl. pd.Timestamp; NaT handled below
+    try:  # pd.NaT isinstance-matches dt.datetime — normalize BEFORE it
+        if v != v:
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, dt.datetime):  # incl. pd.Timestamp
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, dt.date):
         # a DATE column may come back as TIMESTAMP-at-midnight from
