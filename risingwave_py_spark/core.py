@@ -10,6 +10,8 @@ built by string interpolation of values.
 
 from __future__ import annotations
 
+import asyncio
+import inspect
 import logging
 import time
 from collections.abc import Callable
@@ -27,7 +29,7 @@ logger = logging.getLogger(__name__)
 DEFAULT_CURSOR_IDLE_INTERVAL_MS = 100
 DEFAULT_BUF_SIZE = 5
 
-SubscriptionHandler = Callable[[Any], None]
+SubscriptionHandler = Callable[[Any], Any]  # sync or async (coroutine)
 
 
 class OutputFormat(Enum):  # core.py:150-152
@@ -133,22 +135,28 @@ class RisingWaveConnection:
     # -- query path (EP1, SURVEY §3) ----------------------------------
 
     @staticmethod
-    def _no_params(args) -> None:
-        if args:
-            raise NotImplementedError(
-                "query parameter binding is not supported by the Spark "
-                "engine — inline literals or use DataFrame APIs"
-            )
+    def _bind_args(args):
+        """Normalize reference-style ``*args`` bind parameters to what
+        ``spark.sql`` accepts: one dict → named ``:name`` parameters
+        (the same marker syntax SQLAlchemy ``text()`` uses, which is
+        where the reference forwards its args —
+        /root/reference/risingwave/core.py:176,202,234); one list/tuple
+        or several scalars → positional ``?`` parameters."""
+        if not args:
+            return None
+        if len(args) == 1 and isinstance(args[0], dict):
+            return args[0]
+        if len(args) == 1 and isinstance(args[0], (list, tuple)):
+            return list(args[0])
+        return list(args)
 
     def execute(self, sql: str, *args) -> None:
         """Run a statement for effect (core.py:161-181)."""
-        self._no_params(args)
-        self._dispatch(sql)
+        self._dispatch(sql, params=self._bind_args(args))
 
     def fetch(self, sql: str, format: OutputFormat = OutputFormat.RAW, *args):
         """Run a query, return all rows (core.py:183-212)."""
-        self._no_params(args)
-        result = self._dispatch(sql)
+        result = self._dispatch(sql, params=self._bind_args(args))
         if result is None:
             result = ([], [])
         cols, rows = result
@@ -160,20 +168,30 @@ class RisingWaveConnection:
         """Run a query, return the first row or None (core.py:215-243).
         Plain queries collect ONE row (limit pushed into the plan),
         not the full result."""
-        self._no_params(args)
-        cols, rows = self._dispatch(sql, limit=1) or ([], [])
+        cols, rows = self._dispatch(
+            sql, limit=1, params=self._bind_args(args)
+        ) or ([], [])
         if not rows:
             return None
         if format == OutputFormat.DATAFRAME:
             return pd.DataFrame(data=rows[:1], columns=cols)
         return rows[0]
 
-    def _dispatch(self, sql: str, limit: int | None = None):
+    def _dispatch(self, sql: str, limit: int | None = None, params=None):
         """Route a statement: engine-protocol commands vs Spark SQL.
-        ``limit`` caps plain-query collection (fetchone's path)."""
+        ``limit`` caps plain-query collection (fetchone's path);
+        ``params`` bind into plain queries and INSERT source queries
+        (the statement classes where bind markers make sense —
+        engine-protocol DDL takes none)."""
         eng = self.engine
         cmd = RW.classify(sql)
         k, p = cmd.kind, cmd.params
+        if params and k not in ("QUERY", "INSERT"):
+            raise NotImplementedError(
+                f"bind parameters are not supported for {k} statements "
+                f"— inline literals (queries and INSERT take :name/? "
+                f"markers)"
+            )
         if k == "FLUSH":
             eng.flush()
             return None
@@ -301,12 +319,15 @@ class RisingWaveConnection:
             )
             if rest.upper().startswith("VALUES"):
                 names = listed or eng.list_columns(p["name"])
-                src = eng.sql(f"SELECT * FROM ({rest}) AS __v({', '.join(names)})")
+                src = eng.sql(
+                    f"SELECT * FROM ({rest}) AS __v({', '.join(names)})",
+                    args=params,
+                )
             else:
                 # SQL semantics: SELECT output maps to the target (or
                 # the explicit column list) POSITIONALLY — never by
                 # the source's own column names.
-                src = eng.sql(rest)
+                src = eng.sql(rest, args=params)
                 names = listed or eng.list_columns(p["name"])
                 if len(src.columns) != len(names):
                     raise RuntimeError(
@@ -335,7 +356,7 @@ class RisingWaveConnection:
                 return eng._returning(src, p["ret"])
             return None
         # plain query
-        df = eng.sql(sql)
+        df = eng.sql(sql, args=params)
         if limit is not None:
             df = df.limit(limit)
         rows = df.collect()
@@ -553,7 +574,13 @@ class Subscription:
                         break
                     time.sleep(wait_interval_ms / 1000)
                     continue
-                self.handler(data)
+                out = self.handler(data)
+                # The reference TYPES handlers Awaitable (core.py:18)
+                # but calls them synchronously (core.py:549); accept a
+                # coroutine handler and drive it to completion so async
+                # handlers work instead of silently never running.
+                if inspect.iscoroutine(out):
+                    asyncio.run(out)
                 if self.persist_progress:
                     if output_format == OutputFormat.DATAFRAME:
                         progress = data["rw_timestamp"].iloc[-1]

@@ -718,6 +718,16 @@ class SparkEngine:
                     self.sources[src_fq] = dict(props, inactive=True)
             else:
                 self.sources[src_fq] = dict(props)
+                # re-apply per-bucket s3 conf keys: the Hadoop conf is
+                # process-local, so a fresh process restoring the
+                # catalog must rebuild them for reads to authenticate
+                for key, val in (props.get("hadoop_keys") or {}).items():
+                    try:
+                        self.spark.sparkContext._jsc.hadoopConfiguration().set(
+                            key, val
+                        )
+                    except Exception:  # noqa: BLE001 — no JVM conf access
+                        pass
         self.sinks.update(doc.get("sinks", {}))
         for name, (rettype, body) in doc.get("udf_defs", {}).items():
             try:
@@ -1251,17 +1261,42 @@ class SparkEngine:
             # explicit `path` property overrides the derived URI (any
             # scheme Spark's Hadoop FS layer knows — the dev/test path).
             hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+            bucket = props.get("s3.bucket_name")
+            if not bucket and path and "://" in path:
+                scheme, rest = path.split("://", 1)
+                if scheme in ("s3a", "s3", "s3n"):
+                    bucket = rest.split("/", 1)[0]
             cred_map = {
-                "s3.credentials.access": "fs.s3a.access.key",
-                "s3.credentials.secret": "fs.s3a.secret.key",
-                "s3.region_name": "fs.s3a.endpoint.region",
-                "s3.endpoint_url": "fs.s3a.endpoint",
+                "s3.credentials.access": "access.key",
+                "s3.credentials.secret": "secret.key",
+                "s3.region_name": "endpoint.region",
+                "s3.endpoint_url": "endpoint",
             }
-            for rw_key, hadoop_key in cred_map.items():
-                if props.get(rw_key):
-                    hc.set(hadoop_key, props[rw_key])
+            # Credentials/endpoint go into PER-BUCKET scoped Hadoop
+            # keys (s3a's fs.s3a.bucket.<bucket>.* overrides): two
+            # sources over different buckets with different credentials
+            # coexist, and DROP SOURCE unsets only its own keys. A
+            # second source on the SAME bucket with CONFLICTING values
+            # is rejected — the old session-global fs.s3a.* write meant
+            # last-DDL-wins for every read in the session.
+            scope = f"fs.s3a.bucket.{bucket}." if bucket else "fs.s3a."
+            staged: dict[str, str] = {}
+            for rw_key, suffix in cred_map.items():
+                if not props.get(rw_key):
+                    continue
+                key = scope + suffix
+                for ofq, om in self.sources.items():
+                    owned = om.get("hadoop_keys") or {}
+                    if key in owned and owned[key] != props[rw_key]:
+                        raise RuntimeError(
+                            f"s3 source {fq}: {rw_key!r} conflicts with "
+                            f"live source {ofq} on {key} — drop it first "
+                            f"or use a different bucket"
+                        )
+                staged[key] = props[rw_key]
+            for key, val in staged.items():
+                hc.set(key, val)
             if not path:
-                bucket = props.get("s3.bucket_name")
                 if not bucket:
                     raise RuntimeError(
                         "s3 source requires s3.bucket_name (or a path override)"
@@ -1271,6 +1306,7 @@ class SparkEngine:
                 # pushdown apply as with any file source
                 prefix = props.get("match_pattern", "").split("*")[0]
                 path = f"s3a://{bucket}/{prefix}".rstrip("/")
+            props = dict(props, hadoop_keys=staged)
         if not path:
             raise RuntimeError("CREATE SOURCE requires a path property")
         fmt = props.get("format", "parquet").lower()
@@ -1283,8 +1319,9 @@ class SparkEngine:
         opts = {
             k: v
             for k, v in props.items()
-            if k not in ("connector", "path", "posix_fs.root", "format")
-            and not k.startswith("s3.") and k != "match_pattern"
+            if k not in ("connector", "path", "posix_fs.root", "format",
+                         "match_pattern", "hadoop_keys")
+            and not k.startswith("s3.")
         }
         self.spark.catalog.createTable(fq, source=fmt, path=path, **opts)
         self.sources[fq] = dict(props, format=fmt, path=path)
@@ -1374,6 +1411,19 @@ class SparkEngine:
     def drop_source(self, name: str, schema_name: str | None = None) -> None:
         fq = self.qualify(name, schema_name)
         meta = self.sources.pop(fq, None)
+        if meta and meta.get("hadoop_keys"):
+            # release this source's per-bucket s3 conf keys — unless a
+            # surviving source owns the same key (same-bucket twin with
+            # identical values, the only way two can share one)
+            still_owned = {
+                k
+                for om in self.sources.values()
+                for k in (om.get("hadoop_keys") or {})
+            }
+            hc = self.spark.sparkContext._jsc.hadoopConfiguration()
+            for key in meta["hadoop_keys"]:
+                if key not in still_owned:
+                    hc.unset(key)
         if meta and meta.get("stream_query") is not None:
             try:
                 meta["stream_query"].stop()
@@ -1529,11 +1579,19 @@ class SparkEngine:
             sink["path"]
         )
 
-    def sql(self, sql: str) -> DataFrame:
+    def sql(self, sql: str, args=None) -> DataFrame:
+        """Run a query; ``args`` are Spark SQL bind parameters — a dict
+        for named ``:name`` markers (the same marker syntax SQLAlchemy
+        ``text()`` uses, which is where the reference forwards its
+        ``*args`` — /root/reference/risingwave/core.py:176,202,234) or
+        a list for positional ``?`` markers."""
         self.spark.catalog.setCurrentDatabase(self.default_schema)
         if re.search(r"\binformation_schema\.", sql, re.I):
             self.refresh_info_schema()
-        return self.spark.sql(RW.rewrite_query(sql, self.version_string))
+        rewritten = RW.rewrite_query(sql, self.version_string)
+        if args:
+            return self.spark.sql(rewritten, args=args)
+        return self.spark.sql(rewritten)
 
     _GROUP_BY = re.compile(
         r"\bGROUP\s+BY\s+(?P<cols>.+?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)", re.I | re.S

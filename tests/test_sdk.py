@@ -351,3 +351,84 @@ def test_dialect_edge_spellings(rw):
     cols, pks = parse_columns("k INT PRIMARY KEY, v VARCHAR(40), amt DECIMAL(10,2)")
     assert cols == [("k", "INT"), ("v", "STRING"), ("amt", "DECIMAL(10,2)")]
     assert pks == ["k"]
+
+
+def test_parameter_binding(rw):
+    """Reference execute/fetch/fetchone accept *args bind parameters
+    and forward them to SQLAlchemy text() (core.py:176,202,234), whose
+    named-marker syntax (:name) Spark SQL shares. Positional ? markers
+    also bind. DDL statement classes reject params explicitly."""
+    df = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    rw.insert(data=df, table_name="t_sdk_params", force_flush=True)
+
+    # named parameters, RAW
+    assert rw.fetch(
+        "SELECT k, v FROM t_sdk_params WHERE k > :lo ORDER BY k",
+        OutputFormat.RAW, {"lo": 1},
+    ) == [(2, "b"), (3, "c")]
+    # positional parameters, DATAFRAME
+    out = rw.fetch(
+        "SELECT k, v FROM t_sdk_params WHERE v = ? OR v = ? ORDER BY k",
+        OutputFormat.DATAFRAME, "a", "c",
+    )
+    assert list(out["k"]) == [1, 3]
+    # fetchone with named params in both formats
+    assert rw.fetchone(
+        "SELECT v FROM t_sdk_params WHERE k = :k", OutputFormat.RAW, {"k": 2}
+    ) == ("b",)
+    one = rw.fetchone(
+        "SELECT v FROM t_sdk_params WHERE k = :k",
+        OutputFormat.DATAFRAME, {"k": 3},
+    )
+    assert list(one["v"]) == ["c"]
+    # execute: INSERT VALUES with named params
+    rw.execute(
+        "INSERT INTO t_sdk_params (k, v) VALUES (:k, :v)", {"k": 9, "v": "z"}
+    )
+    rw.execute("FLUSH")
+    assert rw.fetchone(
+        "SELECT v FROM t_sdk_params WHERE k = :k", OutputFormat.RAW, {"k": 9}
+    ) == ("z",)
+    # params on a DDL class fail loudly, not silently
+    with pytest.raises(NotImplementedError, match="bind parameters"):
+        rw.execute("CREATE TABLE t_sdk_params_bad (k INT)", {"x": 1})
+    rw.execute("DROP TABLE t_sdk_params")
+
+
+def test_async_subscription_handler(rw):
+    """The reference types SubscriptionHandler as Awaitable
+    (core.py:18); a coroutine handler must actually run (driven to
+    completion per batch), not be silently discarded."""
+    import threading
+    import time
+
+    rw.insert(data=pd.DataFrame({"k": [1], "v": [2.0]}),
+              table_name="t_sdk_async", force_flush=True)
+    got: list = []
+
+    async def handler(data):
+        got.append(data)
+
+    stop = threading.Event()
+    t = threading.Thread(
+        target=lambda: rw.on_change(
+            subscribe_from="t_sdk_async", handler=handler,
+            output_format=OutputFormat.RAW, persist_progress=False,
+            max_batch_size=10, _stop_event=stop,
+        ),
+        daemon=True,
+    )
+    t.start()
+    # the cursor starts at declare-time: keep producing until the
+    # coroutine handler has demonstrably run
+    deadline = time.time() + 120
+    k = 2
+    while not got and time.time() < deadline:
+        rw.insert(data=pd.DataFrame({"k": [k], "v": [float(k)]}),
+                  table_name="t_sdk_async", force_flush=True)
+        k += 1
+        time.sleep(0.5)
+    stop.set()
+    t.join(timeout=60)
+    assert got, "async handler never ran"
+    rw.execute("DROP TABLE t_sdk_async")

@@ -167,10 +167,59 @@ def test_create_source_s3_with_path_override(rw, tmp_path, spark):
         f"path='{path}', format='parquet')"
     )
     assert sorted(rw.fetch(f"SELECT k, v FROM {s}")) == [(1, "x"), (2, "y")]
-    # the region property reached the Hadoop conf (the s3a mapping)
+    # the region property reached the Hadoop conf, SCOPED to the bucket
     hc = spark.sparkContext._jsc.hadoopConfiguration()
-    assert hc.get("fs.s3a.endpoint.region") == "us-east-1"
+    scoped = "fs.s3a.bucket.ignored-by-override.endpoint.region"
+    assert hc.get(scoped) == "us-east-1"
     rw.execute(f"DROP SOURCE {s}")
+    assert hc.get(scoped) is None, "DROP SOURCE must release its conf keys"
+
+
+def test_two_s3_sources_with_different_credentials_coexist(rw, tmp_path, spark):
+    """Credentials are scoped per bucket (fs.s3a.bucket.<bucket>.*):
+    a second s3 source with different credentials must not clobber the
+    first's (previously both wrote session-global fs.s3a.* — last DDL
+    won for every read), a conflicting source on the SAME bucket is
+    rejected, and DROP SOURCE releases only its own keys."""
+    import pytest
+
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    dirs = []
+    for i in (1, 2):
+        d = tmp_path / f"s3src{i}"
+        d.mkdir()
+        pd.DataFrame({"k": [i]}).to_parquet(d / "p.parquet")
+        dirs.append(d)
+    s1, s2 = _name(), _name()
+    rw.execute(
+        f"CREATE SOURCE {s1} WITH (connector='s3', s3.bucket_name='bkt-a', "
+        f"s3.credentials.access='AK1', s3.credentials.secret='SK1', "
+        f"path='{dirs[0]}', format='parquet')"
+    )
+    rw.execute(
+        f"CREATE SOURCE {s2} WITH (connector='s3', s3.bucket_name='bkt-b', "
+        f"s3.credentials.access='AK2', s3.credentials.secret='SK2', "
+        f"path='{dirs[1]}', format='parquet')"
+    )
+    # both remain readable, and each bucket keeps ITS OWN credentials
+    assert rw.fetch(f"SELECT k FROM {s1}") == [(1,)]
+    assert rw.fetch(f"SELECT k FROM {s2}") == [(2,)]
+    assert hc.get("fs.s3a.bucket.bkt-a.access.key") == "AK1"
+    assert hc.get("fs.s3a.bucket.bkt-b.access.key") == "AK2"
+    # a same-bucket source with CONFLICTING credentials is rejected
+    with pytest.raises(Exception, match="conflicts with live source"):
+        rw.execute(
+            f"CREATE SOURCE {_name()} WITH (connector='s3', "
+            f"s3.bucket_name='bkt-a', s3.credentials.access='EVIL', "
+            f"path='{dirs[0]}', format='parquet')"
+        )
+    assert hc.get("fs.s3a.bucket.bkt-a.access.key") == "AK1"
+    # dropping one source releases its keys and leaves the other's
+    rw.execute(f"DROP SOURCE {s1}")
+    assert hc.get("fs.s3a.bucket.bkt-a.access.key") is None
+    assert hc.get("fs.s3a.bucket.bkt-b.access.key") == "AK2"
+    rw.execute(f"DROP SOURCE {s2}")
+    assert hc.get("fs.s3a.bucket.bkt-b.access.key") is None
 
 
 def test_create_source_s3_requires_bucket(rw):
