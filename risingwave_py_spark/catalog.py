@@ -148,6 +148,25 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
         return df
 
 
+def clear_stale_location(spark: SparkSession, fq: str) -> None:
+    """The session catalog is in-memory but managed-table data dirs
+    persist on disk; a table absent from the catalog whose warehouse
+    location survives (prior process) must be cleared before
+    re-creating, or CREATE fails with LOCATION_ALREADY_EXISTS."""
+    import re
+
+    if spark.catalog.tableExists(fq):
+        return
+    db, _, tbl = fq.rpartition(".")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub(r"^file:", "", wh)
+    # the default database lives at the warehouse root; others at <db>.db/
+    sub = tbl if db in ("", "default") else os.path.join(f"{db}.db", tbl)
+    path = os.path.join(wh, sub)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)
     key = (id(spark), sf_dir, name)

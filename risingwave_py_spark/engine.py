@@ -335,10 +335,7 @@ class SparkEngine:
         with self._lock:
             epoch = self.next_epoch()
             if fq in self.upsert_meta:
-                self.spark.catalog.refreshTable(self.log_name(fq))
-                df.withColumn("__rw_epoch", F.lit(epoch)).withColumn(
-                    "__rw_deleted", F.lit(False)
-                ).write.mode("append").saveAsTable(self.log_name(fq))
+                self._append_upsert_log(fq, df, epoch, deleted=False)
             else:
                 df.write.mode("append").insertInto(fq)
             self._ensure_changelog(fq)
@@ -1145,6 +1142,44 @@ class SparkEngine:
         rows.withColumn("__rw_epoch", F.lit(epoch)).withColumn(
             "__rw_deleted", F.lit(deleted)
         ).write.mode("append").saveAsTable(log)
+        meta = self.upsert_meta.get(fq)
+        if meta is not None:  # compaction pressure, in batches not rows
+            meta["appends"] = int(meta.get("appends", 0)) + 1
+
+    # Append batches an upsert log may accumulate before FLUSH rewrites
+    # it down to winners. Batches, not rows: counting rows would force
+    # an extra count() job on the ingest hot path.
+    UPSERT_COMPACT_BATCHES = 16
+
+    def _compact_upsert_log(self, fq: str) -> None:
+        """Rewrite an upsert table's append log down to ONE winning row
+        per primary key. Tombstone winners are KEPT (a deleted key must
+        keep outranking later lower-version inserts), so the compacted
+        log is bounded by O(live keys + deleted keys) instead of
+        growing with total DML history — the latest-by-version view
+        recomputes identically over it and changelogs are untouched.
+        Same stage-then-rename rewrite as changelog vacuum."""
+        meta = self.upsert_meta[fq]
+        log = self.log_name(fq)
+        pk_sql = ", ".join(f"`{c}`" for c in meta["pk"])
+        vcol = meta["version_col"]
+        stage = f"{log}__compact_stage"
+        with self._lock:
+            self.spark.catalog.refreshTable(log)
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+            self._clear_stale_location(stage)
+            self.spark.sql(
+                f"CREATE TABLE {stage} USING PARQUET AS "
+                f"SELECT * EXCEPT (__rw_rn) FROM ("
+                f"  SELECT *, row_number() OVER ("
+                f"    PARTITION BY {pk_sql} "
+                f"    ORDER BY `{vcol}` DESC NULLS LAST, `__rw_epoch` DESC) AS __rw_rn "
+                f"  FROM {log}) WHERE __rw_rn = 1"
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {log}")
+            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {log}")
+            self.spark.catalog.refreshTable(log)
+            meta["appends"] = 0
 
     def _delete_upsert(self, fq: str, where: str | None,
                        returning: str | None):
@@ -1216,6 +1251,9 @@ class SparkEngine:
                 self.spark.catalog.refreshTable(fq)
         for state in list(self.mvs.values()):
             self.refresh_mv(state)
+        for fq, meta in list(self.upsert_meta.items()):
+            if int(meta.get("appends", 0)) >= self.UPSERT_COMPACT_BATCHES:
+                self._compact_upsert_log(fq)
         self.flush_sinks()
 
     # -- external file sources (CREATE SOURCE, SURVEY §2.1 connectors) ----

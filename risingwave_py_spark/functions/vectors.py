@@ -357,6 +357,122 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- persisted IVF index: build-once / probe-many --------------------
+# The per-query variants above recompute the cell assignment every
+# run; the operational pattern at 100 TB keeps the assignment as a
+# stored table (the IVF posting lists) refreshed incrementally and
+# probes it without ever rescanning the corpus.
+
+
+def _ivf_index_fq(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"default.__ann_ivf_index_{tag}__"
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Create-or-incrementally-refresh the persisted IVF index table
+    (vec_id, embedding, cell_id). The refresh is INCREMENTAL: when the
+    table exists, only vectors absent from it are assigned (packed-
+    centroid single projection) and appended — O(new batch), the
+    already-indexed corpus is never re-assigned. This persists the
+    assumption ann_incremental_probe demonstrates; a production
+    deployment drives the anti-join's "new batch" from the engine's
+    table changelog instead of a full key diff."""
+    tbl = _ivf_index_fq(sf_dir)
+    raw = table(spark, sf_dir, "embeddings")
+    if spark.catalog.tableExists(tbl):
+        new = raw.join(
+            spark.table(tbl).select("vec_id"), "vec_id", "left_anti"
+        )
+        if not new.isEmpty():
+            cents1 = _cents_packed(raw)
+            _assign_cells(fanout(new, parts=4), cents1).write.mode(
+                "append"
+            ).saveAsTable(tbl)
+            spark.catalog.refreshTable(tbl)
+    else:
+        from risingwave_py_spark.catalog import clear_stale_location
+
+        clear_stale_location(spark, tbl)
+        cents1 = _cents_packed(raw)
+        _assign_cells(fanout(raw, parts=4), cents1).write.saveAsTable(tbl)
+    return tbl
+
+
+def _index_build_oracle() -> str:
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+        WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+    ), assign AS (
+        SELECT vec_id, cell_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round({_duck_cos('embedding', 'ce')}, 6) DESC, cell_id) AS rn
+        FROM embeddings, cents
+    )
+    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assign WHERE rn = 1
+    GROUP BY cell_id ORDER BY cell_id
+    """
+
+
+@register("ann_index_build", oracle=_index_build_oracle())
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or incrementally refresh) the persisted IVF index and
+    report its cell histogram — the DDL half of the build/probe pair.
+    Returns per-cell vector counts FROM THE STORED TABLE, so the
+    oracle check also validates what probes will actually read."""
+    tbl = _ensure_ivf_index(spark, sf_dir)
+    return (
+        spark.table(tbl)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell_id")
+    )
+
+
+@register("ann_index_probe", oracle=_ivf_oracle())
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the PERSISTED IVF index: same result contract as
+    ann_ivf_topk, but centroids, query vectors, and candidates all
+    come from the stored index table — the returned plan never scans
+    the corpus parquet (plan-asserted in test_plan_quality). At scale
+    the probe costs O(queries × nprobe × cell size) against posting
+    lists that the build query keeps fresh in O(new batch)."""
+    from pyspark.sql import Window as W
+
+    tbl = _ensure_ivf_index(spark, sf_dir)
+    idx = spark.table(tbl)
+    cents1 = _cents_packed(idx)
+    probes = _probe_cells(
+        idx.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
+        cents1,
+        N_PROBE,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_spark_dot("qe", "embedding"))
+                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                6,
+            ),
+        )
+    )
+    by_query = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(by_query))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 @register(
     "scalar_array_lambda",
     oracle="""

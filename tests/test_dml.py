@@ -174,3 +174,46 @@ def test_pandas_insert_realigns_column_order(rw):
               force_flush=True)
     assert rw.fetch("SELECT * FROM ins_ord_t") == [(1, "x")]
     rw.execute("DROP TABLE ins_ord_t")
+
+
+def test_upsert_log_compaction_bounds_size(rw, spark):
+    """FLUSH compacts an upsert table's append log down to one winning
+    row per key (tombstones included) once enough batches accumulate:
+    the log stops growing with update traffic, the latest-by-version
+    view is unchanged, and a deleted key still outranks a later
+    lower-version insert."""
+    import uuid
+
+    eng = rw.engine
+    t = f"up_comp_{uuid.uuid4().hex[:8]}"
+    eng.UPSERT_COMPACT_BATCHES = 4  # instance attr shadows the class
+    try:
+        rw.execute(
+            f"CREATE TABLE {t} (k INT PRIMARY KEY, v VARCHAR, ver BIGINT) "
+            f"ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+        )
+        for i in range(12):
+            rw.execute(
+                f"INSERT INTO {t} (k, v, ver) VALUES ({i % 3}, 'v{i}', {i})"
+            )
+        rw.execute(f"DELETE FROM {t} WHERE k = 2")
+        rw.execute("FLUSH")
+        log = eng.log_name(f"public.{t}")
+        # 13 appended batches collapse to exactly one row per key:
+        # two live winners + one tombstone winner
+        assert spark.table(log).count() == 3
+        assert sorted(rw.fetch(f"SELECT * FROM {t}")) == [
+            (0, "v9", 9), (1, "v10", 10),
+        ]
+        # the kept tombstone (k=2, ver 11) still wins over a stale
+        # re-insert with a lower version
+        rw.execute(f"INSERT INTO {t} (k, v, ver) VALUES (2, 'stale', 1)")
+        assert sorted(rw.fetch(f"SELECT * FROM {t}")) == [
+            (0, "v9", 9), (1, "v10", 10),
+        ]
+        # ... and loses to a higher-version re-insert
+        rw.execute(f"INSERT INTO {t} (k, v, ver) VALUES (2, 'back', 99)")
+        assert (2, "back", 99) in rw.fetch(f"SELECT * FROM {t}")
+    finally:
+        del eng.UPSERT_COMPACT_BATCHES
+        rw.execute(f"DROP TABLE IF EXISTS {t}")
