@@ -470,8 +470,40 @@ def test_transform_with_state_running_agg(spark, events_dir):
     assert [f.name for f in wired.schema.fields] == [
         "user_id", "n_events", "total_value"]
     if not _has_protobuf():
-        pytest.skip("transformWithState execution needs protobuf "
-                    "(absent in this container); wiring verified")
+        # protobuf is PERMANENTLY absent in this container (no pip);
+        # before skipping execution, pin the graceful-error contract:
+        # starting the query surfaces a clear capability error quickly
+        # instead of hanging or corrupting state.
+        append([(1, _ts(0), "click", 1.0)])
+        fail_ckpt = tempfile.mkdtemp(prefix="rw_twsfail_")
+        failed = None
+        try:
+            q = (
+                running_agg_stream(_read_stream(spark, path))
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"raggf_{uuid.uuid4().hex[:8]}")
+                .option("checkpointLocation", fail_ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+        except Exception as e:  # noqa: BLE001 — the expected path
+            failed = e
+        # Spark surfaces the missing state-API client as a fast
+        # STREAM_FAILED ("TransformWithStateInPySpark driver worker
+        # exited unexpectedly") — the contract pinned here is fail-fast
+        # with a query-terminated error, never a hang.
+        msg = str(failed).lower() if failed is not None else ""
+        assert failed is not None and (
+            "stream_failed" in msg or "transformwithstate" in msg
+        ), f"expected a fast query-terminated error, got {failed!r}"
+        pytest.skip("transformWithState execution needs protobuf (absent "
+                    "in this container, no pip — permanent); wiring and "
+                    "graceful-error path verified")
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
