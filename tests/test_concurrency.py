@@ -166,3 +166,53 @@ def test_concurrent_refreshes_of_distinct_mvs(rw):
         for tag in tags:
             rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
             rw.execute(f"DROP TABLE IF EXISTS {tag}")
+
+
+def test_concurrent_persists_with_stage_gc(spark):
+    """Two live engines over one warehouse running DDL storms: each
+    persist GCs superseded foreign stages, which can yank the other
+    engine's stage between its write and rename — the persist path
+    must re-stage and retry, both engines' final DDL must survive, a
+    fresh engine must restore the newest doc, and no stage tables may
+    leak."""
+    import uuid
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    tag = uuid.uuid4().hex[:6]
+    e1, e2 = SparkEngine(spark), SparkEngine(spark)
+    c1, c2 = RisingWaveConnection(e1), RisingWaveConnection(e2)
+    errs: list = []
+
+    def storm(conn, who):
+        try:
+            for i in range(6):
+                conn.execute(
+                    f"CREATE TABLE t_gc_{tag}_{who}_{i} (k INT)"
+                )
+        except Exception as e:  # noqa: BLE001
+            errs.append((who, e))
+
+    ts = [threading.Thread(target=storm, args=(c, w))
+          for c, w in ((c1, "a"), (c2, "b"))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+
+    e3 = SparkEngine(spark)  # fresh restore sees a consistent doc
+    for who in ("a", "b"):
+        for i in range(6):
+            assert spark.catalog.tableExists(f"public.t_gc_{tag}_{who}_{i}")
+    # no stage tables leaked (engines idle → all stages superseded+GC'd
+    # by the last persist, or renamed away)
+    cat = e3._catalog_fq()
+    db, tbl = cat.split(".", 1)
+    stages = [t.name for t in spark.catalog.listTables(db)
+              if t.name.startswith(tbl + "stage_")]
+    assert stages == [], stages
+    for who in ("a", "b"):
+        for i in range(6):
+            e3.drop_table(f"t_gc_{tag}_{who}_{i}")

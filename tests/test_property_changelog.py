@@ -676,3 +676,76 @@ def test_star3_fast_path_matches_model_under_dml(rw, ops):
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         for t in (f"{tag}_f", f"{tag}_u", f"{tag}_p"):
             rw.execute(f"DROP TABLE IF EXISTS {t}")
+
+
+# --- upsert-log compaction property (round 5) -------------------------
+
+_up_op = st.one_of(
+    st.tuples(st.just("upsert"), st.integers(0, 3), st.integers(0, 30)),
+    st.tuples(st.just("delete"), st.integers(0, 3)),
+    st.tuples(st.just("flush"),),
+)
+_up_seq = st.lists(_up_op, min_size=3, max_size=10)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_up_seq)
+def test_upsert_compaction_matches_model(rw, ops):
+    """With compaction forced on EVERY flush (threshold 1), an upsert
+    table under random upserts/deletes/flushes must always equal the
+    version-resolution model: per key, the highest version wins (ties
+    to the latest write), and a tombstone at the winning version hides
+    the key — including after its log was compacted away and the key
+    is re-inserted with a lower version."""
+    t = f"t_prop_upc_{next(_ids)}"
+    eng = rw.engine
+    eng.UPSERT_COMPACT_BATCHES = 1  # instance attr shadows class
+    try:
+        rw.execute(
+            f"CREATE TABLE {t} (k INT PRIMARY KEY, v VARCHAR, ver BIGINT) "
+            f"ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+        )
+        # model: k -> (ver, seq, value_or_None)  (seq breaks version ties)
+        model: dict[int, tuple[int, int, str | None]] = {}
+        seq = 0
+        for op in ops:
+            if op[0] == "upsert":
+                _, k, ver = op
+                seq += 1
+                val = f"v{seq}"
+                rw.execute(
+                    f"INSERT INTO {t} (k, v, ver) VALUES ({k}, '{val}', {ver})"
+                )
+                cur = model.get(k)
+                if cur is None or (ver, seq) >= (cur[0], cur[1]):
+                    model[k] = (ver, seq, val)
+            elif op[0] == "delete":
+                _, k = op
+                cur = model.get(k)
+                rw.execute(f"DELETE FROM {t} WHERE k = {k}")
+                if cur is not None and cur[2] is not None:
+                    seq += 1
+                    # tombstone carries the current winning version
+                    model[k] = (cur[0], seq, None)
+            else:
+                rw.execute("FLUSH")
+        rw.execute("FLUSH")
+        got = sorted(rw.fetch(f"SELECT k, v, ver FROM {t}"))
+        want = sorted(
+            (k, val, ver)
+            for k, (ver, _s, val) in model.items()
+            if val is not None
+        )
+        assert got == want, (got, want, ops)
+        # compaction really ran: after the final FLUSH the log holds
+        # at most one (winner or tombstone) row per touched key
+        log = eng.log_name(f"public.{t}")
+        n_log = rw.engine.spark.table(log).count()
+        assert n_log <= len(model), (n_log, model)
+    finally:
+        del eng.UPSERT_COMPACT_BATCHES
+        rw.execute(f"DROP TABLE IF EXISTS {t}")
