@@ -347,3 +347,76 @@ def test_epoch_wall_pruned_at_vacuum(spark):
     assert [r[0] for r in rows] == [3]
     eng.drop_subscription(sub)
     eng.drop_table(t)
+
+
+class _CrashingSpark:
+    """SparkSession proxy that raises on the Nth .sql() call —
+    simulates a crash at each DDL statement inside catalog persist
+    (everything else delegates to the real session)."""
+
+    def __init__(self, real, fail_at: int):
+        self._real = real
+        self._n = 0
+        self._fail_at = fail_at
+
+    def __getattr__(self, a):
+        return getattr(self._real, a)
+
+    def sql(self, *a, **kw):
+        self._n += 1
+        if self._n == self._fail_at:
+            raise RuntimeError("injected persist crash")
+        return self._real.sql(*a, **kw)
+
+
+def test_persist_crash_recovery_at_every_sql_point(spark):
+    """Atomicity sweep: inject a crash at EVERY sql-statement position
+    inside a catalog persist. Whatever the crash point, a fresh engine
+    must restore a consistent doc (objects committed by the previous
+    successful persist are never lost), stay fully operational, and
+    the stage tables crashes leave behind must all be GC'd by the end."""
+    tag = uuid.uuid4().hex[:8]
+    t, mv = f"pcr_t_{tag}", f"pcr_mv_{tag}"
+    base = RisingWaveConnection(SparkEngine(spark))
+    base.insert(pd.DataFrame({"k": [1], "v": [2.0]}), table_name=t,
+                force_flush=True)
+    base.execute(f"CREATE MATERIALIZED VIEW {mv} AS "
+                 f"SELECT k, sum(v) AS s FROM {t} GROUP BY k")
+
+    # count the sql statements one successful persist makes
+    eng0 = SparkEngine(spark)
+    probe = _CrashingSpark(spark, fail_at=0)  # 0 = never fires
+    eng0.spark = probe
+    eng0._persist_catalog()
+    eng0.spark = spark
+    n_calls = probe._n
+    assert n_calls >= 2
+
+    for k in range(1, n_calls + 1):
+        eng = SparkEngine(spark)
+        # a NEW object whose persist will crash mid-flight
+        eng.subscriptions[f"public.pcr_sub_{tag}_{k}"] = {
+            "rel": f"public.{t}", "retention_s": 60,
+        }
+        eng.spark = _CrashingSpark(spark, fail_at=k)
+        try:
+            eng._persist_catalog()
+        except RuntimeError:
+            pass  # the injected crash propagated — that's the scenario
+        eng.spark = spark
+        e2 = SparkEngine(spark)  # fresh restore after the "crash"
+        assert f"public.{mv}" in e2.mvs, f"crash point {k} lost the MV"
+        e2._persist_catalog()  # the survivor heals the catalog
+
+    # cleanup: strip the fake subs, then assert no stage tables leaked
+    fin = SparkEngine(spark)
+    for name in [s for s in fin.subscriptions if f"pcr_sub_{tag}_" in s]:
+        fin.subscriptions.pop(name)
+    fin._persist_catalog()
+    cat = fin._catalog_fq()
+    db, tbl = cat.split(".", 1)
+    leaks = [x.name for x in spark.catalog.listTables(db)
+             if x.name.startswith(tbl + "stage_")]
+    assert leaks == [], leaks
+    fin.drop_mv(mv)
+    fin.drop_table(t)
