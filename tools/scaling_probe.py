@@ -27,6 +27,12 @@ OPS = [
     "text_unigram_logprob",
     "heavy_hitter_bigrams",
     "text_char_entropy",
+    # persisted-index pair (round 5): the warm pass builds the stored
+    # signature table for the scaled corpus; the timed passes measure
+    # the PROBE serving from it — the recompute-per-run twin
+    # (dedup_cross_corpus) shows what the stored index saves.
+    "dedup_cross_corpus",
+    "dedup_index_probe",
 ]
 
 
