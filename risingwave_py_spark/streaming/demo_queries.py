@@ -983,3 +983,51 @@ def index_maintenance_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.withColumn("n_new_indexed", F.lit(n_new).cast("bigint"))
         .withColumn("n_total_indexed", F.lit(idx.count()).cast("bigint"))
     )
+
+
+@register(
+    "catalog_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('col_k', 'integer'),
+        ('col_v', 'character varying'),
+        ('exists_check', 'true'),
+        ('mv_listed', 'true'),
+        ('show_create_has_cols', 'true'),
+        ('table_listed', 'true'),
+        ('version_prefix', 'PostgreSQL 13.14.0-RisingWave-2.1.0')
+    ) AS t(item, val)
+    """,
+)
+def catalog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface as driver-checkable rows: the version()
+    handshake string the reference SDK parses
+    (/root/reference/risingwave/core.py:55-66), SHOW TABLES / SHOW
+    MATERIALIZED VIEWS listings, DESCRIBE with PG-style type names,
+    SHOW CREATE reconstruction, and the information_schema existence
+    probe (check_exist). Previously these were only pytest-verified;
+    this registers them against the DuckDB oracle like every other
+    operator."""
+    conn, _eng = _fresh_conn(spark, "rwdemo_cat")
+    conn.execute("CREATE TABLE rwdemo_cat.t (k INT, v VARCHAR)")
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_cat.m AS "
+        "SELECT k, count(*) AS n FROM rwdemo_cat.t GROUP BY k"
+    )
+    ver = conn.fetchone("SELECT version()")[0]
+    tables = {r[0] for r in conn.fetch("SHOW TABLES")}
+    mvs = {r[0] for r in conn.fetch("SHOW MATERIALIZED VIEWS")}
+    desc = dict(conn.fetch("DESCRIBE rwdemo_cat.t"))
+    ddl = conn.fetch("SHOW CREATE TABLE rwdemo_cat.t")[0][1]
+    rows = [
+        ("col_k", desc.get("k", "?")),
+        ("col_v", desc.get("v", "?")),
+        ("exists_check",
+         str(bool(conn.check_exist(name="t", schema_name="rwdemo_cat"))).lower()),
+        ("mv_listed", str("m" in mvs).lower()),
+        ("show_create_has_cols",
+         str("k int" in ddl.lower().replace("integer", "int")).lower()),
+        ("table_listed", str("t" in tables).lower()),
+        ("version_prefix", ver.split(" (")[0]),
+    ]
+    return spark.createDataFrame(sorted(rows), "item string, val string")
