@@ -1031,3 +1031,73 @@ def catalog_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("version_prefix", ver.split(" (")[0]),
     ]
     return spark.createDataFrame(sorted(rows), "item string, val string")
+
+
+@register(
+    "source_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('csv',     CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
+        ('json',    CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+        ('parquet', CAST(2 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(fmt, n_rows, sum_v)
+    """,
+)
+def source_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SOURCE end to end for every supported file format
+    (parquet/csv/json — the reference reaches this DDL via SQL
+    pass-through, core.py:161-181): external tables over paths, read
+    back through SQL, new-files-after-FLUSH visibility, DROP SOURCE.
+    Returns per-format row counts and sums as driver-checkable rows."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    conn, _eng = _fresh_conn(spark, "rwdemo_src")
+    root = tempfile.mkdtemp(prefix="rw_srcsc_")
+    try:
+        pq = os.path.join(root, "pq")
+        os.makedirs(pq)
+        pd.DataFrame({"k": [1, 2], "v": [1, 2]}).to_parquet(
+            os.path.join(pq, "a.parquet")
+        )
+        cs = os.path.join(root, "cs")
+        os.makedirs(cs)
+        with open(os.path.join(cs, "a.csv"), "w") as f:
+            f.write("k,v\n1,10\n2,20\n")
+        js = os.path.join(root, "js")
+        os.makedirs(js)
+        with open(os.path.join(js, "a.json"), "w") as f:
+            for k, v in ((1, 10), (2, 20)):
+                f.write(_json.dumps({"k": k, "v": v}) + "\n")
+        conn.execute(
+            f"CREATE SOURCE rwdemo_src.s_pq WITH (connector='filesystem', "
+            f"path='{pq}', format='parquet')"
+        )
+        conn.execute(
+            f"CREATE SOURCE rwdemo_src.s_cs WITH (connector='filesystem', "
+            f"path='{cs}', format='csv', header='true', inferSchema='true')"
+        )
+        conn.execute(
+            f"CREATE SOURCE rwdemo_src.s_js WITH (connector='filesystem', "
+            f"path='{js}', format='json')"
+        )
+        # a file landing AFTER create is visible after FLUSH (listing
+        # refresh) — the json source gains a third row
+        with open(os.path.join(js, "b.json"), "w") as f:
+            f.write(_json.dumps({"k": 3, "v": 30}) + "\n")
+        conn.execute("FLUSH")
+        rows = []
+        for fmt, src in (("csv", "s_cs"), ("json", "s_js"), ("parquet", "s_pq")):
+            n, sv = conn.fetchone(
+                f"SELECT count(*), sum(v) FROM rwdemo_src.{src}"
+            )
+            rows.append((fmt, int(n), int(sv)))
+        for src in ("s_pq", "s_cs", "s_js"):
+            conn.execute(f"DROP SOURCE rwdemo_src.{src}")
+        return spark.createDataFrame(
+            sorted(rows), "fmt string, n_rows bigint, sum_v bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
