@@ -1101,3 +1101,44 @@ def source_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "udf_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'n=1'),
+        (CAST(2 AS BIGINT), CAST(4 AS BIGINT), 'n=2'),
+        (CAST(3 AS BIGINT), CAST(6 AS BIGINT), 'n=3')
+    ) AS t(k, doubled, tagged)
+    """,
+)
+def udf_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface end to end: CREATE FUNCTION DDL (python body,
+    $$-quoted — reference reach via SQL pass-through) and
+    register_udf, both callable from SQL over an engine table, then
+    DROP FUNCTION. Driver-checkable rows."""
+    conn, eng = _fresh_conn(spark, "rwdemo_udf")
+    conn.insert(pd.DataFrame({"k": [1, 2, 3]}), table_name="t",
+                schema_name="rwdemo_udf", force_flush=True)
+    conn.execute(
+        "CREATE FUNCTION IF NOT EXISTS rw_sc_double(x BIGINT) RETURNS BIGINT "
+        "LANGUAGE python AS $$def rw_sc_double(x):\n"
+        "    return None if x is None else x * 2$$"
+    )
+    # register_udf lives on the RisingWave entry point (engine
+    # extension, SURVEY §2.9); UDF registration is session-global
+    from risingwave_py_spark import RisingWave
+
+    RisingWave(spark=spark).register_udf(
+        "rw_sc_tag", lambda x: f"n={x}", return_type="STRING"
+    )
+    out = conn.fetch(
+        "SELECT k, rw_sc_double(k) AS doubled, rw_sc_tag(k) AS tagged "
+        "FROM rwdemo_udf.t ORDER BY k"
+    )
+    conn.execute("DROP FUNCTION IF EXISTS rw_sc_double")
+    return spark.createDataFrame(
+        [(int(k), int(d), t) for k, d, t in out],
+        "k bigint, doubled bigint, tagged string",
+    )
