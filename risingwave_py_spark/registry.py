@@ -68,7 +68,7 @@ PRIORITY: list[str] = [
     # new this round — first driver samples
     "ann_index_build", "ann_index_probe",
     "dedup_index_build", "dedup_index_probe", "index_maintenance_scenario",
-    "catalog_scenario", "source_scenario", "udf_scenario",
+    "catalog_scenario", "source_scenario", "udf_scenario", "buffer_scenario",
     # implementation changed this round
     "q18_large_volume_customer", "ann_ivf_topk", "dedup_cross_corpus",
     "upsert_version_scenario", "dml_scenario", "dml_inc_mv_scenario",

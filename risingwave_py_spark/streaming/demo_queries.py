@@ -1142,3 +1142,40 @@ def udf_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(k), int(d), t) for k, d, t in out],
         "k bigint, doubled bigint, tagged string",
     )
+
+
+@register(
+    "buffer_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('after_5th',  CAST(5 AS BIGINT)),
+        ('before_5th', CAST(0 AS BIGINT)),
+        ('final',      CAST(7 AS BIGINT)),
+        ('nulls',      CAST(1 AS BIGINT))
+    ) AS t(item, n)
+    """,
+)
+def buffer_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert_row buffering contract (reference core.py:295-336,
+    buf_size default 5): four buffered rows stay invisible, the fifth
+    flushes the batch, a row missing a column NULL-fills on flush, and
+    force_flush drains a partial buffer. Driver-checkable counts."""
+    conn, _eng = _fresh_conn(spark, "rwdemo_buf")
+    conn.execute("CREATE TABLE rwdemo_buf.t (k INT, v FLOAT)")
+    for i in range(4):
+        conn.insert_row("t", schema_name="rwdemo_buf", k=i, v=float(i))
+    n_before = conn.fetchone("SELECT count(*) FROM rwdemo_buf.t")[0]
+    conn.insert_row("t", schema_name="rwdemo_buf", k=4, v=4.0)  # 5th → flush
+    n_after5 = conn.fetchone("SELECT count(*) FROM rwdemo_buf.t")[0]
+    conn.insert_row("t", schema_name="rwdemo_buf", k=5)  # missing v
+    conn.insert_row("t", schema_name="rwdemo_buf", force_flush=True,
+                    k=6, v=6.0)  # drains the partial buffer
+    n_final, n_nulls = conn.fetchone(
+        "SELECT count(*), count(CASE WHEN v IS NULL THEN 1 END) "
+        "FROM rwdemo_buf.t"
+    )
+    return spark.createDataFrame(
+        sorted([("after_5th", int(n_after5)), ("before_5th", int(n_before)),
+                ("final", int(n_final)), ("nulls", int(n_nulls))]),
+        "item string, n bigint",
+    )
