@@ -79,6 +79,9 @@ class MVState:
         # Incremental plan for join+aggregation MVs (join delta →
         # group-wise merge); None → snapshot-diff.
         self.inc_joinagg: dict | None = None
+        # Incremental plan for (grouped) Top-N MVs — row_number()
+        # over a derived table, outer rank filter; None → snapshot-diff.
+        self.inc_topn: dict | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -2303,9 +2306,36 @@ class SparkEngine:
             # NOTE: prior UPDATE/DELETE history on the base is fine —
             # the induction base is the TABLE snapshot (not a changelog
             # fold), and the refresh path is retraction-capable.
+        inctop = None
+        if inc is None and not emit_on_close:
+            inctop = self._parse_topn(rewritten)
+            if inctop is not None and (
+                inctop["base_fq"] in self.upsert_meta
+                or not self.spark.catalog.tableExists(
+                    self.changelog_name(inctop["base_fq"])
+                )
+            ):
+                inctop = None
+        m0t = 0
+        snap_t = None
+        if inctop is not None:
+            # Same pinned-induction-base contract as the agg path.
+            with self._lock:
+                base_cl_t = self.changelog_name(inctop["base_fq"])
+                self.spark.catalog.refreshTable(base_cl_t)
+                m0t = (
+                    self.spark.table(base_cl_t)
+                    .agg(F.max("rw_timestamp"))
+                    .first()[0]
+                    or 0
+                )
+                self.spark.catalog.refreshTable(inctop["base_fq"])
+                snap_t = self.spark.table(
+                    inctop["base_fq"]
+                ).localCheckpoint(eager=True)
         incj = None
         incja = None
-        if inc is None and not emit_on_close:
+        if inc is None and inctop is None and not emit_on_close:
             incj = self._parse_simple_join(rewritten)
             if incj is None:
                 incja = self._parse_join_agg(rewritten)
@@ -2374,6 +2404,10 @@ class SparkEngine:
             base_view = "__rw_inc_base_" + "_".join(_split_fq(fq))
             snap.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
+        elif inctop is not None:
+            base_view = "__rw_topn_base_" + "_".join(_split_fq(fq))
+            snap_t.createOrReplaceTempView(base_view)
+            df = self.spark.sql(self._topn_stmt(inctop, base_view))
         elif incj is not None or incja is not None:
             tag = "_".join(_split_fq(fq))
             join_views = []
@@ -2418,6 +2452,9 @@ class SparkEngine:
         ):
             state.inc = inc
             state.last_epoch = m0
+        elif inctop is not None:
+            state.inc_topn = inctop
+            state.last_epoch = m0t
         elif incj is not None:
             state.inc_join = incj
             state.last_epoch = m0j
@@ -3240,6 +3277,318 @@ class SparkEngine:
                 spark.catalog.dropTempView(v)
         return (touched, re_agg)
 
+    # -- incremental TOP-N MVs (grouped ranking, bounded output) -----------
+    #
+    # For MVs of the shape
+    #   SELECT <bare cols|*> FROM (
+    #     SELECT <bare cols|*>, ROW_NUMBER() OVER (
+    #         [PARTITION BY p1, ...] ORDER BY o1 [DESC] ...) AS rnk
+    #     FROM one_table [WHERE ...]
+    #   ) [t] WHERE rnk <= K
+    # — RisingWave's streaming (group) Top-N operator, the one OVER
+    # shape its server maintains incrementally with a per-group state
+    # cache — a refresh re-ranks only the PARTITIONS touched by the
+    # delta:
+    #   * insert-only batches in the canonical SELECT * form never read
+    #     the base at all: with additions only, a partition's new top-k
+    #     is contained in (stored top-k ∪ inserted rows), so re-ranking
+    #     those suffices — O(delta + k per touched partition);
+    #   * batches with deletes/updates re-rank the touched partitions
+    #     from the base table via a partition-key semi-join (the
+    #     evicted k+1-th row is not stored, so refill must consult the
+    #     base) — O(rows of touched partitions).
+    # Either way refresh cost is independent of base size — what makes
+    # a leaderboard MV viable over a 100 TB fact table. Untouched
+    # partitions are never read, rewritten, or emitted. Changelog
+    # emission is a per-partition multiset diff (Insert/Delete with
+    # multiplicity): with ties under the ORDER BY, row_number() is not
+    # deterministic (same caveat as the reference's Top-N without a
+    # total order), so pairwise Update matching would be fiction.
+
+    _TOPN_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<osel>.+?)\s+FROM\s*\(\s*"
+        r"SELECT\s+(?P<isel>.+?)\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+        r"(?:PARTITION\s+BY\s+(?P<part>.+?)\s+)?ORDER\s+BY\s+(?P<ord>.+?)\s*\)"
+        r"\s+AS\s+(?P<rn>\w+)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*"
+        r"WHERE\s+(?P<rncol>\w+)\s*(?P<cmp><=?)\s*(?P<k>\d+)\s*;?\s*$",
+        re.I | re.S,
+    )
+    _TOPN_BLOCKERS = re.compile(
+        r"\b(JOIN|GROUP\s+BY|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|LIMIT"
+        r"|LATERAL|CROSS|TUMBLE|HOP|SESSION_WINDOW"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE)\b"
+        r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\(",
+        re.I,
+    )
+    _TOPN_ORD_ITEM = re.compile(
+        r"^\s*(?P<col>\w+)(?:\s+(?:ASC|DESC))?"
+        r"(?:\s+NULLS\s+(?:FIRST|LAST))?\s*$",
+        re.I,
+    )
+
+    def _parse_topn(self, stmt: str) -> dict | None:
+        """Return the incremental plan for a (grouped) Top-N MV, or
+        None if the statement is not (provably) one. Bare column
+        identifiers only throughout: the refresh rebinds FROM to
+        delta / semi-joined temp views, so qualified refs or aliases
+        would dangle or re-key rows. Partition columns must survive
+        both projections — the refresh identifies a stored row's
+        partition from the MV output itself."""
+        if self._TOPN_BLOCKERS.search(stmt):
+            return None
+        if len(re.findall(r"\(\s*SELECT\b", stmt, re.I)) != 1:
+            return None  # nested subqueries beyond the one derived table
+        if len(re.findall(r"\bOVER\b", stmt, re.I)) != 1:
+            return None
+        m = self._TOPN_SHAPE.match(stmt)
+        if not m:
+            return None
+        osel, isel = m.group("osel").strip(), m.group("isel").strip()
+        ordr, rn = m.group("ord").strip(), m.group("rn")
+        if m.group("rncol").lower() != rn.lower():
+            return None
+        k = int(m.group("k")) - (1 if m.group("cmp") == "<" else 0)
+        if k < 1:
+            return None
+        joined = " ".join(
+            filter(None, (osel, isel, m.group("part"), ordr, m.group("where")))
+        )
+        if self._QUALIFIED_REF.search(joined):
+            return None
+        part_cols: list[str] = []
+        if m.group("part"):
+            for p in m.group("part").split(","):
+                ident = p.strip()
+                if not re.fullmatch(r"\w+", ident) or ident.isdigit():
+                    return None
+                part_cols.append(ident)
+        for o in RW.split_top_level(ordr):
+            om = self._TOPN_ORD_ITEM.match(o)
+            if not om or om.group("col").isdigit():
+                return None
+
+        def _sel_cols(sel: str):
+            if sel == "*":
+                return "*"
+            cols = []
+            for item in RW.split_top_level(sel):
+                ident = item.strip()
+                if not re.fullmatch(r"\w+", ident) or ident.isdigit():
+                    return None
+                cols.append(ident)
+            return cols
+
+        i_cols, o_cols = _sel_cols(isel), _sel_cols(osel)
+        if i_cols is None or o_cols is None:
+            return None
+        if i_cols != "*" and any(c not in i_cols for c in part_cols):
+            return None
+        if o_cols != "*":
+            if i_cols != "*" and any(
+                c not in set(i_cols) | {rn} for c in o_cols
+            ):
+                return None
+            if any(c not in o_cols for c in part_cols):
+                return None
+        return {
+            "base_fq": self.qualify(m.group("tbl")),
+            "isel": isel,
+            "osel": osel,
+            "part_cols": part_cols,
+            "ord": ordr,
+            "rn": rn,
+            "k": k,
+            "where": (m.group("where") or "").strip() or None,
+            # insert-only merge is exact only in the canonical
+            # SELECT * form: stored rows then carry every base column
+            # needed to re-rank against the delta.
+            "merge_ok": isel == "*" and osel == "*",
+        }
+
+    def _topn_stmt(self, t: dict, view: str) -> str:
+        pb = (
+            f"PARTITION BY {', '.join(t['part_cols'])} "
+            if t["part_cols"]
+            else ""
+        )
+        w = f" WHERE {t['where']}" if t["where"] else ""
+        return (
+            f"SELECT {t['osel']} FROM (SELECT {t['isel']}, ROW_NUMBER() "
+            f"OVER ({pb}ORDER BY {t['ord']}) AS {t['rn']} FROM {view}{w}) "
+            f"__rw_t WHERE {t['rn']} <= {t['k']}"
+        )
+
+    @staticmethod
+    def _bag_diff_ops(
+        old: DataFrame, new: DataFrame, cols: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """Null-safe multiset diff old→new over ``cols``: returns
+        (inserts, deletes) with multiplicity (a row appearing twice
+        more in ``new`` yields two Insert rows). Shared by the
+        snapshot-diff fallback and the Top-N partition-replace path."""
+        oc = old.groupBy(*cols).agg(F.count("*").alias("__oc"))
+        nc = new.groupBy(*cols).agg(F.count("*").alias("__nc"))
+        cond = None
+        for c in cols:
+            e = oc[c].eqNullSafe(nc[c])
+            cond = e if cond is None else (cond & e)
+        j = oc.join(nc, cond, "full_outer")
+        pick = [F.coalesce(oc[c], nc[c]).alias(c) for c in cols] + [
+            (
+                F.coalesce(nc["__nc"], F.lit(0))
+                - F.coalesce(oc["__oc"], F.lit(0))
+            ).alias("__delta")
+        ]
+        d = j.select(*pick).filter(F.col("__delta") != 0)
+        expand = d.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__delta"))))
+        )
+        inserts = expand.filter(F.col("__delta") > 0).select(*cols)
+        deletes = expand.filter(F.col("__delta") < 0).select(*cols)
+        return inserts, deletes
+
+    def _refresh_incremental_topn(self, state: MVState) -> bool:
+        """Partition-local Top-N refresh — retraction capable. Touched
+        partitions (those with a delta row passing the MV's WHERE) are
+        re-ranked — from stored winners ∪ inserts when the batch is
+        append-only in the canonical form, else from the base table
+        pinned under the publish lock — and replaced wholesale; the
+        changelog gets the per-partition multiset diff. Returns True
+        when handled; False demotes to snapshot-diff (vacuumed
+        unconsumed epochs, same contract as the agg path)."""
+        t = state.inc_topn
+        spark = self.spark
+        fq = state.fq
+        tag = "_".join(_split_fq(fq))
+        base_fq = t["base_fq"]
+        base_cl = self.changelog_name(base_fq)
+        part = t["part_cols"]
+        with self._lock:
+            if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
+                state.inc_topn = None
+                return False
+            spark.catalog.refreshTable(base_cl)
+            pending = spark.table(base_cl).filter(
+                F.col("rw_timestamp") > state.last_epoch
+            )
+            m1 = pending.agg(F.max("rw_timestamp")).first()[0]
+            if m1 is None:
+                self.next_epoch()
+                return True
+            delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
+                eager=True
+            )
+            insert_only = (
+                delta.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE))
+                .limit(1)
+                .count()
+                == 0
+            )
+            # Touched partitions: delta rows that pass the MV's WHERE —
+            # rows failing it can never change a ranking.
+            v_delta = f"__rw_topn_delta_{tag}"
+            delta.drop("op", "rw_timestamp").createOrReplaceTempView(v_delta)
+            try:
+                w = f" WHERE {t['where']}" if t["where"] else ""
+                qualifying = spark.sql(f"SELECT * FROM {v_delta}{w}")
+                if part:
+                    touched = (
+                        qualifying.select(*part)
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
+                    any_touched = touched.limit(1).count() > 0
+                else:
+                    touched = None
+                    any_touched = qualifying.limit(1).count() > 0
+            finally:
+                spark.catalog.dropTempView(v_delta)
+            if not any_touched:
+                self.next_epoch()
+                state.last_epoch = m1
+                return True
+            spark.catalog.refreshTable(fq)
+            old = spark.table(fq)
+            cols = old.columns
+            types = {f.name: f.dataType for f in old.schema.fields}
+            if part:
+                o = old.alias("o")
+                tch = touched.alias("t")
+                cond = None
+                for c in part:
+                    e = F.col(f"o.{c}").eqNullSafe(F.col(f"t.{c}"))
+                    cond = e if cond is None else (cond & e)
+                # Stored winners of touched partitions, pinned before
+                # the table swap below invalidates the lazy read.
+                old_touched = o.join(tch, cond, "left_semi").localCheckpoint(
+                    eager=True
+                )
+                old_keep = o.join(tch, cond, "left_anti")
+            else:
+                old_touched = old.localCheckpoint(eager=True)
+                old_keep = old.limit(0)
+            if insert_only and t["merge_ok"]:
+                # Re-rank stored winners ∪ inserted rows — zero base
+                # reads; exact because additions can only promote rows
+                # already stored or just inserted.
+                cand = old_touched.drop(t["rn"]).unionByName(
+                    delta.filter(
+                        F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+                    ).drop("op", "rw_timestamp")
+                )
+            else:
+                # Retraction (or non-canonical projection): the evicted
+                # k+1-th row is not stored — re-rank the touched
+                # partitions from the base table, still under the lock
+                # so the snapshot is exactly the fold of epochs <= m1.
+                spark.catalog.refreshTable(base_fq)
+                if part:
+                    b = spark.table(base_fq).alias("b")
+                    bcond = None
+                    for c in part:
+                        e = F.col(f"b.{c}").eqNullSafe(F.col(f"t.{c}"))
+                        bcond = e if bcond is None else (bcond & e)
+                    cand = b.join(touched.alias("t"), bcond, "left_semi")
+                else:
+                    cand = spark.table(base_fq)
+            v_cand = f"__rw_topn_cand_{tag}"
+            cand.createOrReplaceTempView(v_cand)
+            try:
+                new_rows = (
+                    spark.sql(self._topn_stmt(t, v_cand))
+                    .select(
+                        *[F.col(c).cast(types[c]).alias(c) for c in cols]
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                spark.catalog.dropTempView(v_cand)
+        # Outside the lock: diff + stage write (inputs are pinned).
+        inserts, deletes = self._bag_diff_ops(old_touched, new_rows, cols)
+        new_result = old_keep.unionByName(new_rows)
+        db, tbl = _split_fq(fq)
+        stage = f"{db}.__rw_stage__{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        new_result.write.format("parquet").saveAsTable(stage)
+        self._ensure_changelog(fq)
+        tagged = self._tag_ops(
+            [(deletes, OP_DELETE), (inserts, OP_INSERT)]
+        ).localCheckpoint(eager=True)
+        any_change = not tagged.isEmpty()
+        with self._lock:
+            epoch = self.next_epoch()
+            if any_change:
+                self._append_changelog_tagged(fq, tagged, epoch)
+                spark.sql(f"DROP TABLE IF EXISTS {fq}")
+                spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+                spark.catalog.refreshTable(fq)
+        if not any_change:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        state.last_epoch = m1
+        return True
+
     def _prepare_fastpath_rearm(self, state: MVState):
         """Fast-path recovery for an MV currently on snapshot-diff —
         after an engine restart (MVState restores with all plans None;
@@ -3293,6 +3642,38 @@ class SparkEngine:
                 state.last_epoch = m0
 
             return df, finalize_inc
+
+        inctop = self._parse_topn(stmt)
+        if inctop is not None:
+            base = inctop["base_fq"]
+            base_cl = self.changelog_name(base)
+            if base in self.upsert_meta:
+                state.fastpath_blocked = True
+                return None
+            if not spark.catalog.tableExists(base_cl):
+                return None  # may appear after the first insert
+            with self._lock:
+                spark.catalog.refreshTable(base_cl)
+                m0 = (
+                    spark.table(base_cl).agg(F.max("rw_timestamp")).first()[0]
+                    or 0
+                )
+                spark.catalog.refreshTable(base)
+                snap = spark.table(base).localCheckpoint(eager=True)
+            view = f"__rw_rearm_{tag}"
+            snap.createOrReplaceTempView(view)
+            try:
+                df = spark.sql(
+                    self._topn_stmt(inctop, view)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(view)
+
+            def finalize_topn():
+                state.inc_topn = inctop
+                state.last_epoch = m0
+
+            return df, finalize_topn
 
         incj = self._parse_simple_join(stmt)
         incja = None if incj is not None else self._parse_join_agg(stmt)
@@ -3391,6 +3772,17 @@ class SparkEngine:
                 )
                 state.inc = None
                 state.fastpath_blocked = True
+        if state.inc_topn is not None:
+            try:
+                if self._refresh_incremental_topn(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental top-n refresh of %s failed; demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_topn = None
+                state.fastpath_blocked = True
         if state.inc_join is not None:
             try:
                 if self._refresh_incremental_join(state):
@@ -3422,6 +3814,7 @@ class SparkEngine:
             not state.emit_on_close
             and not state.fastpath_blocked
             and state.inc is None
+            and state.inc_topn is None
             and state.inc_join is None
             and state.inc_joinagg is None
         ):
@@ -3474,26 +3867,7 @@ class SparkEngine:
                 (inserts, OP_INSERT),
             ]
         else:
-            oc = old.groupBy(*cols).agg(F.count("*").alias("__oc"))
-            nc = new.groupBy(*cols).agg(F.count("*").alias("__nc"))
-            cond = None
-            for k in cols:
-                e = oc[k].eqNullSafe(nc[k])
-                cond = e if cond is None else (cond & e)
-            j = oc.join(nc, cond, "full_outer")
-            pick = [
-                F.coalesce(oc[c], nc[c]).alias(c) for c in cols
-            ] + [
-                (F.coalesce(nc["__nc"], F.lit(0)) - F.coalesce(oc["__oc"], F.lit(0))).alias(
-                    "__delta"
-                )
-            ]
-            d = j.select(*pick).filter(F.col("__delta") != 0)
-            expand = d.withColumn(
-                "__i", F.explode(F.sequence(F.lit(1), F.abs(F.col("__delta"))))
-            )
-            inserts = expand.filter(F.col("__delta") > 0).select(*cols)
-            deletes = expand.filter(F.col("__delta") < 0).select(*cols)
+            inserts, deletes = self._bag_diff_ops(old, new, cols)
             batches = [(deletes, OP_DELETE), (inserts, OP_INSERT)]
 
         self._ensure_changelog(fq)

@@ -66,6 +66,7 @@ def load_all() -> None:
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
     # new this round — first driver samples
+    "topn_inc_mv_scenario",
     "ann_index_build", "ann_index_probe",
     "dedup_index_build", "dedup_index_probe", "index_maintenance_scenario",
     "catalog_scenario", "source_scenario", "udf_scenario", "buffer_scenario",

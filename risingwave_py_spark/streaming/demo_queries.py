@@ -1179,3 +1179,72 @@ def buffer_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("final", int(n_final)), ("nulls", int(n_nulls))]),
         "item string, n bigint",
     )
+
+
+@register(
+    "topn_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(10 AS BIGINT), CAST(1 AS INTEGER), 'Delete', CAST(3 AS BIGINT)),
+        ('a', CAST(10 AS BIGINT), CAST(2 AS INTEGER), 'Insert', CAST(3 AS BIGINT)),
+        ('a', CAST(20 AS BIGINT), CAST(1 AS INTEGER), 'Insert', CAST(3 AS BIGINT)),
+        ('a', CAST(9 AS BIGINT), CAST(2 AS INTEGER), 'Delete', CAST(3 AS BIGINT)),
+        ('a', CAST(10 AS BIGINT), CAST(1 AS INTEGER), 'Insert', CAST(5 AS BIGINT)),
+        ('a', CAST(10 AS BIGINT), CAST(2 AS INTEGER), 'Delete', CAST(5 AS BIGINT)),
+        ('a', CAST(20 AS BIGINT), CAST(1 AS INTEGER), 'Delete', CAST(5 AS BIGINT)),
+        ('a', CAST(9 AS BIGINT), CAST(2 AS INTEGER), 'Insert', CAST(5 AS BIGINT)),
+        ('c', CAST(1 AS BIGINT), CAST(1 AS INTEGER), 'Insert', CAST(7 AS BIGINT))
+    ) AS t(player, pts, rnk, op, rw_timestamp)
+    """,
+)
+def topn_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (grouped) Top-N MV — RisingWave's streaming Top-N
+    operator (the one OVER shape its server maintains incrementally;
+    SURVEY §2 OVER battery, previously the only deferred line): a
+    leaderboard MV stays on the partition-local fast path across an
+    insert that evicts a winner, a DELETE whose refill row (the k+1-th)
+    was never stored, and a new-partition insert — asserted at every
+    step, untouched partitions never emit. Returns the MV changelog
+    with pinned epochs."""
+    conn, eng = _fresh_conn(spark, "rwdemo_topn")
+    conn.execute("CREATE TABLE rwdemo_topn.scores (player STRING, pts BIGINT)")
+    conn.insert(pd.DataFrame({"player": ["a", "a", "a", "b"],
+                              "pts": [10, 9, 8, 5]}),
+                table_name="scores", schema_name="rwdemo_topn",
+                force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_topn.top2 AS "
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        "(PARTITION BY player ORDER BY pts DESC) AS rnk "
+        "FROM rwdemo_topn.scores) WHERE rnk <= 2"
+    )
+    st = eng.mvs["rwdemo_topn.top2"]
+    assert st.inc_topn is not None, "top-n fast path not taken"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_topn.s FROM rwdemo_topn.top2 "
+        "WITH (retention = '86400s')"
+    )
+    conn.execute(
+        "DECLARE rwdemo_topn_cur subscription cursor for rwdemo_topn.s SINCE 0"
+    )
+    # a new winner evicts pts=9 from the stored top-2 (insert-only
+    # merge: no base read)
+    conn.insert(pd.DataFrame({"player": ["a"], "pts": [20]}),
+                table_name="scores", schema_name="rwdemo_topn",
+                force_flush=True)
+    assert st.inc_topn is not None, "insert flush demoted the top-n MV"
+    # deleting the winner refills from the base: pts=9 re-enters even
+    # though it was no longer stored (partition b never emits)
+    conn.execute("DELETE FROM rwdemo_topn.scores WHERE pts = 20")
+    conn.execute("FLUSH")
+    assert st.inc_topn is not None, "DELETE demoted the top-n MV"
+    # brand-new partition
+    conn.insert(pd.DataFrame({"player": ["c"], "pts": [1]}),
+                table_name="scores", schema_name="rwdemo_topn",
+                force_flush=True)
+    assert st.inc_topn is not None, "new-partition insert demoted the MV"
+    cols, rows = eng.fetch_cursor("rwdemo_topn_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "player string, pts bigint, rnk int, op string, rw_timestamp bigint",
+    )
