@@ -749,3 +749,132 @@ def test_upsert_compaction_matches_model(rw, ops):
     finally:
         del eng.UPSERT_COMPACT_BATCHES
         rw.execute(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- grouped Top-N fast path under arbitrary DML -------------------------
+
+_topn_insert = st.tuples(
+    st.just("insert"),
+    st.lists(
+        st.tuples(st.sampled_from(KEYS), st.integers(0, 9)),
+        min_size=1,
+        max_size=3,
+    ),
+)
+_topn_update = st.tuples(st.just("update"), st.sampled_from(KEYS),
+                         st.integers(10, 19))
+_topn_delete = st.tuples(st.just("delete"), st.sampled_from(KEYS),
+                         st.integers(0, 9))
+_topn_ops_seq = st.lists(
+    st.one_of(_topn_insert, _topn_update, _topn_delete),
+    min_size=1,
+    max_size=5,
+)
+
+
+def _expected_topn(rows: list[tuple[str, int, int]], k: int = 2) -> Counter:
+    """Model of the grouped Top-N: per partition, rows sorted by
+    (v DESC, id) — a total order, so the expected set is unique."""
+    out: Counter = Counter()
+    by_p: dict[str, list[tuple[str, int, int]]] = {}
+    for r in rows:
+        by_p.setdefault(r[0], []).append(r)
+    for p, prows in by_p.items():
+        ranked = sorted(prows, key=lambda r: (-r[1], r[2]))[:k]
+        for i, r in enumerate(ranked, start=1):
+            out[(r[0], r[1], r[2], i)] += 1
+    return out
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(ops=_topn_ops_seq)
+def test_topn_fast_path_matches_model_under_dml(rw, ops):
+    """For ANY DML sequence, a grouped Top-N MV on the incremental
+    fast path equals the from-scratch recompute AND the pure-Python
+    model, the fast path survives every step (retraction capable),
+    and changelog replay reconstructs the MV. The ORDER BY carries a
+    unique id tiebreaker so the expected top-k is a total order."""
+    tag = f"t_topn_prop_{next(_ids)}"
+    stmt = (
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY p ORDER BY v DESC, id) AS rnk FROM {tag}) "
+        f"WHERE rnk <= 2"
+    )
+    model: list[tuple[str, int, int]] = []
+    ids = itertools.count(1)
+    rw.execute(f"CREATE TABLE {tag} (p STRING, v BIGINT, id BIGINT)")
+    rw.mv(stmt=stmt, name=f"{tag}_mv")
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc_topn is not None, "top-n fast path not taken"
+    rw.execute(
+        f"CREATE SUBSCRIPTION IF NOT EXISTS public.{tag}_sub FROM "
+        f"public.{tag}_mv WITH (retention = '86400s')"
+    )
+    rw.execute(
+        f"DECLARE {tag}_cur subscription cursor for public.{tag}_sub SINCE 0"
+    )
+    try:
+        for op in ops:
+            if op[0] == "insert":
+                rows = [(p, v, next(ids)) for p, v in op[1]]
+                rw.insert(
+                    data=pd.DataFrame(
+                        {"p": [r[0] for r in rows],
+                         "v": [r[1] for r in rows],
+                         "id": [r[2] for r in rows]}
+                    ),
+                    table_name=tag,
+                    force_flush=True,
+                )
+                model.extend(rows)
+            elif op[0] == "update":
+                _, key, val = op
+                rw.execute(f"UPDATE {tag} SET v = {val} WHERE p = '{key}'")
+                model = [
+                    (p, val if p == key else v, i) for p, v, i in model
+                ]
+            else:
+                _, key, thr = op
+                rw.execute(
+                    f"DELETE FROM {tag} WHERE p = '{key}' AND v >= {thr}"
+                )
+                model = [
+                    (p, v, i)
+                    for p, v, i in model
+                    if not (p == key and v >= thr)
+                ]
+        rw.execute("FLUSH")
+        assert st_mv.inc_topn is not None, (
+            "DML sequence must not demote the retraction-capable top-n MV"
+        )
+
+        mv_rows = Counter(
+            tuple(r) for r in rw.fetch(f"SELECT p, v, id, rnk FROM {tag}_mv")
+        )
+        recomputed = Counter(tuple(r) for r in rw.fetch(stmt))
+        assert mv_rows == recomputed == _expected_topn(model), ops
+
+        _, ch = rw.engine.fetch_cursor(f"{tag}_cur", 100000)
+        replayed: Counter = Counter()
+        last_epoch = -1
+        for row in ch:
+            *vals, op_name, epoch = row
+            assert epoch >= last_epoch
+            last_epoch = epoch
+            key = tuple(vals)
+            if op_name in ("Insert", "UpdateInsert"):
+                replayed[key] += 1
+            else:
+                assert op_name in ("Delete", "UpdateDelete"), op_name
+                replayed[key] -= 1
+                if replayed[key] == 0:
+                    del replayed[key]
+        assert replayed == mv_rows, ops
+    finally:
+        rw.engine.drop_subscription(f"{tag}_sub")
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}")
