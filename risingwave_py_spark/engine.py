@@ -3469,22 +3469,28 @@ class SparkEngine:
                 state.inc_topn = None
                 return False
             spark.catalog.refreshTable(base_cl)
-            pending = spark.table(base_cl).filter(
-                F.col("rw_timestamp") > state.last_epoch
+            # Publications take the same lock, so the pending suffix is
+            # stable here: checkpoint it once, then read the watermark
+            # and the has-deletes flag from the pinned copy in ONE pass
+            # (each avoided action is ~0.2 s of dispatch floor — the
+            # dominant refresh cost when deltas are small).
+            delta = (
+                spark.table(base_cl)
+                .filter(F.col("rw_timestamp") > state.last_epoch)
+                .localCheckpoint(eager=True)
             )
-            m1 = pending.agg(F.max("rw_timestamp")).first()[0]
+            m1, n_del = delta.agg(
+                F.max("rw_timestamp"),
+                F.count(
+                    F.when(
+                        F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE), 1
+                    )
+                ),
+            ).first()
             if m1 is None:
                 self.next_epoch()
                 return True
-            delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
-                eager=True
-            )
-            insert_only = (
-                delta.filter(F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE))
-                .limit(1)
-                .count()
-                == 0
-            )
+            insert_only = n_del == 0
             # Touched partitions: delta rows that pass the MV's WHERE —
             # rows failing it can never change a ranking.
             v_delta = f"__rw_topn_delta_{tag}"
@@ -3519,14 +3525,15 @@ class SparkEngine:
                 for c in part:
                     e = F.col(f"o.{c}").eqNullSafe(F.col(f"t.{c}"))
                     cond = e if cond is None else (cond & e)
-                # Stored winners of touched partitions, pinned before
-                # the table swap below invalidates the lazy read.
-                old_touched = o.join(tch, cond, "left_semi").localCheckpoint(
-                    eager=True
-                )
+                # Stored winners of touched partitions. Lazy on
+                # purpose: every consumer (candidate set, diff, stage
+                # write) runs before the table swap below, and the MV
+                # is k·partitions rows — two scans beat a checkpoint
+                # action.
+                old_touched = o.join(tch, cond, "left_semi")
                 old_keep = o.join(tch, cond, "left_anti")
             else:
-                old_touched = old.localCheckpoint(eager=True)
+                old_touched = old
                 old_keep = old.limit(0)
             if insert_only and t["merge_ok"]:
                 # Re-rank stored winners ∪ inserted rows — zero base

@@ -107,10 +107,75 @@ def probe(spark, k: int, groups: int = 100) -> dict:
     return out
 
 
+def probe_topn(spark, k: int, groups: int = 100) -> dict:
+    """Same protocol for the grouped Top-N fast path (own schema so
+    its refresh cost never pollutes the agg/join timings): a 100-row
+    insert flush (stored-winners ∪ delta merge, zero base reads) and a
+    one-group UPDATE flush (touched-partition re-rank from the base),
+    fast path vs snapshot-diff."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    schema = f"ivmt{k}"
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{schema}.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema=schema)
+    conn = RisingWaveConnection(eng)
+
+    fact = spark.range(100_000 * k).select(
+        F.col("id").alias("k"),
+        (F.col("id") % groups).alias("g"),
+        (F.col("id") % 50).alias("v"),
+    )
+    eng.insert_df("fact", fact, schema_name=schema)
+    conn.execute("FLUSH")
+    conn.execute(
+        f"CREATE MATERIALIZED VIEW {schema}.topn_mv AS "
+        f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY v DESC, k) AS rnk FROM {schema}.fact) "
+        f"WHERE rnk <= 3"
+    )
+    st_topn = eng.mvs[f"{schema}.topn_mv"]
+    assert st_topn.inc_topn is not None
+
+    def timed_flush() -> float:
+        t0 = time.monotonic()
+        conn.execute("FLUSH")
+        return time.monotonic() - t0
+
+    out: dict = {"k": k, "base_rows": 100_000 * k, "groups": groups}
+
+    def one_round(label: str) -> None:
+        conn.insert(
+            pd.DataFrame({"k": [10_000_000 + i for i in range(100)],
+                          "g": [i % groups for i in range(100)],
+                          "v": [60] * 100}),
+            table_name="fact", schema_name=schema, force_flush=False,
+        )
+        out[f"insert_{label}"] = timed_flush()
+        conn.execute(f"UPDATE {schema}.fact SET v = 0 WHERE g = 3 AND v = 60")
+        out[f"update_{label}"] = timed_flush()
+
+    one_round("fast")
+    assert st_topn.inc_topn is not None, "probe DML must stay on the fast path"
+    st_topn.inc_topn = None
+    st_topn.fastpath_blocked = True
+    one_round("snap")
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,8")
     ap.add_argument("--groups", type=int, default=100)
+    ap.add_argument("--path", choices=["agg", "topn", "all"], default="all")
     args = ap.parse_args()
 
     from risingwave_py_spark.session import build_session
@@ -118,9 +183,14 @@ def main() -> None:
     spark = build_session()
     rows = []
     for k in [int(s) for s in args.scales.split(",")]:
-        r = probe(spark, k, args.groups)
-        rows.append(r)
-        print(json.dumps(r), flush=True)
+        if args.path in ("agg", "all"):
+            r = probe(spark, k, args.groups)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        if args.path in ("topn", "all"):
+            r = {"path": "topn", **probe_topn(spark, k, args.groups)}
+            rows.append(r)
+            print(json.dumps(r), flush=True)
     print("\n| base rows | insert fast | insert snap | update fast | update snap |")
     print("|---|---|---|---|---|")
     for r in rows:
