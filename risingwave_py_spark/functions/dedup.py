@@ -176,7 +176,7 @@ def _spark_shingle_hashes(text_col: str = "text") -> tuple[str, str]:
     return wh, sh
 
 
-def _duck_shingle_hashes() -> str:
+def _duck_shingle_hashes(where: str = "TRUE") -> str:
     """DuckDB CTE text producing (doc_id, hs) with the same shingle
     hashes as `_spark_shingle_hashes` (1-based list indexing)."""
     return rf"""
@@ -189,7 +189,7 @@ def _duck_shingle_hashes() -> str:
         FROM (SELECT doc_id,
                      list_transform(regexp_split_to_array(text, '\s+'),
                                     w -> {duck_hash32('w')}) AS wh
-              FROM documents)
+              FROM documents WHERE {where})
     """
 
 
@@ -212,7 +212,7 @@ def _duck_sig_expr(i: int) -> str:
     )
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(where: str = "TRUE") -> str:
     """DuckDB CTE chain ending in `scored(doc_a, doc_b, est_jaccard)`:
     the full MinHash+LSH candidate pipeline, shared by the top-20
     pair query and the connected-components canonicalizer."""
@@ -227,7 +227,7 @@ def _minhash_pair_ctes() -> str:
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
     )
     return rf"""hashed AS (
-{_duck_shingle_hashes()}
+{_duck_shingle_hashes(where)}
     ), sigs AS (
         SELECT doc_id,
                {sig_cols}
@@ -853,18 +853,19 @@ def _minhash_index_fq(sf_dir: str) -> str:
     return f"default.__minhash_sig_index_{tag}__"
 
 
-def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
-    """Create-or-incrementally-refresh the stored signature table
-    (doc_id, s0..s15). Refresh shingles and hashes ONLY docs absent
-    from the table (anti-join on doc_id) — O(new batch); in an engine
-    deployment the new-batch set comes from the table changelog."""
-    tbl = _minhash_index_fq(sf_dir)
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+def _minhash_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+    """Sync the stored signature table ``tbl`` to ``corpus`` (doc_id,
+    text). Shingling — the expensive text pass — runs ONLY over new
+    docs; docs gone from the corpus are tombstoned, re-inserts and
+    tombstone growth trigger compaction (functions/index_store.py) —
+    all O(changed batch)."""
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
     wh_expr, sh_expr = _spark_shingle_hashes()
 
-    def sigs_of(df: DataFrame) -> DataFrame:
+    def make_rows(new_ids: DataFrame) -> DataFrame:
         return (
-            fanout(df)
+            fanout(corpus.join(new_ids, "doc_id", "left_semi"))
             .selectExpr("doc_id", f"{wh_expr} AS __wh")
             .selectExpr("doc_id", f"{sh_expr} AS __hs")
             .selectExpr(
@@ -873,16 +874,20 @@ def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
             )
         )
 
-    if spark.catalog.tableExists(tbl):
-        new = d.join(spark.table(tbl).select("doc_id"), "doc_id", "left_anti")
-        if not new.isEmpty():
-            sigs_of(new).write.mode("append").saveAsTable(tbl)
-            spark.catalog.refreshTable(tbl)
-    else:
-        from risingwave_py_spark.catalog import clear_stale_location
+    refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id", make_rows)
 
-        clear_stale_location(spark, tbl)
-        sigs_of(d).write.saveAsTable(tbl)
+
+def _ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Create-or-incrementally-refresh the stored signature table
+    (doc_id, s0..s15). Incremental in both directions: new docs are
+    shingled and appended (O(new batch)); deleted docs are tombstoned
+    so probes stop matching them (O(deleted batch)). In an engine
+    deployment the changed-id sets come from the table changelog
+    (index_maintenance_scenario wires exactly that)."""
+    tbl = _minhash_index_fq(sf_dir)
+    _minhash_refresh(
+        spark, tbl, table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return tbl
 
 
@@ -899,9 +904,11 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or incrementally refresh) the persisted MinHash
     signature index and report its band histogram FROM THE STORED
     TABLE — validating exactly what probes will read."""
+    from risingwave_py_spark.functions.index_store import live_index
+
     tbl = _ensure_minhash_index(spark, sf_dir)
     return (
-        _bands_from_sigs(spark.table(tbl))
+        _bands_from_sigs(live_index(spark, tbl, "doc_id"))
         .groupBy("band_id")
         .agg(
             F.count("*").alias("n_docs"),
@@ -918,8 +925,63 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored corpus side's — come from the index table, so the probe
     plan never rescans document text. At 100 TB each daily run costs
     O(batch) band lookups against stored posting lists."""
+    from risingwave_py_spark.functions.index_store import live_index
+
     tbl = _ensure_minhash_index(spark, sf_dir)
-    return _probe_new_against_old(spark.table(tbl))
+    return _probe_new_against_old(live_index(spark, tbl, "doc_id"))
+
+
+# Privacy-deletion batch for the dedup index-DML scenario (ids exist at
+# every SF; see TESTDATA.md — doc_id is 0..N-1 everywhere).
+_DOC_DML_GONE = "doc_id >= 200 AND doc_id < 260"
+_DOC_DML_BACK = 200
+
+
+@register(
+    "dedup_index_dml",
+    oracle=rf"""
+    WITH {{ctes}}
+    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT band_hash) AS BIGINT) AS n_buckets
+    FROM bands GROUP BY band_id ORDER BY band_id
+    """.format(
+        ctes=_minhash_pair_ctes(
+            where=f"NOT ({_DOC_DML_GONE}) OR doc_id = {_DOC_DML_BACK}"
+        )
+    ),
+)
+def dedup_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance of the persisted MinHash signature index: full
+    build, a privacy-deletion batch (60 docs tombstoned — no index
+    rewrite, no re-shingling of survivors), then one deleted doc
+    re-inserted (compaction path). The final LIVE band histogram must
+    equal a from-scratch signature pass over the surviving corpus —
+    proving stale signature rows are invisible to probes and the
+    returning doc is back. Own index table; the append-only
+    build/probe pair is untouched."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _minhash_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    _minhash_refresh(spark, tbl, d)
+    _minhash_refresh(spark, tbl, d.filter(f"NOT ({_DOC_DML_GONE})"))
+    _minhash_refresh(
+        spark, tbl,
+        d.filter(f"NOT ({_DOC_DML_GONE}) OR doc_id = {_DOC_DML_BACK}"),
+    )
+    return (
+        _bands_from_sigs(live_index(spark, tbl, "doc_id"))
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("band_hash").alias("n_buckets"),
+        )
+        .orderBy("band_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -371,37 +371,37 @@ def _ivf_index_fq(sf_dir: str) -> str:
     return f"default.__ann_ivf_index_{tag}__"
 
 
+def _ivf_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+    """Sync the stored IVF index ``tbl`` to ``corpus``. Inserts assign
+    only the new batch (packed-centroid single projection) and append;
+    ids gone from the corpus are tombstoned, re-inserts and tombstone
+    growth trigger compaction — all O(changed batch), the
+    already-indexed corpus is never re-assigned (index_store docs)."""
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
+    def make_rows(new_ids: DataFrame) -> DataFrame:
+        cents1 = _cents_packed(corpus)
+        new = corpus.join(new_ids, "vec_id", "left_semi")
+        return _assign_cells(fanout(new, parts=4), cents1)
+
+    refresh_stored_index(spark, tbl, corpus.select("vec_id"), "vec_id", make_rows)
+
+
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Create-or-incrementally-refresh the persisted IVF index table
-    (vec_id, embedding, cell_id). The refresh is INCREMENTAL: when the
-    table exists, only vectors absent from it are assigned (packed-
-    centroid single projection) and appended — O(new batch), the
-    already-indexed corpus is never re-assigned. This persists the
-    assumption ann_incremental_probe demonstrates; a production
-    deployment drives the anti-join's "new batch" from the engine's
-    table changelog instead of a full key diff."""
+    (vec_id, embedding, cell_id). The refresh is INCREMENTAL in both
+    directions: new vectors are assigned and appended (O(new batch));
+    vectors gone from the corpus are tombstoned so probes stop seeing
+    them (O(deleted batch)) — see functions/index_store.py. A
+    production deployment drives the changed-id sets from the engine's
+    table changelog instead of a full key diff
+    (index_maintenance_scenario wires exactly that)."""
     tbl = _ivf_index_fq(sf_dir)
-    raw = table(spark, sf_dir, "embeddings")
-    if spark.catalog.tableExists(tbl):
-        new = raw.join(
-            spark.table(tbl).select("vec_id"), "vec_id", "left_anti"
-        )
-        if not new.isEmpty():
-            cents1 = _cents_packed(raw)
-            _assign_cells(fanout(new, parts=4), cents1).write.mode(
-                "append"
-            ).saveAsTable(tbl)
-            spark.catalog.refreshTable(tbl)
-    else:
-        from risingwave_py_spark.catalog import clear_stale_location
-
-        clear_stale_location(spark, tbl)
-        cents1 = _cents_packed(raw)
-        _assign_cells(fanout(raw, parts=4), cents1).write.saveAsTable(tbl)
+    _ivf_refresh(spark, tbl, table(spark, sf_dir, "embeddings"))
     return tbl
 
 
-def _index_build_oracle() -> str:
+def _index_build_oracle(where: str = "TRUE") -> str:
     return f"""
     WITH cents AS (
         SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
@@ -411,6 +411,7 @@ def _index_build_oracle() -> str:
                row_number() OVER (PARTITION BY vec_id
                    ORDER BY round({_duck_cos('embedding', 'ce')}, 6) DESC, cell_id) AS rn
         FROM embeddings, cents
+        WHERE {where}
     )
     SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
     FROM assign WHERE rn = 1
@@ -424,9 +425,11 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     report its cell histogram — the DDL half of the build/probe pair.
     Returns per-cell vector counts FROM THE STORED TABLE, so the
     oracle check also validates what probes will actually read."""
+    from risingwave_py_spark.functions.index_store import live_index
+
     tbl = _ensure_ivf_index(spark, sf_dir)
     return (
-        spark.table(tbl)
+        live_index(spark, tbl, "vec_id")
         .groupBy("cell_id")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("cell_id")
@@ -443,8 +446,10 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists that the build query keeps fresh in O(new batch)."""
     from pyspark.sql import Window as W
 
+    from risingwave_py_spark.functions.index_store import live_index
+
     tbl = _ensure_ivf_index(spark, sf_dir)
-    idx = spark.table(tbl)
+    idx = live_index(spark, tbl, "vec_id")
     cents1 = _cents_packed(idx)
     probes = _probe_cells(
         idx.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
@@ -470,6 +475,51 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(by_query))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# Privacy-deletion batch for the index-DML scenario: a contiguous slice
+# that exists at every SF (ids are 0..N-1 everywhere) and avoids the
+# query rows (< N_QUERIES) and the centroid rows [100, 100+N_CELLS).
+_DML_GONE = "vec_id >= 200 AND vec_id < 260"
+_DML_BACK = 200  # one deleted vector is later re-inserted (compaction path)
+
+
+@register(
+    "ann_index_dml",
+    oracle=_index_build_oracle(
+        where=f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"
+    ),
+)
+def ann_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance of the persisted IVF index: build over the full
+    corpus, apply a privacy-deletion batch (60 vectors tombstoned —
+    O(deleted batch), no index rewrite), then re-insert one deleted id
+    (forces the compaction path: the id-keyed tombstone would hide the
+    returning row). The final LIVE histogram must equal a from-scratch
+    assignment over the surviving corpus — the oracle proves every
+    stale posting-list entry is gone and the re-inserted one is back.
+    Uses its own index table so the append-only build/probe pair stays
+    untouched."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _ivf_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    raw = table(spark, sf_dir, "embeddings")
+    _ivf_refresh(spark, tbl, raw)
+    _ivf_refresh(spark, tbl, raw.filter(f"NOT ({_DML_GONE})"))
+    _ivf_refresh(
+        spark, tbl,
+        raw.filter(f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"),
+    )
+    return (
+        live_index(spark, tbl, "vec_id")
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell_id")
     )
 
 

@@ -51,47 +51,44 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-4 sampled
-# four windows — cumulative driver coverage 160/160, all green at the
-# latest verdict. Round 5's window leads with:
-#   1. the four NEW persisted-index queries (never driver-sampled);
-#   2. every query whose implementation changed this round: q18
-#      (single-lineitem-scan rewrite), ann_ivf_topk (decorator fix —
-#      the vectors registration is now the one the driver can see),
-#      dedup_cross_corpus (refactored onto the shared band/probe
-#      helpers), upsert/dml scenarios (compaction on the flush path);
-#   3. regression re-samples of queries last driver-checked in r1/r2
-#      (oldest verdicts first: TPC-H extras, set ops, scalar battery).
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-5 sampled
+# five windows — cumulative driver coverage 170/170, all green at the
+# latest verdict. Round 6's window leads with:
+#   1. the NEW retraction-aware index queries (never driver-sampled):
+#      ann_index_dml / dedup_index_dml, plus index_maintenance_scenario
+#      (rewritten op-aware) and the four build/probe queries whose
+#      read path changed to the tombstone-filtered live index;
+#   2. queries whose implementation or environment changed this round;
+#   3. regression re-samples ordered by oldest driver verdict (r1/r2
+#      windows & long-unsampled streaming/multimodal heads).
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round — first driver samples
-    "topn_inc_mv_scenario",
+    # new or changed this round — first driver samples
+    "ann_index_dml", "dedup_index_dml", "index_maintenance_scenario",
     "ann_index_build", "ann_index_probe",
-    "dedup_index_build", "dedup_index_probe", "index_maintenance_scenario",
-    "catalog_scenario", "source_scenario", "udf_scenario", "buffer_scenario",
-    # implementation changed this round
-    "q18_large_volume_customer", "ann_ivf_topk", "dedup_cross_corpus",
-    "upsert_version_scenario", "dml_scenario", "dml_inc_mv_scenario",
-    # r1/r2-era verdicts, oldest first: TPC-H heads + subquery battery
-    "q2_min_cost_supplier", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q8_market_share", "q9_profit_by_nation",
+    "dedup_index_build", "dedup_index_probe",
+    "cascade_mv_scenario", "upsert_version_scenario",
+    # r5-new queries sampled only once — hold one more round
+    "topn_inc_mv_scenario", "catalog_scenario", "udf_scenario",
+    "buffer_scenario", "dml_scenario", "source_scenario",
+    # oldest driver verdicts first: r1/r2-era streaming + multimodal
+    "mv_changelog_scenario", "sink_scenario", "emit_on_close_scenario",
+    "table_changelog_scenario", "dml_inc_mv_scenario",
+    "multimodal_metadata", "multimodal_decode_features",
+    "multimodal_image_pipeline", "multimodal_audio_pipeline",
+    "multimodal_video_pipeline",
+    # r1-era TPC-H + analytics re-samples
+    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q11_important_stock", "q12_late_lines_by_flag",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_qty_revenue", "q19_disc_revenue_or",
-    "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_prospect_customers", "q3_shipping_priority",
-    # r1-era relational/set-op/scalar battery
-    "join_inner_basic", "join_semi_exists", "join_anti_not_exists",
-    "join_full_outer", "join_non_equi_theta", "lateral_top2_orders",
-    "setop_bag_semantics", "setop_except_all", "distinct_on_latest_event",
-    "orderby_nulls_last_topk", "pivot_status_qty", "agg_grouping_sets",
-    "agg_stddev_exact", "agg_percentiles", "agg_corr_regr",
-    "scalar_regexp_funcs", "map_struct_access", "array_agg_ops",
-    "scalar_timezone_bucket", "unnest_word_counts",
-    # r2-era dedup/text heads
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_components",
-    "dedup_span_exact", "pipeline_curate_corpus_v2", "text_pack_sequences",
+    "q16_supplier_cnt", "q22_prospect_customers",
+    "window_rank_lag", "window_ntile_percentrank", "window_range_frame",
+    "window_first_last_nth", "window_filtered_agg",
+    "tumble_events_15m", "hop_events_30m_15m",
+    "session_window_events", "interval_join_events",
+    "sessionize_events", "asof_join_last_click",
 ]
 
 

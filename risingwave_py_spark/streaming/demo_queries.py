@@ -913,20 +913,32 @@ def star3_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index_maintenance_scenario",
     oracle="""
     SELECT * FROM (VALUES
-        (CAST(4 AS BIGINT), CAST(2 AS BIGINT),
-         CAST(2 AS BIGINT), CAST(5 AS BIGINT))
-    ) AS t(new_doc_id, match_doc_id, n_new_indexed, n_total_indexed)
+        ('p1_edges_new4', CAST(1 AS BIGINT)),
+        ('p1_new_indexed', CAST(2 AS BIGINT)),
+        ('p1_total', CAST(5 AS BIGINT)),
+        ('p2_edges_new4', CAST(0 AS BIGINT)),
+        ('p2_total', CAST(4 AS BIGINT)),
+        ('p3_edges_new5', CAST(2 AS BIGINT)),
+        ('p3_total', CAST(4 AS BIGINT))
+    ) AS t(item, val)
     """,
 )
 def index_maintenance_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Changelog-DRIVEN index maintenance: a dedup fingerprint index
-    over an engine table is kept fresh from the table's SUBSCRIPTION
-    cursor — each refresh indexes exactly the rows the changelog
-    delivered since the last fetch (O(batch), at-least-once), never
-    rescanning the base table; the dup probe touches only the stored
-    index. dedup_index_build/dedup_index_probe show the same pattern
-    at corpus scale (anti-join stands in for the changelog there);
-    this scenario proves the engine wiring end to end."""
+    """Changelog-DRIVEN index maintenance, retraction-aware: a dedup
+    fingerprint index over an engine table is kept fresh from the
+    table's SUBSCRIPTION cursor. Each refresh consumes the op column —
+    Insert/UpdateInsert rows are (re)indexed, Delete/UpdateDelete rows
+    remove their index entries — netted per doc_id (last state wins),
+    so the refresh is O(batch), idempotent under at-least-once
+    redelivery, and never rescans the base table. Three probed phases:
+    a batch insert creates a dup edge, a base-table DELETE removes the
+    matched doc (the stale edge must disappear), and an UPDATE rewrites
+    a doc's text (its fingerprint must move to the new dup group).
+    ann_index_dml/dedup_index_dml show the same retraction contract on
+    the corpus-scale stored indexes."""
+    import hashlib
+    import re as _re
+
     from pyspark.sql import functions as F
 
     conn, eng = _fresh_conn(spark, "rwdemo_ix")
@@ -942,46 +954,80 @@ def index_maintenance_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     conn.execute(
         "DECLARE rwdemo_ix_cur subscription cursor for rwdemo_ix.s SINCE 0"
     )
-    spark.sql(
-        "CREATE TABLE IF NOT EXISTS rwdemo_ix.fp_index "
-        "(doc_id BIGINT, fp STRING) USING PARQUET"
-    )
+
+    def _fp(text: str) -> str:
+        # same normalized fingerprint the SQL form uses:
+        # md5(regexp_replace(lower(text), '\\s+', ' '))
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", text.lower()).encode("utf-8")
+        ).hexdigest()
 
     def index_from_cursor() -> int:
-        """Index whatever the changelog delivered since the last fetch."""
+        """Apply whatever the changelog delivered since the last fetch."""
         _, rows = eng.fetch_cursor("rwdemo_ix_cur", 100)
         if not rows:
             return 0
-        batch = spark.createDataFrame(
-            [(r[0], r[1]) for r in rows], "doc_id bigint, text string"
-        ).selectExpr(
-            "doc_id",
-            r"md5(regexp_replace(lower(text), '\\s+', ' ')) AS fp",
-        )
-        batch.write.mode("append").saveAsTable("rwdemo_ix.fp_index")
-        spark.catalog.refreshTable("rwdemo_ix.fp_index")
-        return batch.count()
+        # rows arrive as (doc_id, text, op, rw_timestamp) ordered by
+        # epoch, but WITHIN an epoch the cursor does not order ops —
+        # apply the changelog convention (retractions precede
+        # insertions inside one epoch, so an UPDATE's pair nets to the
+        # new value), then net per doc_id: the final state wins, and a
+        # redelivered batch reproduces the same index state.
+        ins_ops = ("Insert", "UpdateInsert")
+        final = {}
+        for r in sorted(rows, key=lambda r: (r[-1], r[-2] in ins_ops)):
+            final[r[0]] = r
+        alive = {i: r for i, r in final.items() if r[-2] in ins_ops}
+        if spark.catalog.tableExists("rwdemo_ix.fp_index"):
+            ids = ", ".join(str(i) for i in final)
+            conn.execute(
+                f"DELETE FROM rwdemo_ix.fp_index WHERE doc_id IN ({ids})"
+            )
+        if alive:
+            conn.insert(
+                pd.DataFrame({
+                    "doc_id": list(alive),
+                    "fp": [_fp(r[1]) for r in alive.values()],
+                }),
+                table_name="fp_index", schema_name="rwdemo_ix",
+                force_flush=True,
+            )
+        return len(alive)
 
+    def probe(phase: str, doc_id: int, out: list) -> None:
+        spark.catalog.refreshTable("rwdemo_ix.fp_index")
+        idx = spark.table("rwdemo_ix.fp_index")
+        edges = (
+            idx.alias("n").filter(F.col("n.doc_id") == doc_id)
+            .join(idx.alias("o"),
+                  (F.col("n.fp") == F.col("o.fp"))
+                  & (F.col("n.doc_id") != F.col("o.doc_id")))
+            .count()
+        )
+        out.append((f"{phase}_edges_new{doc_id}", edges))
+        out.append((f"{phase}_total", idx.count()))
+
+    out: list[tuple[str, int]] = []
     index_from_cursor()  # initial build from epoch 1's rows
-    # the daily batch arrives; the cursor yields ONLY the new rows
+    # p1: the daily batch arrives; the cursor yields ONLY the new rows
     conn.insert(
         pd.DataFrame({"doc_id": [4, 5], "text": ["gamma delta", "epsilon"]}),
         table_name="docs", schema_name="rwdemo_ix", force_flush=True,
     )
-    n_new = index_from_cursor()
-    idx = spark.table("rwdemo_ix.fp_index")
-    edges = (
-        idx.filter(F.col("doc_id") >= 4).alias("n")
-        .join(idx.filter(F.col("doc_id") < 4).alias("o"),
-              F.col("n.fp") == F.col("o.fp"))
-        .select(
-            F.col("n.doc_id").alias("new_doc_id"),
-            F.col("o.doc_id").alias("match_doc_id"),
-        )
+    out.append(("p1_new_indexed", index_from_cursor()))
+    probe("p1", 4, out)  # doc 4 duplicates doc 2
+    # p2: privacy deletion of the matched doc — the stale entry must go
+    conn.execute("DELETE FROM rwdemo_ix.docs WHERE doc_id = 2")
+    index_from_cursor()
+    probe("p2", 4, out)  # edge gone, index one row smaller
+    # p3: UPDATE moves doc 5 into the alpha-beta dup group
+    conn.execute(
+        "UPDATE rwdemo_ix.docs SET text = 'ALPHA    beta' WHERE doc_id = 5"
     )
-    return (
-        edges.withColumn("n_new_indexed", F.lit(n_new).cast("bigint"))
-        .withColumn("n_total_indexed", F.lit(idx.count()).cast("bigint"))
+    index_from_cursor()
+    probe("p3", 5, out)  # now matches docs 1 and 3; total unchanged
+    return spark.createDataFrame(
+        sorted(out), "item string, val bigint"
     )
 
 
