@@ -186,11 +186,22 @@ class RisingWaveConnection:
         eng = self.engine
         cmd = RW.classify(sql)
         k, p = cmd.kind, cmd.params
+        if params and k in ("UPDATE_ROWS", "DELETE_ROWS"):
+            # DML fragments evaluate via F.expr (no bind channel):
+            # inline values as SQL literals, positional markers
+            # consumed in statement order (SET, then WHERE, then
+            # RETURNING) — the reference forwards *args to SQLAlchemy
+            # text() for every statement class (core.py:176).
+            p["set"], p["where"], p["ret"] = RW.inline_params(
+                [p.get("set"), p.get("where"), p.get("ret")], params
+            )
+            p = {key: v for key, v in p.items() if v is not None}
+            params = None
         if params and k not in ("QUERY", "INSERT"):
             raise NotImplementedError(
                 f"bind parameters are not supported for {k} statements "
-                f"— inline literals (queries and INSERT take :name/? "
-                f"markers)"
+                f"— inline literals (queries, INSERT, UPDATE and "
+                f"DELETE take :name/? markers)"
             )
         if k == "FLUSH":
             eng.flush()

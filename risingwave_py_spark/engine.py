@@ -604,6 +604,17 @@ class SparkEngine:
                     self._clear_stale_location(cat)
                     self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
                     break
+            else:
+                # Every attempt lost the stage to a concurrent GC.
+                # DDL must never APPEAR durable while the doc was
+                # silently dropped — make one final unconditional
+                # stage+swap and let any failure here raise loudly.
+                self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
+                self._clear_stale_location(stage)
+                df.write.format("parquet").saveAsTable(stage)
+                self.spark.sql(f"DROP TABLE IF EXISTS {cat}")
+                self._clear_stale_location(cat)
+                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cat}")
             self.spark.catalog.refreshTable(cat)
             self._gc_foreign_stages(cat, doc["persist_seq"])
 
@@ -695,6 +706,11 @@ class SparkEngine:
                     m.get("emit_on_close", False),
                 )
         self.upsert_meta.update(doc.get("upsert_meta", {}))
+        for up_fq in list(self.upsert_meta):
+            try:
+                self._recover_upsert_log(up_fq)
+            except Exception as e:  # noqa: BLE001 — table may be gone
+                logger.warning("upsert log recovery for %s: %s", up_fq, e)
         self.subscriptions.update(doc.get("subscriptions", {}))
         self.watermarks.update(doc.get("watermarks", {}))
         self.indexes.update(doc.get("indexes", {}))
@@ -1167,6 +1183,7 @@ class SparkEngine:
         pk_sql = ", ".join(f"`{c}`" for c in meta["pk"])
         vcol = meta["version_col"]
         stage = f"{log}__compact_stage"
+        pre = f"{log}__compact_pre"
         with self._lock:
             self.spark.catalog.refreshTable(log)
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
@@ -1179,10 +1196,37 @@ class SparkEngine:
                 f"    ORDER BY `{vcol}` DESC NULLS LAST, `__rw_epoch` DESC) AS __rw_rn "
                 f"  FROM {log}) WHERE __rw_rn = 1"
             )
-            self.spark.sql(f"DROP TABLE IF EXISTS {log}")
+            # The log is the table's SOLE source of truth (unlike MV
+            # swaps, it is not recomputable) — never drop it before the
+            # replacement is installed. Rename it ASIDE, rename the
+            # stage in, and only then drop the old copy: a crash at any
+            # point leaves either the live log or a recoverable aside/
+            # stage pair (_recover_upsert_log heals both windows).
+            self.spark.sql(f"DROP TABLE IF EXISTS {pre}")
+            self._clear_stale_location(pre)
+            self.spark.sql(f"ALTER TABLE {log} RENAME TO {pre}")
             self.spark.sql(f"ALTER TABLE {stage} RENAME TO {log}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {pre}")
             self.spark.catalog.refreshTable(log)
             meta["appends"] = 0
+
+    def _recover_upsert_log(self, fq: str) -> None:
+        """Heal a crash inside _compact_upsert_log's swap window: if
+        the log table is missing, install the best surviving copy —
+        the compacted stage if it completed (equivalent content), else
+        the renamed-aside original. Leftover aside/stage tables next
+        to a live log are stale and dropped."""
+        log = self.log_name(fq)
+        stage = f"{log}__compact_stage"
+        pre = f"{log}__compact_pre"
+        if not self.spark.catalog.tableExists(log):
+            if self.spark.catalog.tableExists(stage):
+                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {log}")
+            elif self.spark.catalog.tableExists(pre):
+                self.spark.sql(f"ALTER TABLE {pre} RENAME TO {log}")
+        for leftover in (stage, pre):
+            if self.spark.catalog.tableExists(leftover):
+                self.spark.sql(f"DROP TABLE IF EXISTS {leftover}")
 
     def _delete_upsert(self, fq: str, where: str | None,
                        returning: str | None):
@@ -3014,7 +3058,9 @@ class SparkEngine:
         all published epochs (every publication swaps table +
         changelog under one lock), so cost is O(table), not
         O(history); pre-batch state is recovered algebraically as
-        table − Δins + Δdel. Terms whose Δᵢ is empty are SKIPPED
+        (table + Δdel) − Δins — add-before-subtract, or bag
+        subtraction drops phantom rows (engine.py:2161 invariant).
+        Terms whose Δᵢ is empty are SKIPPED
         OUTRIGHT and their partner tables never pinned or scanned: the
         common fact-only flush touches the fact delta and the (small)
         dimension tables only. When every GROUP BY key comes from ONE

@@ -613,6 +613,66 @@ def _unmask_literals(sql: str, lits: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
 
 
+def sql_literal(v) -> str:
+    """Render a Python bind value as a SQL literal (the DML inline
+    path: UPDATE/DELETE WHERE and SET fragments evaluate via F.expr,
+    which has no bind-parameter channel, so values are inlined)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def inline_params(fragments: list[str | None], params) -> list[str | None]:
+    """Substitute ``:name`` / positional ``?`` bind markers with SQL
+    literals across a list of statement fragments (SET, WHERE,
+    RETURNING — positional markers consume left to right across the
+    fragments in statement order). String literals inside the
+    fragments are masked first so a ``?`` or ``:x`` INSIDE a quoted
+    string is never touched. Matches the reference's surface, which
+    forwards ``*args`` to SQLAlchemy ``text()`` for every statement
+    class (/root/reference/risingwave/core.py:176)."""
+    named = params if isinstance(params, dict) else None
+    pos = iter(params if not isinstance(params, dict) else ())
+    used: set[str] = set()
+
+    def sub_one(frag: str) -> str:
+        masked, lits = _mask_literals(frag)
+
+        def named_repl(m: re.Match) -> str:
+            key = m.group(1)
+            if named is None or key not in named:
+                raise KeyError(f"no bind value for :{key}")
+            used.add(key)
+            return sql_literal(named[key])
+
+        masked = re.sub(r"(?<![:\w]):([A-Za-z_]\w*)", named_repl, masked)
+        if named is None:
+            masked = re.sub(
+                r"\?", lambda m: sql_literal(next(pos)), masked
+            )
+        return _unmask_literals(masked, lits)
+
+    out = [None if f is None else sub_one(f) for f in fragments]
+    if named is not None and used != set(named):
+        raise KeyError(
+            f"unused bind parameters: {sorted(set(named) - used)}"
+        )
+    leftover = list(pos)
+    if leftover:
+        raise ValueError(f"{len(leftover)} unused positional bind values")
+    return out
+
+
 def rewrite_asof_join(sql: str) -> str:
     """``l ASOF [LEFT] JOIN r ON eq-conds AND l.t >= r.t`` → the
     scalable union-window asof plan, entirely in SQL text:

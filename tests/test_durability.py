@@ -420,3 +420,65 @@ def test_persist_crash_recovery_at_every_sql_point(spark):
     assert leaks == [], leaks
     fin.drop_mv(mv)
     fin.drop_table(t)
+
+
+def test_upsert_compaction_crash_recovery_at_every_sql_point(spark):
+    """Atomicity sweep for _compact_upsert_log: the append log is the
+    upsert table's SOLE source of truth (not recomputable, unlike MV
+    swaps) — inject a crash at every sql-statement position inside a
+    compaction and assert a fresh engine restore heals the log (from
+    the completed stage or the renamed-aside original), the view still
+    resolves the right winners, and a clean re-compaction succeeds."""
+
+    def build(tag):
+        t = f"cxr_{tag}"
+        conn = RisingWaveConnection(SparkEngine(spark))
+        conn.execute(
+            f"CREATE TABLE {t} (k INT PRIMARY KEY, v VARCHAR, ver BIGINT) "
+            f"ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)"
+        )
+        for ver, val in ((1, "a"), (3, "c"), (2, "b")):
+            conn.execute(
+                f"INSERT INTO {t} (k, v, ver) VALUES (1, '{val}', {ver})"
+            )
+        conn.execute(f"INSERT INTO {t} (k, v, ver) VALUES (2, 'x', 7)")
+        return t, conn
+
+    # count the sql statements one successful compaction makes
+    tag0 = uuid.uuid4().hex[:8]
+    t0, conn0 = build(tag0)
+    eng0 = conn0.engine
+    probe = _CrashingSpark(spark, fail_at=0)
+    eng0.spark = probe
+    eng0._compact_upsert_log(f"public.{t0}")
+    eng0.spark = spark
+    n_calls = probe._n
+    assert n_calls >= 4
+    assert sorted(conn0.fetch(f"SELECT * FROM {t0}")) == [
+        (1, "c", 3), (2, "x", 7),
+    ]
+    eng0.drop_table(t0)
+
+    for k in range(1, n_calls + 1):
+        tag = uuid.uuid4().hex[:8]
+        t, conn = build(tag)
+        eng = conn.engine
+        eng.spark = _CrashingSpark(spark, fail_at=k)
+        try:
+            eng._compact_upsert_log(f"public.{t}")
+        except RuntimeError:
+            pass  # the injected crash propagated — that's the scenario
+        eng.spark = spark
+        e2 = SparkEngine(spark)  # fresh restore after the "crash"
+        rw2 = RisingWaveConnection(e2)
+        assert sorted(rw2.fetch(f"SELECT * FROM {t}")) == [
+            (1, "c", 3), (2, "x", 7),
+        ], f"crash point {k} lost the upsert log"
+        e2._compact_upsert_log(f"public.{t}")  # heals + compacts cleanly
+        assert sorted(rw2.fetch(f"SELECT * FROM {t}")) == [
+            (1, "c", 3), (2, "x", 7),
+        ]
+        log = e2.log_name(f"public.{t}")
+        for leftover in (f"{log}__compact_stage", f"{log}__compact_pre"):
+            assert not spark.catalog.tableExists(leftover), (k, leftover)
+        e2.drop_table(t)

@@ -395,6 +395,44 @@ def test_parameter_binding(rw):
     rw.execute("DROP TABLE t_sdk_params")
 
 
+def test_parameter_binding_dml(rw):
+    """UPDATE/DELETE accept bind parameters too (the reference
+    forwards *args for EVERY statement class, core.py:176): values
+    are inlined as SQL literals into the SET/WHERE/RETURNING
+    fragments — quote-escaped, markers inside string literals
+    untouched, positional markers consumed in statement order."""
+    df = pd.DataFrame({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "q?x"]})
+    rw.insert(data=df, table_name="t_sdk_dmlp", force_flush=True)
+
+    # named params across SET and WHERE
+    rw.execute(
+        "UPDATE t_sdk_dmlp SET v = :nv WHERE k = :k",
+        {"nv": "it's", "k": 2},
+    )
+    assert rw.fetchone(
+        "SELECT v FROM t_sdk_dmlp WHERE k = 2", OutputFormat.RAW
+    ) == ("it's",)
+    # positional params consumed in SET-then-WHERE order; the ?
+    # inside the string literal is data, not a marker
+    rw.execute(
+        "UPDATE t_sdk_dmlp SET v = ? WHERE v = 'q?x' AND k = ?", "d", 4
+    )
+    assert rw.fetchone(
+        "SELECT v FROM t_sdk_dmlp WHERE k = 4", OutputFormat.RAW
+    ) == ("d",)
+    # DELETE with a named param + RETURNING
+    rw.execute("DELETE FROM t_sdk_dmlp WHERE k <= :hi", {"hi": 1})
+    assert rw.fetch("SELECT k FROM t_sdk_dmlp ORDER BY k") == [
+        (2,), (3,), (4,),
+    ]
+    # unknown / unused params raise rather than silently no-op
+    with pytest.raises(KeyError):
+        rw.execute("DELETE FROM t_sdk_dmlp WHERE k = :missing", {"other": 1})
+    with pytest.raises(ValueError):
+        rw.execute("DELETE FROM t_sdk_dmlp WHERE k = ?", 1, 2)
+    rw.execute("DROP TABLE t_sdk_dmlp")
+
+
 def test_async_subscription_handler(rw):
     """The reference types SubscriptionHandler as Awaitable
     (core.py:18); a coroutine handler must actually run (driven to
