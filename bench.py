@@ -31,6 +31,19 @@ The JSON also reports a same-process DuckDB run of the identical
 oracle SQL (duckdb_same_session_sec / vs_duckdb_ratio): absolute wall
 times on this host drift ~40% with ambient load (BASELINE.md), so the
 gate ratio is only meaningful engine-vs-engine at the same moment.
+
+A/B protocol (mode=bracketed_ab_median3, round 6): the DuckDB pass
+runs TWICE — once before the Spark session exists and once after the
+JVM stops — bracketing the Spark window in time, so a one-sided host
+draft shows up as pass1/pass2 disagreement (duckdb_drift) instead of
+silently moving the ratio. Per-query DuckDB time is the mean of the
+two passes' medians. True per-query interleaving is deliberately NOT
+used: the idle Spark JVM (~100 GiB heap, 32 task threads) measurably
+perturbs DuckDB (a 0.3 s oracle measured 5.1 s next to the live JVM),
+so each engine must have the machine to itself. dispatch_floor_sec is
+the measured SELECT-1 round-trip through the same toPandas
+materialization path — the fixed per-query cost that dominates
+sub-0.3 s queries at sf0.1 (BASELINE.md decomposition).
 """
 
 from __future__ import annotations
@@ -75,6 +88,40 @@ BENCH_QUERIES = [
 ]
 
 
+def duck_pass(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """One full DuckDB pass over the oracle SQL of ``names`` — 2 warm
+    runs + median of 3 timed, same materialization contract (.df())
+    as the Spark side's toPandas."""
+    import duckdb
+
+    from risingwave_py_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            con.execute(sql).fetchall(); con.execute(sql).fetchall()
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).df()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(sorted(runs)[1], 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"duckdb {name} FAILED: {exc}", file=sys.stderr)
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -84,6 +131,12 @@ def main() -> None:
     from risingwave_py_spark.session import build_session
 
     registry.load_all()
+    # DuckDB pass 1: BEFORE any JVM exists (the bracket's left side).
+    try:
+        duck1 = duck_pass(sf_dir, BENCH_QUERIES)
+    except Exception as exc:  # noqa: BLE001
+        print(f"duckdb pass1 unavailable: {exc}", file=sys.stderr)
+        duck1 = {}
     # Size shuffle partitions to the data scale (SCALE.md rule: right-
     # size partitions for the SF; AQE stays on and coalesces further).
     # sf0.1 → 8 partitions (~75k lineitem rows each); caps at 200 for
@@ -168,60 +221,57 @@ def main() -> None:
         total += el
         print(f"bench {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
 
-    # Same-process DuckDB run of the identical oracle SQL over the same
-    # parquet (32 threads, warm): the gate is engine <= 2x DuckDB and
-    # absolute wall times drift ~40% with host load (BASELINE.md
-    # "Host-drift note"), so the ratio is only meaningful when both
-    # engines share one session on one host at one moment.
-    #
-    # Stop the Spark JVM first: its ~100 GiB heap + 32 idle task
+    # Dispatch floor: the SELECT-1 round-trip through the identical
+    # toPandas materialization path — the fixed per-query cost every
+    # benched number includes (warm x3, median of 5).
+    for _ in range(3):
+        spark.sql("SELECT 1").toPandas()
+    floor_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.sql("SELECT 1").toPandas()
+        floor_runs.append(time.perf_counter() - t0)
+    dispatch_floor = round(sorted(floor_runs)[2], 3)
+
+    # DuckDB pass 2: AFTER the JVM stops (the bracket's right side).
+    # The JVM must be gone first: its ~100 GiB heap + 32 idle task
     # threads perturb the DuckDB side (observed: a 0.3 s oracle
-    # measured 5.1 s next to the live JVM) — the comparison must give
-    # each engine the machine to itself, same as the Spark side had.
+    # measured 5.1 s next to the live JVM) — each engine gets the
+    # machine to itself, same as the Spark side had.
     spark.stop()
-    duck_total = None
-    duck_timings: dict[str, float] = {}
     try:
-        import duckdb
-
-        from risingwave_py_spark.registry import ORACLES
-
-        con = duckdb.connect()
-        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-        for t in ("region nation customer supplier part orders lineitem "
-                  "events documents embeddings").split():
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        for name in BENCH_QUERIES:
-            sql = ORACLES.get(name)
-            if sql is None or name not in timings:
-                continue
-            try:
-                con.execute(sql).fetchall(); con.execute(sql).fetchall()  # warm x2
-                runs = []
-                for _ in range(3):  # same median-of-3 protocol
-                    t0 = time.perf_counter()
-                    con.execute(sql).df()  # same materialization contract
-                    runs.append(time.perf_counter() - t0)
-                duck_timings[name] = round(sorted(runs)[1], 3)
-            except Exception as exc:  # noqa: BLE001
-                print(f"duckdb {name} FAILED: {exc}", file=sys.stderr)
-        duck_total = round(sum(duck_timings.values()), 3)
+        duck2 = duck_pass(sf_dir, [n for n in BENCH_QUERIES if n in timings])
     except Exception as exc:  # noqa: BLE001
-        print(f"duckdb comparison unavailable: {exc}", file=sys.stderr)
+        print(f"duckdb pass2 unavailable: {exc}", file=sys.stderr)
+        duck2 = {}
+
+    # Per-query DuckDB time = mean of the two bracketing passes'
+    # medians; pass disagreement (duckdb_drift) exposes host draft.
+    duck_timings: dict[str, float] = {}
+    for name in timings:
+        vals = [d[name] for d in (duck1, duck2) if name in d]
+        if vals:
+            duck_timings[name] = round(sum(vals) / len(vals), 3)
+    duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
+    d1_total = round(sum(v for n, v in duck1.items() if n in timings), 3)
+    d2_total = round(sum(v for n, v in duck2.items() if n in timings), 3)
 
     out = {
         "metric": "headline_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
-        "mode": "steady_state_median3",
+        "mode": "bracketed_ab_median3",
         "queries": timings,
         "sf": sf,
+        "dispatch_floor_sec": dispatch_floor,
     }
     if duck_total:
         out["duckdb_same_session_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
+        out["duckdb_pass1_sec"] = d1_total
+        out["duckdb_pass2_sec"] = d2_total
+        if d1_total and d2_total:
+            out["duckdb_drift"] = round(d2_total / d1_total, 3)
         out["vs_duckdb_ratio"] = round(total / duck_total, 2)
     print(json.dumps(out))
 

@@ -70,9 +70,125 @@ def build_scaled(spark, k: int, out_dir: str) -> int:
     return n * k
 
 
+# Perf-weak set from the round-5 verdict: correct plans, but their
+# sf0.1 numbers sit on the dispatch floor — this suite measures how
+# the engine/DuckDB ratio TRENDS as facts grow (dims stay fixed, the
+# 100 TB shape), which is the evidence the floor argument needs.
+TPCH_OPS = [
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation",
+    "q18_large_volume_customer",
+    "ann_ivf_topk",
+]
+TPCH_SCALED = ("lineitem", "orders", "embeddings")
+
+
+def build_scaled_tpch(spark, k: int, out_dir: str) -> None:
+    """Scale the FACT tables k-fold (dims untouched): lineitem/orders
+    copies re-key orderkey by +c*(max+1) — independent new orders over
+    the same customer/supplier/part dims, so join fan-in grows the way
+    a 100 TB fact table grows; embeddings copies re-key vec_id past
+    the query/centroid id ranges, growing every IVF cell k-fold."""
+    from pyspark.sql import functions as F
+
+    from risingwave_py_spark.catalog import table
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    orders = table(spark, BASE, "orders")
+    off = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    for name, keycol, offset in (
+        ("lineitem", "l_orderkey", off),
+        ("orders", "o_orderkey", off),
+        ("embeddings", "vec_id", None),
+    ):
+        d = table(spark, BASE, name)
+        if offset is None:
+            offset = d.count()
+        parts = [
+            d.withColumn(keycol, F.col(keycol) + c * offset) for c in range(k)
+        ]
+        df = parts[0]
+        for pp in parts[1:]:
+            df = df.unionAll(pp)
+        df.repartition(max(8, 4 * k)).write.parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+    for t in ("region nation customer supplier part events documents").split():
+        os.symlink(os.path.join(BASE, f"{t}.parquet"),
+                   os.path.join(out_dir, f"{t}.parquet"))
+
+
+def duck_time(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Median-of-3 DuckDB timings of the oracle SQL over the same
+    (scaled) parquet — the per-scale comparison denominator."""
+    import duckdb
+
+    from risingwave_py_spark.registry import ORACLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    out = {}
+    for name in names:
+        sql = ORACLES[name]
+        con.execute(sql).fetchall(); con.execute(sql).fetchall()
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).df()
+            ts.append(time.time() - t0)
+        out[name] = sorted(ts)[1]
+    con.close()
+    return out
+
+
+def run_tpch_suite(spark, scales: list[int]) -> None:
+    from risingwave_py_spark import registry
+
+    eng: dict[str, dict[int, float]] = {op: {} for op in TPCH_OPS}
+    duck: dict[str, dict[int, float]] = {op: {} for op in TPCH_OPS}
+    for k in scales:
+        out = f"/tmp/rw_scale_tpch_{k}"
+        build_scaled_tpch(spark, k, out)
+        os.environ["SPARK_GRAFT_SPLIT_CACHE"] = "0"
+        for op in TPCH_OPS:
+            fn = registry.QUERIES[op]
+            fn(spark, out).collect()  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, out).collect()
+                ts.append(time.time() - t0)
+            eng[op][k] = sorted(ts)[1]
+            print(f"scale {k}x  {op:28s} engine {eng[op][k]:.2f}s", flush=True)
+        for op, v in duck_time(out, TPCH_OPS).items():
+            duck[op][k] = v
+            print(f"scale {k}x  {op:28s} duckdb {v:.2f}s", flush=True)
+
+    print("\n| query | " + " | ".join(
+        f"{k}× eng / duck (ratio)" for k in scales) + " |")
+    print("|---|" + "---|" * len(scales))
+    for op in TPCH_OPS:
+        cells = " | ".join(
+            f"{eng[op][k]:.2f}s / {duck[op][k]:.2f}s "
+            f"({eng[op][k] / duck[op][k]:.1f}×)"
+            for k in scales
+        )
+        print(f"| {op} | {cells} |")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-scale", type=int, default=8)
+    ap.add_argument("--suite", choices=["docs", "tpch"], default="docs")
     args = ap.parse_args()
 
     from risingwave_py_spark import registry
@@ -83,6 +199,10 @@ def main() -> None:
     scales = [1]
     while scales[-1] * 2 <= args.max_scale:
         scales.append(scales[-1] * 2)
+
+    if args.suite == "tpch":
+        run_tpch_suite(spark, scales)
+        return
 
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
     for k in scales:
