@@ -163,7 +163,7 @@ _sql_query(
     WITH p AS (SELECT p_partkey, p_retailprice FROM part WHERE p_name LIKE '%gear%'),
          s AS (SELECT s_suppkey, n_name AS nation
                FROM supplier JOIN nation ON s_nationkey = n_nationkey)
-    SELECT /*+ BROADCAST(p, s) */
+    SELECT /*+ BROADCAST(p, s), SHUFFLE_HASH(o) */
            nation, CAST(year(o_orderdate) AS INT) AS o_year,
            CAST(({_limb_total(f"({_REV_E4}) * 100")}
                  - {_limb_total(f"{_cents('p_retailprice')} * 10 * {_cents('l_quantity')}")})
@@ -199,7 +199,7 @@ _sql_query(
                 FROM lineitem
                 GROUP BY l_orderkey
                 HAVING SUM({_cents('l_quantity')}) > 27000)
-    SELECT /*+ BROADCAST(c) */
+    SELECT /*+ BROADCAST(c), SHUFFLE_HASH(o) */
            c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            CAST(CAST(qty_cents AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_qty
     FROM oq
@@ -212,8 +212,12 @@ _sql_query(
 # q18 scale note: the per-orderkey quantity sums are computed ONCE and
 # reused for BOTH the HAVING gate and the output column — the previous
 # form (semi-join against a HAVING subplan, then re-aggregate) scanned
-# and shuffled lineitem twice. `oq` stays on the shuffle-join side (no
-# hint): it is fact-derived and grows with SF, so AQE decides.
+# and shuffled lineitem twice. SHUFFLE_HASH(o): orders is a FACT table
+# — at sizes just under the broadcast threshold Spark's static planner
+# would broadcast 1.2M+ rows (measured +35% at the 8x scaling probe,
+# SCALE.md round 6); the hash join shuffles only orders, since oq
+# already carries hash partitioning on l_orderkey from its GROUP BY.
+# Same reasoning on q9's orders join (measured -10% at 8x).
 
 _sql_query(
     "q19_disc_revenue_or",
