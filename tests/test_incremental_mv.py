@@ -1033,3 +1033,72 @@ def test_join_mv_same_flush_insert_delete_reinsert_churn(spark):
     rw.execute(f"DROP MATERIALIZED VIEW {mv}")
     rw.execute(f"DROP TABLE {o}")
     rw.execute(f"DROP TABLE {u}")
+
+
+def test_cascade_mv_stays_incremental(spark):
+    """MV-over-MV cascade (round-5 verdict item 5): MVs emit
+    changelogs, so the downstream MV's delta source exists — both
+    legs of a cascade must ARM the single-table agg fast path and
+    STAY on it across INSERT / UPDATE / DELETE on the base table
+    (the upstream's retraction pairs flow through the downstream's
+    touched-group re-agg), with results bit-equal to a from-scratch
+    recompute at every step."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS casct CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/casct.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="casct")
+    conn = RisingWaveConnection(eng)
+
+    conn.insert(pd.DataFrame({"p": ["x", "y", "x"], "g": [1, 1, 2],
+                              "v": [1, 2, 3]}),
+                table_name="t", schema_name="casct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW casct.m1 AS "
+        "SELECT p, g, sum(v) AS total, count(*) AS c "
+        "FROM casct.t GROUP BY p, g"
+    )
+    conn.execute(
+        "CREATE MATERIALIZED VIEW casct.m2 AS "
+        "SELECT g, sum(total) AS grand, count(*) AS ng "
+        "FROM casct.m1 GROUP BY g"
+    )
+    assert eng.mvs["casct.m1"].inc is not None, "upstream leg not armed"
+    assert eng.mvs["casct.m2"].inc is not None, \
+        "downstream leg (base is an MV) not armed"
+
+    def check(stage):
+        got = sorted(conn.fetch("SELECT * FROM casct.m2"))
+        want = sorted(conn.fetch(
+            "SELECT g, sum(total) AS grand, count(*) AS ng FROM ("
+            "  SELECT p, g, sum(v) AS total FROM casct.t GROUP BY p, g"
+            ") GROUP BY g"
+        ))
+        assert got == want, stage
+        assert eng.mvs["casct.m1"].inc is not None, f"{stage}: m1 demoted"
+        assert eng.mvs["casct.m2"].inc is not None, f"{stage}: m2 demoted"
+
+    # INSERT (new group downstream)
+    conn.insert(pd.DataFrame({"p": ["z"], "g": [3], "v": [10]}),
+                table_name="t", schema_name="casct", force_flush=True)
+    check("insert")
+    # UPDATE: m1 emits UpdateDelete/UpdateInsert; m2's incremental
+    # refresh must take the touched-group retraction branch
+    conn.execute("UPDATE casct.t SET v = 100 WHERE p = 'x' AND g = 1")
+    conn.execute("FLUSH")
+    check("update")
+    # DELETE emptying an m1 group: the Delete row must cascade
+    conn.execute("DELETE FROM casct.t WHERE p = 'y'")
+    conn.execute("FLUSH")
+    check("delete")
+    # DELETE emptying an entire downstream group
+    conn.execute("DELETE FROM casct.t WHERE g = 3")
+    conn.execute("FLUSH")
+    check("delete-group")
+    conn.execute("DROP MATERIALIZED VIEW casct.m2")
+    conn.execute("DROP MATERIALIZED VIEW casct.m1")
+    conn.execute("DROP TABLE casct.t")

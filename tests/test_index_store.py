@@ -116,3 +116,49 @@ def test_make_rows_sees_only_new_batch(spark, tbl):
     c2 = _corpus(spark, range(7))
     ixs.refresh_stored_index(spark, tbl, c2.select("id"), "id", spy(c2))
     assert seen == [[0, 1, 2, 3, 4], [5, 6]]
+
+
+# --- property: random corpus evolutions vs a dict model ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# Each step is the corpus's live id-set after that refresh: subsets of
+# a small universe so deletes, re-inserts, and no-ops all occur.
+_id_sets = st.lists(
+    st.sets(st.integers(min_value=0, max_value=11), min_size=1, max_size=12),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(steps=_id_sets)
+def test_store_matches_set_model_under_random_evolution(spark, steps):
+    """Whatever interleaving of deletes / inserts / re-inserts /
+    no-ops the corpus goes through, the live index equals the current
+    corpus exactly — one row per id, correct payload — and tombstones
+    never exceed the compaction budget after a refresh observes them."""
+    name = "default.__ixstore_prop__"
+    ixs.drop_stored_index(spark, name)
+    try:
+        for ids in steps:
+            corpus = _corpus(spark, sorted(ids))
+            ixs.refresh_stored_index(
+                spark, name, corpus.select("id"), "id", _mk(corpus)
+            )
+            live = ixs.live_index(spark, name, "id")
+            rows = {(r["id"], r["payload"]) for r in live.collect()}
+            assert rows == {(i, i * 10 + 1) for i in ids}
+        tname = ixs.tomb_name(name)
+        if spark.catalog.tableExists(tname):
+            n_tomb = spark.table(tname).count()
+            n_idx = spark.table(name).count()
+            assert n_tomb <= ixs.COMPACT_FRACTION * n_idx + 1
+    finally:
+        ixs.drop_stored_index(spark, name)
