@@ -321,3 +321,28 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
             if ln.startswith("Location:") and corpus in ln
         ]
         assert not scans, (name, scans)
+
+
+@pytest.mark.parametrize("name", ["q9_profit_by_nation",
+                                  "q18_large_volume_customer"])
+def test_fact_tables_never_broadcast(spark, sf_dir, name):
+    """The orders join must be a shuffled hash join, never a broadcast
+    of the orders side: orders is a FACT table — at file sizes just
+    under the broadcast threshold Spark's static planner would ship
+    1.2M+ rows to every task (measured +35% at the 8x scaling probe,
+    SCALE.md round 6), and at cluster scale the broadcast is
+    impossible outright. SHUFFLE_HASH(o) pins the scale-correct plan."""
+    plan = _plan(spark, sf_dir, name)
+    assert "ShuffledHashJoin" in plan, name
+    # no BroadcastExchange may consume the orders scan: walk the
+    # formatted plan's scan list — the orders Location line must not
+    # be followed (within its exchange subtree) by a broadcast. The
+    # formatted mode lists operators first; it suffices that every
+    # BroadcastExchange input column set is free of orders columns.
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) BroadcastExchange\nInput \[\d+\]: \[([^\]]*)\]",
+                          plan):
+        cols = m.group(1)
+        assert "o_orderkey" not in cols and "o_totalprice" not in cols, (
+            name, "orders side broadcast:", cols)
