@@ -179,7 +179,7 @@ _sql_query(
 _sql_query(
     "q10_returned_items",
     f"""
-    SELECT /*+ BROADCAST(c, n) */
+    SELECT /*+ BROADCAST(c, n), SHUFFLE_HASH(o) */
            c_custkey, c_name, n_name, {_REV_SUM} AS revenue
     FROM lineitem li
     JOIN orders o   ON li.l_orderkey = o.o_orderkey
@@ -191,6 +191,14 @@ _sql_query(
     LIMIT 20
     """,
 )
+# q10's orders side is UNFILTERED (the only filter is on lineitem), so
+# broadcasting it ships the whole fact table — SHUFFLE_HASH(o) measured
+# -13% at sf0.1 and -20% at the 8x probe. q3/q5 keep broadcast: their
+# orders sides are date/segment-PRUNED small while lineitem (the side a
+# hash join would force through the exchange) is the big one — measured
+# +13%/+66% WORSE with the hint at sf0.1; at real scale the pruned-side
+# size estimate outgrows the threshold and Spark flips to shuffle by
+# itself.
 
 _sql_query(
     "q18_large_volume_customer",

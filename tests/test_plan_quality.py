@@ -324,6 +324,7 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["q9_profit_by_nation",
+                                  "q10_returned_items",
                                   "q18_large_volume_customer"])
 def test_fact_tables_never_broadcast(spark, sf_dir, name):
     """The orders join must be a shuffled hash join, never a broadcast
