@@ -68,6 +68,8 @@ PRIORITY: list[str] = [
     "ann_index_dml", "dedup_index_dml", "index_maintenance_scenario",
     "ann_index_build", "ann_index_probe",
     "dedup_index_build", "dedup_index_probe",
+    "q18_large_volume_customer", "q9_profit_by_nation",
+    "q10_returned_items",
     "cascade_mv_scenario", "upsert_version_scenario",
     # r5-new queries sampled only once — hold one more round
     "topn_inc_mv_scenario", "catalog_scenario", "udf_scenario",
@@ -88,7 +90,6 @@ PRIORITY: list[str] = [
     "window_first_last_nth", "window_filtered_agg",
     "tumble_events_15m", "hop_events_30m_15m",
     "session_window_events", "interval_join_events",
-    "sessionize_events", "asof_join_last_click",
 ]
 
 
