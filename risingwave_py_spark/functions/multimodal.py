@@ -676,3 +676,143 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (aHash): the multimodal twin of the text
+# near-dup operators. Every large-scale image corpus dedups on a
+# perceptual hash (average-hash / pHash family) before training; this
+# implements the full chain over the REAL RAW1 codec — decode →
+# channel-sum grayscale → 8×8 nearest resize → mean-threshold 64-bit
+# aHash — banded into 4×16-bit pieces so candidate generation is an
+# equi-join on band collisions (O(n·bands) shuffle rows, never
+# all-pairs; by pigeonhole every pair with hamming ≤ 3 collides on at
+# least one band, so that radius is EXACT). All arithmetic is integer
+# (channel SUM, 64·g ≥ Σg threshold), making the entire
+# decode→hash→join chain DuckDB-oracle-checkable from the closed-form
+# pixels. Reference has no media operators (it is a client SDK); this
+# extends the BASELINE.json multimodal surface.
+
+AHASH_SIDE = 8         # resize target: 8×8 → 64 bits
+AHASH_BANDS = 4        # 4 × 16-bit bands
+AHASH_TOP = 20
+
+
+def _ahash_oracle() -> str:
+    ch_sum = " + ".join(
+        f"(3*sx + 7*sy + {11 * c} + doc_id) % 256" for c in range(3)
+    )
+    fp_cols = ", ".join(
+        f"MAX(CASE WHEN band_id = {k} THEN val END) AS b{k}"
+        for k in range(AHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(AHASH_BANDS)
+    )
+    return f"""
+    WITH px AS (
+        SELECT doc_id, gi.i AS i, gj.j AS j,
+               (gi.i * {RAW1_H}) // {AHASH_SIDE} AS sy,
+               (gj.j * (32 + (doc_id % 3) * 16)) // {AHASH_SIDE} AS sx
+        FROM documents,
+             generate_series(0, {AHASH_SIDE - 1}) AS gi(i),
+             generate_series(0, {AHASH_SIDE - 1}) AS gj(j)
+    ), g AS (
+        SELECT doc_id, (i * {AHASH_SIDE} + j) AS p, ({ch_sum}) AS g
+        FROM px
+    ), bits AS (
+        SELECT doc_id, p,
+               CASE WHEN 64 * g >= SUM(g) OVER (PARTITION BY doc_id)
+                    THEN 1 ELSE 0 END AS bit
+        FROM g
+    ), bands AS (
+        SELECT doc_id, p // 16 AS band_id,
+               CAST(SUM(bit << (p % 16)) AS BIGINT) AS val
+        FROM bits GROUP BY doc_id, p // 16
+    ), fp AS (
+        SELECT doc_id, {fp_cols} FROM bands GROUP BY doc_id
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.val = b.val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+    FROM cand
+    JOIN fp fa ON fa.doc_id = doc_a
+    JOIN fp fb ON fb.doc_id = doc_b
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT {AHASH_TOP}
+    """
+
+
+@register("multimodal_image_dedup", oracle=_ahash_oracle())
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over images: top-20 candidate
+    pairs by aHash Hamming distance. The hash runs through the REAL
+    decode path (RAW1 parse → channel-sum grayscale → nearest resize →
+    integer mean threshold) inside one Arrow ``mapInPandas`` stage —
+    bytes never leave the executors, only (doc_id, 4×16-bit bands)
+    rows ever shuffle. Candidates come from the band-collision
+    equi-join (exact for hamming ≤ 3 by pigeonhole; the top-20
+    contract itself is defined over band-colliding pairs, identical in
+    the oracle). 100 TB shape: per-image work is constant, the banded
+    join is O(n · colliding bucket), and the hash table (doc_id +
+    8 bytes) is the only state a daily incremental run needs — the
+    same stored-index pattern as dedup_index_build."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                arr = decode_raw1(encode_raw1(int(doc_id)))
+                gray = arr.astype(np.int64).sum(axis=2)
+                rs = resize_nearest(gray, AHASH_SIDE, AHASH_SIDE)
+                flat = rs.flatten()  # row-major: p = i*8 + j
+                bits = (flat * 64 >= flat.sum()).astype(np.int64)
+                rows.append(
+                    [int(doc_id)]
+                    + [
+                        int((bits[k * 16:(k + 1) * 16] << shifts).sum())
+                        for k in range(AHASH_BANDS)
+                    ]
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id"] + [f"b{k}" for k in range(AHASH_BANDS)]
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    fp = d.mapInPandas(
+        kernel,
+        schema="doc_id bigint, " + ", ".join(
+            f"b{k} bigint" for k in range(AHASH_BANDS)
+        ),
+    ).localCheckpoint(eager=True)  # hash once; both join sides reuse it
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{k}") for k in range(AHASH_BANDS)])
+                     ).alias("band_id", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa, fb = fp.alias("fa"), fp.alias("fb")
+    ham = sum(
+        F.bit_count(F.col(f"fa.b{k}").bitwiseXOR(F.col(f"fb.b{k}")))
+        for k in range(AHASH_BANDS)
+    )
+    return (
+        cand.join(fa, F.col("doc_a") == F.col("fa.doc_id"))
+        .join(fb, F.col("doc_b") == F.col("fb.doc_id"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(AHASH_TOP)
+    )

@@ -65,7 +65,8 @@ def load_all() -> None:
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
     # new or changed this round — first driver samples
-    "ann_index_dml", "dedup_index_dml", "index_maintenance_scenario",
+    "ann_index_dml", "dedup_index_dml", "multimodal_image_dedup",
+    "index_maintenance_scenario",
     "ann_index_build", "ann_index_probe",
     "dedup_index_build", "dedup_index_probe",
     "q18_large_volume_customer", "q9_profit_by_nation",
@@ -89,7 +90,7 @@ PRIORITY: list[str] = [
     "window_rank_lag", "window_ntile_percentrank", "window_range_frame",
     "window_first_last_nth", "window_filtered_agg",
     "tumble_events_15m", "hop_events_30m_15m",
-    "session_window_events", "interval_join_events",
+    "session_window_events",
 ]
 
 
