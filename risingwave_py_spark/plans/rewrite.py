@@ -657,9 +657,18 @@ def inline_params(fragments: list[str | None], params) -> list[str | None]:
 
         masked = re.sub(r"(?<![:\w]):([A-Za-z_]\w*)", named_repl, masked)
         if named is None:
-            masked = re.sub(
-                r"\?", lambda m: sql_literal(next(pos)), masked
-            )
+
+            def pos_repl(_m: re.Match) -> str:
+                try:
+                    return sql_literal(next(pos))
+                except StopIteration:
+                    # a bare StopIteration from inside re.sub surfaces
+                    # as an opaque error — raise the real complaint
+                    raise ValueError(
+                        "more ? markers than positional bind values"
+                    ) from None
+
+            masked = re.sub(r"\?", pos_repl, masked)
         return _unmask_literals(masked, lits)
 
     out = [None if f is None else sub_one(f) for f in fragments]

@@ -430,6 +430,8 @@ def test_parameter_binding_dml(rw):
         rw.execute("DELETE FROM t_sdk_dmlp WHERE k = :missing", {"other": 1})
     with pytest.raises(ValueError):
         rw.execute("DELETE FROM t_sdk_dmlp WHERE k = ?", 1, 2)
+    with pytest.raises(ValueError, match="more [?] markers"):
+        rw.execute("DELETE FROM t_sdk_dmlp WHERE k = ? AND v = ?", 1)
     rw.execute("DROP TABLE t_sdk_dmlp")
 
 
