@@ -347,3 +347,27 @@ def test_fact_tables_never_broadcast(spark, sf_dir, name):
         cols = m.group(1)
         assert "o_orderkey" not in cols and "o_totalprice" not in cols, (
             name, "orders side broadcast:", cols)
+
+
+def test_no_benched_query_regresses_to_cartesian(spark, sf_dir):
+    """Blanket guard over the ENTIRE bench set: no benched plan may
+    contain a CartesianProduct, and any BroadcastNestedLoopJoin must
+    be one of the documented broadcast spines (a single packed row or
+    a <=12-row constant relation — those appear only in queries that
+    deliberately cross-join a packed-centroid/spine row). Catches a
+    plan regression in any benched query before the bench does."""
+    import bench
+
+    # queries whose plan legitimately carries a one-row/constant-spine
+    # broadcast cross join (packed centroids, literal probe spines)
+    SPINE_OK = {"ann_cosine_topk", "ann_ivf_topk"}
+    bad = {}
+    for name in bench.BENCH_QUERIES:
+        if name not in registry.QUERIES:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in SPINE_OK:
+            bad[name] = "BroadcastNestedLoopJoin"
+    assert not bad, bad
