@@ -1185,6 +1185,11 @@ class SparkEngine:
         stage = f"{log}__compact_stage"
         pre = f"{log}__compact_pre"
         with self._lock:
+            # Self-heal first: a compaction that failed mid-swap in
+            # THIS process (no restart) must not leave the log aside
+            # forever — recovery is idempotent and normally two
+            # tableExists probes.
+            self._recover_upsert_log(fq)
             self.spark.catalog.refreshTable(log)
             self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
             self._clear_stale_location(stage)

@@ -469,6 +469,12 @@ def test_upsert_compaction_crash_recovery_at_every_sql_point(spark):
         except RuntimeError:
             pass  # the injected crash propagated — that's the scenario
         eng.spark = spark
+        # the SAME engine retries (no restart): compaction self-heals
+        # the swap window before compacting again
+        eng._compact_upsert_log(f"public.{t}")
+        assert sorted(conn.fetch(f"SELECT * FROM {t}")) == [
+            (1, "c", 3), (2, "x", 7),
+        ], f"crash point {k}: in-process retry did not heal"
         e2 = SparkEngine(spark)  # fresh restore after the "crash"
         rw2 = RisingWaveConnection(e2)
         assert sorted(rw2.fetch(f"SELECT * FROM {t}")) == [
