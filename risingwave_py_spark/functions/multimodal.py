@@ -698,7 +698,11 @@ AHASH_BANDS = 4        # 4 × 16-bit bands
 AHASH_TOP = 20
 
 
-def _ahash_oracle() -> str:
+def _ahash_ctes(where: str = "TRUE") -> str:
+    """DuckDB CTE chain ending in bands(doc_id, band_id, val) and
+    fp(doc_id, b0..b3): closed-form aHash fingerprints over the
+    documents passing ``where`` — shared by the dedup top-20, the
+    stored-index histogram, and the DML variants."""
     ch_sum = " + ".join(
         f"(3*sx + 7*sy + {11 * c} + doc_id) % 256" for c in range(3)
     )
@@ -706,15 +710,11 @@ def _ahash_oracle() -> str:
         f"MAX(CASE WHEN band_id = {k} THEN val END) AS b{k}"
         for k in range(AHASH_BANDS)
     )
-    ham = " + ".join(
-        f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(AHASH_BANDS)
-    )
-    return f"""
-    WITH px AS (
+    return f"""px AS (
         SELECT doc_id, gi.i AS i, gj.j AS j,
                (gi.i * {RAW1_H}) // {AHASH_SIDE} AS sy,
                (gj.j * (32 + (doc_id % 3) * 16)) // {AHASH_SIDE} AS sx
-        FROM documents,
+        FROM (SELECT doc_id FROM documents WHERE {where}) d,
              generate_series(0, {AHASH_SIDE - 1}) AS gi(i),
              generate_series(0, {AHASH_SIDE - 1}) AS gj(j)
     ), g AS (
@@ -731,7 +731,14 @@ def _ahash_oracle() -> str:
         FROM bits GROUP BY doc_id, p // 16
     ), fp AS (
         SELECT doc_id, {fp_cols} FROM bands GROUP BY doc_id
-    ), cand AS (
+    )"""
+
+
+def _ahash_pairs_select() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(AHASH_BANDS)
+    )
+    return f"""cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.val = b.val
@@ -742,7 +749,19 @@ def _ahash_oracle() -> str:
     JOIN fp fa ON fa.doc_id = doc_a
     JOIN fp fb ON fb.doc_id = doc_b
     ORDER BY hamming, doc_a, doc_b
-    LIMIT {AHASH_TOP}
+    LIMIT {AHASH_TOP}"""
+
+
+def _ahash_oracle(where: str = "TRUE") -> str:
+    return f"WITH {_ahash_ctes(where)}, {_ahash_pairs_select()}"
+
+
+def _ahash_hist_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {_ahash_ctes(where)}
+    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS n_buckets
+    FROM bands GROUP BY band_id ORDER BY band_id
     """
 
 
@@ -760,6 +779,19 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is O(n · colliding bucket), and the hash table (doc_id +
     8 bytes) is the only state a daily incremental run needs — the
     same stored-index pattern as dedup_index_build."""
+    fp = _ahash_fp(
+        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    ).localCheckpoint(eager=True)  # hash once; both join sides reuse it
+    return _ahash_top_pairs(fp)
+
+
+def _ahash_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b3): the 64-bit aHash of each doc's image as four
+    16-bit bands, computed through the REAL decode path inside one
+    Arrow mapInPandas stage. This is the expensive pass an index
+    stores — for images the decode dwarfs everything else, so serving
+    probes from stored fingerprints matters even more than for text
+    shingles."""
     import numpy as np
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -783,18 +815,27 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id"] + [f"b{k}" for k in range(AHASH_BANDS)]
             )
 
-    d = table(spark, sf_dir, "documents").select("doc_id").repartition(8)
-    fp = d.mapInPandas(
+    return docs.mapInPandas(
         kernel,
         schema="doc_id bigint, " + ", ".join(
             f"b{k} bigint" for k in range(AHASH_BANDS)
         ),
-    ).localCheckpoint(eager=True)  # hash once; both join sides reuse it
-    bands = fp.select(
+    )
+
+
+def _ahash_bands_df(fp: DataFrame) -> DataFrame:
+    return fp.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"b{k}") for k in range(AHASH_BANDS)])
                      ).alias("band_id", "val"),
     )
+
+
+def _ahash_top_pairs(fp: DataFrame) -> DataFrame:
+    """Top-20 band-colliding pairs by Hamming distance over a
+    fingerprint relation (works identically over freshly-hashed or
+    STORED fingerprints — the probe path)."""
+    bands = _ahash_bands_df(fp)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -815,4 +856,103 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(AHASH_TOP)
+    )
+
+
+# --- stored perceptual-hash index: build-once / probe-many ------------
+# Completes the modality symmetry of the persisted-index family: text
+# (MinHash signatures), vectors (IVF posting lists), images (aHash
+# fingerprints) — all maintained through the same tombstone-aware
+# index_store (deletes O(batch), re-inserts compact). For images the
+# stored index saves the DECODE pass, the dominant cost at real image
+# sizes; probes must not re-decode (plan-asserted: no mapInPandas, no
+# documents scan in the probe plan).
+
+
+def _image_index_fq(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"default.__img_ahash_index_{tag}__"
+
+
+def _image_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+    """Sync the stored fingerprint table to ``corpus`` (doc_id rows):
+    only NEW docs are decoded and hashed; deleted docs are tombstoned."""
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
+    def make_rows(new_ids: DataFrame) -> DataFrame:
+        return _ahash_fp(corpus.join(new_ids, "doc_id", "left_semi")
+                         .repartition(8))
+
+    refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
+                         make_rows)
+
+
+@register("image_index_build", oracle=_ahash_hist_oracle())
+def image_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or incrementally refresh) the stored aHash fingerprint
+    index and report its band histogram FROM THE STORED TABLE — the
+    DDL half of the image build/probe pair."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _image_index_fq(sf_dir)
+    _image_refresh(spark, tbl, table(spark, sf_dir, "documents").select("doc_id"))
+    return (
+        _ahash_bands_df(live_index(spark, tbl, "doc_id"))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("val").alias("n_buckets"))
+        .orderBy("band_id")
+    )
+
+
+@register("image_index_probe", oracle=_ahash_oracle())
+def image_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the STORED fingerprint index: same top-20 contract as
+    multimodal_image_dedup, but fingerprints come from the index table
+    — the probe plan never decodes an image (no mapInPandas stage) and
+    never scans the documents parquet (both plan-asserted)."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _image_index_fq(sf_dir)
+    _image_refresh(spark, tbl, table(spark, sf_dir, "documents").select("doc_id"))
+    return _ahash_top_pairs(live_index(spark, tbl, "doc_id"))
+
+
+_IMG_DML_GONE = "doc_id >= 200 AND doc_id < 260"
+_IMG_DML_BACK = 200
+
+
+@register(
+    "image_index_dml",
+    oracle=_ahash_hist_oracle(
+        where=f"NOT ({_IMG_DML_GONE}) OR doc_id = {_IMG_DML_BACK}"
+    ),
+)
+def image_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance of the stored fingerprint index: full build, a
+    privacy-deletion batch (60 docs tombstoned — no re-decode of
+    survivors), one deleted doc re-inserted (compaction path). The
+    final LIVE band histogram must equal a from-scratch hash pass over
+    the surviving corpus."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _image_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    _image_refresh(spark, tbl, d)
+    _image_refresh(spark, tbl, d.filter(f"NOT ({_IMG_DML_GONE})"))
+    _image_refresh(
+        spark, tbl, d.filter(f"NOT ({_IMG_DML_GONE}) OR doc_id = {_IMG_DML_BACK}")
+    )
+    return (
+        _ahash_bands_df(live_index(spark, tbl, "doc_id"))
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("val").alias("n_buckets"))
+        .orderBy("band_id")
     )

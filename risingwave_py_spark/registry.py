@@ -66,6 +66,7 @@ def load_all() -> None:
 PRIORITY: list[str] = [
     # new or changed this round — first driver samples
     "ann_index_dml", "dedup_index_dml", "multimodal_image_dedup",
+    "image_index_build", "image_index_probe", "image_index_dml",
     "index_maintenance_scenario",
     "ann_index_build", "ann_index_probe",
     "dedup_index_build", "dedup_index_probe",
@@ -89,8 +90,6 @@ PRIORITY: list[str] = [
     "q16_supplier_cnt", "q22_prospect_customers",
     "window_rank_lag", "window_ntile_percentrank", "window_range_frame",
     "window_first_last_nth", "window_filtered_agg",
-    "tumble_events_15m", "hop_events_30m_15m",
-    "session_window_events",
 ]
 
 
