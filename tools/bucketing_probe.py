@@ -107,6 +107,8 @@ def main() -> None:
     for k, runs in res.items():
         print(f"{k:9s} q18-shape median {statistics.median(runs):.3f}s "
               f"min {min(runs):.3f}s")
+    for name in ("lineitem", "orders"):  # disk hygiene
+        spark.sql(f"DROP TABLE IF EXISTS default.__bkt_{name}__")
 
 
 if __name__ == "__main__":
