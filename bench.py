@@ -101,8 +101,11 @@ def duck_pass(sf_dir: str, names: list[str]) -> dict[str, float]:
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):  # Spark-written multi-file table dirs
+            p = os.path.join(p, "*.parquet")
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     out: dict[str, float] = {}
     for name in names:
         sql = ORACLES.get(name)
@@ -247,14 +250,19 @@ def main() -> None:
 
     # Per-query DuckDB time = mean of the two bracketing passes'
     # medians; pass disagreement (duckdb_drift) exposes host draft.
+    # Pass totals and drift are computed over the INTERSECTION of
+    # queries present in both passes — a query failing in one pass
+    # must not masquerade as host draft — and an empty pass reports
+    # no total rather than a measured-looking 0.0.
     duck_timings: dict[str, float] = {}
     for name in timings:
         vals = [d[name] for d in (duck1, duck2) if name in d]
         if vals:
             duck_timings[name] = round(sum(vals) / len(vals), 3)
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
-    d1_total = round(sum(v for n, v in duck1.items() if n in timings), 3)
-    d2_total = round(sum(v for n, v in duck2.items() if n in timings), 3)
+    both = [n for n in timings if n in duck1 and n in duck2]
+    d1_total = round(sum(duck1[n] for n in both), 3) if both else None
+    d2_total = round(sum(duck2[n] for n in both), 3) if both else None
 
     out = {
         "metric": "headline_query_wall_time",
@@ -268,8 +276,10 @@ def main() -> None:
     if duck_total:
         out["duckdb_same_session_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
-        out["duckdb_pass1_sec"] = d1_total
-        out["duckdb_pass2_sec"] = d2_total
+        if d1_total is not None:
+            out["duckdb_pass1_sec"] = d1_total
+        if d2_total is not None:
+            out["duckdb_pass2_sec"] = d2_total
         if d1_total and d2_total:
             out["duckdb_drift"] = round(d2_total / d1_total, 3)
         out["vs_duckdb_ratio"] = round(total / duck_total, 2)

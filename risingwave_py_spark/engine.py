@@ -1219,16 +1219,24 @@ class SparkEngine:
         """Heal a crash inside _compact_upsert_log's swap window: if
         the log table is missing, install the best surviving copy —
         the compacted stage if it completed (equivalent content), else
-        the renamed-aside original. Leftover aside/stage tables next
-        to a live log are stale and dropped."""
+        the renamed-aside original — and drop the other remnant.
+
+        When the log is LIVE this is a no-op: a stage/pre table next
+        to a live log may be a CONCURRENT engine's in-flight
+        compaction (two live engines over one warehouse is a supported
+        restart/multi-client scenario) — dropping it would break that
+        engine's swap. Our own compaction re-drops any stale stage
+        under its lock before staging, so stale remnants never survive
+        past the next compaction anyway."""
         log = self.log_name(fq)
         stage = f"{log}__compact_stage"
         pre = f"{log}__compact_pre"
-        if not self.spark.catalog.tableExists(log):
-            if self.spark.catalog.tableExists(stage):
-                self.spark.sql(f"ALTER TABLE {stage} RENAME TO {log}")
-            elif self.spark.catalog.tableExists(pre):
-                self.spark.sql(f"ALTER TABLE {pre} RENAME TO {log}")
+        if self.spark.catalog.tableExists(log):
+            return
+        if self.spark.catalog.tableExists(stage):
+            self.spark.sql(f"ALTER TABLE {stage} RENAME TO {log}")
+        elif self.spark.catalog.tableExists(pre):
+            self.spark.sql(f"ALTER TABLE {pre} RENAME TO {log}")
         for leftover in (stage, pre):
             if self.spark.catalog.tableExists(leftover):
                 self.spark.sql(f"DROP TABLE IF EXISTS {leftover}")

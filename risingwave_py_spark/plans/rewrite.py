@@ -616,20 +616,40 @@ def _unmask_literals(sql: str, lits: list[str]) -> str:
 def sql_literal(v) -> str:
     """Render a Python bind value as a SQL literal (the DML inline
     path: UPDATE/DELETE WHERE and SET fragments evaluate via F.expr,
-    which has no bind-parameter channel, so values are inlined)."""
+    which has no bind-parameter channel, so values are inlined).
+
+    Spark's SQL parser processes backslash escapes inside string
+    literals, so backslashes must be doubled BEFORE quotes are — a
+    value like ``C:\temp`` would otherwise silently corrupt (``\t``
+    → tab) and a trailing backslash would escape the closing quote
+    (literal-escape injection through the bind API)."""
     import datetime as _dt
+    import decimal as _dec
+    import math as _math
 
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        if _math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if _math.isinf(v):
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
         return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, _dec.Decimal):
+        return str(v)  # numeric literal — no string round-trip
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
     if isinstance(v, _dt.datetime):
         return f"TIMESTAMP '{v}'"
     if isinstance(v, _dt.date):
         return f"DATE '{v}'"
-    return "'" + str(v).replace("'", "''") + "'"
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return "'" + s + "'"
 
 
 def inline_params(fragments: list[str | None], params) -> list[str | None]:

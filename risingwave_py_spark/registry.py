@@ -83,7 +83,7 @@ PRIORITY: list[str] = [
     "multimodal_image_pipeline", "multimodal_audio_pipeline",
     "multimodal_video_pipeline",
     # r1-era TPC-H + analytics re-samples
-    "q1_pricing_summary", "q3_shipping_priority", "q10_returned_items",
+    "q1_pricing_summary", "q3_shipping_priority", "hop_events_30m_15m",
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q11_important_stock", "q12_late_lines_by_flag",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",

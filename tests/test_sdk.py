@@ -420,6 +420,16 @@ def test_parameter_binding_dml(rw):
     assert rw.fetchone(
         "SELECT v FROM t_sdk_dmlp WHERE k = 4", OutputFormat.RAW
     ) == ("d",)
+    # backslashes survive Spark's escape processing (doubled before
+    # quotes) — and a crafted value cannot escape the string literal
+    rw.execute("UPDATE t_sdk_dmlp SET v = :x WHERE k = 3",
+               {"x": "C:\\temp"})
+    assert rw.fetchone(
+        "SELECT v FROM t_sdk_dmlp WHERE k = 3", OutputFormat.RAW
+    ) == ("C:\\temp",)
+    rw.execute("UPDATE t_sdk_dmlp SET v = 'safe' WHERE v = ?",
+               "x\\' OR k > 0 --")
+    assert rw.fetch("SELECT k FROM t_sdk_dmlp WHERE v = 'safe'") == []
     # DELETE with a named param + RETURNING
     rw.execute("DELETE FROM t_sdk_dmlp WHERE k <= :hi", {"hi": 1})
     assert rw.fetch("SELECT k FROM t_sdk_dmlp ORDER BY k") == [

@@ -121,33 +121,11 @@ def build_scaled_tpch(spark, k: int, out_dir: str) -> None:
 
 def duck_time(sf_dir: str, names: list[str]) -> dict[str, float]:
     """Median-of-3 DuckDB timings of the oracle SQL over the same
-    (scaled) parquet — the per-scale comparison denominator."""
-    import duckdb
+    (scaled) parquet — bench.py's pass helper, one protocol for the
+    gate bench and this probe (incl. Spark-written table dirs)."""
+    from bench import duck_pass
 
-    from risingwave_py_spark.registry import ORACLES
-
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(path):
-            path = os.path.join(path, "*.parquet")
-        elif not os.path.exists(path):
-            continue
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    out = {}
-    for name in names:
-        sql = ORACLES[name]
-        con.execute(sql).fetchall(); con.execute(sql).fetchall()
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            con.execute(sql).df()
-            ts.append(time.time() - t0)
-        out[name] = sorted(ts)[1]
-    con.close()
-    return out
+    return duck_pass(sf_dir, names)
 
 
 def run_tpch_suite(spark, scales: list[int]) -> None:
