@@ -482,3 +482,30 @@ def test_async_subscription_handler(rw):
     t.join(timeout=60)
     assert got, "async handler never ran"
     rw.execute("DROP TABLE t_sdk_async")
+
+
+def test_sql_literal_rendering():
+    """Unit contract for the DML bind-value renderer: backslashes are
+    doubled BEFORE quotes (Spark's parser processes escape sequences
+    in string literals), special floats become CAST literals, Decimal
+    stays numeric, bytes become X'..' hex."""
+    import datetime
+    import decimal
+    import math  # noqa: F401
+
+    from risingwave_py_spark.plans.rewrite import sql_literal
+
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal(42) == "42"
+    assert sql_literal(1.5) == "1.5"
+    assert sql_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert sql_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert sql_literal(decimal.Decimal("19.99")) == "19.99"
+    assert sql_literal(b"\x01\xff") == "X'01ff'"
+    assert sql_literal(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
+    assert sql_literal("it's") == "'it''s'"
+    assert sql_literal("C:\\temp") == "'C:\\\\temp'"
+    assert sql_literal("end\\") == "'end\\\\'"
+    # the classic breakout: quote-escape preceded by a backslash
+    assert sql_literal("x\\' OR 1=1 --") == "'x\\\\'' OR 1=1 --'"
