@@ -1,9 +1,9 @@
 """Tombstone-aware maintenance for persisted index tables.
 
-The stored ANN/MinHash indexes (posting lists, signature tables) are
-refreshed incrementally: inserts append O(new batch) rows. This module
-adds the retraction half — at 100 TB a privacy deletion is a routine
-event and must not rewrite the whole index:
+The stored ANN/MinHash/aHash indexes (posting lists, signature tables,
+fingerprint tables) are refreshed incrementally: inserts append O(new
+batch) rows. This module adds the retraction half — at 100 TB a privacy
+deletion is a routine event and must not rewrite the whole index:
 
 - **Delete** — ids present in the index but gone from the corpus are
   appended to a small tombstone side table (O(deleted batch) work);
@@ -12,13 +12,38 @@ event and must not rewrite the whole index:
   refresh that observes the deletion.
 - **Re-insert** — an id-keyed tombstone would hide a row that comes
   back, so a re-inserted tombstoned id triggers compaction first.
-- **Compaction** — a physical rewrite of the index minus tombstones
-  (survivors snapshotted via localCheckpoint so the overwrite never
-  reads the table it replaces), after which the tombstone table is
-  dropped. Triggered by re-insert or by tombstones growing past
-  COMPACT_FRACTION of the index. On a cluster lakehouse the same
-  operation is a Delta/Iceberg DELETE (file-level rewrite of only the
-  matching files).
+- **Compaction** — a physical rewrite of the index minus tombstones,
+  after which the tombstone table is dropped. Triggered by re-insert
+  or by tombstones growing past COMPACT_FRACTION of the LIVE index.
+  The rewrite is crash-atomic: survivors are staged into a fresh
+  table, the live index is renamed aside, the stage renamed in, and
+  only then are the aside copy and the tombstones dropped — a crash at
+  any statement leaves either the live index or a recoverable
+  stage/aside pair (``recover_stored_index`` heals both windows; a
+  surviving tombstone table next to an already-compacted index is
+  benign — the anti-join removes nothing — and is cleared by the next
+  compaction). On a cluster lakehouse the same operation is a
+  Delta/Iceberg DELETE (file-level rewrite of only the matching
+  files, with the format's own commit-log atomicity).
+
+**Crash recovery of a refresh**: the three writes inside one refresh
+(tombstone append, compaction swap, new-row append) are individually
+atomic but not jointly — a crash mid-refresh can leave tombstones
+applied with the new batch missing. Recovery is simply re-running
+``refresh_stored_index`` against the same corpus: the function is
+idempotent (it re-derives gone/new id sets from the current
+index-vs-corpus diff, so completed sub-steps become no-ops), which the
+random-evolution property test pins (tests/test_index_store.py).
+
+**Concurrency**: refresh and compaction take a per-index writer lock —
+an OS-level ``flock`` on a lockfile next to the warehouse — so two
+engines (threads OR processes) sharing one warehouse serialize their
+refreshes instead of interleaving a compaction swap with an append.
+Readers never take the lock: every reader-visible transition (tombstone
+append, rename swap, row append) is individually atomic. On a
+multi-host cluster this single-host lock does not reach — there the
+index tables live in a lakehouse format whose optimistic-commit
+protocol provides the same single-writer guarantee per commit.
 
 The reference's client SDK has no index storage at all
 (/root/reference/risingwave/core.py is a PG-wire client); this module
@@ -27,19 +52,61 @@ is the Spark-native durability layer under the dedup/ANN operators.
 
 from __future__ import annotations
 
+import os
+import re
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Tombstone fraction of live index rows beyond which a refresh
-# compacts even without a re-insert (keeps the reader-side anti-join
-# broadcast-small forever).
+# Tombstone fraction of LIVE index rows (stored minus tombstoned)
+# beyond which a refresh compacts even without a re-insert — keeps the
+# reader-side anti-join broadcast-small forever.
 COMPACT_FRACTION = 0.25
 
 
 def tomb_name(tbl: str) -> str:
     return f"{tbl}_tomb"
+
+
+def _stage_name(tbl: str) -> str:
+    return f"{tbl}__compact_stage"
+
+
+def _pre_name(tbl: str) -> str:
+    return f"{tbl}__compact_pre"
+
+
+def _lock_path(spark: SparkSession, tbl: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub(r"^file:", "", wh)
+    os.makedirs(wh, exist_ok=True)
+    safe = re.sub(r"[^A-Za-z0-9_.]", "_", tbl)
+    return os.path.join(wh, f".{safe}.idxlock")
+
+
+@contextmanager
+def writer_lock(spark: SparkSession, tbl: str):
+    """Per-index single-writer lock (blocking). ``flock`` conflicts
+    across processes AND across independent fds within one process, so
+    two engines over one warehouse serialize refreshes either way. No
+    unlink on release — deleting a lockfile others may have open would
+    let a third writer lock a fresh inode and run concurrently."""
+    try:
+        import fcntl
+    except ImportError:  # non-POSIX: in-process engine lock only
+        yield
+        return
+    fd = os.open(_lock_path(spark, tbl), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
 
 def live_index(spark: SparkSession, tbl: str, id_col: str) -> DataFrame:
@@ -53,15 +120,58 @@ def live_index(spark: SparkSession, tbl: str, id_col: str) -> DataFrame:
     return idx
 
 
+def recover_stored_index(spark: SparkSession, tbl: str) -> None:
+    """Heal a crash inside ``_compact``'s swap window: if the index
+    table is missing, install the best surviving copy — the compacted
+    stage if it completed (equivalent reader-visible content), else
+    the renamed-aside original — and drop the other remnant. A
+    tombstone table that survives alongside an installed STAGE is
+    benign (its ids are no longer in the index, so the reader
+    anti-join removes nothing) and is dropped by the next compaction;
+    alongside an installed PRE it is load-bearing and kept.
+
+    When the index is LIVE this is a no-op: a stage/pre table next to
+    a live index may belong to a concurrent writer mid-swap (writers
+    serialize on ``writer_lock``, but recovery may be called without
+    it) — our own compaction re-drops stale remnants under the lock
+    before staging."""
+    stage, pre = _stage_name(tbl), _pre_name(tbl)
+    if spark.catalog.tableExists(tbl):
+        return
+    if spark.catalog.tableExists(stage):
+        spark.sql(f"ALTER TABLE {stage} RENAME TO {tbl}")
+    elif spark.catalog.tableExists(pre):
+        spark.sql(f"ALTER TABLE {pre} RENAME TO {tbl}")
+    for leftover in (stage, pre):
+        if spark.catalog.tableExists(leftover):
+            spark.sql(f"DROP TABLE IF EXISTS {leftover}")
+
+
 def _compact(spark: SparkSession, tbl: str, id_col: str) -> None:
+    """Rewrite the index minus tombstones — stage-then-swap, never
+    overwrite-in-place: the index is expensive to rebuild (shingling /
+    centroid assignment / media decode over the whole corpus), so a
+    non-atomic overwrite that crashes mid-write must not be able to
+    truncate it. Same rename-aside pattern as the engine's upsert-log
+    compaction (engine.py _compact_upsert_log). Caller holds
+    ``writer_lock``."""
+    from risingwave_py_spark.catalog import clear_stale_location
+
     t = tomb_name(tbl)
-    remaining = (
-        spark.table(tbl)
-        .join(F.broadcast(spark.table(t)), id_col, "left_anti")
-        .localCheckpoint(eager=True)
+    stage, pre = _stage_name(tbl), _pre_name(tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    clear_stale_location(spark, stage)
+    spark.sql(
+        f"CREATE TABLE {stage} USING PARQUET AS "
+        f"SELECT /*+ BROADCAST(d) */ i.* FROM {tbl} i "
+        f"LEFT ANTI JOIN {t} d ON i.`{id_col}` = d.`{id_col}`"
     )
-    remaining.write.mode("overwrite").insertInto(tbl, overwrite=True)
-    spark.sql(f"DROP TABLE {t}")
+    spark.sql(f"DROP TABLE IF EXISTS {pre}")
+    clear_stale_location(spark, pre)
+    spark.sql(f"ALTER TABLE {tbl} RENAME TO {pre}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {pre}")
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.catalog.refreshTable(tbl)
 
 
@@ -84,45 +194,52 @@ def refresh_stored_index(
     (``index_maintenance_scenario``); here they are recovered by two
     id-only anti-joins, which at scale prune to dictionary-encoded id
     columns on both sides.
-    """
-    if not spark.catalog.tableExists(tbl):
-        from risingwave_py_spark.catalog import clear_stale_location
 
-        clear_stale_location(spark, tbl)
-        make_rows(corpus_ids).write.saveAsTable(tbl)
-        return
-    t = tomb_name(tbl)
-    live_ids = live_index(spark, tbl, id_col).select(id_col).distinct()
-    gone = live_ids.join(corpus_ids, id_col, "left_anti")
-    if not gone.isEmpty():
-        if spark.catalog.tableExists(t):
-            gone.write.mode("append").saveAsTable(t)
-        else:
+    Idempotent: a crash anywhere mid-refresh is healed by re-running
+    against the same corpus (sub-steps already applied re-derive to
+    no-ops). Serialized against other writers by ``writer_lock``.
+    """
+    with writer_lock(spark, tbl):
+        recover_stored_index(spark, tbl)
+        if not spark.catalog.tableExists(tbl):
             from risingwave_py_spark.catalog import clear_stale_location
 
-            clear_stale_location(spark, t)
-            gone.write.saveAsTable(t)
-        spark.catalog.refreshTable(t)
-    new_ids = corpus_ids.join(live_ids, id_col, "left_anti").localCheckpoint(
-        eager=True
-    )
-    has_new = not new_ids.isEmpty()
-    if spark.catalog.tableExists(t):
-        tomb = spark.table(t)
-        reinserted = has_new and not tomb.join(
-            new_ids, id_col, "left_semi"
-        ).isEmpty()
-        over_budget = tomb.count() > COMPACT_FRACTION * max(
-            spark.table(tbl).count(), 1
+            clear_stale_location(spark, tbl)
+            make_rows(corpus_ids).write.saveAsTable(tbl)
+            return
+        t = tomb_name(tbl)
+        live_ids = live_index(spark, tbl, id_col).select(id_col).distinct()
+        gone = live_ids.join(corpus_ids, id_col, "left_anti")
+        if not gone.isEmpty():
+            if spark.catalog.tableExists(t):
+                gone.write.mode("append").saveAsTable(t)
+            else:
+                from risingwave_py_spark.catalog import clear_stale_location
+
+                clear_stale_location(spark, t)
+                gone.write.saveAsTable(t)
+            spark.catalog.refreshTable(t)
+        new_ids = corpus_ids.join(live_ids, id_col, "left_anti").localCheckpoint(
+            eager=True
         )
-        if reinserted or over_budget:
-            _compact(spark, tbl, id_col)
-    if has_new:
-        make_rows(new_ids).write.mode("append").saveAsTable(tbl)
-        spark.catalog.refreshTable(tbl)
+        has_new = not new_ids.isEmpty()
+        if spark.catalog.tableExists(t):
+            tomb = spark.table(t)
+            reinserted = has_new and not tomb.join(
+                new_ids, id_col, "left_semi"
+            ).isEmpty()
+            n_tomb = tomb.count()
+            n_live = spark.table(tbl).count() - n_tomb
+            over_budget = n_tomb > COMPACT_FRACTION * max(n_live, 1)
+            if reinserted or over_budget:
+                _compact(spark, tbl, id_col)
+        if has_new:
+            make_rows(new_ids).write.mode("append").saveAsTable(tbl)
+            spark.catalog.refreshTable(tbl)
 
 
 def drop_stored_index(spark: SparkSession, tbl: str) -> None:
-    """Remove an index table and its tombstones (scenario hygiene)."""
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {tomb_name(tbl)}")
+    """Remove an index table, its tombstones, and any crash remnants
+    (scenario hygiene)."""
+    for x in (tbl, tomb_name(tbl), _stage_name(tbl), _pre_name(tbl)):
+        spark.sql(f"DROP TABLE IF EXISTS {x}")

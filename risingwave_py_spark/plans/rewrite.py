@@ -641,7 +641,21 @@ def sql_literal(v) -> str:
     if isinstance(v, int):
         return repr(v)
     if isinstance(v, _dec.Decimal):
-        return str(v)  # numeric literal — no string round-trip
+        # Exponent-notation Decimals (Decimal('1E+3')) would render as
+        # '1E+3', which Spark parses as DOUBLE — silent precision loss.
+        # Normalize to plain notation and pin the type with a CAST so
+        # the parser keeps exact decimal semantics. Non-finite Decimals
+        # have no DECIMAL representation in Spark — reject loudly.
+        if not v.is_finite():
+            raise ValueError(
+                f"non-finite Decimal bind value {v!r} has no SQL "
+                f"DECIMAL representation (use float for NaN/Infinity)"
+            )
+        plain = format(v, "f")
+        frac = plain.split(".", 1)[1] if "." in plain else ""
+        digits = len(plain.replace("-", "").replace(".", "").lstrip("0"))
+        precision = max(digits, len(frac), 1)
+        return f"CAST('{plain}' AS DECIMAL({min(precision, 38)},{len(frac)}))"
     if isinstance(v, (bytes, bytearray)):
         return f"X'{bytes(v).hex()}'"
     if isinstance(v, _dt.datetime):
@@ -676,6 +690,13 @@ def inline_params(fragments: list[str | None], params) -> list[str | None]:
             return sql_literal(named[key])
 
         masked = re.sub(r"(?<![:\w]):([A-Za-z_]\w*)", named_repl, masked)
+        if named is not None and "?" in masked:
+            # silently leaving a ? unbound would surface later as an
+            # opaque F.expr parse error — fail at bind time instead
+            raise ValueError(
+                "positional ? markers cannot be mixed with named "
+                "bind parameters"
+            )
         if named is None:
 
             def pos_repl(_m: re.Match) -> str:

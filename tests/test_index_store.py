@@ -118,6 +118,114 @@ def test_make_rows_sees_only_new_batch(spark, tbl):
     assert seen == [[0, 1, 2, 3, 4], [5, 6]]
 
 
+# --- crash atomicity + concurrency ------------------------------------
+
+
+class _CrashingSpark:
+    """SparkSession proxy that raises on the Nth .sql() call —
+    simulates a crash at each DDL statement inside index compaction
+    (everything else delegates to the real session)."""
+
+    def __init__(self, real, fail_at: int):
+        self._real = real
+        self._n = 0
+        self._fail_at = fail_at
+
+    def __getattr__(self, a):
+        return getattr(self._real, a)
+
+    def sql(self, *a, **kw):
+        self._n += 1
+        if self._n == self._fail_at:
+            raise RuntimeError("injected compaction crash")
+        return self._real.sql(*a, **kw)
+
+
+def _tombed_state(spark, tbl):
+    """Index over ids 0..11 with ids 0..1 tombstoned (under budget)."""
+    c1 = _corpus(spark, range(12))
+    ixs.refresh_stored_index(spark, tbl, c1.select("id"), "id", _mk(c1))
+    c2 = c1.filter(F.col("id") >= 2)
+    ixs.refresh_stored_index(spark, tbl, c2.select("id"), "id", _mk(c2))
+    assert spark.catalog.tableExists(ixs.tomb_name(tbl))
+    return c2
+
+
+def test_index_compaction_crash_recovery_at_every_sql_point(spark, tbl):
+    """Atomicity sweep for index_store._compact: the index is expensive
+    to rebuild (shingling / centroid assignment over the corpus), so a
+    crash at any DDL statement inside the stage-then-swap must leave it
+    recoverable. Inject a crash at every sql-statement position and
+    assert: the reader view is correct immediately after recovery, a
+    re-run refresh against the same corpus is a no-op, and a clean
+    compaction then lands the fully-compacted state with no remnants."""
+    _tombed_state(spark, tbl)
+    probe = _CrashingSpark(spark, fail_at=0)  # 0 = never fires
+    ixs._compact(probe, tbl, "id")
+    n_calls = probe._n
+    assert n_calls >= 6
+    assert spark.table(tbl).count() == 10  # clean compact baseline
+    ixs.drop_stored_index(spark, tbl)
+
+    for k in range(1, n_calls + 1):
+        c2 = _tombed_state(spark, tbl)
+        try:
+            ixs._compact(_CrashingSpark(spark, fail_at=k), tbl, "id")
+        except RuntimeError:
+            pass  # the injected crash propagated — that's the scenario
+        ixs.recover_stored_index(spark, tbl)
+        assert _live_ids(spark, tbl) == list(range(2, 12)), f"crash at {k}"
+        # refresh against the same corpus heals idempotently…
+        ixs.refresh_stored_index(spark, tbl, c2.select("id"), "id", _mk(c2))
+        assert _live_ids(spark, tbl) == list(range(2, 12)), f"crash at {k}"
+        # …and a clean compaction fully lands, clearing every remnant
+        if spark.catalog.tableExists(ixs.tomb_name(tbl)):
+            ixs._compact(spark, tbl, "id")
+        assert spark.table(tbl).count() == 10, f"crash at {k}"
+        for remnant in (ixs.tomb_name(tbl), ixs._stage_name(tbl),
+                        ixs._pre_name(tbl)):
+            assert not spark.catalog.tableExists(remnant), (k, remnant)
+        ixs.drop_stored_index(spark, tbl)
+
+
+def test_writer_lock_serializes_concurrent_refreshes(spark, tbl):
+    """Two engines over one warehouse must not interleave a compaction
+    swap with an append: refresh takes an OS-level flock per index,
+    which conflicts across processes and across independent fds within
+    one process — so a second writer blocks until the first releases,
+    then applies its refresh on the settled state."""
+    import threading
+    import time
+
+    c1 = _corpus(spark, range(4))
+    ixs.refresh_stored_index(spark, tbl, c1.select("id"), "id", _mk(c1))
+
+    entered, release, done = (threading.Event() for _ in range(3))
+
+    def holder():
+        with ixs.writer_lock(spark, tbl):
+            entered.set()
+            release.wait(timeout=60)
+
+    def writer():
+        c2 = _corpus(spark, range(6))
+        ixs.refresh_stored_index(spark, tbl, c2.select("id"), "id", _mk(c2))
+        done.set()
+
+    th = threading.Thread(target=holder)
+    th.start()
+    assert entered.wait(timeout=30)
+    tw = threading.Thread(target=writer)
+    tw.start()
+    time.sleep(1.5)
+    assert not done.is_set()  # second writer is blocked on the flock
+    release.set()
+    th.join(timeout=30)
+    tw.join(timeout=60)
+    assert done.is_set()
+    assert _live_ids(spark, tbl) == list(range(6))
+
+
 # --- property: random corpus evolutions vs a dict model ---------------
 
 from hypothesis import HealthCheck, given, settings

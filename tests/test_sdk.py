@@ -442,6 +442,10 @@ def test_parameter_binding_dml(rw):
         rw.execute("DELETE FROM t_sdk_dmlp WHERE k = ?", 1, 2)
     with pytest.raises(ValueError, match="more [?] markers"):
         rw.execute("DELETE FROM t_sdk_dmlp WHERE k = ? AND v = ?", 1)
+    # mixing named params with positional markers fails at bind time
+    # (not as an opaque parse error later inside F.expr)
+    with pytest.raises(ValueError, match="mixed with named"):
+        rw.execute("UPDATE t_sdk_dmlp SET v = :a WHERE k = ?", {"a": "z"})
     rw.execute("DROP TABLE t_sdk_dmlp")
 
 
@@ -501,7 +505,19 @@ def test_sql_literal_rendering():
     assert sql_literal(1.5) == "1.5"
     assert sql_literal(float("nan")) == "CAST('NaN' AS DOUBLE)"
     assert sql_literal(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
-    assert sql_literal(decimal.Decimal("19.99")) == "19.99"
+    # Decimals stay exact-decimal through the parser: plain notation
+    # (never exponent form, which Spark would type as DOUBLE) wrapped
+    # in an explicit DECIMAL cast sized to the value
+    assert sql_literal(decimal.Decimal("19.99")) == \
+        "CAST('19.99' AS DECIMAL(4,2))"
+    assert sql_literal(decimal.Decimal("1E+3")) == \
+        "CAST('1000' AS DECIMAL(4,0))"
+    assert sql_literal(decimal.Decimal("-0.05")) == \
+        "CAST('-0.05' AS DECIMAL(2,2))"
+    assert sql_literal(decimal.Decimal("0")) == "CAST('0' AS DECIMAL(1,0))"
+    for bad in ("NaN", "Infinity", "-Infinity"):
+        with pytest.raises(ValueError, match="non-finite Decimal"):
+            sql_literal(decimal.Decimal(bad))
     assert sql_literal(b"\x01\xff") == "X'01ff'"
     assert sql_literal(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
     assert sql_literal("it's") == "'it''s'"
