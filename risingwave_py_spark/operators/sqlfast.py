@@ -59,7 +59,14 @@ _REV_SUM = _limb_sum(_REV_E4, 4)
 _CHARGE_E6 = f"({_REV_E4}) * (100 + {_cents('l_tax')})"
 
 
+# SQL text per registered query — tools/scaling_probe.py's hint-A/B
+# mode reads these to time hint-stripped variants interleaved.
+SQL_TEXT: dict[str, str] = {}
+
+
 def _sql_query(name: str, text: str) -> None:
+    SQL_TEXT[name] = text
+
     @register(name)
     def _fn(spark: SparkSession, sf_dir: str, _t: str = text) -> DataFrame:
         ensure_views(spark, sf_dir)
@@ -193,7 +200,8 @@ _sql_query(
 )
 # q10's orders side is UNFILTERED (the only filter is on lineitem), so
 # broadcasting it ships the whole fact table — SHUFFLE_HASH(o) measured
-# -13% at sf0.1 and -20% at the 8x probe. q3/q5 keep broadcast: their
+# -18% at sf0.1 and -20% at the 8x probe (interleaved A/B medians,
+# SCALE.md round-7 table). q3/q5 keep broadcast: their
 # orders sides are date/segment-PRUNED small while lineitem (the side a
 # hash join would force through the exchange) is the big one — measured
 # +13%/+66% WORSE with the hint at sf0.1; at real scale the pruned-side

@@ -76,7 +76,9 @@ def build_scaled(spark, k: int, out_dir: str) -> int:
 # 100 TB shape), which is the evidence the floor argument needs.
 TPCH_OPS = [
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
     "q9_profit_by_nation",
+    "q10_returned_items",
     "q18_large_volume_customer",
     "ann_ivf_topk",
 ]
@@ -163,10 +165,56 @@ def run_tpch_suite(spark, scales: list[int]) -> None:
         print(f"| {op} | {cells} |")
 
 
+def run_hint_ab(spark, targets: list[str], rounds: int = 7) -> None:
+    """Interleaved A/B of a query's registered SQL (with join hints) vs
+    the same SQL with SHUFFLE_HASH stripped — the protocol that pinned
+    q18's −26% in round 6: both variants alternate within ONE session
+    so host drift drafts them equally; medians decide. Run at 1× and at
+    the 8× scaled facts (the regime where Spark's static planner would
+    broadcast the orders fact)."""
+    import re
+    import statistics
+
+    from risingwave_py_spark.catalog import ensure_views
+    from risingwave_py_spark.operators.sqlfast import SQL_TEXT
+
+    dirs = {1: BASE}
+    out8 = "/tmp/rw_scale_tpch_8"
+    if not os.path.isdir(out8):
+        build_scaled_tpch(spark, 8, out8)
+    dirs[8] = out8
+    os.environ["SPARK_GRAFT_SPLIT_CACHE"] = "0"
+    for k, d in dirs.items():
+        ensure_views(spark, d)
+        for name in targets:
+            sql_hint = SQL_TEXT[name]
+            sql_nohint = re.sub(r",?\s*SHUFFLE_HASH\(\w+\)", "", sql_hint)
+            assert sql_nohint != sql_hint, f"{name} has no SHUFFLE_HASH hint"
+            variants = {"hint": sql_hint, "nohint": sql_nohint}
+            for s in variants.values():  # warm both plans
+                spark.sql(s).collect()
+            times: dict[str, list[float]] = {v: [] for v in variants}
+            for _ in range(rounds):
+                for label, s in variants.items():
+                    t0 = time.time()
+                    spark.sql(s).collect()
+                    times[label].append(time.time() - t0)
+            med = {v: statistics.median(ts) for v, ts in times.items()}
+            delta = (med["hint"] - med["nohint"]) / med["nohint"] * 100
+            print(
+                f"scale {k}x  {name:26s} hint {med['hint']:.3f}s  "
+                f"nohint {med['nohint']:.3f}s  ({delta:+.0f}% with hint)",
+                flush=True,
+            )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-scale", type=int, default=8)
-    ap.add_argument("--suite", choices=["docs", "tpch"], default="docs")
+    ap.add_argument("--suite", choices=["docs", "tpch", "hintab"],
+                    default="docs")
+    ap.add_argument("--targets", nargs="*",
+                    default=["q10_returned_items"])
     args = ap.parse_args()
 
     from risingwave_py_spark import registry
@@ -180,6 +228,9 @@ def main() -> None:
 
     if args.suite == "tpch":
         run_tpch_suite(spark, scales)
+        return
+    if args.suite == "hintab":
+        run_hint_ab(spark, args.targets)
         return
 
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
