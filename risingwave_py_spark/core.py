@@ -215,9 +215,25 @@ class RisingWaveConnection:
         if k == "CREATE_TABLE":
             cols_sql, watermark = RW.extract_watermark(p["cols"])
             cols, pks = RW.parse_columns(cols_sql)
+            bucket_by, buckets = None, None
+            if p.get("props"):
+                props = RW.parse_source_props(p["props"])
+                unknown = set(props) - {"bucket_by", "buckets"}
+                if unknown:
+                    raise ValueError(
+                        f"unsupported CREATE TABLE properties: "
+                        f"{sorted(unknown)} (supported: bucket_by, buckets)"
+                    )
+                if "bucket_by" in props:
+                    bucket_by = [
+                        c.strip() for c in props["bucket_by"].split(",")
+                    ]
+                if "buckets" in props:
+                    buckets = int(props["buckets"])
             eng.create_table(
                 p["name"], cols, pk_cols=pks or None, version_col=p.get("vcol"),
                 ignore_exist="ine" in p, watermark=watermark,
+                bucket_by=bucket_by, buckets=buckets,
             )
             return None
         if k == "DROP_TABLE":

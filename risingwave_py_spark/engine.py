@@ -123,6 +123,7 @@ class SparkEngine:
         self.sinks: dict[str, dict] = {}  # fq sink -> {rel, path, fmt, mode, pos, ...}
         self.udfs: dict[str, str] = {}  # name -> declared return type
         self.watermarks: dict[str, dict] = {}  # fq table -> {col, delay_us}
+        self.table_props: dict[str, dict] = {}  # fq table -> {bucket_by, buckets}
         self.indexes: dict[str, dict] = {}  # fq index -> {table, cols}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.udf_defs: dict[str, list] = {}  # name -> [rettype, body]
@@ -248,10 +249,28 @@ class SparkEngine:
         ignore_exist: bool = True,
         schema_name: str | None = None,
         watermark: dict | None = None,
+        bucket_by: list[str] | None = None,
+        buckets: int | None = None,
     ) -> None:
         fq = self.qualify(name, schema_name)
         if watermark is not None:
             self.watermarks[fq] = watermark
+        if bool(bucket_by) != bool(buckets):
+            raise ValueError(
+                "bucket_by and buckets must be given together "
+                "(WITH (bucket_by = 'col[,col]', buckets = 'N'))"
+            )
+        if bucket_by:
+            declared = {n.lower() for n, _ in cols}
+            missing = [c for c in bucket_by if c.lower() not in declared]
+            if missing:
+                raise ValueError(f"bucket_by columns not in table: {missing}")
+            if version_col:
+                raise ValueError(
+                    "bucketed layout is not supported on ON CONFLICT "
+                    "(upsert) tables — their physical storage is an "
+                    "append log resolved through a window view"
+                )
         if self.spark.catalog.tableExists(fq):
             if ignore_exist:
                 return
@@ -282,12 +301,36 @@ class SparkEngine:
             self.upsert_meta[fq] = {"pk": pk_cols, "version_col": version_col}
         else:
             self._clear_stale_location(fq)
-            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {fq} ({col_sql}) USING PARQUET")
+            cluster = ""
+            if bucket_by:
+                # Hive-compatible clustered layout: every insert hashes
+                # rows into N bucket files per partition, sorted within
+                # each bucket — joins and GROUP BYs on the bucket key
+                # then need NO exchange (the bucketed scan already
+                # satisfies the required hash distribution). This is
+                # the measured −47%/zero-exchange q18-shape layout
+                # (SCALE.md, tools/bucketing_probe.py) promoted to DDL;
+                # on a lakehouse the equivalent is Delta liquid
+                # clustering / Iceberg sorted partitions.
+                bcols = ", ".join(f"`{c}`" for c in bucket_by)
+                cluster = (
+                    f" CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                    f"INTO {int(buckets)} BUCKETS"
+                )
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {fq} ({col_sql}) "
+                f"USING PARQUET{cluster}"
+            )
+            if bucket_by:
+                self.table_props[fq] = {
+                    "bucket_by": list(bucket_by), "buckets": int(buckets)
+                }
         self._ensure_changelog(fq)
 
     def drop_table(self, name: str, schema_name: str | None = None) -> None:
         fq = self.qualify(name, schema_name)
         self.watermarks.pop(fq, None)
+        self.table_props.pop(fq, None)
         if fq in self.upsert_meta:
             self.spark.sql(f"DROP VIEW IF EXISTS {fq}")
             self.spark.sql(f"DROP TABLE IF EXISTS {self.log_name(fq)}")
@@ -562,6 +605,7 @@ class SparkEngine:
             "sources": j(self.sources),
             "sinks": j(self.sinks),
             "watermarks": j(self.watermarks),
+            "table_props": j(self.table_props),
             "indexes": j(self.indexes),
             "udf_defs": self.udf_defs,
             "vacuum_floor": dict(self.vacuum_floor),
@@ -713,6 +757,7 @@ class SparkEngine:
                 logger.warning("upsert log recovery for %s: %s", up_fq, e)
         self.subscriptions.update(doc.get("subscriptions", {}))
         self.watermarks.update(doc.get("watermarks", {}))
+        self.table_props.update(doc.get("table_props", {}))
         self.indexes.update(doc.get("indexes", {}))
         self.vacuum_floor.update(
             {k: int(v) for k, v in doc.get("vacuum_floor", {}).items()}
@@ -819,6 +864,12 @@ class SparkEngine:
                 ddl += (
                     " ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN"
                     f"({meta['version_col']})"
+                )
+            tp = self.table_props.get(fq)
+            if tp and tp.get("bucket_by"):
+                ddl += (
+                    f" WITH (bucket_by = '{','.join(tp['bucket_by'])}', "
+                    f"buckets = '{tp['buckets']}')"
                 )
         return ["name", "create_sql"], [(fq, ddl)]
 

@@ -225,7 +225,20 @@ CMD_PATTERNS: list[tuple[str, re.Pattern]] = [
         "CREATE_TABLE",
         re.compile(
             r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*"
-            r"ON\s+CONFLICT\s+DO\s+UPDATE\s+IF\s+NOT\s+NULL\s+WITH\s+VERSION\s+COLUMN\s*\(\s*(?P<vcol>\w+)\s*\)\s*;?\s*$",
+            r"ON\s+CONFLICT\s+DO\s+UPDATE\s+IF\s+NOT\s+NULL\s+WITH\s+VERSION\s+COLUMN\s*\(\s*(?P<vcol>\w+)\s*\)\s*"
+            r"(?:WITH\s*\((?P<props>[^()]*)\)\s*)?;?\s*$",
+            re.I | re.S,
+        ),
+    ),
+    (
+        # WITH-properties variant must precede the plain pattern (the
+        # greedy column group would swallow the WITH clause): carries
+        # table layout props, e.g. WITH (bucket_by='l_orderkey',
+        # buckets='16') for the Hive-compatible clustered layout.
+        "CREATE_TABLE",
+        re.compile(
+            r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*\((?P<cols>.*)\)\s*"
+            r"WITH\s*\((?P<props>[^()]*)\)\s*;?\s*$",
             re.I | re.S,
         ),
     ),

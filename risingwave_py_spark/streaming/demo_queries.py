@@ -1294,3 +1294,68 @@ def topn_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "player string, pts bigint, rnk int, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "bucketed_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(30.0 AS DOUBLE), 'alice'),
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(5.0 AS DOUBLE), 'bob'),
+        (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(24.0 AS DOUBLE), 'carol')
+    ) AS t(ok, n_lines, total, cust)
+    """,
+)
+def bucketed_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table layout end to end — the measured −47% /
+    zero-exchange q18-shape deployment recipe (SCALE.md, round 6)
+    promoted to a DDL capability: ``CREATE TABLE … WITH
+    (bucket_by = 'k', buckets = 'N')`` maps to Spark's Hive-compatible
+    clustered layout. Two co-bucketed fact tables are created via DDL,
+    loaded through the normal insert path (which hash-clusters rows on
+    write), and joined + aggregated on the bucket key; the executed
+    plan must contain ZERO exchanges — verified in-query, so the
+    oracle gate also pins the scale property. SHOW CREATE round-trips
+    the layout clause."""
+    conn, eng = _fresh_conn(spark, "rwdemo_bk")
+    conn.execute(
+        "CREATE TABLE rwdemo_bk.ords (ok BIGINT, cust VARCHAR) "
+        "WITH (bucket_by = 'ok', buckets = '4')"
+    )
+    conn.execute(
+        "CREATE TABLE rwdemo_bk.lines (ok BIGINT, qty DOUBLE) "
+        "WITH (bucket_by = 'ok', buckets = '4')"
+    )
+    conn.insert(pd.DataFrame({"ok": [1, 2, 3],
+                              "cust": ["alice", "bob", "carol"]}),
+                table_name="ords", schema_name="rwdemo_bk", force_flush=True)
+    conn.insert(pd.DataFrame({"ok": [1, 1, 2, 3, 3, 3],
+                              "qty": [10.0, 20.0, 5.0, 7.0, 8.0, 9.0]}),
+                table_name="lines", schema_name="rwdemo_bk",
+                force_flush=True)
+    ddl = conn.fetchone("SHOW CREATE TABLE rwdemo_bk.ords")[1]
+    assert "bucket_by = 'ok'" in ddl and "buckets = '4'" in ddl, ddl
+    # broadcast off: the join must co-locate on the bucketed layout
+    # itself, not dodge the exchange by shipping a small side
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # no ORDER BY inside the measured plan: a global sort would
+        # add a range-partitioning exchange that has nothing to do
+        # with the join/agg layout under test (rows sort client-side)
+        out = spark.sql(
+            "SELECT l.ok, count(*) AS n_lines, sum(qty) AS total, "
+            "       max(cust) AS cust "
+            "FROM rwdemo_bk.lines l JOIN rwdemo_bk.ords o ON l.ok = o.ok "
+            "GROUP BY l.ok"
+        )
+        rows = sorted(out.collect(), key=lambda r: r["ok"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "Exchange" not in plan, (
+        "co-bucketed fact-fact join must be exchange-free:\n" + plan
+    )
+    return spark.createDataFrame(
+        rows, "ok bigint, n_lines bigint, total double, cust string"
+    )

@@ -375,3 +375,42 @@ def test_no_benched_query_regresses_to_cartesian(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in SPINE_OK:
             bad[name] = "BroadcastNestedLoopJoin"
     assert not bad, bad
+
+
+def test_cobucketed_fact_join_has_zero_exchanges(spark):
+    """The bucketed-layout DDL capability (CREATE TABLE … WITH
+    (bucket_by, buckets)) must deliver its scale property: a fact-fact
+    join + group-by on the bucket key over two co-bucketed tables runs
+    with ZERO exchanges (broadcast disabled — co-location must come
+    from the layout, not from shipping a small side). This is the
+    measured −47% q18-shape recipe (SCALE.md) as an engine guarantee."""
+    import pandas as pd
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS plq_bk CASCADE")
+    conn = RisingWaveConnection(SparkEngine(spark, default_schema="plq_bk"))
+    conn.execute("CREATE TABLE plq_bk.fa (k BIGINT, v BIGINT) "
+                 "WITH (bucket_by = 'k', buckets = '4')")
+    conn.execute("CREATE TABLE plq_bk.fb (k BIGINT, w STRING) "
+                 "WITH (bucket_by = 'k', buckets = '4')")
+    n = 2000
+    conn.insert(pd.DataFrame({"k": range(n), "v": range(n)}),
+                table_name="fa", schema_name="plq_bk", force_flush=True)
+    conn.insert(pd.DataFrame({"k": range(n), "w": [f"w{i}" for i in range(n)]}),
+                table_name="fb", schema_name="plq_bk", force_flush=True)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.sql(
+            "SELECT a.k, sum(v) AS sv, max(w) AS mw "
+            "FROM plq_bk.fa a JOIN plq_bk.fb b ON a.k = b.k GROUP BY a.k"
+        )
+        assert df.count() == n
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP DATABASE IF EXISTS plq_bk CASCADE")
+    assert "Exchange" not in plan, plan
+    assert "SelectedBucketsCount" in plan  # scans really are bucketed

@@ -146,3 +146,69 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # Predicate on the LEADING dimension still prunes under z-order.
     z_hit_u, _ = files_overlapping(z_path, "ub", 0, 100)
     assert z_hit_u < z_total
+
+
+# --- bucketed layout as a DDL capability (engine surface) -------------
+
+
+def _bk_conn(spark, schema):
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql(f"DROP DATABASE IF EXISTS {schema} CASCADE")
+    eng = SparkEngine(spark, default_schema=schema)
+    return RisingWaveConnection(eng), eng
+
+
+def test_create_table_bucketed_ddl_roundtrip(spark):
+    """CREATE TABLE … WITH (bucket_by, buckets) maps to Spark's
+    clustered layout, SHOW CREATE round-trips the clause, and a fresh
+    engine over the same warehouse restores the layout metadata."""
+    import pandas as pd
+
+    from risingwave_py_spark.engine import SparkEngine
+
+    conn, eng = _bk_conn(spark, "bkddl")
+    conn.execute("CREATE TABLE bkddl.f (k BIGINT, v DOUBLE) "
+                 "WITH (bucket_by = 'k', buckets = '4')")
+    desc = spark.sql("DESCRIBE TABLE EXTENDED bkddl.f").collect()
+    got = {r["col_name"]: r["data_type"] for r in desc}
+    assert got.get("Num Buckets") == "4"
+    assert got.get("Bucket Columns") == "[`k`]"
+    name, ddl = conn.fetchone("SHOW CREATE TABLE bkddl.f")
+    assert "WITH (bucket_by = 'k', buckets = '4')" in ddl
+    # inserts land through the normal path and hash-cluster on write
+    conn.insert(pd.DataFrame({"k": [1, 2], "v": [0.5, 1.5]}),
+                table_name="f", schema_name="bkddl", force_flush=True)
+    assert conn.fetch("SELECT k FROM bkddl.f ORDER BY k") == [(1,), (2,)]
+    # restart: layout metadata restores from the persisted catalog doc
+    e2 = SparkEngine(spark, default_schema="bkddl")
+    assert e2.table_props["bkddl.f"] == {"bucket_by": ["k"], "buckets": 4}
+    _, ddl2 = e2.show_create("f")[1][0]
+    assert "bucket_by = 'k'" in ddl2
+    conn.execute("DROP TABLE bkddl.f")
+    assert "bkddl.f" not in eng.table_props
+    spark.sql("DROP DATABASE IF EXISTS bkddl CASCADE")
+
+
+def test_bucketed_ddl_validation(spark):
+    """Layout mistakes fail loudly at CREATE time: unknown properties,
+    bucket_by/buckets split, a bucket column not in the table, and the
+    unsupported upsert-table combination."""
+    conn, _ = _bk_conn(spark, "bkval")
+    with pytest.raises(ValueError, match="unsupported CREATE TABLE"):
+        conn.execute("CREATE TABLE bkval.t1 (k BIGINT) "
+                     "WITH (appendonly = 'true')")
+    with pytest.raises(ValueError, match="together"):
+        conn.execute("CREATE TABLE bkval.t2 (k BIGINT) "
+                     "WITH (bucket_by = 'k')")
+    with pytest.raises(ValueError, match="not in table"):
+        conn.execute("CREATE TABLE bkval.t3 (k BIGINT) "
+                     "WITH (bucket_by = 'nope', buckets = '4')")
+    with pytest.raises(ValueError, match="upsert"):
+        conn.execute(
+            "CREATE TABLE bkval.t4 (k BIGINT PRIMARY KEY, ver BIGINT) "
+            "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver) "
+            "WITH (bucket_by = 'k', buckets = '4')"
+        )
+    spark.sql("DROP DATABASE IF EXISTS bkval CASCADE")
