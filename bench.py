@@ -125,6 +125,100 @@ def duck_pass(sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def subscription_latency(spark, n_events: int = 60) -> dict:
+    """End-to-end change-visibility latency: wall time from the
+    client's insert(force_flush=True) call to the first on_change
+    delivery of that row, measured per event over a raw-table
+    subscription and an aggregation-MV subscription (the reference's
+    implied bound is sub-second: per-insert FLUSH + 100 ms cursor poll,
+    reference core.py:20,121,541-560). The consumer runs the real
+    on_change loop in a thread (RAW format, default poll interval);
+    the producer stamps t0 before insert and the handler stamps
+    arrival, so the number includes flush, changelog publication, MV
+    refresh (for the MV case), cursor fetch, and handler dispatch."""
+    import statistics
+    import threading
+
+    from risingwave_py_spark.core import OutputFormat, RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS benchlat CASCADE")
+    conn = RisingWaveConnection(SparkEngine(spark, default_schema="benchlat"))
+    conn.execute("CREATE TABLE benchlat.ev (k BIGINT, v DOUBLE)")
+    out: dict[str, dict] = {}
+    warmup = 5
+    key0 = 0
+    for target, label, key_of in (
+        # raw rows arrive as (k, v, op, rw_timestamp)
+        ("ev", "raw_table", lambda row: int(row[0])),
+        # the MV's global aggregate arrives as (n, s, op, rw_timestamp);
+        # event k is the (k+1)-th row ever inserted (keys are 0-based
+        # across both phases), so the (Update)Insert with n rows marks
+        # delivery of event k = n-1
+        ("evagg", "agg_mv",
+         lambda row: (int(row[0]) - 1
+                      if row[-2] in ("Insert", "UpdateInsert") else None)),
+    ):
+        if target == "evagg":
+            # created only for its own phase: the raw-table phase's
+            # flush must not pay this MV's refresh on every event
+            conn.execute(
+                "CREATE MATERIALIZED VIEW benchlat.evagg AS "
+                "SELECT count(*) AS n, sum(v) AS s FROM benchlat.ev"
+            )
+        arrivals: dict[int, float] = {}
+        stop = threading.Event()
+
+        def handler(rows, _k=key_of, _a=arrivals):
+            now = time.perf_counter()
+            for row in rows:
+                k = _k(row)
+                if k is not None:
+                    _a.setdefault(k, now)
+
+        th = threading.Thread(
+            target=conn.on_change,
+            kwargs=dict(subscribe_from=target, schema_name="benchlat",
+                        handler=handler, output_format=OutputFormat.RAW,
+                        max_batch_size=10, _stop_event=stop),
+            daemon=True,
+        )
+        th.start()
+        while not conn.engine.cursors:  # cursor positioned before producing
+            time.sleep(0.01)
+        lats: list[float] = []
+        acks: list[float] = []
+        for i in range(key0, key0 + warmup + n_events):
+            t0 = time.perf_counter()
+            conn.insert_row("ev", schema_name="benchlat", force_flush=True,
+                            k=i, v=float(i))
+            t_ack = time.perf_counter()
+            deadline = t0 + 60
+            while i not in arrivals and time.perf_counter() < deadline:
+                time.sleep(0.001)
+            if i in arrivals and i >= key0 + warmup:
+                lats.append((arrivals[i] - t0) * 1000)
+                acks.append((t_ack - t0) * 1000)
+        stop.set()
+        th.join(timeout=30)
+        conn.engine.cursors.clear()
+        key0 += warmup + n_events  # keys stay unique across both phases
+        if lats:
+            srt = sorted(lats)
+            out[label] = {
+                "median_ms": round(statistics.median(lats), 1),
+                "p99_ms": round(srt[min(len(srt) - 1,
+                                        int(0.99 * len(srt)))], 1),
+                # producer-side insert+FLUSH cost (synchronous Spark
+                # write jobs) — total minus this is the consumer-side
+                # poll + cursor-fetch delivery gap
+                "insert_flush_median_ms": round(statistics.median(acks), 1),
+                "n": len(lats),
+            }
+    spark.sql("DROP DATABASE IF EXISTS benchlat CASCADE")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -236,6 +330,15 @@ def main() -> None:
         floor_runs.append(time.perf_counter() - t0)
     dispatch_floor = round(sorted(floor_runs)[2], 3)
 
+    # Change-visibility latency (insert → flush → first on_change
+    # delivery) — the reference's implied bound is sub-second
+    # (per-insert FLUSH + 100 ms poll); BASELINE.md records the pair.
+    try:
+        sub_lat = subscription_latency(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(f"subscription latency probe FAILED: {exc}", file=sys.stderr)
+        sub_lat = {}
+
     # DuckDB pass 2: AFTER the JVM stops (the bracket's right side).
     # The JVM must be gone first: its ~100 GiB heap + 32 idle task
     # threads perturb the DuckDB side (observed: a 0.3 s oracle
@@ -273,6 +376,8 @@ def main() -> None:
         "sf": sf,
         "dispatch_floor_sec": dispatch_floor,
     }
+    if sub_lat:
+        out["subscription_latency_ms"] = sub_lat
     if duck_total:
         out["duckdb_same_session_sec"] = duck_total
         out["duckdb_queries"] = duck_timings
