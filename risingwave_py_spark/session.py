@@ -25,14 +25,32 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    persistent_metastore: bool | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or get) the engine's SparkSession.
 
     On a real cluster the caller passes ``master=None`` and lets
     spark-submit decide; locally we default to ``local[N]`` with
     N = SPARK_GRAFT_CPUS (default 32).
+
+    ``persistent_metastore`` (or env SPARK_GRAFT_METASTORE=derby)
+    backs the Spark catalog with a local embedded Derby Hive
+    metastore next to the warehouse: table/view definitions then
+    survive PROCESS restarts natively, so a fresh process recovers
+    the engine catalog without relying on the JSON-doc replay alone
+    (the doc still restores MV/subscription/upsert semantics the
+    Spark catalog cannot hold). Single-process-at-a-time: embedded
+    Derby locks its database directory, so the multi-engine-one-
+    warehouse scenarios stay on the default in-memory catalog. On a
+    real cluster the same flag's role is played by the shared Hive/
+    Glue metastore spark-submit configures.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if persistent_metastore is None:
+        persistent_metastore = (
+            os.environ.get("SPARK_GRAFT_METASTORE", "").lower() == "derby"
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         # In local[N] mode the driver JVM hosts all N executor threads;
@@ -62,6 +80,16 @@ def build_session(
         # corruption we don't need on local disk.
         .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir",
+                                 os.path.abspath(warehouse_dir))
+    if persistent_metastore:
+        wh = os.path.abspath(warehouse_dir or "spark-warehouse")
+        meta = os.path.join(os.path.dirname(wh), "derby-metastore")
+        builder = builder.enableHiveSupport().config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={meta};create=true",
+        )
     if master or not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master or f"local[{cpus}]")
     if extra_conf:
