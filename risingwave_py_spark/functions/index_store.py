@@ -198,6 +198,14 @@ def refresh_stored_index(
     Idempotent: a crash anywhere mid-refresh is healed by re-running
     against the same corpus (sub-steps already applied re-derive to
     no-ops). Serialized against other writers by ``writer_lock``.
+
+    Multi-row-per-id indexes (e.g. the video keyframe-hash index,
+    several keyframe rows per doc) work unchanged — a tombstone hides
+    ALL of an id's rows. The compaction budget then compares
+    tombstoned IDS against stored ROWS, which under-counts dead rows
+    and so compacts LATER than the stated fraction — conservative in
+    work (never an early rewrite), still bounded (at most
+    rows-per-id × the fraction).
     """
     with writer_lock(spark, tbl):
         recover_stored_index(spark, tbl)

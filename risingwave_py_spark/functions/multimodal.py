@@ -956,3 +956,276 @@ def image_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("val").alias("n_buckets"))
         .orderBy("band_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual video near-dup (aHash over sampled keyframes): completes
+# the modality matrix — text (MinHash), vectors (IVF), images (aHash),
+# video (keyframe-aHash bags) — on the same stored-index substrate.
+# Each clip reduces to a BAG OF KEYFRAME FINGERPRINTS (the 64-bit
+# aHash of every sampled keyframe, same step/cap as the keyframe
+# pipeline above); two videos are near-dup candidates when they share
+# an identical keyframe hash (the classic bag-of-fingerprints overlap
+# a video dedup pipeline uses — robust to trims/re-encodes because
+# any surviving keyframe matches). Candidate generation is an
+# equi-join on the hash value: O(n · colliding bucket), never
+# all-pairs. Integer-only arithmetic end to end, so the whole
+# decode → keyframe-sample → hash → overlap chain is oracle-checked
+# from VID1's closed-form pixels. Reference has no media operators
+# (client SDK); extends the BASELINE.json multimodal surface.
+
+VHASH_TOP = 20
+
+
+def _vhash_ctes(where: str = "TRUE") -> str:
+    """DuckDB CTE chain ending in fp(doc_id, frame_idx, fpv):
+    closed-form keyframe aHash fingerprints (fpv = 'b0_b1_b2_b3') for
+    every sampled keyframe of every video passing ``where``. Mirrors
+    the Spark kernel exactly: VID1 16×16 frames, channel-sum gray,
+    nearest resize to 8×8 (source pixel (2i, 2j)), integer mean
+    threshold, 4×16-bit bands."""
+    ch_sum = " + ".join(
+        f"(6*gj.j + 14*gi.i + {11 * c} + 13*fr.f + fr.doc_id) % 256"
+        for c in range(3)
+    )
+    band_cols = " || '_' || ".join(
+        f"CAST(MAX(CASE WHEN band_id = {k} THEN val END) AS VARCHAR)"
+        for k in range(AHASH_BANDS)
+    )
+    return f"""vd AS (
+        SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents WHERE {where}
+    ), frames AS (
+        SELECT vd.doc_id, t.f
+        FROM vd, LATERAL (SELECT unnest(generate_series(0, vd.nf - 1)) AS f) t
+        WHERE t.f % {VID1_STEP} = 0 AND t.f // {VID1_STEP} < {VID1_MAX_FRAMES}
+    ), g AS (
+        SELECT fr.doc_id, fr.f, (gi.i * {AHASH_SIDE} + gj.j) AS p,
+               ({ch_sum}) AS g
+        FROM frames fr,
+             generate_series(0, {AHASH_SIDE - 1}) AS gi(i),
+             generate_series(0, {AHASH_SIDE - 1}) AS gj(j)
+    ), bits AS (
+        SELECT doc_id, f, p,
+               CASE WHEN 64 * g >= SUM(g) OVER (PARTITION BY doc_id, f)
+                    THEN 1 ELSE 0 END AS bit
+        FROM g
+    ), bandvals AS (
+        SELECT doc_id, f, p // 16 AS band_id,
+               CAST(SUM(bit << (p % 16)) AS BIGINT) AS val
+        FROM bits GROUP BY doc_id, f, p // 16
+    ), fp AS (
+        SELECT doc_id, CAST(f AS INT) AS frame_idx, {band_cols} AS fpv
+        FROM bandvals GROUP BY doc_id, f
+    )"""
+
+
+def _vhash_pairs_select() -> str:
+    return f"""bags AS (
+        SELECT DISTINCT doc_id, fpv FROM fp
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bags GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM bags a JOIN bags b
+          ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY n_shared DESC, doc_a, doc_b
+    LIMIT {VHASH_TOP}"""
+
+
+def _vhash_oracle(where: str = "TRUE") -> str:
+    return f"WITH {_vhash_ctes(where)}, {_vhash_pairs_select()}"
+
+
+def _vhash_hist_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {_vhash_ctes(where)}
+    SELECT frame_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fpv) AS BIGINT) AS n_hashes
+    FROM fp GROUP BY frame_idx ORDER BY frame_idx
+    """
+
+
+def _vhash_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fpv): 64-bit aHash of each sampled keyframe
+    rendered as a joinable 'b0_b1_b2_b3' string, computed through the
+    REAL VID1 decode inside one Arrow mapInPandas stage (1 video row →
+    up to 4 keyframe rows). This is the expensive pass the stored
+    index saves — for video, decode + frame sampling dwarfs the hash."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                clip = decode_vid1(encode_vid1(int(doc_id)))
+                nf = clip.shape[0]
+                for j, f in enumerate(range(0, nf, VID1_STEP)):
+                    if j >= VID1_MAX_FRAMES:
+                        break
+                    gray = clip[f].astype(np.int64).sum(axis=2)
+                    rs = resize_nearest(gray, AHASH_SIDE, AHASH_SIDE)
+                    flat = rs.flatten()
+                    bits = (flat * 64 >= flat.sum()).astype(np.int64)
+                    fpv = "_".join(
+                        str(int((bits[k * 16:(k + 1) * 16] << shifts).sum()))
+                        for k in range(AHASH_BANDS)
+                    )
+                    rows.append((int(doc_id), int(f), fpv))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "fpv"])
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id bigint, frame_idx int, fpv string"
+    )
+
+
+def _vhash_top_pairs(fp: DataFrame) -> DataFrame:
+    """Top-20 video pairs by keyframe-fingerprint-bag overlap over a
+    keyframe-hash relation (identical over freshly-hashed or STORED
+    fingerprints — the probe path). n_a/n_b are each side's distinct
+    hash counts, so any overlap measure (containment, Jaccard) is
+    computable downstream without re-decoding. Callers with an
+    expensive fp (the decode path) checkpoint it BEFORE calling — a
+    checkpoint here would hide the upstream plan from the
+    no-re-decode plan assertions; over the stored index the repeated
+    bags scan is a cheap parquet read."""
+    bags = fp.select("doc_id", "fpv").distinct()
+    sizes = bags.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = bags.alias("a"), bags.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fpv") == F.col("b.fpv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("n", "n_a")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "n_b")), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(VHASH_TOP)
+    )
+
+
+@register("multimodal_video_dedup", oracle=_vhash_oracle())
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over videos: top-20 pairs by
+    keyframe-hash-bag overlap. Decode → keyframe-sample → aHash runs
+    in one Arrow mapInPandas stage (frame bytes never leave the
+    executors; only doc_id + hash strings shuffle); candidates come
+    from the exact-hash equi-join. 100 TB shape: per-clip work is
+    bounded by the keyframe budget, the overlap join is O(n ·
+    colliding bucket), and the keyframe-hash table is the only state
+    a daily incremental run needs (the stored index below)."""
+    fp = _vhash_fp(
+        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    ).localCheckpoint(eager=True)  # decode+hash once; all sides reuse it
+    return _vhash_top_pairs(fp)
+
+
+# --- stored keyframe-hash index: build-once / probe-many --------------
+
+
+def _video_index_fq(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"default.__vid_ahash_index_{tag}__"
+
+
+def _video_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+    """Sync the stored keyframe-hash table to ``corpus`` (doc_id
+    rows): only NEW videos are decoded and hashed (multi-row-per-id
+    index: each new doc contributes its keyframe rows); deleted videos
+    are tombstoned by doc_id, hiding all their keyframe rows at once."""
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
+    def make_rows(new_ids: DataFrame) -> DataFrame:
+        return _vhash_fp(corpus.join(new_ids, "doc_id", "left_semi")
+                         .repartition(8))
+
+    refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
+                         make_rows)
+
+
+@register("video_index_build", oracle=_vhash_hist_oracle())
+def video_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or incrementally refresh) the stored keyframe-hash index
+    and report its per-keyframe histogram FROM THE STORED TABLE."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _video_index_fq(sf_dir)
+    _video_refresh(spark, tbl,
+                   table(spark, sf_dir, "documents").select("doc_id"))
+    return (
+        live_index(spark, tbl, "doc_id")
+        .groupBy("frame_idx")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fpv").alias("n_hashes"))
+        .orderBy("frame_idx")
+    )
+
+
+@register("video_index_probe", oracle=_vhash_oracle())
+def video_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the STORED keyframe-hash index: same top-20 overlap
+    contract as multimodal_video_dedup, but hashes come from the index
+    table — the probe plan never decodes a video (no mapInPandas
+    stage) and never scans the documents parquet (both plan-asserted
+    in tests/test_plan_quality.py)."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _video_index_fq(sf_dir)
+    _video_refresh(spark, tbl,
+                   table(spark, sf_dir, "documents").select("doc_id"))
+    return _vhash_top_pairs(live_index(spark, tbl, "doc_id"))
+
+
+_VID_DML_GONE = "doc_id >= 300 AND doc_id < 360"
+_VID_DML_BACK = 300
+
+
+@register(
+    "video_index_dml",
+    oracle=_vhash_hist_oracle(
+        where=f"NOT ({_VID_DML_GONE}) OR doc_id = {_VID_DML_BACK}"
+    ),
+)
+def video_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance of the stored keyframe-hash index: full build,
+    a privacy-deletion batch (60 videos tombstoned — one tombstone
+    hides all of a video's keyframe rows, no re-decode of survivors),
+    one deleted video re-inserted (compaction path). The final LIVE
+    per-keyframe histogram must equal a from-scratch decode+hash pass
+    over the surviving corpus."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _video_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    _video_refresh(spark, tbl, d)
+    _video_refresh(spark, tbl, d.filter(f"NOT ({_VID_DML_GONE})"))
+    _video_refresh(
+        spark, tbl,
+        d.filter(f"NOT ({_VID_DML_GONE}) OR doc_id = {_VID_DML_BACK}"),
+    )
+    return (
+        live_index(spark, tbl, "doc_id")
+        .groupBy("frame_idx")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fpv").alias("n_hashes"))
+        .orderBy("frame_idx")
+    )

@@ -315,6 +315,7 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
         ("ann_index_probe", "embeddings"),
         ("dedup_index_probe", "documents"),
         ("image_index_probe", "documents"),
+        ("video_index_probe", "documents"),
     ):
         plan = _plan(spark, sf_dir, name)
         scans = [
@@ -322,9 +323,10 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
             if ln.startswith("Location:") and corpus in ln
         ]
         assert not scans, (name, scans)
-    # the image probe must also never DECODE: fingerprints come from
+    # the media probes must also never DECODE: fingerprints come from
     # the stored table, so no Python/Arrow map stage may appear
     assert "MapInPandas" not in _plan(spark, sf_dir, "image_index_probe")
+    assert "MapInPandas" not in _plan(spark, sf_dir, "video_index_probe")
 
 
 @pytest.mark.parametrize("name", ["q9_profit_by_nation",
