@@ -60,12 +60,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # *_bucketed: identical query + oracle, fact tables served from the
+    # CREATE TABLE … WITH (bucket_by, buckets) layout — benched next to
+    # the plain-parquet twin so the same session measures the layout
+    # delta (the one-time bucketed ingest happens in warmup, untimed).
     "q5_local_supplier_volume",
+    "q5_bucketed",
     "q10_returned_items",
+    "q10_bucketed",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q7_bucketed",
     "q9_profit_by_nation",
+    "q9_bucketed",
     "q18_large_volume_customer",
+    "q18_bucketed",
     "q19_disc_revenue_or",
     "agg_distinct_multi",
     "agg_rollup",

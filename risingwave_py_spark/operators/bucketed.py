@@ -1,0 +1,188 @@
+"""Bucketed-layout variants of the perf-weak TPC-H shapes.
+
+The five fact-heavy benched queries (q5/q7/q9/q10/q18) all pay the
+same residual cost on plain parquet: the lineitem⋈orders fact-fact
+edge shuffles BOTH tables on the order key every single run. At 100 TB
+that shuffle IS the query — and it is entirely avoidable by layout:
+two tables bucketed by the join key into the same bucket count join
+with ZERO exchanges, forever, for every query shaped this way
+(measured −47% on the q18 shape, SCALE.md round 6; promoted to engine
+DDL in round 7).
+
+This module registers `<q>_bucketed` twins of the five shapes:
+
+  1. `_ensure_bucketed` materializes ONE bucketed copy of
+     lineitem/orders per (session, sf_dir) through the engine's
+     user-facing DDL — ``CREATE TABLE … WITH (bucket_by = 'l_orderkey',
+     buckets = '16')`` (engine.py `create_table`) — loaded through the
+     engine's DataFrame-insert path. The build is a one-time ingest
+     cost (exactly how a production warehouse lands a fact table); it
+     is NEVER part of the per-query work and reuses across invocations.
+  2. the query SQL is the benched original (sqlfast.SQL_TEXT) with the
+     two fact names redirected at the bucketed copies — semantics,
+     aliases, money arithmetic and the DuckDB oracle are byte-identical
+     to the plain-parquet twin, so the driver's correctness gate checks
+     the bucketed plan against the SAME oracle.
+  3. before returning, every variant asserts its scale property on the
+     physical plan: NO shuffle exchange may repartition on the order
+     key (the join must be satisfied by the bucket layout), and the
+     only shuffle allowed at all is the final small-group aggregation
+     (none for q18 — its top-k is a TakeOrderedAndProject). Broadcast
+     exchanges of dimension tables are the desired plan and stay.
+
+Reference parity: the reference's users run these shapes as plain SQL
+over server-side tables (`/root/reference/risingwave/core.py:161-181`);
+physical layout there is the server's concern. Here the layout IS the
+DDL surface — this module is the evidence that the engine's answer to
+the fact-fact exchange is user-reachable, correct, and measured.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ensure the originals (and their oracles) are registered first
+from risingwave_py_spark.operators import relational, tpch_extra  # noqa: F401
+from risingwave_py_spark.catalog import ensure_views, table
+from risingwave_py_spark.operators.sqlfast import SQL_TEXT
+from risingwave_py_spark.registry import ORACLES, register
+
+BUCKETS = 16
+_FACTS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+
+# (session id, sf_dir) -> bucketed db name, once verified/built
+_READY: dict[tuple[int, str], str] = {}
+
+
+def bucketed_db_name(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return "rwbk_" + re.sub(r"[^0-9a-zA-Z]", "_", tag).lower()
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) and return the database holding bucketed copies of
+    the fact tables for ``sf_dir``. Idempotent per session via a
+    ready-marker table; a partial build from a crashed process has no
+    marker and is dropped + rebuilt."""
+    db = bucketed_db_name(sf_dir)
+    key = (id(spark), sf_dir)
+    if _READY.get(key) == db:
+        return db
+    marker = f"{db}.__rwbk_ready"
+    if spark.catalog.tableExists(marker):
+        _READY[key] = db
+        return db
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # a crashed prior process can leave the warehouse dir with no
+    # catalog entry; CREATE TABLE then fails LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{db}.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema=db)
+    conn = RisingWaveConnection(eng)
+    for tbl, bkey in _FACTS:
+        src = table(spark, sf_dir, tbl)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        conn.execute(
+            f"CREATE TABLE {db}.{tbl} ({cols}) "
+            f"WITH (bucket_by = '{bkey}', buckets = '{BUCKETS}')"
+        )
+        # pre-cluster on the bucket hash so each ingest task holds
+        # exactly one bucket's rows -> one file per bucket (the write
+        # itself never shuffles; bucket files come from the task-side
+        # hash split)
+        eng.insert_df(tbl, src.repartition(BUCKETS, bkey), schema_name=db)
+    spark.sql(f"CREATE TABLE {marker} (ok INT) USING PARQUET")
+    _READY[key] = db
+    return db
+
+
+def _assert_colocated(df: DataFrame, name: str, max_shuffles: int) -> None:
+    """Pin the layout's scale property on the physical plan: the scans
+    must be bucketed, no shuffle may repartition on the order key (the
+    fact-fact join must be satisfied by the bucket layout), and at most
+    ``max_shuffles`` shuffle exchanges may appear at all (the final
+    small-group aggregation; 0 for q18). BroadcastExchange of dimension
+    tables is the desired plan and is not counted."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan, (
+        f"{name}: scans are not bucketed\n{plan}"
+    )
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(shuffles) <= max_shuffles, (
+        f"{name}: expected <= {max_shuffles} shuffle exchange(s), "
+        f"got {shuffles}\n{plan}"
+    )
+    for ln in shuffles:
+        assert "orderkey" not in ln, (
+            f"{name}: fact-fact join shuffled on the bucket key — the "
+            f"bucketed layout was not used: {ln}\n{plan}"
+        )
+
+
+_WORD = {t: re.compile(rf"\b{t}\b") for t, _ in _FACTS}
+
+
+def _variant_sql(orig: str, db: str, add_shuffle_hash: bool) -> str:
+    text = SQL_TEXT[orig]
+    for tbl, _ in _FACTS:
+        text = _WORD[tbl].sub(f"{db}.{tbl}", text)
+    if add_shuffle_hash:
+        # pin the co-located hash join on the orders edge for variants
+        # whose original relies on broadcast-vs-size heuristics; with
+        # both sides bucketed the hint introduces no exchange at any SF
+        text = text.replace("*/", ", SHUFFLE_HASH(o) */", 1)
+    return text
+
+
+def _register_variant(
+    name: str, orig: str, max_shuffles: int, add_shuffle_hash: bool = False
+) -> None:
+    @register(name, oracle=ORACLES[orig])
+    def _fn(
+        spark: SparkSession,
+        sf_dir: str,
+        _orig: str = orig,
+        _name: str = name,
+        _max: int = max_shuffles,
+        _hint: bool = add_shuffle_hash,
+    ) -> DataFrame:
+        ensure_views(spark, sf_dir)  # dimension tables stay plain views
+        db = _ensure_bucketed(spark, sf_dir)
+        df = spark.sql(_variant_sql(_orig, db, _hint))
+        _assert_colocated(df, _name, _max)
+        return df
+
+    _fn.__name__ = name
+    _fn.__qualname__ = name
+    _fn.__doc__ = (
+        f"Bucketed-layout twin of {orig}: identical SQL and oracle, fact "
+        f"tables served from the CREATE TABLE … WITH (bucket_by, buckets) "
+        f"layout; plan-asserted to satisfy the lineitem⋈orders join from "
+        f"the bucket layout with <= {max_shuffles} shuffle exchange(s)."
+    )
+
+
+# q18's only post-join operator is ORDER BY … LIMIT (TakeOrderedAndProject)
+# -> ZERO shuffles end to end. The other four end in a small-group
+# aggregation whose tiny partial->final exchange is the one allowed
+# shuffle (its keys are group keys, never the order key).
+_register_variant("q18_bucketed", "q18_large_volume_customer", 0)
+_register_variant("q9_bucketed", "q9_profit_by_nation", 1)
+_register_variant("q10_bucketed", "q10_returned_items", 1)
+_register_variant("q5_bucketed", "q5_local_supplier_volume", 1,
+                  add_shuffle_hash=True)
+_register_variant("q7_bucketed", "q7_volume_shipping", 1,
+                  add_shuffle_hash=True)

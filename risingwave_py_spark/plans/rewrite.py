@@ -341,6 +341,11 @@ PG_TO_SPARK_TYPES = {
     "TEXT": "STRING",
     "TIMESTAMPTZ": "TIMESTAMP",
     "TIMESTAMP": "TIMESTAMP",
+    # Spark-native spelling (what DataFrame.schema round-trips for
+    # parquet TIMESTAMP(MICROS) under timestampNtz inference) — kept
+    # NTZ so DDL generated from an existing relation's schema is
+    # loss-free
+    "TIMESTAMP_NTZ": "TIMESTAMP_NTZ",
     "DATE": "DATE",
     "FLOAT": "DOUBLE",  # RW FLOAT ≡ float8
     "FLOAT8": "DOUBLE",

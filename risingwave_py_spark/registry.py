@@ -48,6 +48,9 @@ def load_all() -> None:
     # LAST: re-registers hot benched names with single-statement SQL
     # forms (same plans, no per-invocation Column-API overhead).
     from risingwave_py_spark.operators import sqlfast  # noqa: F401
+    # bucketed-layout twins of the fact-heavy shapes (needs sqlfast's
+    # SQL_TEXT and the originals' oracles, so it loads last)
+    from risingwave_py_spark.operators import bucketed  # noqa: F401
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
