@@ -34,6 +34,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from risingwave_py_spark.catalog import table
 from risingwave_py_spark.registry import register
@@ -697,6 +698,22 @@ AHASH_SIDE = 8         # resize target: 8×8 → 64 bits
 AHASH_BANDS = 4        # 4 × 16-bit bands
 AHASH_TOP = 20
 
+# Hot-bucket skew guards, the perceptual twin of dedup.NGRAM_MAX_DF
+# (stop-shingle cap, functions/dedup.py): a fingerprint bucket shared
+# by k docs emits k(k-1)/2 candidate pairs from the equi-join — a
+# degenerate family (constant/flat images, black keyframes) makes one
+# bucket quadratic. Buckets at or above these document frequencies
+# carry no near-dup signal (that many "identical" images are a
+# degenerate pattern, not copies) and are excluded from BOTH candidate
+# join sides, symmetrically in Spark and the DuckDB oracles. The
+# synthetic fixture IS such a corpus (68 distinct band patterns across
+# the whole image corpus; one keyframe hash covers ~58% of videos), so
+# the caps are exercised by the driver gate at sf0.01, not just styled
+# on. Image bands (16-bit, 4 bands/doc) saturate far faster than
+# whole-hash video buckets, hence the lower cap.
+AHASH_MAX_DF = 16      # per (band_id, val) bucket, image candidates
+VHASH_MAX_DF = 100     # per keyframe-hash bucket, video candidates
+
 
 def _ahash_ctes(where: str = "TRUE") -> str:
     """DuckDB CTE chain ending in bands(doc_id, band_id, val) and
@@ -738,9 +755,15 @@ def _ahash_pairs_select() -> str:
     ham = " + ".join(
         f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(AHASH_BANDS)
     )
-    return f"""cand AS (
+    return f"""bands_k AS (
+        SELECT doc_id, band_id, val FROM (
+            SELECT doc_id, band_id, val,
+                   COUNT(*) OVER (PARTITION BY band_id, val) AS df
+            FROM bands
+        ) q WHERE df < {AHASH_MAX_DF}
+    ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands_k a JOIN bands_k b
           ON a.band_id = b.band_id AND a.val = b.val
          AND a.doc_id < b.doc_id
     )
@@ -834,8 +857,18 @@ def _ahash_bands_df(fp: DataFrame) -> DataFrame:
 def _ahash_top_pairs(fp: DataFrame) -> DataFrame:
     """Top-20 band-colliding pairs by Hamming distance over a
     fingerprint relation (works identically over freshly-hashed or
-    STORED fingerprints — the probe path)."""
+    STORED fingerprints — the probe path). Buckets with
+    df >= AHASH_MAX_DF are excluded from BOTH candidate join sides
+    (the hot-bucket guard; Hamming is still computed over the full
+    uncapped fingerprints)."""
     bands = _ahash_bands_df(fp)
+    bands = (
+        bands.withColumn(
+            "df", F.count("*").over(Window.partitionBy("band_id", "val"))
+        )
+        .filter(F.col("df") < AHASH_MAX_DF)
+        .drop("df")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -1020,8 +1053,13 @@ def _vhash_ctes(where: str = "TRUE") -> str:
 
 
 def _vhash_pairs_select() -> str:
-    return f"""bags AS (
+    return f"""bags0 AS (
         SELECT DISTINCT doc_id, fpv FROM fp
+    ), bags AS (
+        SELECT doc_id, fpv FROM (
+            SELECT doc_id, fpv, COUNT(*) OVER (PARTITION BY fpv) AS df
+            FROM bags0
+        ) q WHERE df < {VHASH_MAX_DF}
     ), sizes AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM bags GROUP BY doc_id
     ), shared AS (
@@ -1095,8 +1133,17 @@ def _vhash_top_pairs(fp: DataFrame) -> DataFrame:
     expensive fp (the decode path) checkpoint it BEFORE calling — a
     checkpoint here would hide the upstream plan from the
     no-re-decode plan assertions; over the stored index the repeated
-    bags scan is a cheap parquet read."""
+    bags scan is a cheap parquet read. Keyframe hashes shared by
+    df >= VHASH_MAX_DF videos are excluded SYMMETRICALLY from the
+    candidate join and the size denominators (the hot-bucket guard:
+    a black/constant keyframe shared by the whole corpus must not go
+    quadratic, and must not inflate containment denominators)."""
     bags = fp.select("doc_id", "fpv").distinct()
+    bags = (
+        bags.withColumn("df", F.count("*").over(Window.partitionBy("fpv")))
+        .filter(F.col("df") < VHASH_MAX_DF)
+        .drop("df")
+    )
     sizes = bags.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = bags.alias("a"), bags.alias("b")
     shared = (
