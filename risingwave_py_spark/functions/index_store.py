@@ -201,11 +201,10 @@ def refresh_stored_index(
 
     Multi-row-per-id indexes (e.g. the video keyframe-hash index,
     several keyframe rows per doc) work unchanged — a tombstone hides
-    ALL of an id's rows. The compaction budget then compares
-    tombstoned IDS against stored ROWS, which under-counts dead rows
-    and so compacts LATER than the stated fraction — conservative in
-    work (never an early rewrite), still bounded (at most
-    rows-per-id × the fraction).
+    ALL of an id's rows, and the compaction budget counts dead ROWS
+    (index rows whose id is tombstoned), so the reader-side anti-join
+    stays within COMPACT_FRACTION of live rows regardless of
+    rows-per-id skew.
     """
     with writer_lock(spark, tbl):
         recover_stored_index(spark, tbl)
@@ -236,9 +235,31 @@ def refresh_stored_index(
             reinserted = has_new and not tomb.join(
                 new_ids, id_col, "left_semi"
             ).isEmpty()
-            n_tomb = tomb.count()
-            n_live = spark.table(tbl).count() - n_tomb
-            over_budget = n_tomb > COMPACT_FRACTION * max(n_live, 1)
+            # Exact dead-ROW budget in ONE aggregation: a multi-row-
+            # per-id index (video keyframes) hides several rows per
+            # tombstoned id, so comparing tombstone ID count against
+            # stored rows would let the reader-side anti-join grow to
+            # rows-per-id × the stated fraction before compacting.
+            # Marking dead rows via a broadcast left join and counting
+            # both sides in one pass also folds the two count() jobs
+            # this check used to dispatch into one.
+            counts = (
+                spark.table(tbl)
+                .join(
+                    F.broadcast(
+                        tomb.select(id_col).distinct()
+                        .withColumn("__dead", F.lit(True))
+                    ),
+                    id_col,
+                    "left",
+                )
+                .agg(F.count(F.lit(1)).alias("total"),
+                     F.count("__dead").alias("dead"))
+                .first()
+            )
+            n_dead = counts["dead"]
+            n_live = counts["total"] - n_dead
+            over_budget = n_dead > COMPACT_FRACTION * max(n_live, 1)
             if reinserted or over_budget:
                 _compact(spark, tbl, id_col)
         if has_new:

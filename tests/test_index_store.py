@@ -97,6 +97,31 @@ def test_tombstone_growth_triggers_compaction(spark, tbl):
     assert not spark.catalog.tableExists(ixs.tomb_name(tbl))
 
 
+def test_multirow_skew_compacts_on_dead_rows(spark, tbl):
+    """Rows-per-id skew (video-keyframe shape): one id owns half the
+    index ROWS. Deleting it tombstones a single id but kills 50% of
+    rows — over the ROW budget, so the refresh that observes the
+    delete must compact in the same pass. (A budget counting tombstone
+    IDS against stored rows would have sat on 1 id ≈ 1% and let the
+    reader-side anti-join carry half the index as dead weight.)"""
+    rows = [(0, j) for j in range(50)] + [(i, 0) for i in range(1, 51)]
+    corpus = spark.createDataFrame(rows, "id bigint, sub bigint")
+
+    def mk(new_ids):
+        return corpus.join(new_ids, "id", "left_semi")
+
+    ixs.refresh_stored_index(
+        spark, tbl, corpus.select("id").distinct(), "id", mk
+    )
+    assert spark.table(tbl).count() == 100
+    c2 = corpus.filter("id <> 0")
+    ixs.refresh_stored_index(spark, tbl, c2.select("id").distinct(), "id", mk)
+    # 50 dead rows vs 50 live rows = 100% > COMPACT_FRACTION: compacted
+    assert not spark.catalog.tableExists(ixs.tomb_name(tbl))
+    assert spark.table(tbl).count() == 50
+    assert _live_ids(spark, tbl) == list(range(1, 51))
+
+
 def test_make_rows_sees_only_new_batch(spark, tbl):
     """The expensive pass (shingling / centroid assignment) must run
     over exactly the new ids — O(batch), never the indexed corpus."""
