@@ -116,10 +116,16 @@ class InsertContext:
                     logger.warning("column %s not found in row, set to null", col)
                     vals[col] = None
             rows.append(vals)
-        df = self.engine.spark.createDataFrame(
-            [tuple(r[c] for c in self.cols) for r in rows], self.schema
-        )
-        self.engine.insert_df(self.table_name, df, self.schema_name)
+        tuples = [tuple(r[c] for c in self.cols) for r in rows]
+        # Direct row-group ingest (zero Spark jobs) for the buffered
+        # client path; None -> Spark-job path (upsert tables, complex
+        # column types, uncoercible values — createDataFrame keeps the
+        # type-checking contract there).
+        if self.engine.insert_rows_local(
+            self.table_name, tuples, self.schema, self.schema_name
+        ) is None:
+            df = self.engine.spark.createDataFrame(tuples, self.schema)
+            self.engine.insert_df(self.table_name, df, self.schema_name)
         self.data_buf = []
         self.engine.flush()  # read-your-writes barrier (core.py:121)
 

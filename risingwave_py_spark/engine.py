@@ -127,6 +127,7 @@ class SparkEngine:
         self.indexes: dict[str, dict] = {}  # fq index -> {table, cols}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.udf_defs: dict[str, list] = {}  # name -> [rettype, body]
+        self._locations: dict[str, str] = {}  # fq table -> fs location
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
         self._restore_catalog()
@@ -331,6 +332,8 @@ class SparkEngine:
         fq = self.qualify(name, schema_name)
         self.watermarks.pop(fq, None)
         self.table_props.pop(fq, None)
+        self._locations.pop(fq, None)
+        self._locations.pop(self.changelog_name(fq), None)
         if fq in self.upsert_meta:
             self.spark.sql(f"DROP VIEW IF EXISTS {fq}")
             self.spark.sql(f"DROP TABLE IF EXISTS {self.log_name(fq)}")
@@ -360,6 +363,135 @@ class SparkEngine:
             ).saveAsTable(cl)
 
     # -- ingest ------------------------------------------------------------
+
+    # Spark SQL type -> pyarrow type for the direct row-group ingest
+    # path (None-able map: anything absent falls back to Spark writes).
+    @staticmethod
+    def _arrow_type(dt: "T.DataType"):
+        import pyarrow as pa
+
+        s = dt.simpleString()
+        scalar = {
+            "bigint": pa.int64(), "int": pa.int32(),
+            "smallint": pa.int16(), "tinyint": pa.int8(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "boolean": pa.bool_(),
+            "date": pa.date32(), "binary": pa.binary(),
+            # session timezone is pinned to UTC (ensure_engine_conf),
+            # so instant and wall-clock spellings coincide
+            "timestamp": pa.timestamp("us", tz="UTC"),
+            "timestamp_ntz": pa.timestamp("us"),
+        }.get(s)
+        if scalar is not None:
+            return scalar
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+        return None
+
+    def _table_location(self, fq: str) -> str | None:
+        """Filesystem location of a catalog table (cached — DESC
+        FORMATTED is a driver-side catalog lookup but still ~10 ms)."""
+        loc = self._locations.get(fq)
+        if loc is None:
+            for r in self.spark.sql(f"DESC FORMATTED {fq}").collect():
+                if r.col_name == "Location":
+                    loc = re.sub(r"^file:", "", r.data_type)
+                    break
+            if loc is None or not os.path.isdir(loc):
+                return None
+            self._locations[fq] = loc
+        return loc
+
+    def insert_rows_local(
+        self, name: str, rows: list[tuple], schema: "T.StructType",
+        schema_name: str | None = None,
+    ) -> int | None:
+        """Direct row-group ingest for small LOCAL batches (the
+        buffered-insert client path): write one parquet row group
+        straight into the managed table's storage and one into the
+        changelog's epoch partition, then commit the partition to the
+        catalog — ZERO Spark jobs on the producer side. This is how a
+        real engine lands a 1-row batch (ingest appends a row group +
+        a metadata commit; distributed jobs are for queries) — the
+        Spark-job spelling of the same append costs 2 job dispatches,
+        the whole sub-second latency budget (BASELINE.md subscription
+        row). On a lakehouse the equivalent is a single-file Delta/
+        Iceberg append commit.
+
+        Returns the epoch, or None when the batch must take the Spark
+        path (upsert tables, missing table, non-scalar column types,
+        or values pyarrow cannot coerce — createDataFrame would reject
+        those same values, so fallback keeps error parity). Readers
+        are safe at every step: the engine lock covers the whole
+        publication exactly like the Spark path, and a crash between
+        file write and partition commit leaves an UNREGISTERED dir
+        that can never resurface (epoch recovery counts on-disk
+        partition dirs, so the epoch is not reused)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fq = self.qualify(name, schema_name)
+        if fq in self.upsert_meta or not self.spark.catalog.tableExists(fq):
+            return None
+        loc = self._table_location(fq)
+        if loc is None:
+            return None
+        arrow_fields = []
+        for f in schema.fields:
+            t = self._arrow_type(f.dataType)
+            if t is None:
+                return None
+            arrow_fields.append((f.name, t))
+        try:
+            cols = {
+                fname: pa.array([r[i] for r in rows], type=t)
+                for i, (fname, t) in enumerate(arrow_fields)
+            }
+        except Exception:  # noqa: BLE001 — uncoercible value: Spark path
+            return None
+        self._ensure_changelog(fq)
+        cl = self.changelog_name(fq)
+        cl_loc = self._table_location(cl)
+        if cl_loc is None:
+            return None
+        # align to the changelog's physical column order (diverges
+        # after ALTER ADD COLUMN); rw_timestamp is the partition dir
+        n = len(rows)
+        cl_cols: dict[str, "pa.Array"] = {}
+        for c in self.spark.table(cl).columns:
+            if c == "rw_timestamp":
+                continue
+            if c == "op":
+                cl_cols[c] = pa.array([OP_INSERT] * n, type=pa.string())
+            elif c in cols:
+                cl_cols[c] = cols[c]
+            else:
+                ct = self._arrow_type(self.spark.table(cl).schema[c].dataType)
+                if ct is None:
+                    return None
+                cl_cols[c] = pa.nulls(n, type=ct)
+        with self._lock:
+            epoch = self.next_epoch()
+            pq.write_table(
+                pa.table(cols),
+                os.path.join(loc, f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet"),
+            )
+            pdir = os.path.join(cl_loc, f"rw_timestamp={epoch}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.table(cl_cols),
+                os.path.join(pdir, f"rwfast-{uuid.uuid4().hex}.parquet"),
+            )
+            self.spark.sql(
+                f"ALTER TABLE {cl} ADD IF NOT EXISTS "
+                f"PARTITION (rw_timestamp={epoch})"
+            )
+            self.spark.catalog.refreshTable(fq)
+            self.spark.catalog.refreshTable(cl)
+        return epoch
 
     def insert_df(self, name: str, df: DataFrame, schema_name: str | None = None) -> int:
         """Append a DataFrame to a table (creating it if absent — the
@@ -810,6 +942,22 @@ class SparkEngine:
                             .first()[0]
                         )
                         max_epoch = max(max_epoch, m or 0)
+                        # also count ON-DISK partition dirs: a crash in
+                        # the direct-ingest path between file write and
+                        # ADD PARTITION leaves a dir the catalog read
+                        # can't see — its epoch must not be re-issued
+                        # (ADD IF NOT EXISTS would resurrect the
+                        # orphaned rows under the reused epoch)
+                        try:
+                            loc = self._table_location(f"{db}.{t.name}")
+                            for d in os.listdir(loc or ""):
+                                if d.startswith("rw_timestamp="):
+                                    max_epoch = max(
+                                        max_epoch,
+                                        int(d.split("=", 1)[1]),
+                                    )
+                        except Exception:  # noqa: BLE001
+                            pass
         except Exception:  # noqa: BLE001
             pass
         # The persisted counter floors epochs consumed without

@@ -78,3 +78,104 @@ def test_engine_catalog_survives_process_restart(tmp_path):
     """)
     assert "B_RESTORED [(2, 4.0)]" in out_b
     assert "B_AFTER [(3, 7.0)]" in out_b
+
+
+def test_index_compaction_crash_sweep_under_hive_catalog(tmp_path):
+    """The index-store stage-then-swap relies on ``ALTER TABLE …
+    RENAME TO``; under the Hive (Derby) catalog a managed-table rename
+    MOVES the data directory, which the in-memory-catalog crash sweep
+    never exercises. Re-run the full sweep — crash injected at every
+    DDL position inside ``_compact`` — in a real persistent-metastore
+    process and require identical recovery semantics."""
+    out = _run(tmp_path, """
+        from pyspark.sql import functions as F
+        from risingwave_py_spark.functions import index_store as ixs
+
+        name = "default.__ms_ix__"
+
+        def corpus(ids):
+            return spark.createDataFrame(
+                [(i, i * 10) for i in ids], "id bigint, v bigint")
+
+        def mk(c):
+            def make_rows(new_ids):
+                return c.join(new_ids, "id", "left_semi").withColumn(
+                    "payload", F.col("v") + 1)
+            return make_rows
+
+        def tombed_state():
+            c1 = corpus(range(12))
+            ixs.refresh_stored_index(spark, name, c1.select("id"), "id", mk(c1))
+            c2 = c1.filter(F.col("id") >= 2)
+            ixs.refresh_stored_index(spark, name, c2.select("id"), "id", mk(c2))
+            assert spark.catalog.tableExists(ixs.tomb_name(name))
+            return c2
+
+        class CrashingSpark:
+            def __init__(self, real, fail_at):
+                self._real, self._n, self._fail_at = real, 0, fail_at
+            def __getattr__(self, a):
+                return getattr(self._real, a)
+            def sql(self, *a, **kw):
+                self._n += 1
+                if self._n == self._fail_at:
+                    raise RuntimeError("injected compaction crash")
+                return self._real.sql(*a, **kw)
+
+        def live():
+            return sorted(r["id"] for r in
+                          ixs.live_index(spark, name, "id").select("id").collect())
+
+        tombed_state()
+        probe = CrashingSpark(spark, 0)
+        ixs._compact(probe, name, "id")
+        n_calls = probe._n
+        assert spark.table(name).count() == 10
+        ixs.drop_stored_index(spark, name)
+        for k in range(1, n_calls + 1):
+            c2 = tombed_state()
+            try:
+                ixs._compact(CrashingSpark(spark, k), name, "id")
+            except RuntimeError:
+                pass
+            ixs.recover_stored_index(spark, name)
+            assert live() == list(range(2, 12)), f"crash at {k}"
+            ixs.refresh_stored_index(spark, name, c2.select("id"), "id", mk(c2))
+            assert live() == list(range(2, 12)), f"crash at {k}"
+            if spark.catalog.tableExists(ixs.tomb_name(name)):
+                ixs._compact(spark, name, "id")
+            assert spark.table(name).count() == 10, f"crash at {k}"
+            for remnant in (ixs.tomb_name(name), ixs._stage_name(name),
+                            ixs._pre_name(name)):
+                assert not spark.catalog.tableExists(remnant), (k, remnant)
+            ixs.drop_stored_index(spark, name)
+        print("IX_SWEEP_OK", n_calls)
+        spark.stop()
+    """)
+    assert "IX_SWEEP_OK" in out
+
+
+def test_upsert_log_compaction_under_hive_catalog(tmp_path):
+    """Upsert-log compaction uses the same rename-aside swap; drive an
+    upsert table past UPSERT_COMPACT_BATCHES flushes in a persistent-
+    metastore process and require the log to physically shrink to the
+    winner set while the latest-by-version view stays correct."""
+    out = _run(tmp_path, """
+        eng = SparkEngine(spark)
+        conn = RisingWaveConnection(eng)
+        conn.execute(
+            "CREATE TABLE ms_up (k INT PRIMARY KEY, v INT, ver INT) "
+            "ON CONFLICT DO UPDATE IF NOT NULL WITH VERSION COLUMN(ver)")
+        n = eng.UPSERT_COMPACT_BATCHES + 1
+        for i in range(n):
+            conn.insert(pd.DataFrame({"k": [1, 2], "v": [i, i],
+                                      "ver": [i, i]}),
+                        table_name="ms_up", force_flush=True)
+        rows = sorted(conn.fetch("SELECT k, v, ver FROM ms_up"))
+        assert rows == [(1, n - 1, n - 1), (2, n - 1, n - 1)], rows
+        log_rows = spark.table(eng.log_name("public.ms_up")).count()
+        assert log_rows <= 4, log_rows  # winners + post-compact appends
+        print("UPSERT_COMPACT_OK", log_rows)
+        spark.stop()
+    """)
+    assert "UPSERT_COMPACT_OK" in out
