@@ -54,49 +54,51 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-6 sampled
-# six windows — cumulative driver coverage 176/176, all green at the
-# latest verdict. Round 7's window leads with:
-#   1. the NEW queries (never driver-sampled): bucketed_scenario (the
-#      bucketed-layout DDL capability) and the four video keyframe
-#      dedup/index queries;
-#   2. queries whose implementation changed this round: every stored-
-#      index query (compaction is now stage-then-swap behind a writer
-#      lock; the budget denominator changed to live rows),
-#      index_maintenance_scenario, and dml_scenario (bind-literal
-#      rendering and mixed-marker rejection changed in the inline
-#      path);
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-7 sampled
+# seven windows — cumulative driver coverage 181/181, all green at the
+# latest verdict. Round 8's window leads with:
+#   1. the NEW queries (never driver-sampled): the five bucketed-layout
+#      twins of the perf-weak TPC-H shapes (zero-exchange fact joins
+#      asserted in-query against the UNCHANGED oracles);
+#   2. queries whose implementation changed this round: the perceptual
+#      dedup/probe queries (hot-fingerprint df caps, mirrored in the
+#      oracles), every stored-index DML query plus
+#      index_maintenance_scenario (compaction budget now counts dead
+#      ROWS via semi-join), and buffer_scenario (the buffered client
+#      path now lands through the direct row-group ingest);
 #   3. regression re-samples ordered by oldest driver verdict — the
-#      r4/r5-era relational batteries (joins, set ops, scalar
-#      functions, aggregate extras), which are now the oldest per the
-#      round-6 verdict's rotation note.
+#      r3-era text/sampling/corpus batteries and the r4-era
+#      window/events families, the stalest after r7's relational
+#      resample.
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
     # new this round — first driver samples
-    "bucketed_scenario",
-    "multimodal_video_dedup", "video_index_build", "video_index_probe",
-    "video_index_dml",
-    # changed this round: stored-index compaction + DML inline path
+    "q18_bucketed", "q9_bucketed", "q10_bucketed",
+    "q5_bucketed", "q7_bucketed",
+    # changed this round: perceptual hot-bucket caps
+    "multimodal_image_dedup", "multimodal_video_dedup",
+    "image_index_probe", "video_index_probe",
+    # changed this round: dead-row compaction budget + direct ingest
     "ann_index_dml", "dedup_index_dml", "image_index_dml",
-    "ann_index_build", "ann_index_probe",
-    "dedup_index_build", "dedup_index_probe",
-    "image_index_build", "image_index_probe",
-    "index_maintenance_scenario", "dml_scenario",
-    # oldest driver verdicts: r4/r5-era relational batteries
-    "scan_filter_project", "predicate_algebra", "project_computed",
-    "join_inner_basic", "join_left_outer", "join_right_outer",
-    "join_full_outer", "join_semi_exists", "join_anti_not_exists",
-    "join_cross", "join_non_equi_theta",
-    "setop_union_all", "setop_union_distinct", "setop_intersect",
-    "setop_except", "setop_except_all", "setop_bag_semantics",
-    "scalar_string_funcs", "scalar_string_funcs2", "scalar_date_funcs",
-    "scalar_date_funcs2", "scalar_math_funcs", "scalar_math_funcs2",
-    "scalar_case_coalesce", "scalar_regexp_funcs",
-    "scalar_timezone_bucket", "scalar_array_lambda",
-    "agg_stddev_exact", "agg_grouping_sets", "pivot_status_qty",
-    "agg_percentiles", "agg_corr_regr",
-    "recursive_month_spine", "lateral_top2_orders",
+    "video_index_dml", "index_maintenance_scenario",
+    "buffer_scenario",
+    # oldest driver verdicts: r3-era text/sampling/corpus batteries
+    "text_quality_scores", "text_quality_classifier", "text_langid_markers",
+    "text_token_count", "text_token_count_bpe", "text_char_entropy",
+    "text_repetition_ratio", "text_fingerprint", "text_chunk_windows",
+    "text_pack_sequences", "text_decontaminate", "text_pii_redact",
+    "text_unigram_logprob",
+    "sample_uniform_hash", "sample_stratified_quota", "sample_split_assign",
+    "sample_mixture_apply",
+    "corpus_vocab_stats", "corpus_mixture_plan", "corpus_source_drift",
+    # r4-era window/events families
+    "window_rank_lag", "window_range_frame", "window_first_last_nth",
+    "window_ntile_percentrank", "window_filtered_agg", "gapfill_locf",
+    "sessionize_events", "session_window_events", "events_funnel",
+    "events_retention_cohorts", "interval_join_events",
+    "asof_join_grammar", "asof_join_last_click",
+    "distinct_on_latest_event", "heavy_hitter_bigrams",
 ]
 
 
