@@ -1084,6 +1084,12 @@ class SparkEngine:
         if _split_fq(fq)[0] != _split_fq(new_fq)[0]:
             raise RuntimeError("RENAME cannot move a table across schemas")
         self._clear_stale_location(new_fq)  # debris from a dead process
+        # a managed-table rename MOVES the data directory: drop every
+        # cached location for both names or the direct-ingest path
+        # would land files in the moved-away dir
+        for stale in (fq, new_fq, self.changelog_name(fq),
+                      self.changelog_name(new_fq)):
+            self._locations.pop(stale, None)
         self.spark.sql(f"ALTER TABLE {fq} RENAME TO {new_fq}")
         cl, new_cl = self.changelog_name(fq), self.changelog_name(new_fq)
         if self.spark.catalog.tableExists(cl):

@@ -76,6 +76,22 @@ def test_direct_rows_feed_mv_refresh(spark, conn):
     assert c.fetch(f"SELECT n, s FROM {schema}.mv") == [(3, 3.0)]
 
 
+def test_rename_invalidates_location_cache(spark, conn):
+    """ALTER TABLE RENAME moves a managed table's directory; the next
+    direct-ingest write must land in the NEW location, not a cached
+    stale path."""
+    c, eng, schema = conn
+    c.execute(f"CREATE TABLE {schema}.r1 (k BIGINT, v DOUBLE)")
+    c.insert_row("r1", schema_name=schema, force_flush=True, k=1, v=1.0)
+    c.execute(f"ALTER TABLE {schema}.r1 RENAME TO r2")
+    c.insert_row("r2", schema_name=schema, force_flush=True, k=2, v=2.0)
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.table(f"{schema}.r2").collect()
+    ) == [(1, 1.0), (2, 2.0)]
+    # both rows physically live under the renamed table's directory
+    assert len(_rwfast_files(eng, f"{schema}.r2")) == 2
+
+
 def test_upsert_tables_fall_back_to_spark_path(spark, conn):
     c, eng, schema = conn
     c.execute(
