@@ -799,9 +799,11 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join (exact for hamming ≤ 3 by pigeonhole; the top-20
     contract itself is defined over band-colliding pairs, identical in
     the oracle). 100 TB shape: per-image work is constant, the banded
-    join is O(n · colliding bucket), and the hash table (doc_id +
-    8 bytes) is the only state a daily incremental run needs — the
-    same stored-index pattern as dedup_index_build."""
+    join is O(n · colliding bucket) with hot buckets (df ≥
+    AHASH_MAX_DF — degenerate constant/flat image families) excluded
+    from both sides, and the hash table (doc_id + 8 bytes) is the only
+    state a daily incremental run needs — the same stored-index
+    pattern as dedup_index_build."""
     fp = _ahash_fp(
         table(spark, sf_dir, "documents").select("doc_id").repartition(8)
     ).localCheckpoint(eager=True)  # hash once; both join sides reuse it
@@ -1172,8 +1174,10 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors; only doc_id + hash strings shuffle); candidates come
     from the exact-hash equi-join. 100 TB shape: per-clip work is
     bounded by the keyframe budget, the overlap join is O(n ·
-    colliding bucket), and the keyframe-hash table is the only state
-    a daily incremental run needs (the stored index below)."""
+    colliding bucket) with hot hashes (df ≥ VHASH_MAX_DF — shared
+    black/constant keyframes) excluded from candidates and
+    denominators, and the keyframe-hash table is the only state a
+    daily incremental run needs (the stored index below)."""
     fp = _vhash_fp(
         table(spark, sf_dir, "documents").select("doc_id").repartition(8)
     ).localCheckpoint(eager=True)  # decode+hash once; all sides reuse it
