@@ -389,19 +389,36 @@ class SparkEngine:
             return pa.decimal128(int(m.group(1)), int(m.group(2)))
         return None
 
+    def _table_meta(self, fq: str) -> tuple[str | None, list[str]]:
+        """(filesystem location, partition columns) of a catalog table,
+        cached — DESC FORMATTED is a driver-side catalog lookup but
+        still ~10 ms, and the direct ingest/cursor paths consult this
+        per call. Invalidated on DROP/RENAME/rewrite."""
+        meta = self._locations.get(fq)
+        if meta is not None:
+            return meta
+        loc, parts, mode = None, [], None
+        for r in self.spark.sql(f"DESC FORMATTED {fq}").collect():
+            cn = (r.col_name or "").strip()
+            if cn == "# Partition Information":
+                mode = "part"
+                continue
+            if cn == "# Detailed Table Information":
+                mode = "detail"
+                continue
+            if mode == "part":
+                if cn in ("", "# col_name") or cn.startswith("#"):
+                    continue
+                parts.append(cn)
+            elif mode == "detail" and cn == "Location":
+                loc = re.sub(r"^file:", "", r.data_type)
+        if loc is None or not os.path.isdir(loc):
+            return None, parts  # don't cache a miss
+        self._locations[fq] = (loc, parts)
+        return loc, parts
+
     def _table_location(self, fq: str) -> str | None:
-        """Filesystem location of a catalog table (cached — DESC
-        FORMATTED is a driver-side catalog lookup but still ~10 ms)."""
-        loc = self._locations.get(fq)
-        if loc is None:
-            for r in self.spark.sql(f"DESC FORMATTED {fq}").collect():
-                if r.col_name == "Location":
-                    loc = re.sub(r"^file:", "", r.data_type)
-                    break
-            if loc is None or not os.path.isdir(loc):
-                return None
-            self._locations[fq] = loc
-        return loc
+        return self._table_meta(fq)[0]
 
     def insert_rows_local(
         self, name: str, rows: list[tuple], schema: "T.StructType",
@@ -454,8 +471,10 @@ class SparkEngine:
             return None
         self._ensure_changelog(fq)
         cl = self.changelog_name(fq)
-        cl_loc = self._table_location(cl)
-        if cl_loc is None:
+        cl_loc, cl_parts = self._table_meta(cl)
+        # legacy-unpartitioned changelogs (pre-round-8 ALTER rewrites)
+        # can't take a partition-dir append — Spark path handles them
+        if cl_loc is None or cl_parts != ["rw_timestamp"]:
             return None
         # align to the changelog's physical column order (diverges
         # after ALTER ADD COLUMN); rw_timestamp is the partition dir
@@ -1021,15 +1040,26 @@ class SparkEngine:
                 )
         return ["name", "create_sql"], [(fq, ddl)]
 
-    def _rewrite_table(self, fq: str, transform) -> None:
+    def _rewrite_table(self, fq: str, transform,
+                       partition_by: list[str] | None = None) -> None:
         """Stage-and-rename rewrite of a table (same pattern as
         changelog vacuum): no self-overwrite read hazard, and readers
-        only ever see the old or the new complete table."""
+        only ever see the old or the new complete table.
+        ``partition_by`` preserves a partitioned layout across the
+        rewrite (changelogs keep their epoch-pruning dirs)."""
         stage = f"{fq}__alter_stage"
         self.spark.sql(f"DROP TABLE IF EXISTS {stage}")
-        transform(self.spark.table(fq)).write.saveAsTable(stage)
+        w = transform(self.spark.table(fq)).write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.saveAsTable(stage)
         self.spark.sql(f"DROP TABLE IF EXISTS {fq}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+        self._locations.pop(fq, None)  # layout may have changed
+        if partition_by:
+            # RENAME on a partitioned managed table drops partition
+            # metadata — recover or the table reads as empty
+            self.spark.catalog.recoverPartitions(fq)
         # Drop any cached file listing of the old table: a plan holding
         # the pre-rename listing would die with FILE_NOT_EXIST.
         self.spark.catalog.refreshTable(fq)
@@ -1069,7 +1099,10 @@ class SparkEngine:
         cl = self.changelog_name(fq)
         if self.spark.catalog.tableExists(cl):
             with self._lock:
-                self._rewrite_table(cl, lambda df: df.drop(col))
+                # keep the epoch-partitioned layout: SINCE pruning and
+                # the driver-side cursor/ingest fast paths depend on it
+                self._rewrite_table(cl, lambda df: df.drop(col),
+                                    partition_by=["rw_timestamp"])
         self.refresh_info_schema()
 
     def rename_table(self, name: str, new_name: str,
@@ -4201,6 +4234,104 @@ class SparkEngine:
         pos = self.current_epoch if since is None else since
         self.cursors[cursor] = {"sub": fq_sub, "rel": rel, "pos": pos}
 
+    @staticmethod
+    def _pa_column_pylist(col) -> list:
+        """pyarrow column → the python values Spark's collect() would
+        produce under the UTC session: tz-aware timestamps (the
+        direct-ingest files annotate UTC) become naive-UTC datetimes;
+        everything else (int/float/str/bool/bytes/date/Decimal/None —
+        and INT96 timestamps, which pyarrow already reads as naive
+        UTC) round-trips as-is."""
+        import datetime as _dt
+
+        import pyarrow as pa
+
+        if pa.types.is_timestamp(col.type):
+            # µs precision first: ns columns (Spark's INT96 files read
+            # as timestamp[ns]) otherwise surface pandas Timestamps
+            # from to_pylist instead of plain datetimes
+            col = col.cast(pa.timestamp("us", tz=col.type.tz))
+            vals = col.to_pylist()
+            if col.type.tz is not None:
+                vals = [
+                    v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    if v is not None else v
+                    for v in vals
+                ]
+            return vals
+        return col.to_pylist()
+
+    def _fetch_cursor_direct(
+        self, cl: str, pos: int, n: int
+    ) -> tuple[list[str], list[tuple], int] | None:
+        """Driver-side FETCH over an epoch-partitioned changelog:
+        pending epochs come from the catalog's partition list (a
+        metadata lookup, no Spark job), whole-epoch batching from
+        parquet footer row counts, and the rows themselves through a
+        pyarrow read of just the chosen partition dirs. An IDLE poll —
+        the common case of the reference's 100 ms on_change loop —
+        costs one catalog lookup and ZERO jobs, so a thousand idle
+        subscriptions put no load on the cluster; a non-idle poll
+        reads only the unconsumed suffix. Returns None when the
+        changelog is ineligible (legacy unpartitioned layout, missing
+        location) — the Spark read below is the fallback. Caller holds
+        the engine lock, so registered partitions are complete epochs."""
+        import pyarrow.parquet as pq
+
+        loc, part_cols = self._table_meta(cl)
+        if loc is None or part_cols != ["rw_timestamp"]:
+            return None  # legacy unpartitioned changelog: Spark path
+        try:
+            parts = self.spark.sql(f"SHOW PARTITIONS {cl}").collect()
+        except Exception:  # noqa: BLE001 — defensive: layout changed
+            return None
+        cand = sorted(
+            e for e in (
+                int(p[0].split("=", 1)[1]) for p in parts
+            ) if e > pos
+        )
+        if not cand:
+            return [], [], pos
+
+        def part_files(epoch: int) -> list[str]:
+            pdir = os.path.join(loc, f"rw_timestamp={epoch}")
+            try:
+                return [
+                    os.path.join(pdir, f)
+                    for f in sorted(os.listdir(pdir))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+            except OSError:
+                return []
+
+        chosen: list[int] = []
+        cum = 0
+        for e in cand:
+            files = part_files(e)
+            rows_e = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if chosen and cum + rows_e > n:
+                break
+            cum += rows_e
+            chosen.append(e)
+            if cum >= n:
+                break
+        phys = self.spark.table(cl).columns  # rw_timestamp last
+        data_cols = [c for c in phys if c != "rw_timestamp"]
+        out: list[tuple] = []
+        for e in chosen:
+            for f in part_files(e):
+                t = pq.read_table(f)
+                cols_present = {
+                    name: self._pa_column_pylist(t.column(name))
+                    for name in t.column_names
+                }
+                for i in range(t.num_rows):
+                    out.append(tuple(
+                        cols_present[c][i] if c in cols_present else None
+                        for c in data_cols
+                    ) + (e,))
+        return phys, out, chosen[-1]
+
     def fetch_cursor(self, cursor: str, n: int) -> tuple[list[str], list[tuple]]:
         """FETCH n: deliver whole epochs, never splitting one across
         batches (the batch may exceed n only when a single epoch does).
@@ -4212,6 +4343,13 @@ class SparkEngine:
         # refresh_mv) is atomic relative to this read, so a delivered
         # epoch is always complete before pos advances past it.
         with self._lock:
+            direct = self._fetch_cursor_direct(cl, st["pos"], n)
+            if direct is not None:
+                cols, tuples, new_pos = direct
+                if not tuples:
+                    return [], []
+                st["pos"] = new_pos
+                return self._cursor_column_order(cols, tuples)
             self.spark.catalog.refreshTable(cl)
             pending = self.spark.table(cl).filter(F.col("rw_timestamp") > st["pos"])
             epochs = (
@@ -4236,15 +4374,23 @@ class SparkEngine:
             )
             st["pos"] = last_epoch
         cols = list(batch[0].__fields__)
-        # Contract: op just before rw_timestamp, rw_timestamp LAST
-        # (core.py:551-554 progress extraction). Physical changelog
-        # order can diverge after ALTER TABLE ADD COLUMN (new column
-        # appended after rw_timestamp) — reorder explicitly.
-        ordered = [c for c in cols if c not in ("op", "rw_timestamp")] + ["op", "rw_timestamp"]
+        return self._cursor_column_order(cols, [tuple(r) for r in batch])
+
+    @staticmethod
+    def _cursor_column_order(
+        cols: list[str], rows: list[tuple]
+    ) -> tuple[list[str], list[tuple]]:
+        """Contract: op just before rw_timestamp, rw_timestamp LAST
+        (core.py:551-554 progress extraction). Physical changelog
+        order can diverge after ALTER TABLE ADD COLUMN (new column
+        appended after rw_timestamp) — reorder explicitly."""
+        ordered = [c for c in cols if c not in ("op", "rw_timestamp")] + [
+            "op", "rw_timestamp"
+        ]
         if cols == ordered:
-            return cols, [tuple(r) for r in batch]
+            return cols, rows
         idx = [cols.index(c) for c in ordered]
-        return ordered, [tuple(r[i] for i in idx) for r in batch]
+        return ordered, [tuple(r[i] for i in idx) for r in rows]
 
     def vacuum_changelogs(self) -> None:
         """Apply subscription retention: drop changelog epochs whose
