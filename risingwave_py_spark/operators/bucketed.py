@@ -135,21 +135,21 @@ def _assert_colocated(df: DataFrame, name: str, max_shuffles: int) -> None:
 _WORD = {t: re.compile(rf"\b{t}\b") for t, _ in _FACTS}
 
 
-def _variant_sql(orig: str, db: str, add_shuffle_hash: bool) -> str:
+def _variant_sql(orig: str, db: str) -> str:
+    """The benched SQL with only the fact-table names redirected — no
+    added hints: q9/q10/q18 keep their original SHUFFLE_HASH(o) (which
+    the bucketed distribution satisfies with no exchange), while
+    q5/q7's pruned/column-pruned orders sides stay on Spark's own
+    broadcast-vs-layout choice (interleaved A/B at sf0.1 measured a
+    forced hash join no faster; at real scale broadcast self-disables
+    and the co-bucketed layout carries the join)."""
     text = SQL_TEXT[orig]
     for tbl, _ in _FACTS:
         text = _WORD[tbl].sub(f"{db}.{tbl}", text)
-    if add_shuffle_hash:
-        # pin the co-located hash join on the orders edge for variants
-        # whose original relies on broadcast-vs-size heuristics; with
-        # both sides bucketed the hint introduces no exchange at any SF
-        text = text.replace("*/", ", SHUFFLE_HASH(o) */", 1)
     return text
 
 
-def _register_variant(
-    name: str, orig: str, max_shuffles: int, add_shuffle_hash: bool = False
-) -> None:
+def _register_variant(name: str, orig: str, max_shuffles: int) -> None:
     @register(name, oracle=ORACLES[orig])
     def _fn(
         spark: SparkSession,
@@ -157,11 +157,10 @@ def _register_variant(
         _orig: str = orig,
         _name: str = name,
         _max: int = max_shuffles,
-        _hint: bool = add_shuffle_hash,
     ) -> DataFrame:
         ensure_views(spark, sf_dir)  # dimension tables stay plain views
         db = _ensure_bucketed(spark, sf_dir)
-        df = spark.sql(_variant_sql(_orig, db, _hint))
+        df = spark.sql(_variant_sql(_orig, db))
         _assert_colocated(df, _name, _max)
         return df
 
@@ -182,7 +181,5 @@ def _register_variant(
 _register_variant("q18_bucketed", "q18_large_volume_customer", 0)
 _register_variant("q9_bucketed", "q9_profit_by_nation", 1)
 _register_variant("q10_bucketed", "q10_returned_items", 1)
-_register_variant("q5_bucketed", "q5_local_supplier_volume", 1,
-                  add_shuffle_hash=True)
-_register_variant("q7_bucketed", "q7_volume_shipping", 1,
-                  add_shuffle_hash=True)
+_register_variant("q5_bucketed", "q5_local_supplier_volume", 1)
+_register_variant("q7_bucketed", "q7_volume_shipping", 1)
