@@ -420,6 +420,27 @@ class SparkEngine:
     def _table_location(self, fq: str) -> str | None:
         return self._table_meta(fq)[0]
 
+    def _changelog_max_epoch(self, cl: str) -> int | None:
+        """Highest published epoch in a changelog WITHOUT a Spark job
+        when the epoch-partitioned layout allows it: the registered
+        partition values ARE the visible epochs (Spark reads these
+        tables through the same catalog partition metadata, so this is
+        exactly what the max-aggregate would return). Every MV refresh
+        starts with this check, and a FLUSH refreshes every registered
+        MV — with N MVs over quiet bases the per-insert cost used to
+        be N job dispatches for N 'nothing changed' answers. Falls
+        back to the aggregate for legacy unpartitioned layouts."""
+        loc, parts = self._table_meta(cl)
+        if loc is not None and parts == ["rw_timestamp"]:
+            try:
+                rows = self.spark.sql(f"SHOW PARTITIONS {cl}").collect()
+                eps = [int(r[0].split("=", 1)[1]) for r in rows]
+                return max(eps) if eps else None
+            except Exception:  # noqa: BLE001 — defensive: layout drift
+                pass
+        self.spark.catalog.refreshTable(cl)
+        return self.spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
+
     def insert_rows_local(
         self, name: str, rows: list[tuple], schema: "T.StructType",
         schema_name: str | None = None,
@@ -2203,14 +2224,14 @@ class SparkEngine:
             ):
                 state.inc_join = None  # unconsumed epochs vacuumed
                 return False
-            spark.catalog.refreshTable(cl_a)
-            spark.catalog.refreshTable(cl_b)
-            ma = spark.table(cl_a).agg(F.max("rw_timestamp")).first()[0] or 0
-            mb = spark.table(cl_b).agg(F.max("rw_timestamp")).first()[0] or 0
+            ma = self._changelog_max_epoch(cl_a) or 0
+            mb = self._changelog_max_epoch(cl_b) or 0
             m1 = max(ma, mb)
             if m1 <= last:
                 self.next_epoch()
                 return True
+            spark.catalog.refreshTable(cl_a)
+            spark.catalog.refreshTable(cl_b)
 
             def delta_slice(cl: str) -> DataFrame:
                 return (
@@ -2863,14 +2884,17 @@ class SparkEngine:
             if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
                 state.inc = None  # unconsumed delta epochs were vacuumed
                 return False
+            # High-water from partition metadata: a no-op refresh (the
+            # common case — FLUSH refreshes EVERY registered MV on
+            # every insert) costs zero Spark jobs.
+            m1 = self._changelog_max_epoch(base_cl)
+            if m1 is None or m1 <= state.last_epoch:
+                self.next_epoch()  # refresh always consumes one epoch
+                return True  # base unchanged — result already current
             spark.catalog.refreshTable(base_cl)
             pending = spark.table(base_cl).filter(
                 F.col("rw_timestamp") > state.last_epoch
             )
-            m1 = pending.agg(F.max("rw_timestamp")).first()[0]
-            if m1 is None:
-                self.next_epoch()  # refresh always consumes one epoch
-                return True  # base unchanged — result already current
             delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
                 eager=True
             )
@@ -3342,15 +3366,13 @@ class SparkEngine:
             if any(self.vacuum_floor.get(cl, 0) > last for cl in cls):
                 state.inc_joinagg = None  # unconsumed epochs vacuumed
                 return False
-            for cl in cls:
-                spark.catalog.refreshTable(cl)
-            logs = [spark.table(cl) for cl in cls]
-            m1 = max(
-                lg.agg(F.max("rw_timestamp")).first()[0] or 0 for lg in logs
-            )
+            m1 = max(self._changelog_max_epoch(cl) or 0 for cl in cls)
             if m1 <= last:
                 self.next_epoch()
                 return True
+            for cl in cls:
+                spark.catalog.refreshTable(cl)
+            logs = [spark.table(cl) for cl in cls]
             # Pin the delta slices (cheap — footer stats + epoch
             # partitions prune the scan to the new epochs).
             deltas = [
@@ -3765,6 +3787,12 @@ class SparkEngine:
             if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
                 state.inc_topn = None
                 return False
+            # No-op refresh decided from partition metadata — zero jobs
+            # when nothing changed (FLUSH refreshes every MV).
+            m_meta = self._changelog_max_epoch(base_cl)
+            if m_meta is None or m_meta <= state.last_epoch:
+                self.next_epoch()
+                return True
             spark.catalog.refreshTable(base_cl)
             # Publications take the same lock, so the pending suffix is
             # stable here: checkpoint it once, then read the watermark

@@ -1102,3 +1102,24 @@ def test_cascade_mv_stays_incremental(spark):
     conn.execute("DROP MATERIALIZED VIEW casct.m2")
     conn.execute("DROP MATERIALIZED VIEW casct.m1")
     conn.execute("DROP TABLE casct.t")
+
+
+def test_noop_refresh_runs_no_spark_job(eng_conn):
+    """FLUSH refreshes EVERY registered MV; an MV whose base did not
+    change must answer 'nothing to do' from changelog partition
+    metadata alone — zero Spark jobs. With N MVs over quiet bases the
+    per-insert flush cost would otherwise be N job dispatches."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.t (p STRING, v INT)")
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m AS "
+        "SELECT p, sum(v) AS total FROM inct.t GROUP BY p"
+    )
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="t", schema_name="inct", force_flush=True)
+    state = eng.mvs["inct.m"]
+    assert state.inc is not None  # on the incremental fast path
+    tracker = eng.spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    eng.refresh_mv(state)  # base unchanged since the flush
+    assert tracker.getJobIdsForGroup(None) == before
