@@ -513,18 +513,24 @@ class SparkEngine:
                 if ct is None:
                     return None
                 cl_cols[c] = pa.nulls(n, type=ct)
+        def commit_file(tab, dirpath: str, fname: str) -> None:
+            # dotfile-stage + rename: lock-free readers (plain SELECTs
+            # list the dir outside the engine lock) must never see a
+            # half-written footer — listings skip dotfiles, and the
+            # rename is atomic on one filesystem (the same contract
+            # Spark's own file committer provides via _temporary)
+            tmp = os.path.join(dirpath, f".{fname}.tmp")
+            pq.write_table(tab, tmp)
+            os.rename(tmp, os.path.join(dirpath, fname))
+
         with self._lock:
             epoch = self.next_epoch()
-            pq.write_table(
-                pa.table(cols),
-                os.path.join(loc, f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet"),
-            )
+            commit_file(pa.table(cols), loc,
+                        f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet")
             pdir = os.path.join(cl_loc, f"rw_timestamp={epoch}")
             os.makedirs(pdir, exist_ok=True)
-            pq.write_table(
-                pa.table(cl_cols),
-                os.path.join(pdir, f"rwfast-{uuid.uuid4().hex}.parquet"),
-            )
+            commit_file(pa.table(cl_cols), pdir,
+                        f"rwfast-{uuid.uuid4().hex}.parquet")
             self.spark.sql(
                 f"ALTER TABLE {cl} ADD IF NOT EXISTS "
                 f"PARTITION (rw_timestamp={epoch})"
