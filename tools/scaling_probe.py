@@ -165,6 +165,65 @@ def run_tpch_suite(spark, scales: list[int]) -> None:
         print(f"| {op} | {cells} |")
 
 
+BUCKETED_PAIRS = [
+    ("q5_local_supplier_volume", "q5_bucketed"),
+    ("q7_volume_shipping", "q7_bucketed"),
+    ("q9_profit_by_nation", "q9_bucketed"),
+    ("q10_returned_items", "q10_bucketed"),
+    ("q18_large_volume_customer", "q18_bucketed"),
+]
+
+
+def run_bucketed_suite(spark, scales: list[int], rounds: int = 5) -> None:
+    """Plain-parquet vs bucketed-layout twins, interleaved within one
+    session at each fact scale (dims fixed). The bucketed copies build
+    once per scaled dir through the engine DDL (the `<q>_bucketed`
+    queries' own ensure step, exercised by the first warm call); the
+    timed rounds alternate plain/bucketed so host drift drafts both
+    equally. This is the scaling half of the SCALE.md round-8 table:
+    the exchange the layout removes GROWS with the fact tables, so the
+    delta should widen with k."""
+    import statistics
+
+    from risingwave_py_spark import registry
+
+    res: dict[tuple[str, int], tuple[float, float]] = {}
+    for k in scales:
+        out = BASE if k == 1 else f"/tmp/rw_scale_tpch_{k}"
+        if k != 1 and not os.path.isdir(out):
+            build_scaled_tpch(spark, k, out)
+        # scaled dirs are already multi-file; BASE keeps the bench's
+        # split-cache layout so the 1x plain numbers match the bench
+        os.environ["SPARK_GRAFT_SPLIT_CACHE"] = "1" if k == 1 else "0"
+        for plain, bk in BUCKETED_PAIRS:
+            fp, fb = registry.QUERIES[plain], registry.QUERIES[bk]
+            fp(spark, out).collect()  # warm plain
+            fb(spark, out).collect()  # warm + one-time bucketed build
+            tp: list[float] = []
+            tb: list[float] = []
+            for _ in range(rounds):
+                t0 = time.time(); fp(spark, out).collect()
+                tp.append(time.time() - t0)
+                t0 = time.time(); fb(spark, out).collect()
+                tb.append(time.time() - t0)
+            mp, mb = statistics.median(tp), statistics.median(tb)
+            res[(plain, k)] = (mp, mb)
+            print(f"scale {k}x  {plain:28s} plain {mp:.2f}s  "
+                  f"bucketed {mb:.2f}s  ({(mb - mp) / mp * 100:+.0f}%)",
+                  flush=True)
+
+    print("\n| query | " + " | ".join(
+        f"{k}× plain / bucketed (delta)" for k in scales) + " |")
+    print("|---|" + "---|" * len(scales))
+    for plain, _bk in BUCKETED_PAIRS:
+        cells = " | ".join(
+            f"{res[(plain, k)][0]:.2f}s / {res[(plain, k)][1]:.2f}s "
+            f"({(res[(plain, k)][1] / res[(plain, k)][0] - 1) * 100:+.0f}%)"
+            for k in scales
+        )
+        print(f"| {plain} | {cells} |")
+
+
 def run_hint_ab(spark, targets: list[str], rounds: int = 7) -> None:
     """Interleaved A/B of a query's registered SQL (with join hints) vs
     the same SQL with SHUFFLE_HASH stripped — the protocol that pinned
@@ -211,7 +270,7 @@ def run_hint_ab(spark, targets: list[str], rounds: int = 7) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-scale", type=int, default=8)
-    ap.add_argument("--suite", choices=["docs", "tpch", "hintab"],
+    ap.add_argument("--suite", choices=["docs", "tpch", "hintab", "bucketed"],
                     default="docs")
     ap.add_argument("--targets", nargs="*",
                     default=["q10_returned_items"])
@@ -231,6 +290,9 @@ def main() -> None:
         return
     if args.suite == "hintab":
         run_hint_ab(spark, args.targets)
+        return
+    if args.suite == "bucketed":
+        run_bucketed_suite(spark, scales)
         return
 
     results: dict[str, dict[int, float]] = {op: {} for op in OPS}
