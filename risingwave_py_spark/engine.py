@@ -127,7 +127,8 @@ class SparkEngine:
         self.indexes: dict[str, dict] = {}  # fq index -> {table, cols}
         self.cursors: dict[str, dict] = {}  # name -> {sub, rel, pos}
         self.udf_defs: dict[str, list] = {}  # name -> [rettype, body]
-        self._locations: dict[str, str] = {}  # fq table -> fs location
+        # fq table -> (fs location, partition cols)
+        self._locations: dict[str, tuple[str, list[str]]] = {}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
         self._restore_catalog()
@@ -458,14 +459,21 @@ class SparkEngine:
         Iceberg append commit.
 
         Returns the epoch, or None when the batch must take the Spark
-        path (upsert tables, missing table, non-scalar column types,
-        or values pyarrow cannot coerce — createDataFrame would reject
-        those same values, so fallback keeps error parity). Readers
-        are safe at every step: the engine lock covers the whole
-        publication exactly like the Spark path, and a crash between
-        file write and partition commit leaves an UNREGISTERED dir
-        that can never resurface (epoch recovery counts on-disk
-        partition dirs, so the epoch is not reused)."""
+        path (upsert tables, bucketed layouts, missing table,
+        non-scalar column types, or values pyarrow cannot coerce —
+        createDataFrame would reject those same values, so fallback
+        keeps error parity). Locked readers are safe at every step
+        (the engine lock covers the whole publication exactly like
+        the Spark path). Crash windows: the changelog epoch commits
+        BEFORE the base-table file becomes visible, so a crash in
+        between leaves the base one row group BEHIND the changelog —
+        downstream consumers (MV refreshes, subscriptions) still see
+        every committed epoch and stay mutually consistent; only a
+        raw base SELECT can briefly under-read, and the staged base
+        dotfile is an unregistered orphan that never resurfaces. A
+        crash before the partition commit leaves only hidden dotfiles
+        (epoch recovery counts on-disk partition dirs, so the epoch
+        is not reused)."""
         import uuid
 
         import pyarrow as pa
@@ -473,6 +481,12 @@ class SparkEngine:
 
         fq = self.qualify(name, schema_name)
         if fq in self.upsert_meta or not self.spark.catalog.tableExists(fq):
+            return None
+        # Bucketed tables store bucket ids IN the filename; a raw
+        # rwfast-*.parquet in a CLUSTERED BY dir breaks the bucketed
+        # scan ("Invalid bucket file") — those always take the
+        # bucket-aware Spark insertInto path.
+        if self.table_props.get(fq, {}).get("bucket_by"):
             return None
         loc = self._table_location(fq)
         if loc is None:
@@ -525,8 +539,7 @@ class SparkEngine:
 
         with self._lock:
             epoch = self.next_epoch()
-            commit_file(pa.table(cols), loc,
-                        f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet")
+            # changelog first (see docstring crash-window contract)
             pdir = os.path.join(cl_loc, f"rw_timestamp={epoch}")
             os.makedirs(pdir, exist_ok=True)
             commit_file(pa.table(cl_cols), pdir,
@@ -535,6 +548,8 @@ class SparkEngine:
                 f"ALTER TABLE {cl} ADD IF NOT EXISTS "
                 f"PARTITION (rw_timestamp={epoch})"
             )
+            commit_file(pa.table(cols), loc,
+                        f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet")
             self.spark.catalog.refreshTable(fq)
             self.spark.catalog.refreshTable(cl)
         return epoch

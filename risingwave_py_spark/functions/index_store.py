@@ -215,10 +215,57 @@ def refresh_stored_index(
             make_rows(corpus_ids).write.saveAsTable(tbl)
             return
         t = tomb_name(tbl)
+        has_tomb = spark.catalog.tableExists(t)
+        # EVERY refresh decision in ONE driver action: per-id stored
+        # row counts full-outer-joined with the tombstone and corpus
+        # id sets, aggregated once. This folds what used to be three
+        # isEmpty() round-trips (gone / new / reinserted) plus the
+        # dead-row-budget count into a single .first(). Dead rows are
+        # counted exactly (multi-row-per-id indexes like video
+        # keyframes hide several rows per tombstoned id), and they
+        # include the rows this refresh is ABOUT to tombstone, so the
+        # budget sees the post-append state. Plain shuffle joins on
+        # distinct id columns — no broadcast of the (between-
+        # compactions unbounded) tombstone set.
+        stored = spark.table(tbl).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__nrows")
+        )
+        if has_tomb:
+            tomb_ids = (
+                spark.table(t).select(id_col).distinct()
+                .withColumn("__t", F.lit(1))
+            )
+            stored = stored.join(tomb_ids, id_col, "full")
+        else:
+            stored = stored.withColumn("__t", F.lit(None).cast("int"))
+        j = stored.join(
+            corpus_ids.select(id_col).distinct().withColumn("__c", F.lit(1)),
+            id_col, "full",
+        )
+        is_stored = F.col("__nrows").isNotNull()
+        is_tomb = F.col("__t").isNotNull()
+        in_corpus = F.col("__c").isNotNull()
+        is_live = is_stored & ~is_tomb
+        will_be_dead = is_tomb | (is_live & ~in_corpus)
+        d = j.agg(
+            F.sum(F.coalesce("__nrows", F.lit(0))).alias("total_rows"),
+            F.sum(F.when(will_be_dead, F.col("__nrows")).otherwise(0)
+                  ).alias("dead_rows"),
+            F.sum((is_live & ~in_corpus).cast("long")).alias("n_gone"),
+            F.sum((in_corpus & ~is_live).cast("long")).alias("n_new"),
+            F.sum((in_corpus & is_tomb).cast("long")).alias("n_reins"),
+        ).first()
         live_ids = live_index(spark, tbl, id_col).select(id_col).distinct()
-        gone = live_ids.join(corpus_ids, id_col, "left_anti")
-        if not gone.isEmpty():
-            if spark.catalog.tableExists(t):
+        # materialize the new-id batch BEFORE any tombstone append or
+        # compaction swap — both mutate the tables the lazy plan reads
+        new_ids = None
+        if d["n_new"]:
+            new_ids = corpus_ids.join(
+                live_ids, id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        if d["n_gone"]:
+            gone = live_ids.join(corpus_ids, id_col, "left_anti")
+            if has_tomb:
                 gone.write.mode("append").saveAsTable(t)
             else:
                 from risingwave_py_spark.catalog import clear_stale_location
@@ -226,43 +273,11 @@ def refresh_stored_index(
                 clear_stale_location(spark, t)
                 gone.write.saveAsTable(t)
             spark.catalog.refreshTable(t)
-        new_ids = corpus_ids.join(live_ids, id_col, "left_anti").localCheckpoint(
-            eager=True
-        )
-        has_new = not new_ids.isEmpty()
-        if spark.catalog.tableExists(t):
-            tomb = spark.table(t)
-            reinserted = has_new and not tomb.join(
-                new_ids, id_col, "left_semi"
-            ).isEmpty()
-            # Exact dead-ROW budget in ONE aggregation: a multi-row-
-            # per-id index (video keyframes) hides several rows per
-            # tombstoned id, so comparing tombstone ID count against
-            # stored rows would let the reader-side anti-join grow to
-            # rows-per-id × the stated fraction before compacting.
-            # Marking dead rows via a broadcast left join and counting
-            # both sides in one pass also folds the two count() jobs
-            # this check used to dispatch into one.
-            counts = (
-                spark.table(tbl)
-                .join(
-                    F.broadcast(
-                        tomb.select(id_col).distinct()
-                        .withColumn("__dead", F.lit(True))
-                    ),
-                    id_col,
-                    "left",
-                )
-                .agg(F.count(F.lit(1)).alias("total"),
-                     F.count("__dead").alias("dead"))
-                .first()
-            )
-            n_dead = counts["dead"]
-            n_live = counts["total"] - n_dead
-            over_budget = n_dead > COMPACT_FRACTION * max(n_live, 1)
-            if reinserted or over_budget:
-                _compact(spark, tbl, id_col)
-        if has_new:
+        n_dead = d["dead_rows"] or 0
+        n_live = (d["total_rows"] or 0) - n_dead
+        if d["n_reins"] or n_dead > COMPACT_FRACTION * max(n_live, 1):
+            _compact(spark, tbl, id_col)
+        if new_ids is not None:
             make_rows(new_ids).write.mode("append").saveAsTable(tbl)
             spark.catalog.refreshTable(tbl)
 

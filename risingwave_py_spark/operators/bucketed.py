@@ -54,8 +54,9 @@ from risingwave_py_spark.registry import ORACLES, register
 BUCKETS = 16
 _FACTS = (("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
 
-# (session id, sf_dir) -> bucketed db name, once verified/built
-_READY: dict[tuple[int, str], str] = {}
+# (session id, sf_dir) -> (bucketed db name, source fingerprint),
+# once verified/built
+_READY: dict[tuple[int, str], tuple[str, str]] = {}
 
 
 def bucketed_db_name(sf_dir: str) -> str:
@@ -63,19 +64,44 @@ def bucketed_db_name(sf_dir: str) -> str:
     return "rwbk_" + re.sub(r"[^0-9a-zA-Z]", "_", tag).lower()
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Identity of the fact-table source files (path + size + mtime),
+    computed with zero Spark jobs. Stored in the ready marker so a
+    regenerated dataset at the same path — or a different sf_dir
+    sharing a basename — forces a rebuild instead of silently serving
+    a stale bucketed copy."""
+    parts = []
+    for tbl, _ in _FACTS:
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{p}:missing")
+    return "|".join(parts)
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the database holding bucketed copies of
     the fact tables for ``sf_dir``. Idempotent per session via a
-    ready-marker table; a partial build from a crashed process has no
-    marker and is dropped + rebuilt."""
+    ready-marker table carrying a source fingerprint; a partial build
+    from a crashed process has no marker, and a marker whose
+    fingerprint mismatches the current source files triggers a
+    rebuild — both are dropped + rebuilt."""
     db = bucketed_db_name(sf_dir)
     key = (id(spark), sf_dir)
-    if _READY.get(key) == db:
+    fp = _source_fingerprint(sf_dir)
+    if _READY.get(key) == (db, fp):
         return db
     marker = f"{db}.__rwbk_ready"
     if spark.catalog.tableExists(marker):
-        _READY[key] = db
-        return db
+        try:
+            stored = [r["fp"] for r in spark.table(marker).collect()]
+        except Exception:  # noqa: BLE001 — legacy marker without fp
+            stored = []
+        if stored == [fp]:
+            _READY[key] = (db, fp)
+            return db
 
     from risingwave_py_spark.core import RisingWaveConnection
     from risingwave_py_spark.engine import SparkEngine
@@ -101,8 +127,9 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
         # itself never shuffles; bucket files come from the task-side
         # hash split)
         eng.insert_df(tbl, src.repartition(BUCKETS, bkey), schema_name=db)
-    spark.sql(f"CREATE TABLE {marker} (ok INT) USING PARQUET")
-    _READY[key] = db
+    spark.sql(f"CREATE TABLE {marker} (fp STRING) USING PARQUET")
+    spark.sql(f"INSERT INTO {marker} VALUES ('{fp}')")
+    _READY[key] = (db, fp)
     return db
 
 

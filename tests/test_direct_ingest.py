@@ -105,6 +105,26 @@ def test_upsert_tables_fall_back_to_spark_path(spark, conn):
     assert not _rwfast_files(eng, eng.log_name(f"{schema}.u"))
 
 
+def test_bucketed_tables_fall_back_to_spark_path(spark, conn):
+    """A raw rwfast-*.parquet filename in a CLUSTERED BY directory
+    breaks Spark's bucketed scan ('Invalid bucket file'); buffered
+    inserts into bucketed tables must take the bucket-aware
+    insertInto path."""
+    c, eng, schema = conn
+    c.execute(
+        f"CREATE TABLE {schema}.b (k INT, v INT) "
+        f"WITH (bucket_by = 'k', buckets = '4')"
+    )
+    c.insert_row("b", schema_name=schema, force_flush=True, k=1, v=10)
+    c.insert_row("b", schema_name=schema, force_flush=True, k=2, v=20)
+    assert not _rwfast_files(eng, f"{schema}.b")
+    # the bucketed layout is still scannable (a corrupt bucket file
+    # would throw here) and a bucket-key aggregation works
+    assert c.fetch(
+        f"SELECT k, sum(v) AS s FROM {schema}.b GROUP BY k ORDER BY k"
+    ) == [(1, 10), (2, 20)]
+
+
 def test_uncoercible_values_fall_back_with_type_error_parity(spark, conn):
     c, eng, schema = conn
     c.execute(f"CREATE TABLE {schema}.d (k BIGINT, d DECIMAL(10,2))")
