@@ -397,7 +397,19 @@ def main() -> None:
         if d1_total and d2_total:
             out["duckdb_drift"] = round(d2_total / d1_total, 3)
         out["vs_duckdb_ratio"] = round(total / duck_total, 2)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Persist the full line locally too: the driver's capture window
+    # truncates long lines, and round-over-round diffs must be
+    # computable from repo artifacts alone.
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
+        tag = f"_r{rnd}" if rnd else ""
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               f"BENCH_LOCAL{tag}.json"), "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,12 @@ OP_DELETE = "Delete"
 OP_UPDATE_INSERT = "UpdateInsert"
 OP_UPDATE_DELETE = "UpdateDelete"
 
+
+class _DirectIneligible(Exception):
+    """Raised inside the driver-side MV merge when Python semantics
+    could diverge from Spark's (NaN, duplicate keys) — the refresh
+    falls back to the Spark path before any mutation."""
+
 ENGINE_VERSION = "2.1.0"
 
 
@@ -82,6 +88,12 @@ class MVState:
         # Incremental plan for (grouped) Top-N MVs — row_number()
         # over a derived table, outer rank filter; None → snapshot-diff.
         self.inc_topn: dict | None = None
+        # DRIVER-SIDE delta-merge plan (zero Spark jobs) for simple
+        # aggregations — including GLOBAL aggregates (no GROUP BY),
+        # which the Spark inc path cannot express. Engages only for
+        # small insert-only deltas over small stored results; larger
+        # work falls through to self.inc / snapshot-diff.
+        self.inc_direct: dict | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -2103,6 +2115,442 @@ class SparkEngine:
             q += f" WHERE {inc['where']}"
         return q + f" GROUP BY {inc['grp']}"
 
+    # -- DRIVER-SIDE agg refresh (zero Spark jobs for small deltas) --------
+
+    # A 1-row client insert costs 1 direct-ingest publication (zero
+    # jobs since round 8); its MV refresh must not re-introduce job
+    # dispatches. Bounds: the delta fold and full-result rewrite are
+    # driver-side Python/pyarrow, so both must stay small — above
+    # either bound the Spark fast path / snapshot-diff takes over.
+    DIRECT_MAX_DELTA_ROWS = 512
+    DIRECT_MAX_RESULT_ROWS = 4096
+
+    _DIRECT_SHAPE = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w\s,]+?))?\s*;?\s*$",
+        re.I | re.S,
+    )
+    # Direct agg args must be BARE columns (or *): the delta fold is
+    # evaluated in Python, not SQL, so expressions are out of scope
+    # (they stay on the Spark inc path, which accepts them).
+    _DIRECT_AGG_ITEM = re.compile(
+        r"^\s*(?P<fn>sum|count|min|max)\s*\(\s*(?P<arg>\*|\w+)\s*\)"
+        r"\s+AS\s+(?P<alias>\w+)\s*$",
+        re.I,
+    )
+
+    def _parse_direct_agg(self, stmt: str) -> dict | None:
+        """Plan for the driver-side agg refresh: ``SELECT [keys,]
+        sum/count/min/max(col|*) AS a, ... FROM tbl [GROUP BY keys]``
+        — no WHERE, bare-column args, and (unlike _parse_simple_agg)
+        GROUP BY is OPTIONAL: a global aggregate is a single-group
+        merge, the cheapest possible incremental MV and the
+        reference's canonical subscription demo shape."""
+        if self._INC_BLOCKERS.search(stmt):
+            return None
+        m = self._DIRECT_SHAPE.match(stmt)
+        if not m:
+            return None
+        sel, grp = m.group("sel"), m.group("grp")
+        if self._QUALIFIED_REF.search(" ".join(filter(None, (sel, grp)))):
+            return None
+        grp_cols: list[str] = []
+        if grp:
+            for part in grp.split(","):
+                ident = part.strip()
+                if not re.fullmatch(r"\w+", ident) or ident.isdigit():
+                    return None
+                grp_cols.append(ident)
+        kinds: dict[str, str] = {}
+        args: dict[str, str | None] = {}
+        keys: list[str] = []
+        key_map: list[tuple[str, str]] = []
+        for item in RW.split_top_level(sel):
+            am = self._DIRECT_AGG_ITEM.match(item)
+            if am:
+                alias = am.group("alias")
+                kinds[alias] = am.group("fn").lower()
+                arg = am.group("arg")
+                args[alias] = None if arg == "*" else arg
+                continue
+            km = self._INC_KEY_ITEM.match(item)
+            if not km or km.group("col") not in grp_cols:
+                return None
+            out = km.group("alias") or km.group("col")
+            keys.append(out)
+            key_map.append((km.group("col"), out))
+        if not kinds:
+            return None
+        if (
+            len(key_map) != len(grp_cols)
+            or len({c for c, _ in key_map}) != len(key_map)
+            or len(set(keys)) != len(keys)
+            or len(set(kinds) & set(keys)) > 0
+        ):
+            return None
+        return {
+            "base_fq": self.qualify(m.group("tbl")),
+            "sel": sel.strip(),
+            "grp": (grp or "").strip() or None,
+            "kinds": kinds,
+            "args": args,
+            "keys": keys,
+            "key_map": key_map,
+        }
+
+    def _direct_stmt(self, d: dict, view: str) -> str:
+        q = f"SELECT {d['sel']} FROM {view}"
+        if d["grp"]:
+            q += f" GROUP BY {d['grp']}"
+        return q
+
+    def _direct_types_ok(self, d: dict, df: DataFrame) -> bool:
+        """The direct path merges in Python and rebuilds the stored
+        result with pyarrow, so every output column must be
+        arrow-mappable. float32 sums are excluded (the Python fold is
+        float64; casting back would drift); float64 sums ARE allowed —
+        the fold is a sequential left-add in insertion order, the same
+        single addition per row the reference's streaming accumulator
+        performs (Spark's parallel recompute order is itself
+        unspecified, so exact-type discipline, not ordering, is what
+        the grouped Spark fast path's double-sum rejection protects)."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for col, kind in d["kinds"].items():
+            if col not in types:
+                return False
+            if kind == "sum" and isinstance(types[col], T.FloatType):
+                return False
+        return all(self._arrow_type(t) is not None for t in types.values())
+
+    @staticmethod
+    def _direct_part_files(loc: str) -> list[str]:
+        try:
+            return [
+                os.path.join(loc, f)
+                for f in sorted(os.listdir(loc))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+        except OSError:
+            return []
+
+    def _refresh_direct(self, state: MVState) -> bool:
+        """Zero-Spark-job refresh of a simple-agg MV for a small
+        insert-only delta: pending epochs come from the changelog's
+        partition metadata, the delta rows from a pyarrow read of just
+        those partition dirs, the group merge is a Python fold, and
+        publication is a metadata-only ``ALTER TABLE SET LOCATION``
+        swap of the (small) rewritten result plus the same
+        changelog-partition commit the direct ingest path uses. This
+        closes the reference's insert → FLUSH → on_change loop
+        (/root/reference/risingwave/core.py:541-560) at engine-native
+        cost: no job dispatch anywhere between the client's insert and
+        the subscriber's delivery. On a cluster lakehouse the
+        equivalent is a driver-side merge commit of touched groups
+        (Delta/Iceberg MERGE over a tiny delta file).
+
+        Returns True when fully handled; False falls through to the
+        Spark fast path / snapshot-diff (large delta, retractions in
+        the delta, oversized stored result, NaN values, legacy
+        layouts, unmappable types, cast overflow — all decided BEFORE
+        any mutation). Emission contract matches whichever Spark path
+        the MV would otherwise take: UpdateDelete/UpdateInsert pairs
+        when the group keys are known, Delete+Insert bag-diff ops
+        otherwise (global aggregates) — so a fallback mid-stream never
+        changes what subscribers observe."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = state.inc_direct
+        spark = self.spark
+        fq = state.fq
+        base_cl = self.changelog_name(d["base_fq"])
+        with self._lock:
+            if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
+                state.inc_direct = None
+                return False
+            m1 = self._changelog_max_epoch(base_cl)
+            if m1 is None or m1 <= state.last_epoch:
+                self.next_epoch()  # refresh always consumes one epoch
+                return True
+            loc_cl, parts_cl = self._table_meta(base_cl)
+            if loc_cl is None or parts_cl != ["rw_timestamp"]:
+                return False
+            try:
+                prows = spark.sql(f"SHOW PARTITIONS {base_cl}").collect()
+            except Exception:  # noqa: BLE001 — layout drift: Spark path
+                return False
+            epochs = sorted(
+                e for e in (int(p[0].split("=", 1)[1]) for p in prows)
+                if state.last_epoch < e <= m1
+            )
+            files: list[str] = []
+            total = 0
+            for e in epochs:
+                fs = self._direct_part_files(
+                    os.path.join(loc_cl, f"rw_timestamp={e}")
+                )
+                for f in fs:
+                    total += pq.ParquetFile(f).metadata.num_rows
+                files.extend(fs)
+            if total > self.DIRECT_MAX_DELTA_ROWS:
+                return False
+            # NEVER trust the location cache for the MV itself: the
+            # Spark refresh paths swap fq via DROP+RENAME (canonical
+            # location) and this path via SET LOCATION (generation
+            # dirs) — interleaving them with a stale cache would read
+            # an empty deleted dir and silently rebuild from nothing.
+            self._locations.pop(fq, None)
+            loc_mv, parts_mv = self._table_meta(fq)
+            if loc_mv is None or parts_mv:
+                return False
+            mv_files = self._direct_part_files(loc_mv)
+            if (
+                sum(pq.ParquetFile(f).metadata.num_rows for f in mv_files)
+                > self.DIRECT_MAX_RESULT_ROWS
+            ):
+                return False
+            cl = self.changelog_name(fq)
+            self._ensure_changelog(fq)
+            cl_loc, cl_parts = self._table_meta(cl)
+            if cl_loc is None or cl_parts != ["rw_timestamp"]:
+                return False
+            # delta read: only the agg-arg + key columns, plus op
+            need = sorted(
+                {c for c in d["args"].values() if c}
+                | {c for c, _ in d["key_map"]}
+            )
+            delta_cols: dict[str, list] = {c: [] for c in need}
+            ops: list[str] = []
+            for f in files:
+                t = pq.read_table(f, columns=[*need, "op"])
+                ops.extend(t.column("op").to_pylist())
+                for c in need:
+                    delta_cols[c].extend(self._pa_column_pylist(t.column(c)))
+            if any(op != OP_INSERT for op in ops):
+                return False  # retractions: touched-group re-agg needs Spark
+            n_delta = len(ops)
+            if n_delta == 0:
+                self.next_epoch()
+                state.last_epoch = m1
+                return True
+            mv_schema = spark.table(fq).schema
+            cols = [f.name for f in mv_schema.fields]
+            pa_types: dict[str, "pa.DataType"] = {}
+            for fld in mv_schema.fields:
+                at = self._arrow_type(fld.dataType)
+                if at is None:
+                    return False
+                pa_types[fld.name] = at
+            stored: dict[str, list] = {c: [] for c in cols}
+            for f in mv_files:
+                t = pq.read_table(f)
+                for c in cols:
+                    stored[c].extend(self._pa_column_pylist(t.column(c)))
+            try:
+                merged = self._direct_merge(
+                    d, state, cols, stored, delta_cols, n_delta
+                )
+            except _DirectIneligible:
+                return False
+            if merged is None:  # delta folded to a no-op (all-null sums)
+                self.next_epoch()
+                state.last_epoch = m1
+                return True
+            new_rows, batches = merged
+            # Build EVERY arrow table before any mutation: a cast
+            # overflow here must leave the MV untouched for the Spark
+            # path to redo the work.
+            cl_phys = [c for c in spark.table(cl).columns
+                       if c != "rw_timestamp"]
+            try:
+                mv_tab = pa.table(
+                    {c: pa.array(new_rows[c], type=pa_types[c]) for c in cols}
+                )
+                cl_cols: dict[str, list] = {c: [] for c in cl_phys}
+                for rows, op in batches:
+                    for c in cl_phys:
+                        if c == "op":
+                            cl_cols[c].extend([op] * len(rows))
+                        elif c in cols:
+                            cl_cols[c].extend(r[c] for r in rows)
+                        else:  # post-hoc ALTER ADD COLUMN drift
+                            cl_cols[c].extend([None] * len(rows))
+                cl_tab = pa.table({
+                    c: pa.array(
+                        cl_cols[c],
+                        type=pa.string() if c == "op" else pa_types[c],
+                    )
+                    for c in cl_phys
+                })
+            except Exception:  # noqa: BLE001 — overflow/coercion: Spark path
+                return False
+            epoch = self.next_epoch()
+            # result swap first (an atomic catalog op that can still
+            # refuse — e.g. an exotic catalog); the changelog commit
+            # below reuses the crash-proven direct-ingest publication
+            new_loc = (
+                re.sub(r"__rwgen_\d+$", "", loc_mv.rstrip("/"))
+                + f"__rwgen_{epoch}"
+            )
+            os.makedirs(new_loc, exist_ok=True)
+            pq.write_table(
+                mv_tab, os.path.join(new_loc, f"rwfast-{epoch}.parquet")
+            )
+            try:
+                spark.sql(f"ALTER TABLE {fq} SET LOCATION '{new_loc}'")
+            except Exception:  # noqa: BLE001 — catalog refused: Spark path
+                shutil.rmtree(new_loc, ignore_errors=True)
+                return False
+            self._locations.pop(fq, None)
+            pdir = os.path.join(cl_loc, f"rw_timestamp={epoch}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".rwfast-{uuid.uuid4().hex}.tmp")
+            pq.write_table(cl_tab, tmp)
+            os.rename(tmp, os.path.join(pdir, f"rwfast-{uuid.uuid4().hex}.parquet"))
+            spark.sql(
+                f"ALTER TABLE {cl} ADD IF NOT EXISTS "
+                f"PARTITION (rw_timestamp={epoch})"
+            )
+            spark.catalog.refreshTable(fq)
+            spark.catalog.refreshTable(cl)
+            shutil.rmtree(loc_mv, ignore_errors=True)  # superseded gen
+            state.last_epoch = m1
+            return True
+
+    def _direct_merge(
+        self,
+        d: dict,
+        state: MVState,
+        cols: list[str],
+        stored: dict[str, list],
+        delta_cols: dict[str, list],
+        n_delta: int,
+    ) -> tuple[dict[str, list], list[tuple[list[dict], str]]] | None:
+        """Pure-Python group merge of an insert-only delta into the
+        stored result. Returns (full new result columns, changelog
+        batches) or None when no group's value changed. Raises
+        _DirectIneligible on anything whose Python semantics could
+        diverge from Spark's (NaN values, duplicate stored keys)."""
+        import math
+
+        def norm_key(v):
+            if isinstance(v, float):
+                if math.isnan(v):
+                    raise _DirectIneligible  # Spark groups NaN==NaN
+                if v == 0.0:
+                    return 0.0  # Spark normalizes -0.0 to 0.0 in keys
+            return v
+
+        def check_val(v):
+            if isinstance(v, float) and math.isnan(v):
+                raise _DirectIneligible  # Spark compares NaN==NaN
+            return v
+
+        kinds, args, keys = d["kinds"], d["args"], d["keys"]
+        vals = [c for c in cols if c not in keys]
+        if set(vals) != set(kinds):
+            raise _DirectIneligible
+        # delta fold, grouped on the base key columns (insertion order)
+        groups: dict[tuple, dict] = {}
+        for i in range(n_delta):
+            k = tuple(
+                norm_key(delta_cols[c][i]) for c, _ in d["key_map"]
+            )
+            g = groups.setdefault(k, {})
+            for alias, fn in kinds.items():
+                arg = args[alias]
+                v = None if arg is None else check_val(delta_cols[arg][i])
+                if fn == "count":
+                    g[alias] = g.get(alias, 0) + (
+                        1 if arg is None or v is not None else 0
+                    )
+                    continue
+                cur = g.get(alias)
+                if v is None:
+                    g.setdefault(alias, None)
+                elif cur is None:
+                    g[alias] = v
+                elif fn == "sum":
+                    g[alias] = cur + v
+                elif fn == "min":
+                    g[alias] = v if v < cur else cur
+                else:  # max
+                    g[alias] = v if v > cur else cur
+        n_stored = len(stored[cols[0]]) if cols else 0
+        stored_idx: dict[tuple, int] = {}
+        for i in range(n_stored):
+            k = tuple(norm_key(stored[c][i]) for c in keys)
+            if k in stored_idx:
+                raise _DirectIneligible  # duplicate group: not our MV shape
+            stored_idx[k] = i
+            for v in vals:
+                check_val(stored[v][i])
+
+        def same(a, b) -> bool:
+            if a is None or b is None:
+                return a is None and b is None
+            return a == b
+
+        updates: dict[int, dict] = {}
+        changed: list[tuple[dict, dict]] = []
+        inserts: list[dict] = []
+        for k, g in groups.items():
+            i = stored_idx.get(k)
+            if i is None:
+                row = {out: k[j] for j, (_, out) in enumerate(d["key_map"])}
+                for alias, fn in kinds.items():
+                    row[alias] = g.get(alias, 0 if fn == "count" else None)
+                inserts.append(row)
+                continue
+            old_row = {c: stored[c][i] for c in cols}
+            new_row = dict(old_row)
+            for alias, fn in kinds.items():
+                ov, dv = old_row[alias], g.get(alias)
+                if ov is None:
+                    nv = dv
+                elif dv is None:
+                    nv = ov
+                elif fn in ("sum", "count"):
+                    nv = ov + dv
+                elif fn == "min":
+                    nv = dv if dv < ov else ov
+                else:
+                    nv = dv if dv > ov else ov
+                new_row[alias] = nv
+            if any(not same(old_row[v], new_row[v]) for v in vals):
+                updates[i] = new_row
+                changed.append((old_row, new_row))
+        if not updates and not inserts:
+            return None
+        new_rows: dict[str, list] = {c: [] for c in cols}
+        for i in range(n_stored):
+            row = updates.get(i)
+            for c in cols:
+                new_rows[c].append(stored[c][i] if row is None else row[c])
+        for row in inserts:
+            for c in cols:
+                new_rows[c].append(row[c])
+        # Emission mirrors what the Spark path this MV would otherwise
+        # take emits: key-aware paths pair updates, the keyless bag
+        # diff (global aggregates) emits Delete+Insert.
+        pairs_mode = bool(keys) and bool(state.key_cols) and set(
+            state.key_cols
+        ) == set(keys)
+        if pairs_mode:
+            batches = [
+                ([o for o, _ in changed], OP_UPDATE_DELETE),
+                ([n for _, n in changed], OP_UPDATE_INSERT),
+                (inserts, OP_INSERT),
+            ]
+        else:
+            batches = [
+                ([o for o, _ in changed], OP_DELETE),
+                ([n for _, n in changed] + inserts, OP_INSERT),
+            ]
+        return new_rows, [(rows, op) for rows, op in batches if rows]
+
     # -- incremental JOIN MVs (delta rules over changelog provenance) ------
 
     _INCJ_SHAPE = re.compile(
@@ -2629,6 +3077,28 @@ class SparkEngine:
                 or not self.spark.catalog.tableExists(base_cl)
             ):
                 inc = None
+        # Driver-side plan: a superset of shapes only via GLOBAL
+        # aggregates; shares inc's pinned snapshot when both arm.
+        direct = None if emit_on_close else self._parse_direct_agg(rewritten)
+        if direct is not None and (
+            direct["base_fq"] in self.upsert_meta
+            or not self.spark.catalog.tableExists(
+                self.changelog_name(direct["base_fq"])
+            )
+        ):
+            direct = None
+        if inc is None and direct is not None:
+            # Direct-only arm (global aggregate): same pinned
+            # induction-base contract as the inc path below.
+            base = direct["base_fq"]
+            base_cl = self.changelog_name(base)
+            with self._lock:
+                self.spark.catalog.refreshTable(base_cl)
+                m0 = (
+                    self.spark.table(base_cl)
+                    .agg(F.max("rw_timestamp")).first()[0] or 0
+                )
+                snap = self.spark.table(base).localCheckpoint(eager=True)
         if inc is not None:
             # Consistent base snapshot: epoch watermark and table data
             # are pinned under the same lock that publishes inserts, so
@@ -2644,7 +3114,7 @@ class SparkEngine:
             # the induction base is the TABLE snapshot (not a changelog
             # fold), and the refresh path is retraction-capable.
         inctop = None
-        if inc is None and not emit_on_close:
+        if inc is None and direct is None and not emit_on_close:
             inctop = self._parse_topn(rewritten)
             if inctop is not None and (
                 inctop["base_fq"] in self.upsert_meta
@@ -2672,7 +3142,7 @@ class SparkEngine:
                 ).localCheckpoint(eager=True)
         incj = None
         incja = None
-        if inc is None and inctop is None and not emit_on_close:
+        if inc is None and direct is None and inctop is None and not emit_on_close:
             incj = self._parse_simple_join(rewritten)
             if incj is None:
                 incja = self._parse_join_agg(rewritten)
@@ -2741,6 +3211,10 @@ class SparkEngine:
             base_view = "__rw_inc_base_" + "_".join(_split_fq(fq))
             snap.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._inc_delta_stmt(inc, base_view))
+        elif direct is not None:
+            base_view = "__rw_direct_base_" + "_".join(_split_fq(fq))
+            snap.createOrReplaceTempView(base_view)
+            df = self.spark.sql(self._direct_stmt(direct, base_view))
         elif inctop is not None:
             base_view = "__rw_topn_base_" + "_".join(_split_fq(fq))
             snap_t.createOrReplaceTempView(base_view)
@@ -2773,6 +3247,8 @@ class SparkEngine:
             inc = None
         if incja is not None and not self._fastpath_types_ok(incja, df):
             incja = None
+        if direct is not None and not self._direct_types_ok(direct, df):
+            direct = None
         self._clear_stale_location(fq)
         try:
             df.write.format("parquet").saveAsTable(fq)
@@ -2800,6 +3276,16 @@ class SparkEngine:
         ):
             state.inc_joinagg = incja
             state.last_epoch = m0j
+        if direct is not None and (
+            not state.key_cols or set(state.key_cols) == set(direct["keys"])
+        ):
+            # shares the inc snapshot's m0 when both armed (same lock
+            # block), or its own pinned m0 for the direct-only arm.
+            # key_cols that exist but differ from the group keys would
+            # make the fallback path pair-diff on another key set —
+            # emission contracts must agree, so don't arm.
+            state.inc_direct = direct
+            state.last_epoch = m0
         self.mvs[fq] = state
 
     def drop_mv(self, name: str, schema_name: str | None = None) -> None:
@@ -3962,12 +4448,19 @@ class SparkEngine:
         stmt = state.stmt
         tag = "_".join(_split_fq(state.fq))
         inc = self._parse_simple_agg(stmt)
-        if inc is not None:
-            base = inc["base_fq"]
+        direct = self._parse_direct_agg(stmt)
+        if inc is not None and not (
+            state.key_cols and set(state.key_cols) == set(inc["keys"])
+        ):
+            inc = None  # inc needs inferable keys; direct may still arm
+        if direct is not None and state.key_cols and set(
+            state.key_cols
+        ) != set(direct["keys"]):
+            direct = None  # emission contract must match the fallback
+        if inc is not None or direct is not None:
+            base = (inc or direct)["base_fq"]
             base_cl = self.changelog_name(base)
-            if base in self.upsert_meta or not (
-                state.key_cols and set(state.key_cols) == set(inc["keys"])
-            ):
+            if base in self.upsert_meta:
                 state.fastpath_blocked = True
                 return None
             if not spark.catalog.tableExists(base_cl):
@@ -3982,8 +4475,18 @@ class SparkEngine:
             view = f"__rw_rearm_{tag}"
             snap.createOrReplaceTempView(view)
             try:
-                df = spark.sql(self._inc_delta_stmt(inc, view))
-                if not self._fastpath_types_ok(inc, df):
+                df = spark.sql(
+                    self._inc_delta_stmt(inc, view)
+                    if inc is not None
+                    else self._direct_stmt(direct, view)
+                )
+                if inc is not None and not self._fastpath_types_ok(inc, df):
+                    inc = None
+                if direct is not None and not self._direct_types_ok(
+                    direct, df
+                ):
+                    direct = None
+                if inc is None and direct is None:
                     state.fastpath_blocked = True
                     return None
                 df = df.localCheckpoint(eager=True)
@@ -3992,6 +4495,7 @@ class SparkEngine:
 
             def finalize_inc():
                 state.inc = inc
+                state.inc_direct = direct
                 state.last_epoch = m0
 
             return df, finalize_inc
@@ -4114,6 +4618,15 @@ class SparkEngine:
         if state.emit_on_close:
             self._refresh_emit_on_close(state)
             return
+        if state.inc_direct is not None:
+            try:
+                if self._refresh_direct(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "direct refresh of %s failed; falling back", state.fq,
+                )
+                state.inc_direct = None
         if state.inc is not None:
             try:
                 if self._refresh_incremental(state):
@@ -4162,6 +4675,10 @@ class SparkEngine:
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
+        # The snapshot-diff recompute below folds epochs the direct
+        # path's watermark knows nothing about — disarm it; the probe
+        # re-arms with a freshly pinned induction base.
+        state.inc_direct = None
         rearm = None
         if (
             not state.emit_on_close
