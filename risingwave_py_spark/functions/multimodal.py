@@ -1280,3 +1280,301 @@ def video_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("fpv").alias("n_hashes"))
         .orderBy("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# AUDIO near-dup + stored fingerprint index — completes the modality
+# matrix (text/vector/image/video each have near-dup + a persisted
+# index; reference scope note: the reference SDK has no media ops at
+# all — this is the Spark-native data-pipeline layer).
+#
+# Fingerprint: per 256-sample window over the REAL PCM1 decode, an
+# integer pair (positive-sample count, energy bucket = Σs² >> 21)
+# rendered as a joinable 'w_pc_eb' string. Integer-only arithmetic ⇒
+# the DuckDB oracle mirrors the kernel bit-for-bit.
+#
+# The synthetic corpus has ~28 distinct signal classes (doc_id % 4
+# lengths × doc_id % 7 pitches), i.e. it is DUPLICATE-HEAVY — so the
+# scale-right near-dup shape here is the O(n) fingerprint-bag CLUSTER
+# (hash group-by, no pair join at all), not all-pairs; pair-style
+# matching lives in the bounded PROBE query, whose candidate join is
+# capped per bucket (AUD_MAX_DF) exactly like the text stop-shingle /
+# image hot-band guards.
+
+AUD_WIN = 256          # samples per fingerprint window
+AUD_EB_SHIFT = 21      # energy bucket = windowed Σs² >> 21
+AUD_MAX_DF = 64        # probe candidate cap per fingerprint bucket
+AUD_TOP = 20
+AUD_PROBE_DOCS = 8     # probe clip set: doc_id < 8
+AUD_PROBE_K = 3        # matches kept per probe
+
+
+def _audfp_ctes(where: str = "TRUE") -> str:
+    """DuckDB CTE chain ending in fp(doc_id, win, fpv): closed-form
+    per-window fingerprints of the PCM1 sawtooth s[i] = (i*k) % 2000
+    - 1000 for every doc passing ``where``. Pure integer arithmetic —
+    mirrors the Spark kernel exactly."""
+    return f"""ad AS (
+        SELECT doc_id, 2048 + (doc_id % 4) * 512 AS n, doc_id % 7 + 1 AS k
+        FROM documents WHERE {where}
+    ), wins AS (
+        SELECT ad.doc_id, ad.k, t.w
+        FROM ad, LATERAL (
+            SELECT unnest(generate_series(0, ad.n // {AUD_WIN} - 1)) AS w
+        ) t
+    ), samp AS (
+        SELECT doc_id, w,
+               SUM(CASE WHEN ((t2.i * k) % 2000 - 1000) >= 0
+                        THEN 1 ELSE 0 END) AS pc,
+               SUM(CAST((t2.i * k) % 2000 - 1000 AS BIGINT)
+                   * ((t2.i * k) % 2000 - 1000)) AS e
+        FROM wins, LATERAL (
+            SELECT unnest(generate_series(
+                wins.w * {AUD_WIN}, wins.w * {AUD_WIN} + {AUD_WIN - 1})) AS i
+        ) t2
+        GROUP BY doc_id, w
+    ), fp AS (
+        SELECT doc_id, CAST(w AS INT) AS win,
+               CAST(w AS VARCHAR) || '_' || CAST(pc AS VARCHAR) || '_'
+               || CAST(e // {1 << AUD_EB_SHIFT} AS VARCHAR) AS fpv
+        FROM samp
+    )"""
+
+
+def _audfp_hist_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {_audfp_ctes(where)}
+    SELECT win, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fpv) AS BIGINT) AS n_fps
+    FROM fp GROUP BY win ORDER BY win
+    """
+
+
+def _audfp_cluster_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {_audfp_ctes(where)}, bag AS (
+        SELECT doc_id, STRING_AGG(fpv, '|' ORDER BY fpv) AS sig
+        FROM fp GROUP BY doc_id
+    )
+    SELECT MIN(doc_id) AS rep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(doc_id) AS max_doc
+    FROM bag GROUP BY sig
+    ORDER BY n_docs DESC, rep_doc LIMIT {AUD_TOP}
+    """
+
+
+def _audfp_probe_oracle(where: str = "TRUE") -> str:
+    return f"""
+    WITH {_audfp_ctes(where)}, kept AS (
+        SELECT doc_id, fpv FROM (
+            SELECT doc_id, fpv, COUNT(*) OVER (PARTITION BY fpv) AS df
+            FROM fp
+        ) q WHERE df < {AUD_MAX_DF}
+    ), pr AS (
+        SELECT doc_id AS probe_id, fpv FROM kept
+        WHERE doc_id < {AUD_PROBE_DOCS}
+    ), m AS (
+        SELECT pr.probe_id, c.doc_id AS match_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM pr JOIN kept c
+          ON pr.fpv = c.fpv AND c.doc_id <> pr.probe_id
+        GROUP BY pr.probe_id, c.doc_id
+    ), rk AS (
+        SELECT probe_id, match_doc, n_shared,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY n_shared DESC, match_doc) AS INT) AS rk
+        FROM m
+    )
+    SELECT probe_id, match_doc, n_shared, rk FROM rk
+    WHERE rk <= {AUD_PROBE_K} ORDER BY probe_id, rk
+    """
+
+
+def _audio_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, win, fpv): integer per-window fingerprints through the
+    REAL PCM1 decode inside one Arrow mapInPandas stage (1 clip row →
+    8-14 window rows; sample bytes never leave the executors). This is
+    the expensive pass the stored index saves."""
+    import numpy as np
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                s, _rate = decode_pcm1(encode_pcm1(int(doc_id)))
+                s = s.astype(np.int64)
+                for w in range(s.size // AUD_WIN):
+                    win = s[w * AUD_WIN:(w + 1) * AUD_WIN]
+                    pc = int((win >= 0).sum())
+                    eb = int((win * win).sum()) >> AUD_EB_SHIFT
+                    rows.append((int(doc_id), w, f"{w}_{pc}_{eb}"))
+            yield pd.DataFrame(rows, columns=["doc_id", "win", "fpv"])
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id bigint, win int, fpv string"
+    )
+
+
+def _audio_clusters(fp: DataFrame) -> DataFrame:
+    """Duplicate clusters by full fingerprint bag: one O(n) hash
+    group-by chain, NO pair join — the right shape for a duplicate-
+    heavy corpus at any scale (all-pairs within a dup class is
+    quadratic; the class signature is not)."""
+    bag = fp.groupBy("doc_id").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("fpv"))).alias("sig")
+    )
+    return (
+        bag.groupBy("sig")
+        .agg(F.min("doc_id").alias("rep_doc"),
+             F.count("*").alias("n_docs"),
+             F.max("doc_id").alias("max_doc"))
+        .select("rep_doc", "n_docs", "max_doc")
+        .orderBy(F.desc("n_docs"), "rep_doc")
+        .limit(AUD_TOP)
+    )
+
+
+def _audio_probe_matches(fp: DataFrame) -> DataFrame:
+    """Top-K matches per probe clip over a fingerprint relation.
+    Fingerprints shared by df >= AUD_MAX_DF clips (near-universal
+    windows — the audio analogue of stop-shingles) are excluded from
+    BOTH join sides, bounding the per-probe candidate set to
+    O(windows × AUD_MAX_DF) regardless of corpus size."""
+    kept = (
+        fp.select("doc_id", "fpv")
+        .withColumn("df", F.count("*").over(Window.partitionBy("fpv")))
+        .filter(F.col("df") < AUD_MAX_DF)
+        .drop("df")
+    )
+    pr = (
+        kept.filter(F.col("doc_id") < AUD_PROBE_DOCS)
+        .withColumnRenamed("doc_id", "probe_id")
+    )
+    m = (
+        F.broadcast(pr).alias("p")
+        .join(kept.alias("c"),
+              (F.col("p.fpv") == F.col("c.fpv"))
+              & (F.col("c.doc_id") != F.col("p.probe_id")))
+        .groupBy(F.col("p.probe_id"), F.col("c.doc_id").alias("match_doc"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_shared"), "match_doc"
+    )
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= AUD_PROBE_K)
+        .select("probe_id", "match_doc", "n_shared", "rk")
+        .orderBy("probe_id", "rk")
+    )
+
+
+@register("multimodal_audio_dedup", oracle=_audfp_cluster_oracle())
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over audio: top-20 duplicate
+    clusters by full fingerprint bag. Decode → window → fingerprint
+    runs in one Arrow mapInPandas stage; clustering is a pure hash
+    group-by chain (zero pair joins — see _audio_clusters)."""
+    fp = _audio_fp(
+        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    )
+    return _audio_clusters(fp)
+
+
+# --- stored audio-fingerprint index: build-once / probe-many ----------
+
+
+def _audio_index_fq(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"default.__aud_fp_index_{tag}__"
+
+
+def _audio_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+    """Sync the stored fingerprint table to ``corpus`` (doc_id rows):
+    only NEW clips are decoded and fingerprinted (multi-row-per-id
+    index: each new clip contributes its window rows); deleted clips
+    are tombstoned by doc_id, hiding all their window rows at once."""
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
+    def make_rows(new_ids: DataFrame) -> DataFrame:
+        return _audio_fp(corpus.join(new_ids, "doc_id", "left_semi")
+                         .repartition(8))
+
+    refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
+                         make_rows)
+
+
+@register("audio_index_build", oracle=_audfp_hist_oracle())
+def audio_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or incrementally refresh) the stored audio-fingerprint
+    index and report its per-window histogram FROM THE STORED TABLE."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _audio_index_fq(sf_dir)
+    _audio_refresh(spark, tbl,
+                   table(spark, sf_dir, "documents").select("doc_id"))
+    return (
+        live_index(spark, tbl, "doc_id")
+        .groupBy("win")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fpv").alias("n_fps"))
+        .orderBy("win")
+    )
+
+
+@register("audio_index_probe", oracle=_audfp_probe_oracle())
+def audio_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the STORED fingerprint index: top-3 matches per probe
+    clip by shared (df-capped) windows. Fingerprints come from the
+    index table — the probe plan never decodes a clip (no mapInPandas
+    stage) and never scans the documents parquet (both plan-asserted
+    in tests/test_plan_quality.py)."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _audio_index_fq(sf_dir)
+    _audio_refresh(spark, tbl,
+                   table(spark, sf_dir, "documents").select("doc_id"))
+    return _audio_probe_matches(live_index(spark, tbl, "doc_id"))
+
+
+_AUD_DML_GONE = "doc_id >= 100 AND doc_id < 160"
+_AUD_DML_BACK = 100
+
+
+@register(
+    "audio_index_dml",
+    oracle=_audfp_hist_oracle(
+        where=f"NOT ({_AUD_DML_GONE}) OR doc_id = {_AUD_DML_BACK}"
+    ),
+)
+def audio_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance of the stored fingerprint index: full build, a
+    privacy-deletion batch (60 clips tombstoned — one tombstone hides
+    all of a clip's window rows, no re-decode of survivors), one
+    deleted clip re-inserted (compaction path). The final LIVE
+    per-window histogram must equal a from-scratch decode+fingerprint
+    pass over the surviving corpus."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _audio_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    _audio_refresh(spark, tbl, d)
+    _audio_refresh(spark, tbl, d.filter(f"NOT ({_AUD_DML_GONE})"))
+    _audio_refresh(
+        spark, tbl,
+        d.filter(f"NOT ({_AUD_DML_GONE}) OR doc_id = {_AUD_DML_BACK}"),
+    )
+    return (
+        live_index(spark, tbl, "doc_id")
+        .groupBy("win")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("fpv").alias("n_fps"))
+        .orderBy("win")
+    )

@@ -179,3 +179,67 @@ def test_upsert_log_compaction_under_hive_catalog(tmp_path):
         spark.stop()
     """)
     assert "UPSERT_COMPACT_OK" in out
+
+
+def test_direct_fast_paths_under_hive_catalog(tmp_path):
+    """The round-8/9 driver-side fast paths — direct row-group ingest
+    (insert_rows_local), direct cursor FETCH, the no-op MV refresh, and
+    the direct MV refresh's SET LOCATION generation swap — all parse
+    DESC FORMATTED locations and commit via ADD PARTITION / SET
+    LOCATION, which are exactly the semantics a Hive catalog changes.
+    Run the core cases of tests/test_direct_ingest.py,
+    test_cursor_direct.py and test_direct_mv.py in a REAL Derby
+    persistent-metastore process, then restart the process and require
+    the swapped MV location plus the whole loop to survive."""
+    out_a = _run(tmp_path, """
+        import glob, os
+        eng = SparkEngine(spark)
+        conn = RisingWaveConnection(eng)
+        conn.execute("CREATE TABLE ms_ev (k BIGINT, v BIGINT)")
+        conn.execute("CREATE MATERIALIZED VIEW ms_agg AS "
+                     "SELECT count(*) AS n, sum(v) AS s FROM ms_ev")
+        assert eng.mvs["public.ms_agg"].inc_direct is not None
+        conn.insert_row("ms_ev", force_flush=True, k=1, v=10)
+        # 1) ingest took the direct path (rwfast files on disk)
+        loc = eng._table_location("public.ms_ev")
+        assert glob.glob(os.path.join(loc, "rwfast-*.parquet")), loc
+        # 2) steady state is Spark-job-free under Hive too
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        conn.insert_row("ms_ev", force_flush=True, k=2, v=20)
+        assert tracker.getJobIdsForGroup(None) == before, "jobs dispatched"
+        assert eng.mvs["public.ms_agg"].inc_direct is not None
+        # 3) direct cursor FETCH delivers both epochs driver-side
+        conn.execute("CREATE SUBSCRIPTION ms_sub FROM ms_ev "
+                     "WITH (retention = '3600s')")
+        conn.execute("DECLARE ms_cur SUBSCRIPTION CURSOR FOR ms_sub SINCE 0")
+        cols, rows = eng.fetch_cursor("ms_cur", 100)
+        assert [r[:3] for r in rows] == [(1, 10, "Insert"), (2, 20, "Insert")], rows
+        # 4) the MV table is being served from a generation dir
+        mv_loc = eng._table_meta("public.ms_agg")[0]
+        print("MV_LOC_GEN", "__rwgen_" in mv_loc)
+        print("A_MV", conn.fetch("SELECT n, s FROM ms_agg"))
+        spark.stop()
+    """)
+    assert "MV_LOC_GEN True" in out_a
+    assert "A_MV [(2, 30)]" in out_a
+
+    out_b = _run(tmp_path, """
+        eng = SparkEngine(spark)
+        conn = RisingWaveConnection(eng)
+        # the SET LOCATION swap persisted in Derby: the restored MV
+        # reads the generation dir, re-arms, and keeps refreshing
+        print("B_RESTORED", conn.fetch("SELECT n, s FROM ms_agg"))
+        conn.insert_row("ms_ev", force_flush=True, k=3, v=30)
+        print("B_AFTER", conn.fetch("SELECT n, s FROM ms_agg"))
+        assert eng.mvs["public.ms_agg"].inc_direct is not None
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        conn.insert_row("ms_ev", force_flush=True, k=4, v=40)
+        assert tracker.getJobIdsForGroup(None) == before, "jobs dispatched"
+        print("B_FINAL", conn.fetch("SELECT n, s FROM ms_agg"))
+        spark.stop()
+    """)
+    assert "B_RESTORED [(2, 30)]" in out_b
+    assert "B_AFTER [(3, 60)]" in out_b
+    assert "B_FINAL [(4, 100)]" in out_b

@@ -316,6 +316,7 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
         ("dedup_index_probe", "documents"),
         ("image_index_probe", "documents"),
         ("video_index_probe", "documents"),
+        ("audio_index_probe", "documents"),
     ):
         plan = _plan(spark, sf_dir, name)
         scans = [
@@ -327,6 +328,7 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
     # the stored table, so no Python/Arrow map stage may appear
     assert "MapInPandas" not in _plan(spark, sf_dir, "image_index_probe")
     assert "MapInPandas" not in _plan(spark, sf_dir, "video_index_probe")
+    assert "MapInPandas" not in _plan(spark, sf_dir, "audio_index_probe")
 
 
 @pytest.mark.parametrize("name", ["q9_profit_by_nation",
