@@ -357,6 +357,116 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# K-means clustering over embeddings (fixed-iteration Lloyd's) and
+# SemDeDup-style semantic dedup (Abbas et al. 2023: cluster first,
+# all-pairs cosine only WITHIN a cluster). Extension surface — the
+# reference is a client SDK with no vector operators
+# (/root/reference/risingwave/core.py).
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+SEMDEDUP_TAU = 0.30
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid.
+
+    100 TB shape: centroids are k rows — ALWAYS broadcast; the
+    distance is a codegen array fold (no explode of the corpus);
+    the argmin is a per-vector min_by, no shuffle beyond the final
+    group. Ties break to the lowest cluster_id on the 6-dp-rounded
+    distance so the assignment is bit-stable across engines."""
+    pairs = e.join(F.broadcast(cents)).withColumn(
+        "sqd", F.round(F.expr(_sqdist_expr("embedding", "cvec")), 6)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("vec_id").orderBy("sqd", "cluster_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id", "sqd")
+    )
+
+
+def _kmeans_recompute(assign: DataFrame) -> DataFrame:
+    """Elementwise-mean centroid recompute: posexplode to
+    (cluster, dim, val), two-phase avg, reassemble ordered array."""
+    dims = assign.select(
+        "cluster_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    avg = dims.groupBy("cluster_id", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("av")
+    )
+    return avg.groupBy("cluster_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, av))), s -> s.av)").alias("cvec")
+    )
+
+
+def _kmeans_train(e: DataFrame) -> DataFrame:
+    """Fixed-iteration Lloyd's over ``e`` (vec_id, embedding):
+    deterministic init from vec_id 0..k-1, KMEANS_ITERS broadcast-
+    assign + two-phase-recompute rounds. Returns the trained
+    (cluster_id, cvec) centroids — k tiny rows, checkpointed."""
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("cvec"),
+    )
+    for _ in range(KMEANS_ITERS):
+        assign = _kmeans_assign(e, cents)
+        cents = _kmeans_recompute(assign).localCheckpoint(eager=True)
+    return cents
+
+
+def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
+        "vec_id", "embedding"
+    )
+    return _kmeans_assign(e, _kmeans_train(e))
+
+
+def _duck_kmeans_cte() -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTE text, mirroring the
+    Spark rounding (6 dp on distances before argmin)."""
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
+        "* (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+    ).format(d=EMB_DIM)
+    assign = (
+        "a{n} AS (SELECT vec_id, embedding, cluster_id, sqd FROM ("
+        "SELECT e.vec_id, e.embedding, c.cluster_id, round({sq}, 6) AS sqd, "
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY round({sq}, 6), c.cluster_id) AS rn "
+        "FROM embeddings e CROSS JOIN c{m} c) WHERE rn = 1)"
+    )
+    recompute = (
+        "c{n} AS (SELECT cluster_id, list(av ORDER BY pos) AS cvec FROM ("
+        "SELECT a.cluster_id, t.i AS pos, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS av "
+        "FROM a{m} a, generate_series(1, {d}) t(i) GROUP BY a.cluster_id, t.i) GROUP BY cluster_id)"
+    )
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster_id, "
+        f"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec "
+        f"FROM embeddings WHERE vec_id < {KMEANS_K})"
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(assign.format(n=it, m=it, sq=sq))
+        parts.append(recompute.format(n=it + 1, m=it, d=EMB_DIM))
+    parts.append(assign.format(n=KMEANS_ITERS, m=KMEANS_ITERS, sq=sq))
+    return ",\n".join(parts)
+
+
+
 # --- persisted IVF index: build-once / probe-many --------------------
 # The per-query variants above recompute the cell assignment every
 # run; the operational pattern at 100 TB keeps the assignment as a
@@ -371,60 +481,190 @@ def _ivf_index_fq(sf_dir: str) -> str:
     return f"default.__ann_ivf_index_{tag}__"
 
 
-def _ivf_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
+# Trained codebook: the stored index assigns to K-MEANS centroids
+# (fixed-iteration Lloyd's, deterministic init — the same training the
+# cluster_kmeans_embeddings op exposes), stored as a tiny codebook
+# table next to the posting lists. Assignment metric is the training
+# metric (squared L2, 6-dp-rounded argmin, ties to the lowest cell);
+# the search metric inside probed cells stays cosine. The codebook is
+# FIXED at build time: DML refreshes tombstone/append posting rows but
+# never retrain (classic IVF — retraining is a rebuild).
+
+_CENT_SQDS = (
+    "transform(__tcents, c -> struct("
+    "round(aggregate(zip_with({vec}, c.ce, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6) AS sqd, "
+    "c.cell_id AS cell))"
+)
+
+
+def _cents_fq(tbl: str) -> str:
+    return tbl + "_cents"
+
+
+def _ensure_trained_cents(
+    spark: SparkSession, sf_dir: str, tbl: str
+) -> DataFrame:
+    """The index's centroid codebook (cluster_id, cvec), trained once
+    from the FULL corpus and persisted; later calls read the stored
+    table (probes must never rescan — or retrain over — the corpus)."""
+    cfq = _cents_fq(tbl)
+    if not spark.catalog.tableExists(cfq):
+        from risingwave_py_spark.catalog import clear_stale_location
+
+        clear_stale_location(spark, cfq)
+        e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
+            "vec_id", "embedding"
+        )
+        _kmeans_train(e).write.saveAsTable(cfq)
+    return spark.table(cfq)
+
+
+def _tcents_packed(cents: DataFrame) -> DataFrame:
+    """Codebook packed into ONE row of (cell_id, ce) structs sorted by
+    cell_id — same single-projection scoring shape as _cents_packed."""
+    return cents.select(
+        F.struct(
+            F.col("cluster_id").cast("int").alias("cell_id"),
+            F.col("cvec").alias("ce"),
+        ).alias("c")
+    ).agg(F.array_sort(F.collect_list("c")).alias("__tcents"))
+
+
+def _assign_cells_trained(e: DataFrame, tcents1: DataFrame) -> DataFrame:
+    """vec_id, embedding, cell_id — argmin-sqdist assignment to the
+    trained codebook in one codegen projection (array_min over
+    (sqd, cell) structs: ties to the lowest cell, mirroring the
+    k-means ORDER BY sqd, cluster_id)."""
+    return (
+        e.join(F.broadcast(tcents1))
+        .withColumn(
+            "cell_id",
+            F.expr(f"array_min({_CENT_SQDS.format(vec='embedding')})")["cell"],
+        )
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def _probe_cells_trained(
+    e: DataFrame, tcents1: DataFrame, n_probe: int
+) -> DataFrame:
+    """vec_id, embedding, cell_id (n_probe rows per query): the
+    n_probe nearest trained cells by ascending sqdist."""
+    return (
+        e.join(F.broadcast(tcents1))
+        .withColumn(
+            "cell_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort("
+                    f"{_CENT_SQDS.format(vec='embedding')}), 1, {n_probe}), "
+                    f"t -> t.cell)"
+                )
+            ),
+        )
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+def _ivf_refresh(
+    spark: SparkSession, tbl: str, corpus: DataFrame, tcents1: DataFrame
+) -> None:
     """Sync the stored IVF index ``tbl`` to ``corpus``. Inserts assign
-    only the new batch (packed-centroid single projection) and append;
+    only the new batch (packed-codebook single projection) and append;
     ids gone from the corpus are tombstoned, re-inserts and tombstone
     growth trigger compaction — all O(changed batch), the
     already-indexed corpus is never re-assigned (index_store docs)."""
     from risingwave_py_spark.functions.index_store import refresh_stored_index
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
-        cents1 = _cents_packed(corpus)
         new = corpus.join(new_ids, "vec_id", "left_semi")
-        return _assign_cells(fanout(new, parts=4), cents1)
+        return _assign_cells_trained(fanout(new, parts=4), tcents1)
 
     refresh_stored_index(spark, tbl, corpus.select("vec_id"), "vec_id", make_rows)
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Create-or-incrementally-refresh the persisted IVF index table
-    (vec_id, embedding, cell_id). The refresh is INCREMENTAL in both
-    directions: new vectors are assigned and appended (O(new batch));
-    vectors gone from the corpus are tombstoned so probes stop seeing
-    them (O(deleted batch)) — see functions/index_store.py. A
-    production deployment drives the changed-id sets from the engine's
-    table changelog instead of a full key diff
-    (index_maintenance_scenario wires exactly that)."""
+    (vec_id, embedding, cell_id) over the trained codebook. The
+    refresh is INCREMENTAL in both directions: new vectors are
+    assigned and appended (O(new batch)); vectors gone from the
+    corpus are tombstoned so probes stop seeing them (O(deleted
+    batch)) — see functions/index_store.py. A production deployment
+    drives the changed-id sets from the engine's table changelog
+    instead of a full key diff (index_maintenance_scenario wires
+    exactly that)."""
     tbl = _ivf_index_fq(sf_dir)
-    _ivf_refresh(spark, tbl, table(spark, sf_dir, "embeddings"))
+    tcents1 = _tcents_packed(_ensure_trained_cents(spark, sf_dir, tbl))
+    _ivf_refresh(spark, tbl, table(spark, sf_dir, "embeddings"), tcents1)
     return tbl
 
 
-def _index_build_oracle(where: str = "TRUE") -> str:
+_DUCK_KM_SQD = (
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
+    "* (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
+)
+
+
+def _trained_hist_oracle(where: str = "TRUE") -> str:
+    """Cell histogram over the TRAINED assignment (the k-means CTE
+    trains on the full corpus — the codebook is fixed at build time —
+    while ``where`` restricts which vectors survive in the index)."""
     return f"""
-    WITH cents AS (
-        SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
-        WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
-    ), assign AS (
-        SELECT vec_id, cell_id,
-               row_number() OVER (PARTITION BY vec_id
-                   ORDER BY round({_duck_cos('embedding', 'ce')}, 6) DESC, cell_id) AS rn
-        FROM embeddings, cents
-        WHERE {where}
-    )
-    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
-    FROM assign WHERE rn = 1
-    GROUP BY cell_id ORDER BY cell_id
+    WITH {_duck_kmeans_cte()}
+    SELECT CAST(cluster_id AS INT) AS cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM a{KMEANS_ITERS} WHERE {where}
+    GROUP BY cluster_id ORDER BY cell_id
     """
 
 
-@register("ann_index_build", oracle=_index_build_oracle())
+def _trained_probe_sql() -> str:
+    """probes/cand CTE tail over the trained assignment a{N} and
+    codebook c{N}: per-query n_probe nearest cells by sqdist, cosine
+    ranking inside them."""
+    n = KMEANS_ITERS
+    return f"""probes AS (
+        SELECT query_id, qe, cell_id FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qe,
+                   c.cluster_id AS cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round({_DUCK_KM_SQD}, 6), c.cluster_id) AS rn
+            FROM embeddings e CROSS JOIN c{n} c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id,
+               round({_duck_cos('p.qe', 'a.embedding')}, 6) AS cosine
+        FROM probes p
+        JOIN a{n} a ON a.cluster_id = p.cell_id AND a.vec_id <> p.query_id
+    ), ivf AS (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rn
+        FROM cand
+    )"""
+
+
+def _trained_probe_oracle() -> str:
+    return f"""
+    WITH {_duck_kmeans_cte()}, {_trained_probe_sql()}
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM ivf WHERE rn <= {TOP_K}
+    """
+
+
+@register("ann_index_build", oracle=_trained_hist_oracle())
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build (or incrementally refresh) the persisted IVF index and
-    report its cell histogram — the DDL half of the build/probe pair.
-    Returns per-cell vector counts FROM THE STORED TABLE, so the
-    oracle check also validates what probes will actually read."""
+    """Build (or incrementally refresh) the persisted IVF index —
+    posting lists over TRAINED k-means centroids (fixed-iteration
+    Lloyd's, deterministic init; the oracle re-derives the training
+    in SQL) — and report its cell histogram, the DDL half of the
+    build/probe pair. Returns per-cell vector counts FROM THE STORED
+    TABLE, so the oracle check also validates what probes will
+    actually read."""
     from risingwave_py_spark.functions.index_store import live_index
 
     tbl = _ensure_ivf_index(spark, sf_dir)
@@ -436,24 +676,20 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_index_probe", oracle=_ivf_oracle())
-def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe the PERSISTED IVF index: same result contract as
-    ann_ivf_topk, but centroids, query vectors, and candidates all
-    come from the stored index table — the returned plan never scans
-    the corpus parquet (plan-asserted in test_plan_quality). At scale
-    the probe costs O(queries × nprobe × cell size) against posting
-    lists that the build query keeps fresh in O(new batch)."""
+def _ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_id, vec_id, cosine, rank over the stored trained index:
+    codebook from the stored cents table, query vectors and candidates
+    from the stored posting lists — nothing rescans the corpus."""
     from pyspark.sql import Window as W
 
     from risingwave_py_spark.functions.index_store import live_index
 
     tbl = _ensure_ivf_index(spark, sf_dir)
     idx = live_index(spark, tbl, "vec_id")
-    cents1 = _cents_packed(idx)
-    probes = _probe_cells(
+    tcents1 = _tcents_packed(spark.table(_cents_fq(tbl)))
+    probes = _probe_cells_trained(
         idx.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
-        cents1,
+        tcents1,
         N_PROBE,
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
@@ -478,6 +714,88 @@ def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_index_probe", oracle=_trained_probe_oracle())
+def ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the PERSISTED IVF index: top-k by cosine inside the
+    query's n_probe nearest TRAINED cells. Codebook, query vectors,
+    and candidates all come from stored tables — the returned plan
+    never scans (or retrains over) the corpus parquet (plan-asserted
+    in test_plan_quality). At scale the probe costs O(queries ×
+    nprobe × cell size) against posting lists the build query keeps
+    fresh in O(new batch)."""
+    return _ivf_probe_topk(spark, sf_dir)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH {{km}}, {{probe}}, bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({{cos}}, 6) DESC, e.vec_id) AS rn
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT bf.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           round(COUNT(i.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall
+    FROM bf LEFT JOIN (SELECT query_id, vec_id FROM ivf
+                       WHERE rn <= {TOP_K}) i
+      ON i.query_id = bf.query_id AND i.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """.format(
+        km="PLACEHOLDER_KM", probe="PLACEHOLDER_PROBE",
+        cos=_duck_cos("q.embedding", "e.embedding"),
+    ).replace("PLACEHOLDER_KM", _duck_kmeans_cte()).replace(
+        "PLACEHOLDER_PROBE", _trained_probe_sql()
+    ),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index QUALITY row: recall@{K} of the trained-IVF probe against
+    exact brute-force cosine top-k, per query — the measured
+    cost/recall dial every ANN deployment reports (the analogue of
+    sketch_error_bounds for the sketch family). Brute force scans the
+    corpus (it is the ground truth, not the serving path)."""
+    from pyspark.sql import Window as W
+
+    ivf = _ivf_probe_topk(spark, sf_dir).select("query_id", "vec_id")
+    raw = table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    e = fanout(raw, parts=4)
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_spark_dot("qe", "embedding"))
+                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    bf = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    i = ivf.withColumnRenamed("vec_id", "ivec").alias("i")
+    return (
+        bf.alias("b")
+        .join(i, (F.col("b.query_id") == F.col("i.query_id"))
+              & (F.col("b.vec_id") == F.col("i.ivec")), "left")
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("i.ivec").alias("n_hits"),
+            F.round(F.count("i.ivec") / F.lit(float(TOP_K)), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # Privacy-deletion batch for the index-DML scenario: a contiguous slice
 # that exists at every SF (ids are 0..N-1 everywhere) and avoids the
 # query rows (< N_QUERIES) and the centroid rows [100, 100+N_CELLS).
@@ -487,13 +805,14 @@ _DML_BACK = 200  # one deleted vector is later re-inserted (compaction path)
 
 @register(
     "ann_index_dml",
-    oracle=_index_build_oracle(
+    oracle=_trained_hist_oracle(
         where=f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"
     ),
 )
 def ann_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DML maintenance of the persisted IVF index: build over the full
-    corpus, apply a privacy-deletion batch (60 vectors tombstoned —
+    corpus (codebook trained once, then held fixed — DML never
+    retrains), apply a privacy-deletion batch (60 vectors tombstoned —
     O(deleted batch), no index rewrite), then re-insert one deleted id
     (forces the compaction path: the id-keyed tombstone would hide the
     returning row). The final LIVE histogram must equal a from-scratch
@@ -508,12 +827,14 @@ def ann_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = _ivf_index_fq(sf_dir) + "_dml"
     drop_stored_index(spark, tbl)  # self-contained: fresh build each run
+    spark.sql(f"DROP TABLE IF EXISTS {_cents_fq(tbl)}")
     raw = table(spark, sf_dir, "embeddings")
-    _ivf_refresh(spark, tbl, raw)
-    _ivf_refresh(spark, tbl, raw.filter(f"NOT ({_DML_GONE})"))
+    tcents1 = _tcents_packed(_ensure_trained_cents(spark, sf_dir, tbl))
+    _ivf_refresh(spark, tbl, raw, tcents1)
+    _ivf_refresh(spark, tbl, raw.filter(f"NOT ({_DML_GONE})"), tcents1)
     _ivf_refresh(
         spark, tbl,
-        raw.filter(f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"),
+        raw.filter(f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"), tcents1,
     )
     return (
         live_index(spark, tbl, "vec_id")
@@ -778,106 +1099,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("drop_id")
     )
 
-
-# ---------------------------------------------------------------------------
-# K-means clustering over embeddings (fixed-iteration Lloyd's) and
-# SemDeDup-style semantic dedup (Abbas et al. 2023: cluster first,
-# all-pairs cosine only WITHIN a cluster). Extension surface — the
-# reference is a client SDK with no vector operators
-# (/root/reference/risingwave/core.py).
-
-KMEANS_K = 8
-KMEANS_ITERS = 2
-EMB_DIM = 64
-SEMDEDUP_TAU = 0.30
-
-
-def _sqdist_expr(a: str, b: str) -> str:
-    return (
-        f"aggregate(zip_with({a}, {b}, "
-        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
-def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid.
-
-    100 TB shape: centroids are k rows — ALWAYS broadcast; the
-    distance is a codegen array fold (no explode of the corpus);
-    the argmin is a per-vector min_by, no shuffle beyond the final
-    group. Ties break to the lowest cluster_id on the 6-dp-rounded
-    distance so the assignment is bit-stable across engines."""
-    pairs = e.join(F.broadcast(cents)).withColumn(
-        "sqd", F.round(F.expr(_sqdist_expr("embedding", "cvec")), 6)
-    )
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("vec_id").orderBy("sqd", "cluster_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id", "sqd")
-    )
-
-
-def _kmeans_recompute(assign: DataFrame) -> DataFrame:
-    """Elementwise-mean centroid recompute: posexplode to
-    (cluster, dim, val), two-phase avg, reassemble ordered array."""
-    dims = assign.select(
-        "cluster_id", F.posexplode("embedding").alias("pos", "v")
-    )
-    avg = dims.groupBy("cluster_id", "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("av")
-    )
-    return avg.groupBy("cluster_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(pos, av))), s -> s.av)").alias("cvec")
-    )
-
-
-def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
-        "vec_id", "embedding"
-    )
-    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster_id"),
-        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))").alias("cvec"),
-    )
-    for _ in range(KMEANS_ITERS):
-        assign = _kmeans_assign(e, cents)
-        cents = _kmeans_recompute(assign).localCheckpoint(eager=True)
-    return _kmeans_assign(e, cents)
-
-
-def _duck_kmeans_cte() -> str:
-    """Unrolled Lloyd's iterations as DuckDB CTE text, mirroring the
-    Spark rounding (6 dp on distances before argmin)."""
-    sq = (
-        "list_sum(list_transform(generate_series(1, {d}), "
-        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) "
-        "* (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])))"
-    ).format(d=EMB_DIM)
-    assign = (
-        "a{n} AS (SELECT vec_id, embedding, cluster_id, sqd FROM ("
-        "SELECT e.vec_id, e.embedding, c.cluster_id, round({sq}, 6) AS sqd, "
-        "row_number() OVER (PARTITION BY e.vec_id ORDER BY round({sq}, 6), c.cluster_id) AS rn "
-        "FROM embeddings e CROSS JOIN c{m} c) WHERE rn = 1)"
-    )
-    recompute = (
-        "c{n} AS (SELECT cluster_id, list(av ORDER BY pos) AS cvec FROM ("
-        "SELECT a.cluster_id, t.i AS pos, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS av "
-        "FROM a{m} a, generate_series(1, {d}) t(i) GROUP BY a.cluster_id, t.i) GROUP BY cluster_id)"
-    )
-    parts = [
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster_id, "
-        f"list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec "
-        f"FROM embeddings WHERE vec_id < {KMEANS_K})"
-    ]
-    for it in range(KMEANS_ITERS):
-        parts.append(assign.format(n=it, m=it, sq=sq))
-        parts.append(recompute.format(n=it + 1, m=it, d=EMB_DIM))
-    parts.append(assign.format(n=KMEANS_ITERS, m=KMEANS_ITERS, sq=sq))
-    return ",\n".join(parts)
 
 
 @register(
