@@ -73,32 +73,35 @@ def load_all() -> None:
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round — first driver samples
-    "q18_bucketed", "q9_bucketed", "q10_bucketed",
-    "q5_bucketed", "q7_bucketed",
-    # changed this round: perceptual hot-bucket caps
-    "multimodal_image_dedup", "multimodal_video_dedup",
-    "image_index_probe", "video_index_probe",
-    # changed this round: dead-row compaction budget + direct ingest
-    "ann_index_dml", "dedup_index_dml", "image_index_dml",
-    "video_index_dml", "index_maintenance_scenario",
-    "buffer_scenario",
-    # oldest driver verdicts: r3-era text/sampling/corpus batteries
-    "text_quality_scores", "text_quality_classifier", "text_langid_markers",
-    "text_token_count", "text_token_count_bpe", "text_char_entropy",
-    "text_repetition_ratio", "text_fingerprint", "text_chunk_windows",
-    "text_pack_sequences", "text_decontaminate", "text_pii_redact",
-    "text_unigram_logprob",
-    "sample_uniform_hash", "sample_stratified_quota", "sample_split_assign",
-    "sample_mixture_apply",
-    "corpus_vocab_stats", "corpus_mixture_plan", "corpus_source_drift",
-    # r4-era window/events families
-    "window_rank_lag", "window_range_frame", "window_first_last_nth",
-    "window_ntile_percentrank", "window_filtered_agg", "gapfill_locf",
-    "sessionize_events", "session_window_events", "events_funnel",
-    "events_retention_cohorts", "interval_join_events",
-    "asof_join_grammar", "asof_join_last_click",
-    "distinct_on_latest_event", "heavy_hitter_bigrams",
+    # new this round — audio modality + trained-IVF index family
+    "multimodal_audio_dedup", "audio_index_build", "audio_index_probe",
+    "audio_index_dml",
+    "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
+    # changed this round: driver-side direct MV refresh touches every
+    # MV refresh path — the full scenario battery leads
+    "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
+    "join_inc_mv_scenario", "dml_join_inc_mv_scenario",
+    "join_agg_inc_mv_scenario", "dml_join_agg_inc_mv_scenario",
+    "topn_inc_mv_scenario", "cascade_mv_scenario", "streaming_mv_scenario",
+    "mv_changelog_scenario", "table_changelog_scenario", "buffer_scenario",
+    "emit_on_close_scenario", "tumble_mv_scenario",
+    # changed this round: index_store one-pass refresh decisions
+    "index_maintenance_scenario", "dedup_index_dml", "image_index_dml",
+    "video_index_dml", "dedup_index_probe", "image_index_probe",
+    "video_index_probe",
+    # kmeans machinery refactor + bucketed guard/marker changes
+    "multimodal_audio_pipeline", "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters", "bucketed_scenario",
+    # stalest driver verdicts: r5/r6-era TPC-H adaptations
+    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
+    "q11_important_stock", "q12_late_lines_by_flag",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue",
+    "q20_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_prospect_customers",
+    # stalest embedding family
+    "dedup_embedding_cosine", "embedding_blocked_pairs",
+    "embedding_label_outliers",
 ]
 
 
