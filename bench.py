@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "agg_salted_skew",
+    # round 9: audio decode+fingerprint clustering (one mapInPandas
+    # stage + hash group-by chain vs DuckDB's closed-form signal SQL)
+    "multimodal_audio_dedup",
 ]
 
 

@@ -2386,24 +2386,24 @@ class SparkEngine:
                 })
             except Exception:  # noqa: BLE001 — overflow/coercion: Spark path
                 return False
-            epoch = self.next_epoch()
-            # result swap first (an atomic catalog op that can still
-            # refuse — e.g. an exotic catalog); the changelog commit
-            # below reuses the crash-proven direct-ingest publication
-            new_loc = (
-                re.sub(r"__rwgen_\d+$", "", loc_mv.rstrip("/"))
-                + f"__rwgen_{epoch}"
-            )
-            os.makedirs(new_loc, exist_ok=True)
-            pq.write_table(
-                mv_tab, os.path.join(new_loc, f"rwfast-{epoch}.parquet")
-            )
+            # Capability probe BEFORE any mutation: a no-op SET
+            # LOCATION to the current path. A catalog that refuses the
+            # op (exotic deployments) falls back cleanly here; probing
+            # now means the real swap after the changelog commit below
+            # is near-certain to succeed.
             try:
-                spark.sql(f"ALTER TABLE {fq} SET LOCATION '{new_loc}'")
+                spark.sql(f"ALTER TABLE {fq} SET LOCATION '{loc_mv}'")
             except Exception:  # noqa: BLE001 — catalog refused: Spark path
-                shutil.rmtree(new_loc, ignore_errors=True)
                 return False
-            self._locations.pop(fq, None)
+            epoch = self.next_epoch()
+            # Same commit order as the Spark refresh paths: changelog
+            # epoch FIRST, result swap second. A failure (or crash)
+            # between them leaves the table stale with the epoch
+            # published — the fallback recompute then re-emits, which
+            # is the system's at-least-once contract. The reverse
+            # order could let the fallback re-MERGE an already-merged
+            # delta into the table: wrong results, not just duplicate
+            # delivery.
             pdir = os.path.join(cl_loc, f"rw_timestamp={epoch}")
             os.makedirs(pdir, exist_ok=True)
             tmp = os.path.join(pdir, f".rwfast-{uuid.uuid4().hex}.tmp")
@@ -2413,6 +2413,16 @@ class SparkEngine:
                 f"ALTER TABLE {cl} ADD IF NOT EXISTS "
                 f"PARTITION (rw_timestamp={epoch})"
             )
+            new_loc = (
+                re.sub(r"__rwgen_\d+$", "", loc_mv.rstrip("/"))
+                + f"__rwgen_{epoch}"
+            )
+            os.makedirs(new_loc, exist_ok=True)
+            pq.write_table(
+                mv_tab, os.path.join(new_loc, f"rwfast-{epoch}.parquet")
+            )
+            spark.sql(f"ALTER TABLE {fq} SET LOCATION '{new_loc}'")
+            self._locations.pop(fq, None)
             spark.catalog.refreshTable(fq)
             spark.catalog.refreshTable(cl)
             shutil.rmtree(loc_mv, ignore_errors=True)  # superseded gen
