@@ -405,10 +405,17 @@ def main() -> None:
     # truncates long lines, and round-over-round diffs must be
     # computable from repo artifacts alone.
     try:
+        here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND", "")
-        tag = f"_r{rnd}" if rnd else ""
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               f"BENCH_LOCAL{tag}.json"), "w") as fh:
+        if not rnd:
+            # infer: this bench run belongs to the round AFTER the
+            # last driver-recorded one
+            done = [
+                int(m.group(1)) for f in os.listdir(here)
+                if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+            ]
+            rnd = f"{(max(done) + 1) if done else 1:02d}"
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
             fh.write(line + "\n")
     except OSError:
         pass

@@ -409,7 +409,14 @@ class SparkEngine:
         per call. Invalidated on DROP/RENAME/rewrite."""
         meta = self._locations.get(fq)
         if meta is not None:
-            return meta
+            # one syscall guards against any missed invalidation: a
+            # cached location whose dir is gone (table dir moved by a
+            # rewrite) must re-resolve, never be served stale — the
+            # direct ingest path would otherwise write into an
+            # orphaned directory no reader lists.
+            if os.path.isdir(meta[0]):
+                return meta
+            self._locations.pop(fq, None)
         loc, parts, mode = None, [], None
         for r in self.spark.sql(f"DESC FORMATTED {fq}").collect():
             cn = (r.col_name or "").strip()
@@ -3104,9 +3111,10 @@ class SparkEngine:
             base_cl = self.changelog_name(base)
             with self._lock:
                 self.spark.catalog.refreshTable(base_cl)
-                m0 = (
+                m0 = max(
                     self.spark.table(base_cl)
-                    .agg(F.max("rw_timestamp")).first()[0] or 0
+                    .agg(F.max("rw_timestamp")).first()[0] or 0,
+                    self.vacuum_floor.get(base_cl, 0),
                 )
                 snap = self.spark.table(base).localCheckpoint(eager=True)
         if inc is not None:
@@ -3118,7 +3126,15 @@ class SparkEngine:
             with self._lock:
                 self.spark.catalog.refreshTable(base_cl)
                 cl_df = self.spark.table(base_cl)
-                m0 = cl_df.agg(F.max("rw_timestamp")).first()[0] or 0
+                # include the vacuum floor: a truncated changelog can
+                # read max < floor, but every epoch <= floor is folded
+                # into the lock-pinned snapshot by construction — an
+                # understated watermark would trip the refresh-time
+                # floor check forever (demote/re-arm every flush)
+                m0 = max(
+                    cl_df.agg(F.max("rw_timestamp")).first()[0] or 0,
+                    self.vacuum_floor.get(base_cl, 0),
+                )
                 snap = self.spark.table(base).localCheckpoint(eager=True)
             # NOTE: prior UPDATE/DELETE history on the base is fine —
             # the induction base is the TABLE snapshot (not a changelog
@@ -3140,11 +3156,12 @@ class SparkEngine:
             with self._lock:
                 base_cl_t = self.changelog_name(inctop["base_fq"])
                 self.spark.catalog.refreshTable(base_cl_t)
-                m0t = (
+                m0t = max(
                     self.spark.table(base_cl_t)
                     .agg(F.max("rw_timestamp"))
                     .first()[0]
-                    or 0
+                    or 0,
+                    self.vacuum_floor.get(base_cl_t, 0),
                 )
                 self.spark.catalog.refreshTable(inctop["base_fq"])
                 snap_t = self.spark.table(
@@ -3203,8 +3220,11 @@ class SparkEngine:
                 for cl in side_cls:
                     self.spark.catalog.refreshTable(cl)
                 m0j = max(
-                    self.spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
-                    or 0
+                    max(
+                        self.spark.table(cl)
+                        .agg(F.max("rw_timestamp")).first()[0] or 0,
+                        self.vacuum_floor.get(cl, 0),
+                    )
                     for cl in side_cls
                 )
                 for b in side_fqs:
@@ -4477,9 +4497,14 @@ class SparkEngine:
                 return None  # may appear after the first insert
             with self._lock:
                 spark.catalog.refreshTable(base_cl)
-                m0 = (
+                # include the vacuum floor: every epoch <= floor is in
+                # the pinned snapshot even when the truncated changelog
+                # reads max < floor (else the refresh-time floor check
+                # demotes again every flush)
+                m0 = max(
                     spark.table(base_cl).agg(F.max("rw_timestamp")).first()[0]
-                    or 0
+                    or 0,
+                    self.vacuum_floor.get(base_cl, 0),
                 )
                 snap = spark.table(base).localCheckpoint(eager=True)
             view = f"__rw_rearm_{tag}"
@@ -4521,9 +4546,10 @@ class SparkEngine:
                 return None  # may appear after the first insert
             with self._lock:
                 spark.catalog.refreshTable(base_cl)
-                m0 = (
+                m0 = max(
                     spark.table(base_cl).agg(F.max("rw_timestamp")).first()[0]
-                    or 0
+                    or 0,
+                    self.vacuum_floor.get(base_cl, 0),
                 )
                 spark.catalog.refreshTable(base)
                 snap = spark.table(base).localCheckpoint(eager=True)
@@ -4571,7 +4597,11 @@ class SparkEngine:
             for cl in cls:
                 spark.catalog.refreshTable(cl)
             m0j = max(
-                spark.table(cl).agg(F.max("rw_timestamp")).first()[0] or 0
+                max(
+                    spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
+                    or 0,
+                    self.vacuum_floor.get(cl, 0),
+                )
                 for cl in cls
             )
             snaps0 = []
@@ -5068,6 +5098,10 @@ class SparkEngine:
         )
         self.spark.sql(f"DROP TABLE IF EXISTS {cl}")
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")
+        # the rewrite moved the changelog's data dir: the direct
+        # ingest/fetch paths must re-resolve, not write into (or read
+        # from) the moved-away location
+        self._locations.pop(cl, None)
         # RENAME on a PARTITIONED managed table moves the data dir but
         # drops the partition metadata — recover it from the directory
         # structure or the table reads as empty.

@@ -238,3 +238,40 @@ def test_direct_result_survives_spark_path_interleaving(spark, conn):
         f"SELECT p, sum(v) AS total, count(*) AS n FROM {s}.t GROUP BY p"
     ))
     assert got == want == [("a", 106, 3), ("c", 9, 1)]
+
+
+def test_unconsumed_vacuum_disarms_then_rearms_direct(spark, conn):
+    """Vacuuming epochs the direct plan has not folded yet must disarm
+    it (the delta suffix is gone); the SAME flush falls back to
+    snapshot-diff, stays exact, and the re-arm probe restores the
+    direct plan from a fresh induction base."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.ev (k BIGINT, v BIGINT)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.agg AS "
+        f"SELECT count(*) AS n, sum(v) AS sm FROM {s}.ev"
+    )
+    st = eng.mvs[f"{s}.agg"]
+    c.insert_row("ev", schema_name=s, force_flush=True, k=1, v=1)
+    assert st.inc_direct is not None
+    # publish an epoch the MV has NOT consumed, then vacuum everything
+    eng.insert_df(
+        "ev", spark.createDataFrame([(2, 2)], "k bigint, v bigint"),
+        schema_name=s,
+    )
+    c.execute(
+        f"CREATE SUBSCRIPTION {s}.sub0 FROM {s}.ev WITH (retention = '0s')"
+    )
+    eng.vacuum_changelogs()
+    assert eng.vacuum_floor.get(
+        eng.changelog_name(f"{s}.ev"), 0
+    ) > st.last_epoch
+    c.execute("FLUSH")
+    st = eng.mvs[f"{s}.agg"]
+    assert c.fetch(f"SELECT n, sm FROM {s}.agg") == [(2, 3)]
+    assert st.inc_direct is not None, "same-flush re-arm must recover"
+    # and the recovered plan keeps merging job-free
+    with _no_jobs(spark) as jobs:
+        c.insert_row("ev", schema_name=s, force_flush=True, k=3, v=3)
+    assert jobs.clean
+    assert c.fetch(f"SELECT n, sm FROM {s}.agg") == [(3, 6)]
