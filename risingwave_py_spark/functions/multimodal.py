@@ -1403,12 +1403,15 @@ def _audio_fp(docs: DataFrame) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 s, _rate = decode_pcm1(encode_pcm1(int(doc_id)))
-                s = s.astype(np.int64)
-                for w in range(s.size // AUD_WIN):
-                    win = s[w * AUD_WIN:(w + 1) * AUD_WIN]
-                    pc = int((win >= 0).sum())
-                    eb = int((win * win).sum()) >> AUD_EB_SHIFT
-                    rows.append((int(doc_id), w, f"{w}_{pc}_{eb}"))
+                nw = s.size // AUD_WIN
+                # all windows at once: one reshape + two row reductions
+                win = s[: nw * AUD_WIN].astype(np.int64).reshape(nw, AUD_WIN)
+                pcs = (win >= 0).sum(axis=1)
+                ebs = (win * win).sum(axis=1) >> AUD_EB_SHIFT
+                rows.extend(
+                    (int(doc_id), w, f"{w}_{pcs[w]}_{ebs[w]}")
+                    for w in range(nw)
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "win", "fpv"])
 
     return docs.mapInPandas(

@@ -93,10 +93,19 @@ def probe(spark, k: int, groups: int = 100) -> dict:
         conn.execute(f"UPDATE {schema}.fact SET v = 7 WHERE g = 3 AND v = 5")
         out[f"update_{label}"] = timed_flush()
 
+    # round 9: the 100-row insert delta is small enough for the
+    # DRIVER-SIDE direct merge on agg_mv — "fast" now measures it
+    assert st_agg.inc_direct is not None
     one_round("fast")
     assert st_agg.inc is not None and st_ja.inc_joinagg is not None, (
         "probe DML must stay on the fast paths"
     )
+    # disarm ONLY the driver-side merge → the Spark inc path cost
+    # (stable: the re-arm probe runs only from snapshot-diff, which
+    # the still-armed inc path never reaches)
+    st_agg.inc_direct = None
+    one_round("incpath")
+    assert st_agg.inc_direct is None and st_agg.inc is not None
     # disable the fast paths → snapshot-diff recompute per flush
     st_agg.inc = None
     st_ja.inc_joinagg = None
