@@ -1581,3 +1581,196 @@ def audio_index_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("fpv").alias("n_fps"))
         .orderBy("win")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone v3: MULTIMODAL curation — one composed query chaining a
+# perceptual-image exact-dup stage (banded aHash candidates, hot-bucket
+# df cap, hamming=0), an audio fingerprint-bag cluster stage (keep the
+# min-doc representative per identical clip class), and a unigram-LM
+# text-quality gate (per-doc mean token log-prob at or above the
+# surviving corpus's mean), reporting the per-source funnel. This is
+# the cross-modality version of pipeline_curate_corpus_v2: a real
+# training-data curation DAG runs all three modalities over one corpus
+# snapshot, and the per-stage accounting is the artifact data teams
+# actually review.
+
+_CURATE_NORM_TOK = r"regexp_split_to_array(text, '\s+')"
+
+
+def _curate_mm_oracle() -> str:
+    ham = " + ".join(
+        f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(AHASH_BANDS)
+    )
+    aud = _audfp_ctes().replace("), fp AS (", "), afp AS (")
+    return rf"""
+    WITH {_ahash_ctes()}, {aud}, bands_k AS (
+        SELECT doc_id, band_id, val FROM (
+            SELECT doc_id, band_id, val,
+                   COUNT(*) OVER (PARTITION BY band_id, val) AS df
+            FROM bands) WHERE df < {AHASH_MAX_DF}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands_k a JOIN bands_k b
+          ON a.band_id = b.band_id AND a.val = b.val AND a.doc_id < b.doc_id
+    ), img_drop AS (
+        SELECT DISTINCT db AS doc_id FROM cand
+        JOIN fp fa ON fa.doc_id = da JOIN fp fb ON fb.doc_id = db
+        WHERE {ham} = 0
+    ), keep_img AS (
+        SELECT d.doc_id, d.source, d.text FROM documents d
+        ANTI JOIN img_drop x ON d.doc_id = x.doc_id
+    ), bag AS (
+        SELECT f.doc_id, STRING_AGG(f.fpv, '|' ORDER BY f.fpv) AS sig
+        FROM afp f JOIN keep_img k ON k.doc_id = f.doc_id GROUP BY f.doc_id
+    ), aud_keepers AS (SELECT MIN(doc_id) AS doc_id FROM bag GROUP BY sig),
+    keep_aud AS (
+        SELECT k.* FROM keep_img k JOIN aud_keepers a ON a.doc_id = k.doc_id
+    ), tok AS (
+        SELECT doc_id, source, lower(unnest({_CURATE_NORM_TOK})) AS w
+        FROM keep_aud
+    ), vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    scored AS (
+        SELECT t.doc_id, t.source,
+               round(SUM(ln(CAST(v.c AS DOUBLE) / tot.n)) / COUNT(*), 6)
+                   AS avg_lp
+        FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
+        GROUP BY t.doc_id, t.source
+    ), thresh AS (SELECT round(AVG(avg_lp), 4) AS mean_lp FROM scored),
+    final AS (SELECT * FROM scored CROSS JOIN thresh WHERE avg_lp >= mean_lp),
+    src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in
+        FROM documents GROUP BY source
+    )
+    SELECT s.source, s.docs_in,
+           s.docs_in - (SELECT COUNT(*) FROM keep_img k
+                        WHERE k.source = s.source) AS image_dups,
+           CAST((SELECT COUNT(*) FROM keep_img k WHERE k.source = s.source)
+              - (SELECT COUNT(*) FROM keep_aud k WHERE k.source = s.source)
+              AS BIGINT) AS audio_dups,
+           CAST((SELECT COUNT(*) FROM keep_aud k WHERE k.source = s.source)
+              - (SELECT COUNT(*) FROM final f WHERE f.source = s.source)
+              AS BIGINT) AS text_low_quality,
+           CAST((SELECT COUNT(*) FROM final f WHERE f.source = s.source)
+              AS BIGINT) AS docs_kept
+    FROM src s ORDER BY s.source
+    """
+
+
+@register("pipeline_curate_multimodal", oracle=_curate_mm_oracle())
+def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation capstone, one composed query: (1) image
+    exact-perceptual dedup — banded aHash candidates with the
+    hot-bucket df cap, hamming=0 verification, drop the higher doc of
+    every colliding pair; (2) audio dup-cluster — identical
+    fingerprint bags keep only their min-doc representative; (3)
+    unigram-LM text-quality gate over the survivors. Returns the
+    per-source funnel (docs_in / image_dups / audio_dups /
+    text_low_quality / docs_kept).
+
+    Scale shape: each stage is the proven plan of its standalone
+    operator — media bytes never leave their Arrow map stage (only
+    doc_id + hash strings shuffle), the image candidate join is
+    df-capped per bucket, the audio stage is a pure O(n) hash
+    group-by chain, and the text gate moves tokens + per-doc scalars
+    with a 1-row broadcast total. Nothing in the funnel is quadratic
+    in the corpus."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ids = d.select("doc_id").repartition(8)
+    # stage 1: image exact-perceptual dedup. Checkpoint the decode
+    # (feeds the band index AND both sides of the verify join).
+    ifp = _ahash_fp(ids).localCheckpoint(eager=True)
+    bands_k = (
+        _ahash_bands_df(ifp)
+        .withColumn(
+            "df", F.count("*").over(Window.partitionBy("band_id", "val"))
+        )
+        .filter(F.col("df") < AHASH_MAX_DF)
+        .drop("df")
+    )
+    a, b = bands_k.alias("a"), bands_k.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    fa = ifp.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"b{k}").alias(f"fa{k}") for k in range(AHASH_BANDS)],
+    )
+    fb = ifp.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"b{k}").alias(f"fb{k}") for k in range(AHASH_BANDS)],
+    )
+    ham = " + ".join(
+        f"bit_count(fa{k} ^ fb{k})" for k in range(AHASH_BANDS)
+    )
+    img_drop = (
+        cand.join(fa, "da").join(fb, "db")
+        .filter(F.expr(ham) == 0)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    # checkpoint: keep_img feeds the audio decode, the accounting, and
+    # (via keep_aud) the token stage
+    keep_img = d.join(img_drop, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    # stage 2: audio dup clusters among the survivors
+    afp = _audio_fp(keep_img.select("doc_id").repartition(8))
+    bag = afp.groupBy("doc_id").agg(
+        F.concat_ws("|", F.sort_array(F.collect_set("fpv"))).alias("sig")
+    )
+    aud_keepers = bag.groupBy("sig").agg(F.min("doc_id").alias("doc_id"))
+    keep_aud = keep_img.join(
+        aud_keepers, "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    # stage 3: unigram-LM quality gate (pipeline_curate_corpus_v2's
+    # scoring plan over the multimodal survivors)
+    tok = keep_aud.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("w0"),
+    ).select("doc_id", "source", F.lower("w0").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
+    total = vocab.agg(F.sum("c").alias("n"))
+    lp = F.log(F.col("c").cast("double") / F.col("n"))
+    scored = (
+        tok.join(vocab, "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(lp) / F.count("*"), 6).alias("avg_lp"))
+    )
+    thresh = scored.agg(F.round(F.avg("avg_lp"), 4).alias("mean_lp"))
+    final = scored.join(F.broadcast(thresh)).filter(
+        F.col("avg_lp") >= F.col("mean_lp")
+    )
+    # per-source funnel accounting
+    src = d.groupBy("source").agg(F.count("*").alias("docs_in"))
+    c_img = keep_img.groupBy("source").agg(F.count("*").alias("n_img"))
+    c_aud = keep_aud.groupBy("source").agg(F.count("*").alias("n_aud"))
+    c_fin = final.groupBy("source").agg(F.count("*").alias("n_fin"))
+    return (
+        src.join(c_img, "source", "left")
+        .join(c_aud, "source", "left")
+        .join(c_fin, "source", "left")
+        .select(
+            "source",
+            "docs_in",
+            (F.col("docs_in") - F.coalesce("n_img", F.lit(0))
+             ).alias("image_dups"),
+            (F.coalesce("n_img", F.lit(0)) - F.coalesce("n_aud", F.lit(0))
+             ).alias("audio_dups"),
+            (F.coalesce("n_aud", F.lit(0)) - F.coalesce("n_fin", F.lit(0))
+             ).alias("text_low_quality"),
+            F.coalesce("n_fin", F.lit(0)).alias("docs_kept"),
+        )
+        .orderBy("source")
+    )

@@ -75,7 +75,7 @@ def load_all() -> None:
 PRIORITY: list[str] = [
     # new this round — audio modality + trained-IVF index family
     "multimodal_audio_dedup", "audio_index_build", "audio_index_probe",
-    "audio_index_dml",
+    "audio_index_dml", "pipeline_curate_multimodal",
     "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
     # changed this round: driver-side direct MV refresh touches every
     # MV refresh path — the full scenario battery leads
@@ -101,7 +101,6 @@ PRIORITY: list[str] = [
     "q22_prospect_customers",
     # stalest embedding family
     "dedup_embedding_cosine", "embedding_blocked_pairs",
-    "embedding_label_outliers",
 ]
 
 
