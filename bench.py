@@ -60,6 +60,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q3_bucketed",
     # *_bucketed: identical query + oracle, fact tables served from the
     # CREATE TABLE … WITH (bucket_by, buckets) layout — benched next to
     # the plain-parquet twin so the same session measures the layout

@@ -202,10 +202,14 @@ def _register_variant(name: str, orig: str, max_shuffles: int) -> None:
 
 
 # q18's only post-join operator is ORDER BY … LIMIT (TakeOrderedAndProject)
-# -> ZERO shuffles end to end. The other four end in a small-group
-# aggregation whose tiny partial->final exchange is the one allowed
-# shuffle (its keys are group keys, never the order key).
+# -> ZERO shuffles end to end. q3's group keys INCLUDE l_orderkey, so
+# the bucket distribution satisfies the aggregation too (HashPartitioning
+# on a subset of the group keys satisfies ClusteredDistribution) and its
+# top-10 is a TakeOrderedAndProject -> also ZERO shuffles. The other four
+# end in a small-group aggregation whose tiny partial->final exchange is
+# the one allowed shuffle (its keys are group keys, never the order key).
 _register_variant("q18_bucketed", "q18_large_volume_customer", 0)
+_register_variant("q3_bucketed", "q3_shipping_priority", 0)
 _register_variant("q9_bucketed", "q9_profit_by_nation", 1)
 _register_variant("q10_bucketed", "q10_returned_items", 1)
 _register_variant("q5_bucketed", "q5_local_supplier_volume", 1)

@@ -89,9 +89,10 @@ PRIORITY: list[str] = [
     "index_maintenance_scenario", "dedup_index_dml", "image_index_dml",
     "video_index_dml", "dedup_index_probe", "image_index_probe",
     "video_index_probe",
-    # kmeans machinery refactor + bucketed guard/marker changes
+    # kmeans machinery refactor + bucketed guard/marker changes;
+    # q3_bucketed is new this round (zero-shuffle layout twin)
     "multimodal_audio_pipeline", "cluster_kmeans_embeddings",
-    "dedup_semantic_clusters", "bucketed_scenario",
+    "dedup_semantic_clusters", "bucketed_scenario", "q3_bucketed",
     # stalest driver verdicts: r5/r6-era TPC-H adaptations
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
     "q11_important_stock", "q12_late_lines_by_flag",
@@ -100,7 +101,7 @@ PRIORITY: list[str] = [
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_prospect_customers",
     # stalest embedding family
-    "dedup_embedding_cosine", "embedding_blocked_pairs",
+    "dedup_embedding_cosine",
 ]
 
 

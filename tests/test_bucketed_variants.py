@@ -17,6 +17,7 @@ registry.load_all()
 
 PAIRS = [
     ("q18_bucketed", "q18_large_volume_customer"),
+    ("q3_bucketed", "q3_shipping_priority"),
     ("q9_bucketed", "q9_profit_by_nation"),
     ("q10_bucketed", "q10_returned_items"),
     ("q5_bucketed", "q5_local_supplier_volume"),
