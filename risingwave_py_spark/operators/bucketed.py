@@ -81,12 +81,72 @@ def _source_fingerprint(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _warehouse_dir(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return wh.removeprefix("file:")
+
+
+def _disk_marker_fp(spark: SparkSession, db: str) -> str | None:
+    """Fingerprint stored by a PREVIOUS process in the on-disk marker,
+    or None. The default in-memory catalog forgets the bucketed copy
+    across processes even though its files survive in the shared
+    warehouse — reading the marker parquet directly (zero Spark jobs)
+    lets a fresh process adopt the copy instead of destroying and
+    rebuilding it under any concurrent reader."""
+    import glob
+
+    mdir = os.path.join(_warehouse_dir(spark), f"{db}.db", "__rwbk_ready")
+    files = glob.glob(os.path.join(mdir, "*.parquet"))
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        vals: list[str] = []
+        for f in files:
+            vals.extend(pq.read_table(f, columns=["fp"])["fp"].to_pylist())
+        return vals[0] if len(vals) == 1 else None
+    except Exception:  # noqa: BLE001 — unreadable marker = no adoption
+        return None
+
+
+def _adopt_on_disk(spark: SparkSession, db: str, sf_dir: str) -> bool:
+    """Register the surviving on-disk bucketed copy in this process's
+    catalog (external tables over the existing bucket files — same
+    CLUSTERED BY DDL the engine's writer used, so scans stay bucketed).
+    Returns False if any expected directory is missing."""
+    wh = _warehouse_dir(spark)
+    dirs = {t: os.path.join(wh, f"{db}.db", t) for t, _ in _FACTS}
+    if not all(os.path.isdir(d) for d in dirs.values()):
+        return False
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for tbl, bkey in _FACTS:
+        src = table(spark, sf_dir, tbl)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{tbl} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{bkey}`) SORTED BY (`{bkey}`) "
+            f"INTO {BUCKETS} BUCKETS LOCATION '{dirs[tbl]}'"
+        )
+    mdir = os.path.join(wh, f"{db}.db", "__rwbk_ready")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.__rwbk_ready (fp STRING) "
+        f"USING PARQUET LOCATION '{mdir}'"
+    )
+    return True
+
+
 def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) and return the database holding bucketed copies of
     the fact tables for ``sf_dir``. Idempotent per session via a
-    ready-marker table carrying a source fingerprint; a partial build
-    from a crashed process has no marker, and a marker whose
-    fingerprint mismatches the current source files triggers a
+    ready-marker table carrying a source fingerprint; a fresh PROCESS
+    whose catalog has forgotten a still-valid on-disk copy ADOPTS it
+    (external tables over the existing bucket files) rather than
+    rebuilding — a rebuild deletes files under any concurrent reader.
+    A partial build from a crashed process has no marker, and a marker
+    whose fingerprint mismatches the current source files triggers a
     rebuild — both are dropped + rebuilt."""
     db = bucketed_db_name(sf_dir)
     key = (id(spark), sf_dir)
@@ -102,35 +162,58 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
         if stored == [fp]:
             _READY[key] = (db, fp)
             return db
+    elif _disk_marker_fp(spark, db) == fp and _adopt_on_disk(spark, db, sf_dir):
+        _READY[key] = (db, fp)
+        return db
 
     from risingwave_py_spark.core import RisingWaveConnection
     from risingwave_py_spark.engine import SparkEngine
 
-    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-    # a crashed prior process can leave the warehouse dir with no
-    # catalog entry; CREATE TABLE then fails LOCATION_ALREADY_EXISTS
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    shutil.rmtree(f"{wh.removeprefix('file:')}/{db}.db", ignore_errors=True)
-    eng = SparkEngine(spark=spark, default_schema=db)
-    conn = RisingWaveConnection(eng)
-    for tbl, bkey in _FACTS:
-        src = table(spark, sf_dir, tbl)
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
-        )
-        conn.execute(
-            f"CREATE TABLE {db}.{tbl} ({cols}) "
-            f"WITH (bucket_by = '{bkey}', buckets = '{BUCKETS}')"
-        )
-        # pre-cluster on the bucket hash so each ingest task holds
-        # exactly one bucket's rows -> one file per bucket (the write
-        # itself never shuffles; bucket files come from the task-side
-        # hash split)
-        eng.insert_df(tbl, src.repartition(BUCKETS, bkey), schema_name=db)
-    spark.sql(f"CREATE TABLE {marker} (fp STRING) USING PARQUET")
-    spark.sql(f"INSERT INTO {marker} VALUES ('{fp}')")
-    _READY[key] = (db, fp)
-    return db
+    # Serialize the (re)build across processes sharing this warehouse
+    # (same pattern as index_store's writer lock); after acquiring,
+    # re-check the disk marker — the process we waited on may have
+    # just finished building exactly the copy we need.
+    import fcntl
+
+    wh_dir = _warehouse_dir(spark)
+    os.makedirs(wh_dir, exist_ok=True)
+    lockfile = os.path.join(wh_dir, f".{db}.buildlock")
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        if not spark.catalog.tableExists(marker) and (
+            _disk_marker_fp(spark, db) == fp
+            and _adopt_on_disk(spark, db, sf_dir)
+        ):
+            _READY[key] = (db, fp)
+            return db
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        # a crashed prior process can leave the warehouse dir with no
+        # catalog entry; CREATE TABLE then fails LOCATION_ALREADY_EXISTS
+        shutil.rmtree(os.path.join(wh_dir, f"{db}.db"), ignore_errors=True)
+        eng = SparkEngine(spark=spark, default_schema=db)
+        conn = RisingWaveConnection(eng)
+        for tbl, bkey in _FACTS:
+            src = table(spark, sf_dir, tbl)
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            conn.execute(
+                f"CREATE TABLE {db}.{tbl} ({cols}) "
+                f"WITH (bucket_by = '{bkey}', buckets = '{BUCKETS}')"
+            )
+            # pre-cluster on the bucket hash so each ingest task holds
+            # exactly one bucket's rows -> one file per bucket (the write
+            # itself never shuffles; bucket files come from the task-side
+            # hash split)
+            eng.insert_df(tbl, src.repartition(BUCKETS, bkey), schema_name=db)
+        spark.sql(f"CREATE TABLE {marker} (fp STRING) USING PARQUET")
+        spark.sql(f"INSERT INTO {marker} VALUES ('{fp}')")
+        _READY[key] = (db, fp)
+        return db
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _assert_colocated(df: DataFrame, name: str, max_shuffles: int) -> None:
