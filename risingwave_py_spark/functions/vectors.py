@@ -676,10 +676,15 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """query_id, vec_id, cosine, rank over the stored trained index:
     codebook from the stored cents table, query vectors and candidates
-    from the stored posting lists — nothing rescans the corpus."""
+    from the stored posting lists — nothing rescans the corpus.
+    ``n_probe`` is the cost/recall dial (registered queries pin it to
+    N_PROBE so the oracle matches; tools/ivf_recall_probe.py sweeps
+    it to measure the curve)."""
     from pyspark.sql import Window as W
 
     from risingwave_py_spark.functions.index_store import live_index
@@ -690,7 +695,7 @@ def _ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _probe_cells_trained(
         idx.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding"),
         tcents1,
-        N_PROBE,
+        n_probe,
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
     )

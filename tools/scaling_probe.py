@@ -33,6 +33,11 @@ OPS = [
     # (dedup_cross_corpus) shows what the stored index saves.
     "dedup_cross_corpus",
     "dedup_index_probe",
+    # audio near-dup (round 9): clips synthesize deterministically from
+    # doc_id, so the re-keyed scaled corpus grows the clip count k-fold;
+    # decode+fingerprint is one Arrow mapInPandas stage (O(n)) and
+    # clustering a hash group-by chain — this row is the evidence.
+    "multimodal_audio_dedup",
 ]
 
 
@@ -166,6 +171,7 @@ def run_tpch_suite(spark, scales: list[int]) -> None:
 
 
 BUCKETED_PAIRS = [
+    ("q3_shipping_priority", "q3_bucketed"),
     ("q5_local_supplier_volume", "q5_bucketed"),
     ("q7_volume_shipping", "q7_bucketed"),
     ("q9_profit_by_nation", "q9_bucketed"),
