@@ -1414,3 +1414,347 @@ def ann_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# --- SQ8-quantized posting lists: the index-compression lever ----------
+#
+# At 100 TB of float32 embeddings the index's memory/IO footprint IS
+# the serving cost; the standard first lever is scalar quantization:
+# store int8 codes (plus one scale per vector) instead of floats — 4×
+# smaller in memory, more on disk once parquet bit-packs the small
+# ints — and rank candidates on integer arithmetic. Quantization here
+# is bit-deterministic in BOTH engines (float32→double widening is
+# exact, one double division, floor(x+0.5)), so the DuckDB oracle
+# mirrors it code for code. Cell assignment reuses the trained
+# codebook on the FLOAT vectors (compression changes the payload, not
+# the partitioning); probe-side cell selection dequantizes (q·scale),
+# and in-cell cosine runs on the raw int codes — per-vector scales
+# cancel in cosine, so the hot loop is pure integer dot products.
+# Reference parity: the reference SDK has no vector surface at all
+# (/root/reference/risingwave/core.py is a PG-wire client); this is
+# engine-native scale work in the same family as the IVF index above.
+
+# scale = max(|x|)/127 (guarded against the zero vector): codes land
+# in [-127, 127]; qdot <= 127^2 * 64 dims ≈ 1.03e6, far inside int64.
+_SQ8_SCALE = (
+    "greatest(aggregate({v}, CAST(0.0 AS DOUBLE), "
+    "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0"
+)
+_SQ8_Q = (
+    "transform({v}, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INT))"
+)
+# exact integer dot / squared norm over the int8 codes
+_SQ8_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS BIGINT) * CAST(y AS BIGINT)), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _sq8_cos(a: str, b: str) -> str:
+    return (
+        f"round(CAST({_SQ8_IDOT.format(a=a, b=b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_SQ8_IDOT.format(a=a, b=a)} AS DOUBLE)) * "
+        f"sqrt(CAST({_SQ8_IDOT.format(a=b, b=b)} AS DOUBLE))), 6)"
+    )
+
+
+def _sq8_index_fq(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:8]
+    return f"default.__ann_sq8_index_{tag}__"
+
+
+def _sq8_rows(e: DataFrame, tcents1: DataFrame) -> DataFrame:
+    """(vec_id, q, qscale, cell_id): assign cells on the float vector,
+    then quantize the payload. One codegen projection per row."""
+    return (
+        _assign_cells_trained(e, tcents1)
+        .withColumn("qscale", F.expr(_SQ8_SCALE.format(v="embedding")))
+        .withColumn("q", F.expr(_SQ8_Q.format(v="embedding", scale="qscale")))
+        .select("vec_id", "q", "qscale", "cell_id")
+    )
+
+
+def _sq8_refresh(
+    spark: SparkSession, tbl: str, corpus: DataFrame, tcents1: DataFrame
+) -> None:
+    from risingwave_py_spark.functions.index_store import refresh_stored_index
+
+    def make_rows(new_ids: DataFrame) -> DataFrame:
+        new = corpus.join(new_ids, "vec_id", "left_semi")
+        return _sq8_rows(fanout(new, parts=4), tcents1)
+
+    refresh_stored_index(spark, tbl, corpus.select("vec_id"), "vec_id", make_rows)
+
+
+def _ensure_sq8_index(spark: SparkSession, sf_dir: str) -> str:
+    tbl = _sq8_index_fq(sf_dir)
+    tcents1 = _tcents_packed(_ensure_trained_cents(spark, sf_dir, tbl))
+    _sq8_refresh(spark, tbl, table(spark, sf_dir, "embeddings"), tcents1)
+    return tbl
+
+
+# DuckDB mirror of the quantization, over the trained assignment a{n}
+def _duck_sq8_cte(where: str = "TRUE") -> str:
+    n = KMEANS_ITERS
+    return f"""qs AS (
+        SELECT vec_id, CAST(cluster_id AS INT) AS cell_id, embedding,
+               greatest(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS qscale
+        FROM a{n} WHERE {where}
+    ), qv AS (
+        SELECT vec_id, cell_id, qscale,
+               list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT)) AS q
+        FROM qs
+    )"""
+
+
+_DUCK_SQ8_IDOT = (
+    "list_sum(list_transform(generate_series(1, {d}), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+
+def _duck_sq8_cos(a: str, b: str) -> str:
+    dot = _DUCK_SQ8_IDOT.format(a=a, b=b, d=EMB_DIM)
+    na = _DUCK_SQ8_IDOT.format(a=a, b=a, d=EMB_DIM)
+    nb = _DUCK_SQ8_IDOT.format(a=b, b=b, d=EMB_DIM)
+    return (
+        f"round(CAST({dot} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)"
+    )
+
+
+def _sq8_hist_oracle(where: str = "TRUE") -> str:
+    """Per-cell count + exact integer L1 checksum of the codes — any
+    quantization divergence (rounding mode, scale guard, widening)
+    breaks the checksum, not just the histogram."""
+    return f"""
+    WITH {_duck_kmeans_cte()}, {_duck_sq8_cte(where)}
+    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum(list_transform(q, v -> abs(v)))) AS BIGINT)
+               AS q_l1
+    FROM qv GROUP BY cell_id ORDER BY cell_id
+    """
+
+
+@register("ann_sq8_build", oracle=_sq8_hist_oracle())
+def ann_sq8_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or incrementally refresh) the SQ8-quantized posting
+    lists and return the per-cell histogram with an exact integer L1
+    checksum over the stored codes — the oracle recomputes the
+    quantization from scratch, so a single diverging code fails the
+    value hash."""
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _ensure_sq8_index(spark, sf_dir)
+    return (
+        live_index(spark, tbl, "vec_id")
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.expr("aggregate(q, CAST(0 AS BIGINT), "
+                       "(acc, v) -> acc + abs(CAST(v AS BIGINT)))")
+            ).alias("q_l1"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def _sq8_probe_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """Top-k by QUANTIZED cosine inside the query's n_probe nearest
+    cells. Everything — query codes included — reads from the stored
+    index; cell selection dequantizes (q · qscale) against the
+    codebook; candidate ranking is integer dot products (scales
+    cancel in cosine)."""
+    from pyspark.sql import Window as W
+
+    from risingwave_py_spark.functions.index_store import live_index
+
+    tbl = _ensure_sq8_index(spark, sf_dir)
+    idx = live_index(spark, tbl, "vec_id")
+    tcents1 = _tcents_packed(spark.table(_cents_fq(tbl)))
+    dq = "transform(q, v -> CAST(v AS DOUBLE) * qscale)"
+    probes = (
+        idx.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(tcents1))
+        .withColumn(
+            "cell_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort("
+                    f"{_CENT_SQDS.format(vec=dq)}), 1, {n_probe}), "
+                    f"t -> t.cell)"
+                )
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), "cell_id"
+        )
+    )
+    cand = (
+        idx.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("qcosine", F.expr(_sq8_cos("qq", "q")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qcosine"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "qcosine", "rank")
+    )
+
+
+_DUCK_SQ8_DQ_SQD = (
+    f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+    "i -> (v.q[i] * v.qscale - c.cvec[i]) * (v.q[i] * v.qscale - c.cvec[i])))"
+)
+
+
+def _sq8_probe_sql() -> str:
+    n = KMEANS_ITERS
+    return f"""probes AS (
+        SELECT query_id, qq, cell_id FROM (
+            SELECT v.vec_id AS query_id, v.q AS qq,
+                   CAST(c.cluster_id AS INT) AS cell_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({_DUCK_SQ8_DQ_SQD}, 6), c.cluster_id) AS rn
+            FROM qv v CROSS JOIN c{n} c
+            WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ), cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_duck_sq8_cos('p.qq', 'a.q')} AS qcosine
+        FROM probes p
+        JOIN qv a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+    ), sq8 AS (
+        SELECT query_id, vec_id, qcosine,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY qcosine DESC, vec_id) AS rn
+        FROM cand
+    )"""
+
+
+@register(
+    "ann_sq8_probe",
+    oracle=f"""
+    WITH {_duck_kmeans_cte()}, {_duck_sq8_cte()}, {_sq8_probe_sql()}
+    SELECT query_id, vec_id, qcosine, rn AS rank
+    FROM sq8 WHERE rn <= {TOP_K}
+    """,
+)
+def ann_sq8_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the SQ8 index (see _sq8_probe_topk); the plan never
+    scans the corpus parquet — codes, scales, and codebook all come
+    from stored tables (plan-asserted in test_plan_quality)."""
+    return _sq8_probe_topk(spark, sf_dir)
+
+
+@register(
+    "ann_sq8_recall",
+    oracle=f"""
+    WITH {_duck_kmeans_cte()}, {_duck_sq8_cte()}, {_sq8_probe_sql()}, bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({_duck_cos("q.embedding", "e.embedding")}, 6)
+                           DESC, e.vec_id) AS rn
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    )
+    SELECT bf.query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           round(COUNT(i.vec_id) / CAST({TOP_K} AS DOUBLE), 4) AS recall
+    FROM bf LEFT JOIN (SELECT query_id, vec_id FROM sq8
+                       WHERE rn <= {TOP_K}) i
+      ON i.query_id = bf.query_id AND i.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+    """,
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression QUALITY row: recall@{K} of the SQ8 probe against
+    exact float brute-force cosine — the measured cost of the 4×
+    smaller payload, next to ann_ivf_recall's float-probe row (the
+    delta between the two isolates what quantization alone loses)."""
+    from pyspark.sql import Window as W
+
+    sq8 = _sq8_probe_topk(spark, sf_dir).select("query_id", "vec_id")
+    raw = table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    e = fanout(raw, parts=4)
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
+        "cosine",
+        F.round(
+            F.expr(_spark_dot("qe", "embedding"))
+            / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+            6,
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    bf = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    i = sq8.withColumnRenamed("vec_id", "ivec").alias("i")
+    return (
+        bf.alias("b")
+        .join(i, (F.col("b.query_id") == F.col("i.query_id"))
+              & (F.col("b.vec_id") == F.col("i.ivec")), "left")
+        .groupBy(F.col("b.query_id").alias("query_id"))
+        .agg(
+            F.count("i.ivec").alias("n_hits"),
+            F.round(F.count("i.ivec") / F.lit(float(TOP_K)), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "ann_sq8_dml",
+    oracle=_sq8_hist_oracle(
+        where=f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"
+    ),
+)
+def ann_sq8_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML maintenance holds for the quantized payload too: build,
+    tombstone a 60-vector privacy-deletion batch, re-insert one id
+    (compaction path) — the final live histogram + code checksum must
+    equal a from-scratch quantization of the surviving corpus. Own
+    index table; the build/probe pair stays append-only."""
+    from risingwave_py_spark.functions.index_store import (
+        drop_stored_index,
+        live_index,
+    )
+
+    tbl = _sq8_index_fq(sf_dir) + "_dml"
+    drop_stored_index(spark, tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {_cents_fq(tbl)}")
+    raw = table(spark, sf_dir, "embeddings")
+    tcents1 = _tcents_packed(_ensure_trained_cents(spark, sf_dir, tbl))
+    _sq8_refresh(spark, tbl, raw, tcents1)
+    _sq8_refresh(spark, tbl, raw.filter(f"NOT ({_DML_GONE})"), tcents1)
+    _sq8_refresh(
+        spark, tbl,
+        raw.filter(f"NOT ({_DML_GONE}) OR vec_id = {_DML_BACK}"), tcents1,
+    )
+    return (
+        live_index(spark, tbl, "vec_id")
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.expr("aggregate(q, CAST(0 AS BIGINT), "
+                       "(acc, v) -> acc + abs(CAST(v AS BIGINT)))")
+            ).alias("q_l1"),
+        )
+        .orderBy("cell_id")
+    )

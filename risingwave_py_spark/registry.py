@@ -77,6 +77,8 @@ PRIORITY: list[str] = [
     "multimodal_audio_dedup", "audio_index_build", "audio_index_probe",
     "audio_index_dml", "pipeline_curate_multimodal",
     "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
+    # new this session — SQ8-quantized posting lists
+    "ann_sq8_build", "ann_sq8_probe", "ann_sq8_recall", "ann_sq8_dml",
     # changed this round: driver-side direct MV refresh touches every
     # MV refresh path — the full scenario battery leads
     "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
@@ -95,9 +97,7 @@ PRIORITY: list[str] = [
     "dedup_semantic_clusters", "bucketed_scenario", "q3_bucketed",
     # stalest driver verdicts: r5/r6-era TPC-H adaptations
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
-    "q11_important_stock", "q12_late_lines_by_flag",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_cnt", "q17_small_qty_revenue",
+    "q11_important_stock", "q15_top_supplier", "q17_small_qty_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_prospect_customers",
     # stalest embedding family

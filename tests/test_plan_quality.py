@@ -313,6 +313,7 @@ def test_index_probes_do_not_rescan_corpus(spark, sf_dir):
     avoid."""
     for name, corpus in (
         ("ann_index_probe", "embeddings"),
+        ("ann_sq8_probe", "embeddings"),
         ("dedup_index_probe", "documents"),
         ("image_index_probe", "documents"),
         ("video_index_probe", "documents"),
