@@ -1985,10 +1985,81 @@ class SparkEngine:
         self.spark.catalog.setCurrentDatabase(self.default_schema)
         if re.search(r"\binformation_schema\.", sql, re.I):
             self.refresh_info_schema()
+        if self._ASOF_EPOCH.search(sql):
+            sql = self._rewrite_asof_epoch(sql)
         rewritten = RW.rewrite_query(sql, self.version_string)
         if args:
             return self.spark.sql(rewritten, args=args)
         return self.spark.sql(rewritten)
+
+    # -- time travel (FOR SYSTEM_TIME AS OF EPOCH n) ------------------------
+    #
+    # The engine's changelog already holds every table's full history
+    # as (payload…, op, rw_timestamp=epoch) — the same log cursors
+    # replay and incremental MVs consume — so point-in-time reads are
+    # a fold over it, not a new storage format. RisingWave spells
+    # temporal access FOR SYSTEM_TIME AS OF (proctime(), for lookup
+    # joins); this extends the spelling to historical epochs the way
+    # a lakehouse exposes VERSION AS OF over its commit log.
+
+    _ASOF_EPOCH = re.compile(
+        r"(?P<tbl>[A-Za-z_][\w.]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+EPOCH\s+"
+        r"(?P<n>\d+)",
+        re.I,
+    )
+
+    def _rewrite_asof_epoch(self, sql: str) -> str:
+        """Replace every ``tbl FOR SYSTEM_TIME AS OF EPOCH n`` with a
+        temp view holding the reconstructed state (one view per
+        (table, epoch), reused within the statement)."""
+        def sub(m: "re.Match[str]") -> str:
+            fq = self.qualify(m.group("tbl"))
+            n = int(m.group("n"))
+            view = "__rw_asof_" + re.sub(r"[^0-9a-zA-Z]", "_", fq) + f"_{n}"
+            self.table_asof(fq, n).createOrReplaceTempView(view)
+            return view
+
+        return self._ASOF_EPOCH.sub(sub, sql)
+
+    def table_asof(self, fq: str, epoch: int) -> DataFrame:
+        """The table's state as of ``epoch``, reconstructed from its
+        changelog under bag semantics: per distinct row value,
+        multiplicity = Σ(+1 for Insert/UpdateInsert, −1 for Delete/
+        UpdateDelete) over epochs ≤ n. Cost is one aggregation over
+        the epoch-pruned changelog suffix — the same partition-pruned
+        scan shape cursors use — never a snapshot copy. Requires the
+        COMPLETE history: a vacuumed changelog (or an upsert table,
+        whose log carries version-resolution columns, not bag ops)
+        is refused loudly rather than answered wrongly."""
+        fq = self.qualify(fq)
+        if fq in self.upsert_meta:
+            raise ValueError(
+                f"time travel is not supported on upsert table {fq}: its "
+                "changelog resolves versions, it is not a bag-op history"
+            )
+        cl = self.changelog_name(fq)
+        if not self.spark.catalog.tableExists(cl):
+            raise ValueError(f"no changelog for {fq}: not an engine table")
+        if self.vacuum_floor.get(cl, 0) > 0:
+            raise ValueError(
+                f"time travel to epoch {epoch} needs the full history of "
+                f"{fq}, but its changelog is vacuumed through epoch "
+                f"{self.vacuum_floor[cl]}"
+            )
+        log = self.spark.table(cl).filter(F.col("rw_timestamp") <= epoch)
+        payload = [c for c in log.columns if c not in ("op", "rw_timestamp")]
+        weight = F.when(
+            F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT), F.lit(1)
+        ).otherwise(F.lit(-1))
+        bag = (
+            log.groupBy(*payload)
+            .agg(F.sum(weight).alias("__rw_cnt"))
+            .filter(F.col("__rw_cnt") > 0)
+        )
+        return bag.select(
+            *payload,
+            F.explode(F.expr("sequence(1, __rw_cnt)")).alias("__rw_i"),
+        ).select(*payload)
 
     _GROUP_BY = re.compile(
         r"\bGROUP\s+BY\s+(?P<cols>.+?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)", re.I | re.S

@@ -87,6 +87,8 @@ PRIORITY: list[str] = [
     "topn_inc_mv_scenario", "cascade_mv_scenario", "streaming_mv_scenario",
     "mv_changelog_scenario", "table_changelog_scenario", "buffer_scenario",
     "emit_on_close_scenario", "tumble_mv_scenario",
+    # new this session — point-in-time reads over the changelog
+    "time_travel_scenario",
     # changed this round: index_store one-pass refresh decisions
     "index_maintenance_scenario", "dedup_index_dml", "image_index_dml",
     "video_index_dml", "dedup_index_probe", "image_index_probe",
@@ -97,7 +99,7 @@ PRIORITY: list[str] = [
     "dedup_semantic_clusters", "bucketed_scenario", "q3_bucketed",
     # stalest driver verdicts: r5/r6-era TPC-H adaptations
     "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
-    "q11_important_stock", "q15_top_supplier", "q17_small_qty_revenue",
+    "q15_top_supplier", "q17_small_qty_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_prospect_customers",
     # stalest embedding family

@@ -1359,3 +1359,47 @@ def bucketed_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ok bigint, n_lines bigint, total double, cust string"
     )
+
+
+@register(
+    "time_travel_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS INT), CAST(1 AS BIGINT), 'a'),
+        (CAST(1 AS INT), CAST(2 AS BIGINT), 'b'),
+        (CAST(2 AS INT), CAST(1 AS BIGINT), 'a'),
+        (CAST(2 AS INT), CAST(1 AS BIGINT), 'a'),
+        (CAST(2 AS INT), CAST(2 AS BIGINT), 'b'),
+        (CAST(2 AS INT), CAST(3 AS BIGINT), 'c'),
+        (CAST(3 AS INT), CAST(2 AS BIGINT), 'b'),
+        (CAST(3 AS INT), CAST(3 AS BIGINT), 'c'),
+        (CAST(4 AS INT), CAST(2 AS BIGINT), 'z'),
+        (CAST(4 AS INT), CAST(3 AS BIGINT), 'c')
+    ) AS t(at_epoch, k, v)
+    """,
+)
+def time_travel_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time reads (FOR SYSTEM_TIME AS OF EPOCH n) over the
+    engine changelog: two insert flushes (epochs 1-2; epoch 2 creates
+    a DUPLICATE row, so bag multiplicity must reconstruct), a DELETE
+    (epoch 3, removes both copies), an UPDATE (epoch 4, retraction
+    pair) — then ONE statement reads all four epochs and must replay
+    the table's exact state at each. The rewrite handles multiple
+    AS OF references in a single query; a vacuumed history or an
+    upsert table is refused loudly (tests/test_time_travel.py)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_tt")
+    conn.execute("CREATE TABLE rwdemo_tt.t (k BIGINT, v STRING)")
+    conn.insert(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}),
+                table_name="t", schema_name="rwdemo_tt", force_flush=True)
+    conn.insert(pd.DataFrame({"k": [3, 1], "v": ["c", "a"]}),
+                table_name="t", schema_name="rwdemo_tt", force_flush=True)
+    conn.execute("DELETE FROM rwdemo_tt.t WHERE k = 1")
+    conn.execute("UPDATE rwdemo_tt.t SET v = 'z' WHERE k = 2")
+    return eng.sql(
+        " UNION ALL ".join(
+            f"SELECT {e} AS at_epoch, k, v "
+            f"FROM rwdemo_tt.t FOR SYSTEM_TIME AS OF EPOCH {e}"
+            for e in (1, 2, 3, 4)
+        )
+        + " ORDER BY at_epoch, k, v"
+    )
