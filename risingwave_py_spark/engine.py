@@ -2037,6 +2037,14 @@ class SparkEngine:
                 f"time travel is not supported on upsert table {fq}: its "
                 "changelog resolves versions, it is not a bag-op history"
             )
+        if fq in getattr(self, "mvs", {}):
+            raise ValueError(
+                f"time travel is not supported on materialized view {fq}: "
+                "an MV's changelog starts at its first refresh delta — the "
+                "creation snapshot is not in it, so a bag fold would "
+                "silently drop the initial rows. Time-travel the BASE "
+                "tables and re-apply the view query instead."
+            )
         cl = self.changelog_name(fq)
         if not self.spark.catalog.tableExists(cl):
             raise ValueError(f"no changelog for {fq}: not an engine table")

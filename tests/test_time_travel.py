@@ -81,3 +81,20 @@ def test_non_engine_table_is_refused(conn_eng, spark):
     spark.sql("CREATE TABLE IF NOT EXISTS tt_t.plain (k BIGINT) USING PARQUET")
     with pytest.raises(ValueError, match="changelog"):
         eng.table_asof("tt_t.plain", 1)
+
+
+def test_materialized_view_is_refused(conn_eng):
+    """An MV's changelog starts at its first refresh delta (the
+    creation snapshot is never emitted), so a bag fold over it would
+    silently drop the initial rows — refuse loudly and point at the
+    base tables instead."""
+    conn, eng = conn_eng
+    conn.execute("CREATE TABLE tt_t.b (g STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"g": ["x"], "v": [1.0]}),
+                table_name="b", schema_name="tt_t", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW tt_t.m AS "
+        "SELECT g, sum(v) AS total FROM tt_t.b GROUP BY g"
+    )
+    with pytest.raises(ValueError, match="materialized view"):
+        eng.table_asof("tt_t.m", 99)
