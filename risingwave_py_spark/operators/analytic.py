@@ -735,3 +735,51 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_ema_drift",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                             (acc, x) -> acc + 0.125 * (x - acc)), 6) AS ema,
+           round(AVG(CAST(value AS DOUBLE)), 6) AS mean_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_ema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average per event stream — the SEQUENTIAL
+    stateful fold (EMA_t = EMA_{t-1} + α·(x_t − EMA_{t-1}), α = 1/8)
+    no window frame can express, next to the plain mean so drift
+    (recent level vs lifetime level) reads off directly. Expressed
+    declaratively: sort_array(collect_list(struct(ts, id, value)))
+    per key, then one aggregate() left fold — init is the first
+    element and α is a dyadic rational, so the double arithmetic is
+    bit-identical to the DuckDB oracle's list_reduce fold.
+
+    100 TB shape: ONE hash aggregate (map-side combined collect_list)
+    — but the per-key history lives in one array, so this form holds
+    while per-key event counts fit an executor (millions of events
+    per key); past that, the same fold runs as a sorted-iterator
+    applyInPandas per key (the sessionize_stream pattern), or
+    incrementally as a 1-row-state streaming op — EMA is the
+    canonical O(1)-state incremental aggregate."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "sort_array(collect_list(struct(ts, event_id, value)))"
+        ).alias("h"),
+        F.round(F.avg(F.col("value").cast("double")), 6).alias("mean_value"),
+    )
+    vals = "transform(h, s -> CAST(s.value AS DOUBLE))"
+    return per.select(
+        "event_type",
+        "n_events",
+        F.expr(
+            f"round(aggregate(slice({vals}, 2, size(h) - 1), "
+            f"element_at({vals}, 1), "
+            f"(acc, x) -> acc + CAST(0.125 AS DOUBLE) * (x - acc)), 6)"
+        ).alias("ema"),
+        "mean_value",
+    ).orderBy("event_type")

@@ -87,8 +87,8 @@ PRIORITY: list[str] = [
     "topn_inc_mv_scenario", "cascade_mv_scenario", "streaming_mv_scenario",
     "mv_changelog_scenario", "table_changelog_scenario", "buffer_scenario",
     "emit_on_close_scenario", "tumble_mv_scenario",
-    # new this session — point-in-time reads over the changelog
-    "time_travel_scenario",
+    # new this session — point-in-time reads + the EMA fold
+    "time_travel_scenario", "events_ema_drift",
     # changed this round: index_store one-pass refresh decisions
     "index_maintenance_scenario", "dedup_index_dml", "image_index_dml",
     "video_index_dml", "dedup_index_probe", "image_index_probe",
@@ -102,8 +102,6 @@ PRIORITY: list[str] = [
     "q15_top_supplier", "q17_small_qty_revenue",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_prospect_customers",
-    # stalest embedding family
-    "dedup_embedding_cosine",
 ]
 
 
