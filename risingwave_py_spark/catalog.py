@@ -116,14 +116,47 @@ def _split_cache_root() -> str:
     )
 
 
+def _source_fp(sf_dir: str, name: str) -> str:
+    """Identity of the source parquet (path + size + mtime), zero Spark
+    jobs. Stored inside the cache dir (underscore-prefixed, so parquet
+    readers skip it): regenerated testdata at the same path — or two
+    sf_dirs sharing a basename — must REBUILD the cache, not silently
+    serve stale rows while the DuckDB oracle reads the fresh file."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    parts = []
+    try:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(p, f))
+                    parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        parts.append(f"{p}:missing")
+    return "|".join(parts)
+
+
 def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     """Return `df` re-served from an N-file split layout, building it
-    on first access; falls back to `df` itself on any failure."""
+    on first access; falls back to `df` itself on any failure. A cache
+    whose stored source fingerprint mismatches the current source
+    files (regenerated data, legacy no-fp cache) is rebuilt."""
     if os.environ.get("SPARK_GRAFT_SPLIT_CACHE", "1") == "0":
         return df
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     final = os.path.join(_split_cache_root(), sf_tag, name)
+    fp = _source_fp(sf_dir, name)
     try:
+        if os.path.isdir(final):
+            try:
+                with open(os.path.join(final, "_src_fp")) as fh:
+                    stored = fh.read()
+            except OSError:
+                stored = None  # legacy cache without a fingerprint
+            if stored != fp:
+                shutil.rmtree(final, ignore_errors=True)
         if not os.path.isdir(final):
             # cores/2 split files: enough parallel decode to saturate
             # the box while halving per-stage task-launch overhead
@@ -139,6 +172,8 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
                 return df
             tmp = f"{final}__build_{os.getpid()}"
             df.repartition(parts).write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_src_fp"), "w") as fh:
+                fh.write(fp)
             try:
                 os.rename(tmp, final)  # atomic vs concurrent builders
             except OSError:

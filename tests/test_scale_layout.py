@@ -212,3 +212,40 @@ def test_bucketed_ddl_validation(spark):
             "WITH (bucket_by = 'k', buckets = '4')"
         )
     spark.sql("DROP DATABASE IF EXISTS bkval CASCADE")
+
+
+def test_split_cache_rebuilds_on_source_change(spark, tmp_path, monkeypatch):
+    """The split-layout cache stores a source fingerprint (_src_fp,
+    underscore-prefixed so parquet readers skip it): regenerated data
+    at the same path must rebuild the cache, not serve stale rows
+    while the DuckDB oracle reads the fresh file — the same staleness
+    class the bucketed ready-marker fixed this round."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from risingwave_py_spark import catalog as C
+
+    monkeypatch.setattr(C, "_SPLIT_MIN_ROWS", 0)
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_CACHE", str(tmp_path / "cache"))
+    monkeypatch.delenv("SPARK_GRAFT_SPLIT_CACHE", raising=False)
+    src = tmp_path / "sfX"
+    src.mkdir()
+    pq.write_table(pa.table({"k": list(range(10))}), src / "t1.parquet")
+
+    assert C.table(spark, str(src), "t1").count() == 10
+    cache_dir = tmp_path / "cache" / "sfX" / "t1"
+    assert (cache_dir / "_src_fp").is_file()
+
+    # regenerate the source (different size) — a fresh session/process
+    # (cleared memo) must see the NEW rows, not the stale cache
+    pq.write_table(pa.table({"k": list(range(12))}), src / "t1.parquet")
+    C._TABLE_CACHE.clear()
+    assert C.table(spark, str(src), "t1").count() == 12
+
+    # unchanged source + cleared memo: cache is REUSED, not rebuilt
+    fp_before = (cache_dir / "_src_fp").read_text()
+    mtime = (cache_dir / "_src_fp").stat().st_mtime_ns
+    C._TABLE_CACHE.clear()
+    assert C.table(spark, str(src), "t1").count() == 12
+    assert (cache_dir / "_src_fp").stat().st_mtime_ns == mtime
+    assert (cache_dir / "_src_fp").read_text() == fp_before
