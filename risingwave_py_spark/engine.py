@@ -94,6 +94,14 @@ class MVState:
         # small insert-only deltas over small stored results; larger
         # work falls through to self.inc / snapshot-diff.
         self.inc_direct: dict | None = None
+        # avg() companions for the direct plan: {group key tuple:
+        # {alias: (sum_double, count)}} — the decomposition the Python
+        # fold merges (avg = sum/count; the stored table holds only
+        # the finalized value). Rebuilt from the same pinned snapshot
+        # whenever the plan (re-)arms; bounded by
+        # DIRECT_MAX_RESULT_ROWS groups. None ⇒ avg MVs fall through
+        # to the Spark paths until the re-arm probe restores it.
+        self.direct_aux: dict | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -2213,6 +2221,7 @@ class SparkEngine:
 
     _DIRECT_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<grp>[\w\s,]+?))?\s*;?\s*$",
         re.I | re.S,
     )
@@ -2224,22 +2233,118 @@ class SparkEngine:
         r"\s+AS\s+(?P<alias>\w+)\s*$",
         re.I,
     )
+    # avg(col) and ROUND(avg(col)[, n]) decompose into the sum/count
+    # the fold already merges; ROUND is finalized at publication with
+    # Spark's exact HALF_UP-on-shortest-repr semantics.
+    _DIRECT_AVG_ITEM = re.compile(
+        r"^\s*(?:ROUND\s*\(\s*AVG\s*\(\s*(?P<arg2>\w+)\s*\)\s*"
+        r"(?:,\s*(?P<nd>-?\d+)\s*)?\)|AVG\s*\(\s*(?P<arg1>\w+)\s*\))"
+        r"\s+AS\s+(?P<alias>\w+)\s*$",
+        re.I,
+    )
+    # Same blockers as the Spark inc path MINUS avg (handled via the
+    # sum/count decomposition above).
+    _DIRECT_BLOCKERS = re.compile(
+        r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
+        r"|WINDOW|TUMBLE|HOP|SESSION_WINDOW|STDDEV\w*|VAR_POP|VAR_SAMP"
+        r"|PERCENTILE\w*|COLLECT_\w+|ARRAY_AGG|STRING_AGG|LISTAGG|FIRST|LAST"
+        r"|ANY_VALUE|EVERY|BOOL_AND|BOOL_OR"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|UNIX_TIMESTAMP)\b"
+        r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
+        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\(",
+        re.I,
+    )
+    # The EXACT derived table rewrite_tumble emits (plans/rewrite.py:
+    # 485) — recognizing it lets the reference's canonical demo MV
+    # (tumble + round(avg), /root/reference/demo.py:98-100) take the
+    # zero-job path: window_start/window_end are recomputed per delta
+    # row with the same floor(unix_micros/us) double arithmetic.
+    _DIRECT_TUMBLE = re.compile(
+        r"\(SELECT \*, "
+        r"timestamp_micros\(CAST\(floor\(unix_micros\((?P<col>\w+)\) / "
+        r"(?P<us>\d+)\) AS BIGINT\) \* (?P=us)\) AS window_start, "
+        r"timestamp_micros\(CAST\(floor\(unix_micros\((?P=col)\) / "
+        r"(?P=us)\) AS BIGINT\) \* (?P=us) \+ (?P=us)\) AS window_end "
+        r"FROM (?P<rel>[\w.]+)\)"
+    )
+    # WHERE terms the Python fold can evaluate byte-identically to
+    # Spark: bare column vs numeric/bool/string literal, or IS [NOT]
+    # NULL, AND-combined. Runtime type guards (_direct_where_keep)
+    # demote anything whose Python comparison could diverge (NaN,
+    # Decimal, cross-type) back to the Spark paths.
+    _DIRECT_WHERE_TERM = re.compile(
+        r"^\s*(?P<col>\w+)\s*(?:"
+        r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?:"
+        r"(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)(?![\w.])"
+        r"|(?P<bool>TRUE|FALSE)\b"
+        r"|'(?P<str>[^']*)')"
+        r"|IS\s+(?P<notnull>NOT\s+)?NULL)\s*$",
+        re.I,
+    )
+
+    def _parse_direct_where(self, where: str) -> list[tuple] | None:
+        preds: list[tuple] = []
+        for term in RW._split_and(where):
+            m = self._DIRECT_WHERE_TERM.match(term)
+            if not m:
+                return None
+            col = m.group("col")
+            if m.group("op") is None:
+                preds.append(("null", col, m.group("notnull") is not None))
+                continue
+            op = {"!=": "<>"}.get(m.group("op"), m.group("op"))
+            if m.group("num") is not None:
+                txt = m.group("num")
+                lit = (
+                    float(txt)
+                    if any(ch in txt for ch in ".eE")
+                    else int(txt)
+                )
+                preds.append(("cmp", col, op, lit, "num"))
+            elif m.group("bool") is not None:
+                preds.append(
+                    ("cmp", col, op, m.group("bool").upper() == "TRUE",
+                     "bool")
+                )
+            else:
+                preds.append(("cmp", col, op, m.group("str"), "str"))
+        return preds
 
     def _parse_direct_agg(self, stmt: str) -> dict | None:
         """Plan for the driver-side agg refresh: ``SELECT [keys,]
-        sum/count/min/max(col|*) AS a, ... FROM tbl [GROUP BY keys]``
-        — no WHERE, bare-column args, and (unlike _parse_simple_agg)
-        GROUP BY is OPTIONAL: a global aggregate is a single-group
-        merge, the cheapest possible incremental MV and the
-        reference's canonical subscription demo shape."""
-        if self._INC_BLOCKERS.search(stmt):
+        sum/count/min/max(col|*)|avg(col)|round(avg(col)[,n]) AS a, ...
+        FROM tbl|tumble-derived [WHERE simple-predicates]
+        [GROUP BY keys]`` — bare-column args, and (unlike
+        _parse_simple_agg) GROUP BY is OPTIONAL: a global aggregate is
+        a single-group merge, the cheapest possible incremental MV and
+        the reference's canonical subscription demo shape."""
+        derived = None
+        m_t = self._DIRECT_TUMBLE.search(stmt)
+        if m_t:
+            sql = m_t.group(0)
+            head, _, _ = sql.rpartition(f"FROM {m_t.group('rel')})")
+            derived = {
+                "col": m_t.group("col"),
+                "us": int(m_t.group("us")),
+                "sql_tpl": head + "FROM {0})",
+            }
+            stmt = stmt[: m_t.start()] + m_t.group("rel") + stmt[m_t.end():]
+        if self._DIRECT_BLOCKERS.search(stmt):
             return None
         m = self._DIRECT_SHAPE.match(stmt)
         if not m:
             return None
-        sel, grp = m.group("sel"), m.group("grp")
-        if self._QUALIFIED_REF.search(" ".join(filter(None, (sel, grp)))):
+        sel, where, grp = m.group("sel"), m.group("where"), m.group("grp")
+        if self._QUALIFIED_REF.search(
+            " ".join(filter(None, (sel, where, grp)))
+        ):
             return None
+        computed = {"window_start", "window_end"} if derived else set()
+        preds = None
+        if where:
+            preds = self._parse_direct_where(where)
+            if preds is None or any(p[1] in computed for p in preds):
+                return None
         grp_cols: list[str] = []
         if grp:
             for part in grp.split(","):
@@ -2249,6 +2354,7 @@ class SparkEngine:
                 grp_cols.append(ident)
         kinds: dict[str, str] = {}
         args: dict[str, str | None] = {}
+        finalize: dict[str, int | None] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []
         for item in RW.split_top_level(sel):
@@ -2259,6 +2365,14 @@ class SparkEngine:
                 arg = am.group("arg")
                 args[alias] = None if arg == "*" else arg
                 continue
+            vm = self._DIRECT_AVG_ITEM.match(item)
+            if vm:
+                alias = vm.group("alias")
+                kinds[alias] = "avg"
+                args[alias] = vm.group("arg1") or vm.group("arg2")
+                if vm.group("arg2") is not None:
+                    finalize[alias] = int(vm.group("nd") or 0)
+                continue
             km = self._INC_KEY_ITEM.match(item)
             if not km or km.group("col") not in grp_cols:
                 return None
@@ -2266,6 +2380,10 @@ class SparkEngine:
             keys.append(out)
             key_map.append((km.group("col"), out))
         if not kinds:
+            return None
+        # agg args and WHERE columns must be readable from the base
+        # changelog delta — a computed (tumble) column can only key.
+        if computed & ({a for a in args.values() if a}):
             return None
         if (
             len(key_map) != len(grp_cols)
@@ -2278,17 +2396,139 @@ class SparkEngine:
             "base_fq": self.qualify(m.group("tbl")),
             "sel": sel.strip(),
             "grp": (grp or "").strip() or None,
+            "where_sql": (where or "").strip() or None,
+            "where": preds,
+            "derived": derived,
             "kinds": kinds,
             "args": args,
+            "finalize": finalize,
             "keys": keys,
             "key_map": key_map,
         }
 
+    def _direct_from(self, d: dict, view: str) -> str:
+        if d.get("derived"):
+            return d["derived"]["sql_tpl"].format(view)
+        return view
+
     def _direct_stmt(self, d: dict, view: str) -> str:
-        q = f"SELECT {d['sel']} FROM {view}"
+        q = f"SELECT {d['sel']} FROM {self._direct_from(d, view)}"
+        if d.get("where_sql"):
+            q += f" WHERE {d['where_sql']}"
         if d["grp"]:
             q += f" GROUP BY {d['grp']}"
         return q
+
+    def _direct_collect_aux(self, d: dict, view: str) -> dict | None:
+        """sum/count companions for every avg alias, computed from the
+        SAME pinned snapshot view as the visible result — the sum is
+        ``sum(CAST(arg AS DOUBLE))``, exactly the double accumulator
+        Spark's Average maintains internally. Returns {key tuple:
+        {alias: (sum, count)}}, or None when the grouped result
+        exceeds DIRECT_MAX_RESULT_ROWS (the refresh would reject such
+        a result anyway, so the plan should not arm)."""
+        avg_aliases = [a for a, fn in d["kinds"].items() if fn == "avg"]
+        items = [
+            f"{src} AS __k{j}" for j, (src, _) in enumerate(d["key_map"])
+        ]
+        for i, a in enumerate(avg_aliases):
+            arg = d["args"][a]
+            items.append(f"sum(CAST({arg} AS DOUBLE)) AS __s{i}")
+            items.append(f"count({arg}) AS __c{i}")
+        q = f"SELECT {', '.join(items)} FROM {self._direct_from(d, view)}"
+        if d.get("where_sql"):
+            q += f" WHERE {d['where_sql']}"
+        if d["grp"]:
+            q += f" GROUP BY {d['grp']}"
+        cap = self.DIRECT_MAX_RESULT_ROWS
+        rows = self.spark.sql(q).limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        nk = len(d["key_map"])
+        aux: dict = {}
+        for r in rows:
+            k = tuple(self._dnorm(r[j]) for j in range(nk))
+            aux[k] = {
+                a: (r[nk + 2 * i], r[nk + 2 * i + 1])
+                for i, a in enumerate(avg_aliases)
+            }
+        return aux
+
+    @staticmethod
+    def _dnorm(v):
+        # group-key normalization matching the merge fold (Spark
+        # normalizes -0.0 to 0.0 in grouping keys); NaN keys never
+        # reach an aux lookup (the merge demotes on them first)
+        if isinstance(v, float) and v == 0.0:
+            return 0.0
+        return v
+
+    @staticmethod
+    def _direct_avg_value(s, c, nd):
+        """Finalize one avg group: double division, then (for the
+        ROUND form) Spark's exact semantics — HALF_UP on the shortest
+        round-trip decimal representation (BigDecimal.valueOf), with
+        NaN/inf passed through unrounded as Spark's Round does."""
+        if not c:
+            return None
+        v = s / c
+        if nd is None:
+            return v
+        if v != v or v in (float("inf"), float("-inf")):
+            return v
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(v)).quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    @staticmethod
+    def _direct_where_keep(preds: list[tuple], get) -> bool:
+        """Evaluate the parsed WHERE for one delta row with Spark's
+        semantics; raises _DirectIneligible whenever the Python
+        comparison could diverge from Spark's (NaN ordering, Decimal
+        vs double-literal cast, string-vs-number coercion, >2^53 int
+        vs float literal)."""
+        import math
+
+        for p in preds:
+            if p[0] == "null":
+                if (get(p[1]) is None) == p[2]:
+                    return False
+                continue
+            _, col, op, lit, kind = p
+            v = get(col)
+            if v is None:
+                return False
+            if kind == "num":
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise _DirectIneligible
+                if isinstance(v, float) and math.isnan(v):
+                    raise _DirectIneligible  # Spark: NaN sorts greatest
+                if (
+                    isinstance(v, int)
+                    and isinstance(lit, float)
+                    and abs(v) > 2**53
+                ):
+                    raise _DirectIneligible  # Spark casts the int lossily
+            elif kind == "bool":
+                if not isinstance(v, bool):
+                    raise _DirectIneligible
+            elif not isinstance(v, str):
+                raise _DirectIneligible
+            ok = (
+                v == lit if op == "=" else
+                v != lit if op == "<>" else
+                v < lit if op == "<" else
+                v <= lit if op == "<=" else
+                v > lit if op == ">" else
+                v >= lit
+            )
+            if not ok:
+                return False
+        return True
 
     def _direct_types_ok(self, d: dict, df: DataFrame) -> bool:
         """The direct path merges in Python and rebuilds the stored
@@ -2305,6 +2545,10 @@ class SparkEngine:
             if col not in types:
                 return False
             if kind == "sum" and isinstance(types[col], T.FloatType):
+                return False
+            # avg merges through a double sum/count pair; a DECIMAL
+            # avg (exact BigDecimal arithmetic) stays on Spark.
+            if kind == "avg" and not isinstance(types[col], T.DoubleType):
                 return False
         return all(self._arrow_type(t) is not None for t in types.values())
 
@@ -2402,10 +2646,22 @@ class SparkEngine:
             cl_loc, cl_parts = self._table_meta(cl)
             if cl_loc is None or cl_parts != ["rw_timestamp"]:
                 return False
-            # delta read: only the agg-arg + key columns, plus op
+            # avg groups merge through their sum/count companions;
+            # without them (engine restart, post-Spark-path rewrite)
+            # the re-arm probe must rebuild the aux first.
+            aux = state.direct_aux
+            has_avg = any(fn == "avg" for fn in d["kinds"].values())
+            if has_avg and aux is None:
+                return False
+            # delta read: agg-arg + key + WHERE columns, plus op
+            # (tumble-computed keys are derived from the ts column)
+            computed = {"window_start", "window_end"} if d["derived"] else set()
             need = sorted(
-                {c for c in d["args"].values() if c}
-                | {c for c, _ in d["key_map"]}
+                ({c for c in d["args"].values() if c}
+                 | {c for c, _ in d["key_map"]}
+                 | {p[1] for p in (d["where"] or [])}
+                 | ({d["derived"]["col"]} if d["derived"] else set()))
+                - computed
             )
             delta_cols: dict[str, list] = {c: [] for c in need}
             ops: list[str] = []
@@ -2417,6 +2673,30 @@ class SparkEngine:
             if any(op != OP_INSERT for op in ops):
                 return False  # retractions: touched-group re-agg needs Spark
             n_delta = len(ops)
+            if d["derived"] is not None and n_delta:
+                # window_start/window_end per delta row: the same
+                # floor(unix_micros/us) DOUBLE arithmetic the rewrite
+                # emits (Python float division == Spark double)
+                import datetime as _dt
+                import math as _math
+
+                us = d["derived"]["us"]
+                ep0 = _dt.datetime(1970, 1, 1)
+                ws_l: list = []
+                we_l: list = []
+                for v in delta_cols[d["derived"]["col"]]:
+                    if v is None:
+                        ws_l.append(None)
+                        we_l.append(None)
+                        continue
+                    td = v - ep0
+                    mic = (td.days * 86400 + td.seconds) * 1_000_000 \
+                        + td.microseconds
+                    b = int(_math.floor(mic / us)) * us
+                    ws_l.append(ep0 + _dt.timedelta(microseconds=b))
+                    we_l.append(ep0 + _dt.timedelta(microseconds=b + us))
+                delta_cols["window_start"] = ws_l
+                delta_cols["window_end"] = we_l
             if n_delta == 0:
                 self.next_epoch()
                 state.last_epoch = m1
@@ -2436,15 +2716,20 @@ class SparkEngine:
                     stored[c].extend(self._pa_column_pylist(t.column(c)))
             try:
                 merged = self._direct_merge(
-                    d, state, cols, stored, delta_cols, n_delta
+                    d, state, cols, stored, delta_cols, n_delta,
+                    aux if has_avg else None,
                 )
             except _DirectIneligible:
                 return False
-            if merged is None:  # delta folded to a no-op (all-null sums)
+            new_rows, batches, aux_new = merged
+            if new_rows is None:  # no visible change (all-null sums,
+                # WHERE-filtered delta, or avg movement hidden by ROUND
+                # — companions still advance)
                 self.next_epoch()
                 state.last_epoch = m1
+                if aux_new is not None:
+                    state.direct_aux = aux_new
                 return True
-            new_rows, batches = merged
             # Build EVERY arrow table before any mutation: a cast
             # overflow here must leave the MV untouched for the Spark
             # path to redo the work.
@@ -2513,6 +2798,8 @@ class SparkEngine:
             spark.catalog.refreshTable(cl)
             shutil.rmtree(loc_mv, ignore_errors=True)  # superseded gen
             state.last_epoch = m1
+            if aux_new is not None:
+                state.direct_aux = aux_new
             return True
 
     def _direct_merge(
@@ -2523,12 +2810,15 @@ class SparkEngine:
         stored: dict[str, list],
         delta_cols: dict[str, list],
         n_delta: int,
-    ) -> tuple[dict[str, list], list[tuple[list[dict], str]]] | None:
+        aux: dict | None,
+    ) -> tuple[dict[str, list] | None, list, dict | None]:
         """Pure-Python group merge of an insert-only delta into the
-        stored result. Returns (full new result columns, changelog
-        batches) or None when no group's value changed. Raises
+        stored result. Returns (full new result columns or None when
+        no visible value changed, changelog batches, updated avg
+        companions or None when the plan has no avg). Raises
         _DirectIneligible on anything whose Python semantics could
-        diverge from Spark's (NaN values, duplicate stored keys)."""
+        diverge from Spark's (NaN values, duplicate stored keys,
+        WHERE type coercion, an aux missing a stored group)."""
         import math
 
         def norm_key(v):
@@ -2545,12 +2835,18 @@ class SparkEngine:
             return v
 
         kinds, args, keys = d["kinds"], d["args"], d["keys"]
+        finalize = d["finalize"]
         vals = [c for c in cols if c not in keys]
         if set(vals) != set(kinds):
             raise _DirectIneligible
+        preds = d["where"]
         # delta fold, grouped on the base key columns (insertion order)
         groups: dict[tuple, dict] = {}
         for i in range(n_delta):
+            if preds is not None and not self._direct_where_keep(
+                preds, lambda c, _i=i: delta_cols[c][_i]
+            ):
+                continue
             k = tuple(
                 norm_key(delta_cols[c][i]) for c, _ in d["key_map"]
             )
@@ -2562,6 +2858,16 @@ class SparkEngine:
                     g[alias] = g.get(alias, 0) + (
                         1 if arg is None or v is not None else 0
                     )
+                    continue
+                if fn == "avg":
+                    # the same cast-to-double accumulate Spark's
+                    # Average performs per input row
+                    s, c0 = g.get(alias, (None, 0))
+                    if v is not None:
+                        fv = float(v)
+                        s = fv if s is None else s + fv
+                        c0 += 1
+                    g[alias] = (s, c0)
                     continue
                 cur = g.get(alias)
                 if v is None:
@@ -2589,6 +2895,9 @@ class SparkEngine:
                 return a is None and b is None
             return a == b
 
+        aux_new = (
+            {k: dict(v) for k, v in aux.items()} if aux is not None else None
+        )
         updates: dict[int, dict] = {}
         changed: list[tuple[dict, dict]] = []
         inserts: list[dict] = []
@@ -2597,12 +2906,36 @@ class SparkEngine:
             if i is None:
                 row = {out: k[j] for j, (_, out) in enumerate(d["key_map"])}
                 for alias, fn in kinds.items():
-                    row[alias] = g.get(alias, 0 if fn == "count" else None)
+                    if fn == "avg":
+                        s, c0 = g.get(alias, (None, 0))
+                        row[alias] = self._direct_avg_value(
+                            s, c0, finalize.get(alias)
+                        )
+                        if aux_new is not None:
+                            aux_new.setdefault(k, {})[alias] = (s, c0)
+                    else:
+                        row[alias] = g.get(
+                            alias, 0 if fn == "count" else None
+                        )
                 inserts.append(row)
                 continue
             old_row = {c: stored[c][i] for c in cols}
             new_row = dict(old_row)
             for alias, fn in kinds.items():
+                if fn == "avg":
+                    if aux_new is None or k not in aux_new:
+                        raise _DirectIneligible  # companions out of sync
+                    s0, c0 = aux_new[k][alias]
+                    ds, dc = g.get(alias, (None, 0))
+                    s1 = ds if s0 is None else (
+                        s0 if ds is None else s0 + ds
+                    )
+                    c1 = (c0 or 0) + dc
+                    aux_new[k][alias] = (s1, c1)
+                    new_row[alias] = self._direct_avg_value(
+                        s1, c1, finalize.get(alias)
+                    )
+                    continue
                 ov, dv = old_row[alias], g.get(alias)
                 if ov is None:
                     nv = dv
@@ -2619,7 +2952,7 @@ class SparkEngine:
                 updates[i] = new_row
                 changed.append((old_row, new_row))
         if not updates and not inserts:
-            return None
+            return None, [], aux_new
         new_rows: dict[str, list] = {c: [] for c in cols}
         for i in range(n_stored):
             row = updates.get(i)
@@ -2645,7 +2978,11 @@ class SparkEngine:
                 ([o for o, _ in changed], OP_DELETE),
                 ([n for _, n in changed] + inserts, OP_INSERT),
             ]
-        return new_rows, [(rows, op) for rows, op in batches if rows]
+        return (
+            new_rows,
+            [(rows, op) for rows, op in batches if rows],
+            aux_new,
+        )
 
     # -- incremental JOIN MVs (delta rules over changelog provenance) ------
 
@@ -3358,6 +3695,17 @@ class SparkEngine:
             incja = None
         if direct is not None and not self._direct_types_ok(direct, df):
             direct = None
+        direct_aux = None
+        if direct is not None and any(
+            fn == "avg" for fn in direct["kinds"].values()
+        ):
+            # sum/count companions from the SAME pinned snapshot the
+            # visible result materializes from; an oversize grouped
+            # result (which the refresh would reject anyway) leaves
+            # the MV on the Spark paths.
+            direct_aux = self._direct_collect_aux(direct, base_view)
+            if direct_aux is None:
+                direct = None
         self._clear_stale_location(fq)
         try:
             df.write.format("parquet").saveAsTable(fq)
@@ -3394,6 +3742,7 @@ class SparkEngine:
             # make the fallback path pair-diff on another key set —
             # emission contracts must agree, so don't arm.
             state.inc_direct = direct
+            state.direct_aux = direct_aux
             state.last_epoch = m0
         self.mvs[fq] = state
 
@@ -4600,6 +4949,15 @@ class SparkEngine:
                     direct, df
                 ):
                     direct = None
+                aux = None
+                if direct is not None and any(
+                    fn == "avg" for fn in direct["kinds"].values()
+                ):
+                    # rebuild the avg companions from the same pinned
+                    # snapshot the recompute materializes from
+                    aux = self._direct_collect_aux(direct, view)
+                    if aux is None:
+                        direct = None
                 if inc is None and direct is None:
                     state.fastpath_blocked = True
                     return None
@@ -4610,6 +4968,7 @@ class SparkEngine:
             def finalize_inc():
                 state.inc = inc
                 state.inc_direct = direct
+                state.direct_aux = aux
                 state.last_epoch = m0
 
             return df, finalize_inc

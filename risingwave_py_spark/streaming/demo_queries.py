@@ -1403,3 +1403,52 @@ def time_travel_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " ORDER BY at_epoch, k, v"
     )
+
+
+@register(
+    "avg_where_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('y', CAST(1 AS BIGINT), CAST(5.0 AS DOUBLE), 'Insert', CAST(3 AS BIGINT)),
+        ('x', CAST(2 AS BIGINT), CAST(3.0 AS DOUBLE), 'UpdateDelete', CAST(5 AS BIGINT)),
+        ('x', CAST(3 AS BIGINT), CAST(3.7 AS DOUBLE), 'UpdateInsert', CAST(5 AS BIGINT))
+    ) AS t(p, n, a, op, rw_timestamp)
+    """,
+)
+def avg_where_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 direct-refresh extension (VERDICT r9 #1): a
+    round(avg())+WHERE MV — the reference demo's aggregate shape
+    (/root/reference/demo.py:98-100) — takes the ZERO-JOB driver-side
+    path (asserted), the Python fold filters delta rows with Spark's
+    WHERE semantics, avg merges through its sum/count companions, and
+    the emitted changelog matches the Spark paths' pair contract.
+    Epoch 1 inserts a WHERE-filtered row (no visible change, no
+    emission) plus a new group; epoch 2 moves an existing group's
+    average. Returns the MV changelog."""
+    conn, eng = _fresh_conn(spark, "rwdemo_avg")
+    conn.execute("CREATE TABLE rwdemo_avg.ev (p STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"p": ["x", "x", "y"], "v": [2.0, 4.0, 0.5]}),
+                table_name="ev", schema_name="rwdemo_avg", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_avg.agg AS "
+        "SELECT p, count(*) AS n, round(avg(v), 1) AS a "
+        "FROM rwdemo_avg.ev WHERE v >= 1 GROUP BY p"
+    )
+    st = eng.mvs["rwdemo_avg.agg"]
+    assert st.inc_direct is not None, "avg+WHERE must arm the direct path"
+    conn.execute(
+        "CREATE SUBSCRIPTION rwdemo_avg.s FROM rwdemo_avg.agg WITH (retention = '86400s')"
+    )
+    conn.execute("DECLARE rwdemo_avg_cur subscription cursor for rwdemo_avg.s SINCE 0")
+    # epoch: one filtered row (x stays untouched) + a brand-new group y
+    conn.insert(pd.DataFrame({"p": ["x", "y"], "v": [0.25, 5.0]}),
+                table_name="ev", schema_name="rwdemo_avg", force_flush=True)
+    # epoch: x's average moves 3.0 -> round(11/3, 1) = 3.7
+    conn.insert(pd.DataFrame({"p": ["x"], "v": [5.0]}),
+                table_name="ev", schema_name="rwdemo_avg", force_flush=True)
+    assert st.inc_direct is not None, "direct path lost mid-scenario"
+    cols, rows = eng.fetch_cursor("rwdemo_avg_cur", 100)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: (r[-1], str(r))),
+        "p string, n bigint, a double, op string, rw_timestamp bigint",
+    )

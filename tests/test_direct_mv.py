@@ -275,3 +275,191 @@ def test_unconsumed_vacuum_disarms_then_rearms_direct(spark, conn):
         c.insert_row("ev", schema_name=s, force_flush=True, k=3, v=3)
     assert jobs.clean
     assert c.fetch(f"SELECT n, sm FROM {s}.agg") == [(3, 6)]
+
+def test_avg_global_zero_jobs_matches_recompute(spark, conn):
+    """avg() decomposes into the sum/count companions (VERDICT r9 #1):
+    the reference's canonical demo aggregate shape must run the whole
+    insert->flush->refresh loop job-free and stay equal to a
+    from-scratch recompute."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.ev (k BIGINT, v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.agg AS "
+        f"SELECT count(*) AS n, avg(v) AS a, round(avg(v), 2) AS r "
+        f"FROM {s}.ev"
+    )
+    st = eng.mvs[f"{s}.agg"]
+    assert st.inc_direct is not None, "avg must arm the direct path"
+    assert st.direct_aux is not None
+    c.insert_row("ev", schema_name=s, force_flush=True, k=1, v=1.0)
+    with _no_jobs(spark) as jobs:
+        c.insert_row("ev", schema_name=s, force_flush=True, k=2, v=2.5)
+        c.insert_row("ev", schema_name=s, force_flush=True, k=3, v=None)
+    assert jobs.clean, "avg-MV refresh dispatched Spark jobs"
+    got = c.fetch(f"SELECT n, a, r FROM {s}.agg")
+    want = c.fetch(
+        f"SELECT count(*) AS n, avg(v) AS a, round(avg(v), 2) AS r "
+        f"FROM {s}.ev"
+    )
+    assert got == want == [(3, 1.75, 1.75)]
+    assert st.inc_direct is not None
+
+
+def test_avg_where_grouped_direct(spark, conn):
+    """Grouped avg with a simple WHERE: the Python fold filters delta
+    rows with Spark's semantics (NULLs drop, type guards demote)."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.t (p STRING, v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT p, count(*) AS n, avg(v) AS a FROM {s}.t "
+        f"WHERE v >= 1 GROUP BY p"
+    )
+    st = eng.mvs[f"{s}.m"]
+    assert st.inc_direct is not None
+    c.insert(pd.DataFrame({"p": ["a", "a", "b"], "v": [1.0, 3.0, 0.5]}),
+             table_name="t", schema_name=s, force_flush=True)
+    with _no_jobs(spark) as jobs:
+        c.insert_row("t", schema_name=s, force_flush=True, p="a", v=0.25)
+        c.insert_row("t", schema_name=s, force_flush=True, p="b", v=4.0)
+        c.insert_row("t", schema_name=s, force_flush=True, p="c", v=None)
+    assert jobs.clean
+    got = sorted(c.fetch(f"SELECT * FROM {s}.m"))
+    want = sorted(c.fetch(
+        f"SELECT p, count(*) AS n, avg(v) AS a FROM {s}.t "
+        f"WHERE v >= 1 GROUP BY p"
+    ))
+    assert got == want == [("a", 2, 2.0), ("b", 1, 4.0)]
+    assert st.inc_direct is not None
+
+
+def test_tumble_round_avg_demo_shape_runs_direct(spark, conn):
+    """The reference's flagship demo MV (demo.py:98-100): tumble TVF +
+    round(avg()) + GROUP BY window/symbol must take the zero-job path,
+    with window_start/window_end recomputed per delta row in Python."""
+    c, eng, s = conn
+    ticks = pd.DataFrame({
+        "symbol": ["eth", "eth", "btc"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:03", "2024-01-01 00:00:07",
+            "2024-01-01 00:00:08",
+        ]),
+        "close": [100.0, 110.0, 50.0],
+    })
+    c.insert(ticks, table_name="tick", schema_name=s, force_flush=True)
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.tick_10s AS "
+        f"SELECT window_start, window_end, symbol, "
+        f"round(avg(close)) AS avg_price "
+        f"FROM tumble({s}.tick, ts, interval '10 seconds') "
+        f"GROUP BY window_start, window_end, symbol"
+    )
+    st = eng.mvs[f"{s}.tick_10s"]
+    assert st.inc_direct is not None, "demo MV shape must arm direct"
+    assert st.inc_direct["derived"] is not None
+    with _no_jobs(spark) as jobs:
+        # same window (touched group) + a brand-new window
+        c.insert_row("tick", schema_name=s, force_flush=True,
+                     symbol="eth", ts=pd.Timestamp("2024-01-01 00:00:09"),
+                     close=130.0)
+        c.insert_row("tick", schema_name=s, force_flush=True,
+                     symbol="eth", ts=pd.Timestamp("2024-01-01 00:00:14"),
+                     close=120.0)
+    assert jobs.clean, "tumble avg-MV refresh dispatched Spark jobs"
+    got = sorted(c.fetch(f"SELECT * FROM {s}.tick_10s"))
+    want = sorted(c.fetch(
+        f"SELECT window_start, window_end, symbol, "
+        f"round(avg(close)) AS avg_price "
+        f"FROM tumble({s}.tick, ts, interval '10 seconds') "
+        f"GROUP BY window_start, window_end, symbol"
+    ))
+    assert got == want
+    assert {r[-1] for r in got} == {50.0, 113.0, 120.0}
+    assert st.inc_direct is not None
+
+
+def test_avg_round_half_up_matches_spark(spark, conn):
+    """round() finalization must use Spark's HALF_UP-on-shortest-repr
+    semantics, not Python's banker's rounding: avg(2,3)=2.5 -> 3.0."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.ev (v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT round(avg(v)) AS r FROM {s}.ev"
+    )
+    c.insert_row("ev", schema_name=s, force_flush=True, v=2.0)
+    with _no_jobs(spark) as jobs:
+        c.insert_row("ev", schema_name=s, force_flush=True, v=3.0)
+    assert jobs.clean
+    got = c.fetch(f"SELECT r FROM {s}.m")
+    want = c.fetch(f"SELECT round(avg(v)) AS r FROM {s}.ev")
+    assert got == want == [(3.0,)]
+
+
+def test_avg_round_hides_change_but_companions_advance(spark, conn):
+    """A delta that moves the raw avg but not the ROUNDED value must
+    emit nothing — yet the sum/count companions must still advance so
+    the NEXT delta merges from the true state."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.ev (v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT round(avg(v)) AS r FROM {s}.ev"
+    )
+    c.insert_row("ev", schema_name=s, force_flush=True, v=10.0)
+    cl = eng.changelog_name(f"{s}.m")
+    n_ops0 = spark.table(cl).count()
+    with _no_jobs(spark) as jobs:
+        # avg 10.0 -> 10.2, rounded stays 10.0: no visible change
+        c.insert_row("ev", schema_name=s, force_flush=True, v=10.4)
+    assert jobs.clean
+    assert spark.table(cl).count() == n_ops0
+    assert c.fetch(f"SELECT r FROM {s}.m") == [(10.0,)]
+    with _no_jobs(spark) as jobs:
+        # avg (10+10.4+30)/3 = 16.8 -> 17.0: must merge from the TRUE
+        # companions (sum=20.4,n=2), not from the stored rounded value
+        c.insert_row("ev", schema_name=s, force_flush=True, v=30.0)
+    assert jobs.clean
+    got = c.fetch(f"SELECT r FROM {s}.m")
+    want = c.fetch(f"SELECT round(avg(v)) AS r FROM {s}.ev")
+    assert got == want == [(17.0,)]
+
+
+def test_avg_large_delta_falls_back_then_rearms_with_companions(spark, conn):
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.ev (k BIGINT, v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.agg AS "
+        f"SELECT count(*) AS n, avg(v) AS a FROM {s}.ev"
+    )
+    limit = eng.DIRECT_MAX_DELTA_ROWS
+    big = pd.DataFrame({"k": range(limit + 10),
+                        "v": [float(i) for i in range(limit + 10)]})
+    c.insert(big, table_name="ev", schema_name=s, force_flush=True)
+    st = eng.mvs[f"{s}.agg"]
+    assert st.inc_direct is not None, "re-arm must restore the avg plan"
+    assert st.direct_aux is not None, "re-arm must rebuild companions"
+    with _no_jobs(spark) as jobs:
+        c.insert_row("ev", schema_name=s, force_flush=True, k=-1, v=7.0)
+    assert jobs.clean
+    got = c.fetch(f"SELECT n, a FROM {s}.agg")
+    want = c.fetch(f"SELECT count(*) AS n, avg(v) AS a FROM {s}.ev")
+    assert got == want
+
+
+def test_where_string_number_coercion_demotes_not_corrupts(spark, conn):
+    """WHERE p > 5 over a STRING column: Spark coerces, Python must
+    not guess — the fold demotes to the Spark path and stays exact."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.t (p STRING, v BIGINT)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT count(*) AS n, sum(v) AS sm FROM {s}.t WHERE p > 5"
+    )
+    c.insert_row("t", schema_name=s, force_flush=True, p="7", v=1)
+    c.insert_row("t", schema_name=s, force_flush=True, p="3", v=2)
+    got = c.fetch(f"SELECT n, sm FROM {s}.m")
+    want = c.fetch(
+        f"SELECT count(*) AS n, sum(v) AS sm FROM {s}.t WHERE p > 5"
+    )
+    assert got == want == [(1, 1)]
