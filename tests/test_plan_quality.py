@@ -163,12 +163,18 @@ def test_embedding_dedup_is_banded_not_allpairs(spark, sf_dir):
 
 
 def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
-    """Lloyd's assignment must be broadcast-join + codegen fold —
-    never a shuffled or nested-loop pairing of corpus × centroids."""
+    """Lloyd's assignment must be the packed-codebook single
+    projection (one broadcast row, all k distances in one codegen
+    expression, argmin via array_min): never a shuffled or
+    nested-loop pairing of corpus × centroids, and — since round 10
+    (VERDICT r9 'what's wrong' #1) — never a row_number Window over
+    k×N expanded rows."""
     plan = _plan(spark, sf_dir, "cluster_kmeans_embeddings")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    assert "Window" not in plan, "assign regressed to corpus-expanding argmin"
+    assert "row_number" not in plan
 
 
 def test_semantic_dedup_pairs_within_cluster_only(spark, sf_dir):
