@@ -102,6 +102,12 @@ class MVState:
         # DIRECT_MAX_RESULT_ROWS groups. None ⇒ avg MVs fall through
         # to the Spark paths until the re-arm probe restores it.
         self.direct_aux: dict | None = None
+        # Global engine epoch at CREATE MATERIALIZED VIEW — the time-
+        # travel anchor: epochs >= this are answerable by the reverse
+        # fold (current result minus the changelog suffix), epochs
+        # before it predate the view. None for MVs re-registered from
+        # a pre-anchor catalog (time travel refuses those loudly).
+        self.created_epoch: int | None = None
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
@@ -817,6 +823,7 @@ class SparkEngine:
                     "stmt": s.stmt,
                     "key_cols": s.key_cols,
                     "emit_on_close": s.emit_on_close,
+                    "created_epoch": s.created_epoch,
                 }
                 for fq, s in self.mvs.items()
             },
@@ -965,10 +972,12 @@ class SparkEngine:
         self._gc_foreign_stages(fq, best_seq, keep=winner)
         for mv_fq, m in doc.get("mvs", {}).items():
             if self.spark.catalog.tableExists(mv_fq):
-                self.mvs[mv_fq] = MVState(
+                st = MVState(
                     mv_fq, m["stmt"], m.get("key_cols"),
                     m.get("emit_on_close", False),
                 )
+                st.created_epoch = m.get("created_epoch")
+                self.mvs[mv_fq] = st
         self.upsert_meta.update(doc.get("upsert_meta", {}))
         for up_fq in list(self.upsert_meta):
             try:
@@ -2010,22 +2019,32 @@ class SparkEngine:
     # joins); this extends the spelling to historical epochs the way
     # a lakehouse exposes VERSION AS OF over its commit log.
 
+    # Anchored to FROM/JOIN context with an optional [AS] alias, so an
+    # aliased reference (FROM t AS x FOR SYSTEM_TIME …) resolves the
+    # TABLE, not the alias, and the pattern inside an unrelated select
+    # item never rewrites literal text. Known limitation (documented):
+    # the phrase inside a string literal or comment that happens to
+    # follow the token FROM/JOIN still matches — the rewrite is
+    # textual, like the reference's own psql-style parameterization.
     _ASOF_EPOCH = re.compile(
-        r"(?P<tbl>[A-Za-z_][\w.]*)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+EPOCH\s+"
-        r"(?P<n>\d+)",
+        r"(?P<kw>\b(?:FROM|JOIN)\s+)(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?(?!FOR\b)(?P<alias>[A-Za-z_]\w*))?"
+        r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+EPOCH\s+(?P<n>\d+)",
         re.I,
     )
 
     def _rewrite_asof_epoch(self, sql: str) -> str:
-        """Replace every ``tbl FOR SYSTEM_TIME AS OF EPOCH n`` with a
-        temp view holding the reconstructed state (one view per
-        (table, epoch), reused within the statement)."""
+        """Replace every ``FROM/JOIN tbl [AS alias] FOR SYSTEM_TIME AS
+        OF EPOCH n`` with a temp view holding the reconstructed state
+        (one view per (table, epoch), reused within the statement);
+        the alias, if any, is re-attached to the view."""
         def sub(m: "re.Match[str]") -> str:
             fq = self.qualify(m.group("tbl"))
             n = int(m.group("n"))
             view = "__rw_asof_" + re.sub(r"[^0-9a-zA-Z]", "_", fq) + f"_{n}"
             self.table_asof(fq, n).createOrReplaceTempView(view)
-            return view
+            alias = m.group("alias")
+            return m.group("kw") + view + (f" AS {alias}" if alias else "")
 
         return self._ASOF_EPOCH.sub(sub, sql)
 
@@ -2046,13 +2065,7 @@ class SparkEngine:
                 "changelog resolves versions, it is not a bag-op history"
             )
         if fq in getattr(self, "mvs", {}):
-            raise ValueError(
-                f"time travel is not supported on materialized view {fq}: "
-                "an MV's changelog starts at its first refresh delta — the "
-                "creation snapshot is not in it, so a bag fold would "
-                "silently drop the initial rows. Time-travel the BASE "
-                "tables and re-apply the view query instead."
-            )
+            return self._mv_asof(fq, epoch)
         cl = self.changelog_name(fq)
         if not self.spark.catalog.tableExists(cl):
             raise ValueError(f"no changelog for {fq}: not an engine table")
@@ -2070,6 +2083,70 @@ class SparkEngine:
         bag = (
             log.groupBy(*payload)
             .agg(F.sum(weight).alias("__rw_cnt"))
+            .filter(F.col("__rw_cnt") > 0)
+        )
+        return bag.select(
+            *payload,
+            F.explode(F.expr("sequence(1, __rw_cnt)")).alias("__rw_i"),
+        ).select(*payload)
+
+    def _mv_asof(self, fq: str, epoch: int) -> DataFrame:
+        """An MV's state as of ``epoch`` via the REVERSE fold: the
+        current stored result minus the changelog suffix with
+        rw_timestamp > epoch (subtract its inserts, add back its
+        deletes). The MV changelog starts at the first refresh delta —
+        the creation snapshot is not in it, so a forward fold would
+        silently drop the initial rows; the reverse fold needs no
+        snapshot copy at all because the CURRENT table already embeds
+        it, and it only requires suffix completeness, so a changelog
+        vacuumed through floor <= epoch still answers. Epochs before
+        the creation anchor (MVState.created_epoch, persisted in the
+        engine catalog) are refused — the view did not exist."""
+        st = self.mvs[fq]
+        if st.created_epoch is None:
+            raise ValueError(
+                f"time travel is not supported on materialized view {fq}: "
+                "its creation epoch is unknown (created by a pre-anchor "
+                "engine version). Recreate the view, or time-travel the "
+                "BASE tables and re-apply the view query instead."
+            )
+        if epoch < st.created_epoch:
+            raise ValueError(
+                f"materialized view {fq} was created at epoch "
+                f"{st.created_epoch}; epoch {epoch} predates it. "
+                "Time-travel the BASE tables and re-apply the view "
+                "query for pre-creation states."
+            )
+        cl = self.changelog_name(fq)
+        if not self.spark.catalog.tableExists(cl):
+            raise ValueError(f"no changelog for materialized view {fq}")
+        if self.vacuum_floor.get(cl, 0) > epoch:
+            raise ValueError(
+                f"time travel to epoch {epoch} needs the changelog "
+                f"suffix of {fq} above it, but the changelog is "
+                f"vacuumed through epoch {self.vacuum_floor[cl]}"
+            )
+        self.spark.catalog.refreshTable(fq)
+        cur = self.spark.table(fq)
+        payload = cur.columns
+        log = self.spark.table(cl)
+        missing = set(payload) - set(log.columns)
+        if missing:
+            raise ValueError(
+                f"changelog of {fq} lacks columns {sorted(missing)} "
+                "(post-hoc schema drift): cannot reverse-fold"
+            )
+        suffix = log.filter(F.col("rw_timestamp") > epoch)
+        # reverse weights: undo the suffix against the current bag
+        undo = F.when(
+            F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT), F.lit(-1)
+        ).otherwise(F.lit(1))
+        union = cur.select(
+            *payload, F.lit(1).alias("__rw_w")
+        ).unionByName(suffix.select(*payload, undo.alias("__rw_w")))
+        bag = (
+            union.groupBy(*payload)
+            .agg(F.sum("__rw_w").alias("__rw_cnt"))
             .filter(F.col("__rw_cnt") > 0)
         )
         return bag.select(
@@ -3501,6 +3578,8 @@ class SparkEngine:
         self.spark.catalog.setCurrentDatabase(self.default_schema)
         rewritten = RW.rewrite_query(stmt, self.version_string)
         state = MVState(fq, rewritten, None, emit_on_close)
+        # time-travel anchor: the view exists from this engine epoch on
+        state.created_epoch = self.current_epoch
         inc = None if emit_on_close else self._parse_simple_agg(rewritten)
         if inc is not None:
             base = inc["base_fq"]

@@ -1452,3 +1452,48 @@ def avg_where_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows, key=lambda r: (r[-1], str(r))),
         "p string, n bigint, a double, op string, rw_timestamp bigint",
     )
+
+
+@register(
+    "mv_time_travel_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS INT), 'x', CAST(1.0 AS DOUBLE)),
+        (CAST(1 AS INT), 'x', CAST(1.0 AS DOUBLE)),
+        (CAST(1 AS INT), 'y', CAST(2.0 AS DOUBLE)),
+        (CAST(2 AS INT), 'x', CAST(4.0 AS DOUBLE)),
+        (CAST(2 AS INT), 'y', CAST(2.0 AS DOUBLE))
+    ) AS t(state, g, total)
+    """,
+)
+def mv_time_travel_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (VERDICT r9 #4): time travel over a MATERIALIZED VIEW
+    via the reverse fold — current result minus the changelog suffix
+    above the asked epoch. The creation state is readable (state 0,
+    anchored at MVState.created_epoch: no snapshot copy is stored,
+    the current table embeds it), each refresh state replays (states
+    1-2), and the newest epoch equals the live view. One statement
+    reads all three epochs through FOR SYSTEM_TIME AS OF EPOCH."""
+    conn, eng = _fresh_conn(spark, "rwdemo_mvtt")
+    conn.execute("CREATE TABLE rwdemo_mvtt.b (g STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"g": ["x"], "v": [1.0]}),
+                table_name="b", schema_name="rwdemo_mvtt", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_mvtt.m AS "
+        "SELECT g, sum(v) AS total FROM rwdemo_mvtt.b GROUP BY g"
+    )
+    e0 = eng.mvs["rwdemo_mvtt.m"].created_epoch
+    conn.insert(pd.DataFrame({"g": ["y"], "v": [2.0]}),
+                table_name="b", schema_name="rwdemo_mvtt", force_flush=True)
+    e1 = eng.current_epoch
+    conn.insert(pd.DataFrame({"g": ["x"], "v": [3.0]}),
+                table_name="b", schema_name="rwdemo_mvtt", force_flush=True)
+    e2 = eng.current_epoch
+    return eng.sql(
+        " UNION ALL ".join(
+            f"SELECT {i} AS state, g, total "
+            f"FROM rwdemo_mvtt.m FOR SYSTEM_TIME AS OF EPOCH {e}"
+            for i, e in enumerate((e0, e1, e2))
+        )
+        + " ORDER BY state, g"
+    )
