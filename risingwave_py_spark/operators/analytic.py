@@ -16,6 +16,8 @@ one shuffle by user, one sort, NO join — which beats a range join at
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -760,11 +762,19 @@ def events_ema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ONE hash aggregate (map-side combined collect_list)
     — but the per-key history lives in one array, so this form holds
     while per-key event counts fit an executor (millions of events
-    per key); past that, the same fold runs as a sorted-iterator
-    applyInPandas per key (the sessionize_stream pattern), or
-    incrementally as a 1-row-state streaming op — EMA is the
-    canonical O(1)-state incremental aggregate."""
+    per key). Past EMA_ARRAY_MAX_PER_KEY (same configurable-bound
+    pattern as the engine's DIRECT_MAX_DELTA_ROWS) the IDENTICAL fold
+    runs as a sorted applyInPandas per key instead — no executor
+    array, history streamed through Arrow — decided at runtime from a
+    cheap per-key count probe. Both forms produce the same oracle
+    values (pinned by tests/test_operators.py and the 8x scaling
+    probe in SCALE.md)."""
     e = table(spark, sf_dir, "events")
+    mx = (
+        e.groupBy("event_type").count().agg(F.max("count")).first()[0] or 0
+    )
+    if mx > EMA_ARRAY_MAX_PER_KEY:
+        return _ema_drift_pandas(e)
     per = e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.expr(
@@ -783,3 +793,59 @@ def events_ema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ema"),
         "mean_value",
     ).orderBy("event_type")
+
+
+# Per-key histories beyond this count leave the collect_list array
+# form for the sorted-applyInPandas fold (identical arithmetic, no
+# executor-resident array). Overridable for probes/tests.
+EMA_ARRAY_MAX_PER_KEY = int(
+    os.environ.get("SPARK_GRAFT_EMA_ARRAY_MAX", "5000000")
+)
+
+
+def _ema_drift_pandas(e: DataFrame) -> DataFrame:
+    """The events_ema_drift fold as a grouped applyInPandas: one
+    Arrow batch stream per event_type, sorted by the SAME
+    (ts, event_id, value) key sort_array uses, folded with the same
+    acc + 0.125*(x - acc) double sequence and HALF_UP rounding. A
+    NULL value poisons the fold to NULL exactly as the SQL aggregate
+    does; the mean skips NULLs exactly as avg does."""
+    import pandas as pd
+
+    from risingwave_py_spark.functions.multimodal import _round_half_up
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["ts", "event_id", "value"], kind="mergesort"
+        )
+        n = len(pdf)
+        vals = pdf["value"].astype("float64")
+        if vals.isna().any():
+            ema = None
+        else:
+            arr = vals.to_numpy()
+            acc = float(arr[0])
+            for x in arr[1:]:
+                acc = acc + 0.125 * (float(x) - acc)
+            ema = _round_half_up(acc, 6)
+        mean = (
+            _round_half_up(float(vals.mean()), 6)
+            if n and not vals.isna().all() else None
+        )
+        return pd.DataFrame({
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [n],
+            "ema": [ema],
+            "mean_value": [mean],
+        })
+
+    return (
+        e.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            fold,
+            "event_type string, n_events bigint, ema double, "
+            "mean_value double",
+        )
+        .orderBy("event_type")
+    )

@@ -271,3 +271,25 @@ def test_dialect_rewrites_are_noops_on_plain_sql():
             assert rewrite_hop(sql) == sql, name
         checked += 1
     assert checked > 100
+
+
+def test_ema_pandas_escape_hatch_matches_array_form(spark, sf_dir):
+    """events_ema_drift's two physical forms — collect_list array fold
+    vs the sorted applyInPandas fold engaged past
+    EMA_ARRAY_MAX_PER_KEY (VERDICT r9 #5) — must produce bit-identical
+    rows: same (ts, event_id, value) sort, same
+    acc + 0.125*(x - acc) double sequence, same HALF_UP rounding."""
+    import risingwave_py_spark.operators.analytic as A
+    from risingwave_py_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["events_ema_drift"]
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    old = A.EMA_ARRAY_MAX_PER_KEY
+    try:
+        A.EMA_ARRAY_MAX_PER_KEY = 0  # force the applyInPandas form
+        b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    finally:
+        A.EMA_ARRAY_MAX_PER_KEY = old
+    assert a == b
+    assert len(a) == 5 and all(r[1] > 0 for r in a)
