@@ -126,6 +126,10 @@ def _source_fp(sf_dir: str, name: str) -> str:
     parts = []
     try:
         if os.path.isdir(p):
+            # include the resolved source path like the single-file
+            # branch: two sf_dirs sharing a basename must never alias
+            # to one cache entry on coincidentally-equal inner stats
+            parts.append(p)
             for f in sorted(os.listdir(p)):
                 if f.endswith(".parquet"):
                     st = os.stat(os.path.join(p, f))
@@ -156,7 +160,19 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
             except OSError:
                 stored = None  # legacy cache without a fingerprint
             if stored != fp:
-                shutil.rmtree(final, ignore_errors=True)
+                # Replace, never delete in place: move the stale dir
+                # aside atomically and defer its removal, so a
+                # concurrent process mid-query keeps a consistent
+                # directory for as long as it holds the old listing
+                # (triggers only when the SOURCE was regenerated — the
+                # same reader-breakage class the bucketed path's flock
+                # fixed in round 9).
+                stale = f"{final}__stale_{os.getpid()}"
+                try:
+                    os.rename(final, stale)
+                except OSError:
+                    pass  # another process already swapped it
+                shutil.rmtree(stale, ignore_errors=True)
         if not os.path.isdir(final):
             # cores/2 split files: enough parallel decode to saturate
             # the box while halving per-stage task-launch overhead

@@ -181,7 +181,24 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> str:
     fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
-        if not spark.catalog.tableExists(marker) and (
+        if spark.catalog.tableExists(marker):
+            # A stale-fp marker in THIS catalog may cover files another
+            # process just rebuilt to exactly the fingerprint we need
+            # (locations are deterministic): refresh and re-read before
+            # destroying anything — a DROP CASCADE here would delete
+            # the fresh files under the other process's readers.
+            try:
+                spark.catalog.refreshTable(marker)
+                for tbl, _ in _FACTS:
+                    if spark.catalog.tableExists(f"{db}.{tbl}"):
+                        spark.catalog.refreshTable(f"{db}.{tbl}")
+                stored = [r["fp"] for r in spark.table(marker).collect()]
+            except Exception:  # noqa: BLE001 — unreadable: rebuild
+                stored = []
+            if stored == [fp]:
+                _READY[key] = (db, fp)
+                return db
+        elif (
             _disk_marker_fp(spark, db) == fp
             and _adopt_on_disk(spark, db, sf_dir)
         ):
