@@ -54,32 +54,28 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-7 sampled
-# seven windows — cumulative driver coverage 181/181, all green at the
-# latest verdict. Round 8's window leads with:
-#   1. the NEW queries (never driver-sampled): the five bucketed-layout
-#      twins of the perf-weak TPC-H shapes (zero-exchange fact joins
-#      asserted in-query against the UNCHANGED oracles);
-#   2. queries whose implementation changed this round: the perceptual
-#      dedup/probe queries (hot-fingerprint df caps, mirrored in the
-#      oracles), every stored-index DML query plus
-#      index_maintenance_scenario (compaction budget now counts dead
-#      ROWS via semi-join), and buffer_scenario (the buffered client
-#      path now lands through the direct row-group ingest);
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-9 sampled
+# nine windows — cumulative driver coverage 199/199, all green at the
+# r9 verdict. Round 10's window leads with:
+#   1. the NEW queries (never driver-sampled): avg_where_mv_scenario
+#      (avg/ROUND/WHERE on the zero-job direct refresh) and
+#      mv_time_travel_scenario (reverse-fold MV point-in-time reads);
+#   2. queries whose machinery changed this round: the full MV
+#      scenario battery (the direct-refresh parser/merge grew
+#      avg+WHERE+tumble companions), time_travel_scenario (anchored
+#      ASOF rewrite), events_ema_drift (runtime form selection), and
+#      the k-means/ANN-index family (_kmeans_assign is now the packed
+#      single-projection argmin);
 #   3. regression re-samples ordered by oldest driver verdict — the
-#      r3-era text/sampling/corpus batteries and the r4-era
-#      window/events families, the stalest after r7's relational
-#      resample.
+#      r7-era relational/scalar/join/setop batteries, the r8-era
+#      window/OVER family, the r8 bucketed twins, and the image/video
+#      decode pipelines.
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round — audio modality + trained-IVF index family
-    "multimodal_audio_dedup", "audio_index_build", "audio_index_probe",
-    "audio_index_dml", "pipeline_curate_multimodal",
-    "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
-    # new this session — SQ8-quantized posting lists
-    "ann_sq8_build", "ann_sq8_probe", "ann_sq8_recall", "ann_sq8_dml",
-    # changed this round: driver-side direct MV refresh touches every
+    # new this round — direct-refresh avg/WHERE + MV time travel
+    "avg_where_mv_scenario", "mv_time_travel_scenario",
+    # changed this round: the direct-refresh extension touches every
     # MV refresh path — the full scenario battery leads
     "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
     "join_inc_mv_scenario", "dml_join_inc_mv_scenario",
@@ -87,21 +83,23 @@ PRIORITY: list[str] = [
     "topn_inc_mv_scenario", "cascade_mv_scenario", "streaming_mv_scenario",
     "mv_changelog_scenario", "table_changelog_scenario", "buffer_scenario",
     "emit_on_close_scenario", "tumble_mv_scenario",
-    # new this session — point-in-time reads + the EMA fold
     "time_travel_scenario", "events_ema_drift",
-    # changed this round: index_store one-pass refresh decisions
-    "index_maintenance_scenario", "dedup_index_dml", "image_index_dml",
-    "video_index_dml", "dedup_index_probe", "image_index_probe",
-    "video_index_probe",
-    # kmeans machinery refactor + bucketed guard/marker changes;
-    # q3_bucketed is new this round (zero-shuffle layout twin)
-    "multimodal_audio_pipeline", "cluster_kmeans_embeddings",
-    "dedup_semantic_clusters", "bucketed_scenario", "q3_bucketed",
-    # stalest driver verdicts: r5/r6-era TPC-H adaptations
-    "q2_min_cost_supplier", "q4_order_priority", "q8_market_share",
-    "q15_top_supplier", "q17_small_qty_revenue",
-    "q20_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_prospect_customers",
+    # changed this round: packed single-projection k-means assign
+    "cluster_kmeans_embeddings", "dedup_semantic_clusters",
+    "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
+    # stalest driver verdicts: r7-era relational/scalar/join/setop
+    "scan_filter_project", "project_computed", "predicate_algebra",
+    "join_inner_basic", "join_left_outer", "join_full_outer",
+    "join_semi_exists", "join_anti_not_exists", "join_non_equi_theta",
+    "agg_stddev_exact", "setop_bag_semantics", "distinct_on_latest_event",
+    "recursive_month_spine", "scalar_string_funcs", "scalar_date_funcs",
+    "scalar_math_funcs",
+    # r8-era window/OVER family
+    "window_rank_lag", "window_range_frame", "window_filtered_agg",
+    "gapfill_locf", "session_window_events",
+    # r8-era bucketed twins + image/video decode pipelines
+    "q9_bucketed", "q18_bucketed",
+    "multimodal_image_pipeline", "multimodal_video_pipeline",
 ]
 
 
