@@ -2677,20 +2677,31 @@ class SparkEngine:
             if self.vacuum_floor.get(base_cl, 0) > state.last_epoch:
                 state.inc_direct = None
                 return False
-            m1 = self._changelog_max_epoch(base_cl)
-            if m1 is None or m1 <= state.last_epoch:
-                self.next_epoch()  # refresh always consumes one epoch
-                return True
             loc_cl, parts_cl = self._table_meta(base_cl)
             if loc_cl is None or parts_cl != ["rw_timestamp"]:
+                # legacy unpartitioned layout: answer the no-op check
+                # (the common idle-flush case) before handing larger
+                # work to the Spark paths
+                m1 = self._changelog_max_epoch(base_cl)
+                if m1 is None or m1 <= state.last_epoch:
+                    self.next_epoch()  # refresh always consumes one epoch
+                    return True
                 return False
+            # ONE partition listing serves both the high-water check
+            # and the pending-epoch list (this is the per-flush hot
+            # loop: SHOW PARTITIONS is O(total epochs) driver-side,
+            # so never run it twice per refresh)
             try:
                 prows = spark.sql(f"SHOW PARTITIONS {base_cl}").collect()
             except Exception:  # noqa: BLE001 — layout drift: Spark path
                 return False
+            eps_all = [int(p[0].split("=", 1)[1]) for p in prows]
+            m1 = max(eps_all, default=None)
+            if m1 is None or m1 <= state.last_epoch:
+                self.next_epoch()  # refresh always consumes one epoch
+                return True
             epochs = sorted(
-                e for e in (int(p[0].split("=", 1)[1]) for p in prows)
-                if state.last_epoch < e <= m1
+                e for e in eps_all if state.last_epoch < e <= m1
             )
             files: list[str] = []
             total = 0
