@@ -2225,11 +2225,43 @@ class SparkEngine:
     )
     _INC_KEY_ITEM = re.compile(r"^\s*(?P<col>\w+)\s*(?:AS\s+(?P<alias>\w+))?\s*$", re.I)
     _QUALIFIED_REF = re.compile(r"[A-Za-z_]\w*\.\w")
+    # RECOMPUTE-ONLY blockers: relax the mergeable-agg list to anything
+    # DETERMINISTIC — avg/stddev/var/percentile/corr/bool aggs have no
+    # group-wise merge rule, but the recompute-touched-groups plan
+    # never merges: touched groups are re-aggregated wholesale from the
+    # pinned base (the same machinery the retraction path uses), so the
+    # only hard requirements are determinism (no volatiles, no
+    # order-dependent or sketch aggregates) and the single-table shape.
+    _INC_RC_BLOCKERS = re.compile(
+        r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
+        r"|WINDOW|TUMBLE|HOP|SESSION_WINDOW"
+        r"|PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG"
+        r"|LISTAGG|FIRST|LAST|ANY_VALUE"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|UNIX_TIMESTAMP)\b"
+        r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
+        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\(",
+        re.I,
+    )
+    # A non-key, non-mergeable select item: any expression with a
+    # function call and an explicit alias. SQL validity at CREATE time
+    # guarantees it aggregates (or is grouped) — the recompute plan
+    # evaluates it verbatim per touched group, so its internals never
+    # need to be understood, only deterministic (blockers above).
+    _INC_RC_ITEM = re.compile(
+        r"^\s*(?P<expr>\S(?:.*\S)?\(.*\S)\s+AS\s+(?P<alias>\w+)\s*$",
+        re.I | re.S,
+    )
 
     def _parse_simple_agg(self, stmt: str) -> dict | None:
         """Return the incremental plan for a simple single-table
-        aggregation, or None if the statement is not (provably) one."""
-        if self._INC_BLOCKERS.search(stmt):
+        aggregation, or None if the statement is not (provably) one.
+        Two regimes share the plan shape: MERGEABLE (every aggregate is
+        sum/count/min/max — insert deltas merge group-wise in O(delta))
+        and RECOMPUTE-ONLY (any other deterministic aggregate present —
+        every delta takes the touched-group re-aggregation branch, so
+        refresh stays O(delta + touched groups' base rows) instead of a
+        full snapshot-diff)."""
+        if self._INC_RC_BLOCKERS.search(stmt):
             return None
         m = self._INC_SHAPE.match(stmt)
         if not m:
@@ -2248,17 +2280,23 @@ class SparkEngine:
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (base col, output name)
+        recompute_only = self._INC_BLOCKERS.search(stmt) is not None
         for item in RW.split_top_level(sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
                 kinds[am.group("alias")] = am.group("fn").lower()
                 continue
             km = self._INC_KEY_ITEM.match(item)
-            if not km or km.group("col") not in grp_cols:
+            if km and km.group("col") in grp_cols:
+                out = km.group("alias") or km.group("col")
+                keys.append(out)
+                key_map.append((km.group("col"), out))
+                continue
+            rm = self._INC_RC_ITEM.match(item)
+            if rm is None or rm.group("alias") in kinds:
                 return None
-            out = km.group("alias") or km.group("col")
-            keys.append(out)
-            key_map.append((km.group("col"), out))
+            recompute_only = True
+            kinds.setdefault(rm.group("alias"), "recompute")
         if not kinds or not keys:
             return None
         # key_map must be a bijection grp_cols ↔ output keys: the
@@ -2268,6 +2306,7 @@ class SparkEngine:
             len(key_map) != len(grp_cols)
             or len({c for c, _ in key_map}) != len(key_map)
             or len(set(keys)) != len(keys)
+            or len(set(kinds) & set(keys)) > 0
         ):
             return None
         return {
@@ -2278,6 +2317,7 @@ class SparkEngine:
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
+            "recompute_only": recompute_only,
         }
 
     def _inc_delta_stmt(self, inc: dict, view: str) -> str:
@@ -3953,13 +3993,32 @@ class SparkEngine:
             delta = pending.filter(F.col("rw_timestamp") <= m1).localCheckpoint(
                 eager=True
             )
-            has_del = (
+            recomp = bool(inc.get("recompute_only"))
+            if recomp:
+                # Recompute-only plan (non-mergeable aggregates): EVERY
+                # delta row's group is "touched" — skip the delete
+                # probe, list the touched keys cheaply (keys + WHERE
+                # only, no aggregate evaluation), and re-aggregate
+                # those groups wholesale from the pinned base. Refresh
+                # stays O(delta + touched groups' base rows).
+                v_all = f"__rw_inc_touch_{tag}"
+                delta.drop("op", "rw_timestamp").createOrReplaceTempView(v_all)
+                try:
+                    q = "SELECT DISTINCT " + ", ".join(
+                        f"{col} AS {out}" for col, out in inc["key_map"]
+                    ) + f" FROM {v_all}"
+                    if inc["where"]:
+                        q += f" WHERE {inc['where']}"
+                    r_keys = spark.sql(q).localCheckpoint(eager=True)
+                finally:
+                    spark.catalog.dropTempView(v_all)
+            has_del = recomp or (
                 delta.filter(
                     F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
                 ).limit(1).count()
                 > 0
             )
-            if has_del:
+            if has_del and not recomp:
                 # Touched groups = groups of retracted rows that pass
                 # the MV's WHERE (rows failing it never contributed).
                 v_del = f"__rw_inc_del_{tag}"
@@ -3975,6 +4034,7 @@ class SparkEngine:
                     )
                 finally:
                     spark.catalog.dropTempView(v_del)
+            if has_del:
                 # Re-aggregate touched groups from the base TABLE —
                 # still under the lock, so the table is exactly the
                 # changelog fold at m1 (no concurrent publication can
@@ -3999,19 +4059,25 @@ class SparkEngine:
                     )
                 finally:
                     spark.catalog.dropTempView(v_base)
-        # Insert-side delta (Insert + UpdateInsert halves); rows landing
-        # in retraction-touched groups are EXCLUDED by the merge (their
-        # groups are fully covered by the re-aggregation above).
-        view = f"__rw_inc_delta_{tag}"
-        delta.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)).drop(
-            "op", "rw_timestamp"
-        ).createOrReplaceTempView(view)
-        try:
-            dagg = spark.sql(self._inc_delta_stmt(inc, view)).localCheckpoint(
-                eager=True
-            )
-        finally:
-            spark.catalog.dropTempView(view)
+        if recomp:
+            # every touched group replaces via the retract rule; the
+            # merge side sees an empty (same-schema) aggregated delta
+            dagg = r_rows.limit(0)
+        else:
+            # Insert-side delta (Insert + UpdateInsert halves); rows
+            # landing in retraction-touched groups are EXCLUDED by the
+            # merge (their groups are fully covered by the
+            # re-aggregation above).
+            view = f"__rw_inc_delta_{tag}"
+            delta.filter(F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)).drop(
+                "op", "rw_timestamp"
+            ).createOrReplaceTempView(view)
+            try:
+                dagg = spark.sql(
+                    self._inc_delta_stmt(inc, view)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(view)
         retract = (r_keys, r_rows) if has_del else None
         self._merge_agg_delta(state, inc, dagg, m1, retract)
         return True
@@ -4098,9 +4164,14 @@ class SparkEngine:
         j = o.join(d, cond, "right_outer")
 
         def merged(c: str):
-            kind = inc["kinds"][c]
+            kind = inc["kinds"].get(c)
             oc, dc = F.col(f"o.{c}"), F.col(f"d.{c}")
-            if kind in ("sum", "count"):
+            if kind in (None, "recompute"):
+                # recompute-only alias: dagg is empty by construction
+                # (all touched groups replace via retract), so this
+                # expression never evaluates a row
+                m = dc
+            elif kind in ("sum", "count"):
                 m = F.when(oc.isNull(), dc).when(dc.isNull(), oc).otherwise(oc + dc)
             elif kind == "min":
                 m = F.least(oc, dc)
@@ -4364,9 +4435,14 @@ class SparkEngine:
         would drift from a from-scratch recompute by float rounding,
         breaking bit-reproducibility (SCALE.md rule 5)."""
         types = {f.name: f.dataType for f in df.schema.fields}
+        # recompute-only plans never run a merge rule — touched groups
+        # are re-aggregated by Spark itself — so float sums are exact
+        # there (same arithmetic as the snapshot recompute).
+        recompute = bool(plan.get("recompute_only"))
         for col, kind in plan["kinds"].items():
             if col not in types or (
                 kind == "sum"
+                and not recompute
                 and isinstance(types[col], (T.DoubleType, T.FloatType))
             ):
                 return False

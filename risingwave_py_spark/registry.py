@@ -73,8 +73,10 @@ def load_all() -> None:
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round — direct-refresh avg/WHERE + MV time travel
+    # new this round — direct-refresh avg/WHERE, MV time travel, and
+    # the recompute-only incremental plan for non-mergeable aggregates
     "avg_where_mv_scenario", "mv_time_travel_scenario",
+    "stats_inc_mv_scenario",
     # changed this round: the direct-refresh extension touches every
     # MV refresh path — the full scenario battery leads
     "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
@@ -93,7 +95,6 @@ PRIORITY: list[str] = [
     "join_semi_exists", "join_anti_not_exists", "join_non_equi_theta",
     "agg_stddev_exact", "setop_bag_semantics", "distinct_on_latest_event",
     "recursive_month_spine", "scalar_string_funcs", "scalar_date_funcs",
-    "scalar_math_funcs",
     # r8-era window/OVER family
     "window_rank_lag", "window_range_frame", "window_filtered_agg",
     "gapfill_locf", "session_window_events",

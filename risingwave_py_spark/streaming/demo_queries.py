@@ -1497,3 +1497,48 @@ def mv_time_travel_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " ORDER BY state, g"
     )
+
+
+@register(
+    "stats_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('x', CAST(3.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3 AS BIGINT)),
+        ('y', CAST(10.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT))
+    ) AS t(p, a, sd, n)
+    """,
+)
+def stats_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 RECOMPUTE-ONLY incremental plan: an MV with
+    non-mergeable deterministic aggregates (avg + stddev) stays on the
+    Spark fast path for EVERY delta — inserts, UPDATE, DELETE — via
+    touched-group re-aggregation from the pinned base
+    (engine._refresh_incremental recompute branch), never a full
+    snapshot-diff. Asserts the plan arms and survives; returns the
+    final MV, which must equal a from-scratch evaluation."""
+    conn, eng = _fresh_conn(spark, "rwdemo_rc")
+    conn.execute("CREATE TABLE rwdemo_rc.t (p STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"p": ["x", "x", "y"], "v": [1.0, 3.0, 8.0]}),
+                table_name="t", schema_name="rwdemo_rc", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_rc.m AS "
+        "SELECT p, avg(v) AS a, stddev(v) AS sd, count(*) AS n "
+        "FROM rwdemo_rc.t GROUP BY p"
+    )
+    st = eng.mvs["rwdemo_rc.m"]
+    assert st.inc is not None and st.inc.get("recompute_only"), (
+        "avg/stddev MV must arm the recompute-only incremental plan"
+    )
+    conn.insert(pd.DataFrame({"p": ["x", "z"], "v": [5.0, 2.0]}),
+                table_name="t", schema_name="rwdemo_rc", force_flush=True)
+    conn.execute("UPDATE rwdemo_rc.t SET v = 10.0 WHERE p = 'y'")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_rc.t WHERE p = 'z'")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "recompute plan lost mid-scenario"
+    cols, rows = conn._dispatch(
+        "SELECT p, a, round(sd, 6) AS sd, n FROM rwdemo_rc.m ORDER BY p"
+    )
+    return spark.createDataFrame(
+        rows, "p string, a double, sd double, n bigint"
+    )

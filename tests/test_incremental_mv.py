@@ -132,12 +132,20 @@ def test_incremental_ineligibility_rules(eng_conn):
         "FROM inct.t2 GROUP BY p"
     )
     assert eng.mvs["inct.m3"].inc is not None
-    # joins / avg / having never take the fast path
+    # avg arms the RECOMPUTE-ONLY plan since round 10 (touched-group
+    # re-aggregation — no merge rule ever runs)
     conn.execute(
         "CREATE MATERIALIZED VIEW inct.m4 AS "
         "SELECT p, avg(w) AS aw FROM inct.t2 GROUP BY p"
     )
-    assert eng.mvs["inct.m4"].inc is None
+    assert eng.mvs["inct.m4"].inc is not None
+    assert eng.mvs["inct.m4"].inc.get("recompute_only")
+    # order-dependent aggregates and expression GROUP BY keys never do
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m4b AS "
+        "SELECT p, first(w) AS fw FROM inct.t2 GROUP BY p"
+    )
+    assert eng.mvs["inct.m4b"].inc is None
 
 
 def test_incremental_base_with_history_then_grows(eng_conn):
@@ -180,10 +188,11 @@ def test_refresh_never_collects_delta_to_driver(eng_conn):
         "CREATE MATERIALIZED VIEW inct.ncm AS "
         "SELECT p, sum(v) AS total FROM inct.nc GROUP BY p"
     )
-    # snapshot-diff path (avg is never incremental)
+    # snapshot-diff path (an expression GROUP BY key is never
+    # incremental; avg alone is since round 10's recompute-only plan)
     conn.execute(
         "CREATE MATERIALIZED VIEW inct.ncm2 AS "
-        "SELECT p, avg(v) AS av FROM inct.nc GROUP BY p"
+        "SELECT upper(p) AS pu, avg(v) AS av FROM inct.nc GROUP BY upper(p)"
     )
     assert eng.mvs["inct.ncm"].inc is not None
     assert eng.mvs["inct.ncm2"].inc is None
@@ -1123,3 +1132,95 @@ def test_noop_refresh_runs_no_spark_job(eng_conn):
     before = tracker.getJobIdsForGroup(None)
     eng.refresh_mv(state)  # base unchanged since the flush
     assert tracker.getJobIdsForGroup(None) == before
+
+
+RC_SEL = (
+    "SELECT p, avg(v) AS a, stddev(v) AS sd, percentile(v, 0.5) AS med, "
+    "sum(v) AS s FROM inct.rt GROUP BY p"
+)
+
+
+def _r6(rows):
+    # stddev's parallel merge order is unspecified in Spark itself, so
+    # the touched-group re-agg and a full-table recompute can differ in
+    # the last ulp — compare at the engine's documented 6-dp contract
+    return sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+        for r in rows
+    )
+
+
+def _rc_fixture(conn, eng):
+    conn.execute("CREATE TABLE inct.rt (p STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"p": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]}),
+                table_name="rt", schema_name="inct", force_flush=True)
+    conn.execute(f"CREATE MATERIALIZED VIEW inct.m AS {RC_SEL}")
+    return eng.mvs["inct.m"]
+
+
+def test_recompute_only_plan_arms_for_nonmergeable_aggs(eng_conn):
+    """Round 10: avg/stddev/percentile MVs arm the RECOMPUTE-ONLY
+    incremental plan (touched-group re-aggregation) instead of
+    falling to full snapshot-diff."""
+    conn, eng = eng_conn
+    st = _rc_fixture(conn, eng)
+    assert st.inc is not None
+    assert st.inc.get("recompute_only") is True
+    # double sum allowed here: no merge rule ever runs
+    assert "s" in st.inc["kinds"]
+
+
+def test_recompute_only_matches_recompute_through_dml(eng_conn):
+    """Inserts (beyond the direct path's delta bound), UPDATE, and
+    DELETE all keep the recompute-only MV armed and bit-equal to a
+    from-scratch evaluation."""
+    conn, eng = eng_conn
+    st = _rc_fixture(conn, eng)
+    big = pd.DataFrame({
+        "p": ["a"] * (eng.DIRECT_MAX_DELTA_ROWS + 88) + ["c"] * 10,
+        "v": [float(i) for i in range(eng.DIRECT_MAX_DELTA_ROWS + 98)],
+    })
+    conn.insert(big, table_name="rt", schema_name="inct", force_flush=True)
+    assert st.inc is not None, "big insert delta must stay incremental"
+    assert _r6(conn._dispatch("SELECT * FROM inct.m")[1]) == _r6(
+        conn._dispatch(RC_SEL)[1]
+    )
+    conn.execute("UPDATE inct.rt SET v = v + 1 WHERE p = 'b'")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM inct.rt WHERE p = 'c'")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DML must stay incremental"
+    got = _r6(conn._dispatch("SELECT * FROM inct.m")[1])
+    want = _r6(conn._dispatch(RC_SEL)[1])
+    assert got == want
+    # emptied group c emits Delete; b's change emits the update pair
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("inct.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Delete" in ops and "UpdateDelete" in ops
+
+
+def test_recompute_only_where_filters_touched_groups(eng_conn):
+    """Delta rows failing the MV's WHERE must not touch (or create)
+    groups; passing rows must."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.rt (p STRING, v DOUBLE)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [2.0]}),
+                table_name="rt", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.m AS "
+        "SELECT p, avg(v) AS a, count(*) AS n FROM inct.rt "
+        "WHERE v >= 1 GROUP BY p"
+    )
+    st = eng.mvs["inct.m"]
+    assert st.inc is not None and st.inc.get("recompute_only")
+    big = pd.DataFrame({
+        "p": ["a"] * 300 + ["x"] * 300,
+        "v": [0.5] * 300 + [0.25] * 300,  # ALL filtered by WHERE
+    })
+    conn.insert(big, table_name="rt", schema_name="inct", force_flush=True)
+    assert sorted(conn._dispatch("SELECT * FROM inct.m")[1]) == [("a", 2.0, 1)]
+    conn.insert(pd.DataFrame({"p": ["x"], "v": [4.0]}),
+                table_name="rt", schema_name="inct", force_flush=True)
+    got = sorted(conn._dispatch("SELECT * FROM inct.m")[1])
+    assert got == [("a", 2.0, 1), ("x", 4.0, 1)]
+    assert st.inc is not None
