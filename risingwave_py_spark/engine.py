@@ -4260,6 +4260,20 @@ class SparkEngine:
         r"UNIX_TIMESTAMP)\b|\(\s*SELECT",
         re.I,
     )
+    # RECOMPUTE-ONLY blockers for the join+agg plan (same idea as the
+    # single-table _INC_RC_BLOCKERS): any DETERMINISTIC aggregate may
+    # appear — its groups are re-aggregated wholesale, never merged —
+    # so only volatiles, order-dependent/sketch aggregates, and
+    # non-INNER/shape-breaking constructs stay blocked.
+    _INCJA_RC_BLOCKERS = re.compile(
+        r"\b(ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|"
+        r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|"
+        r"PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG|"
+        r"LISTAGG|FIRST|LAST|ANY_VALUE|"
+        r"CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|"
+        r"UNIX_TIMESTAMP)\b|\(\s*SELECT",
+        re.I,
+    )
 
     _INCJA_FROM_SEG = re.compile(
         r"^\s*(?P<tbl>[\w.]+)\s+(?:AS\s+)?(?P<alias>\w+)\s*$", re.I
@@ -4280,8 +4294,12 @@ class SparkEngine:
         number of dimensions, the 100 TB norm). The N-way join delta
         (telescoping Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁) feeds the same
         group-wise merge as the single-table agg fast path. All
-        column references must be alias-qualified."""
-        if self._INCJA_BLOCKERS.search(stmt):
+        column references must be alias-qualified. Non-mergeable
+        deterministic aggregates (avg/stddev/percentile/…) arm the
+        RECOMPUTE-ONLY regime: every delta's touched groups are
+        re-aggregated wholesale from the post-batch tables (the same
+        machinery the retraction branch uses), never merged."""
+        if self._INCJA_RC_BLOCKERS.search(stmt):
             return None
         m = re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<frm>.+?)"
@@ -4380,24 +4398,34 @@ class SparkEngine:
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (flat col, output name)
+        recompute_only = self._INCJA_BLOCKERS.search(stmt) is not None
         for item in RW.split_top_level(flat_sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
                 kinds[am.group("alias")] = am.group("fn").lower()
                 continue
             km = self._INC_KEY_ITEM.match(item)
-            if not km or km.group("col") not in grp_cols:
+            if km and km.group("col") in grp_cols:
+                out = km.group("alias") or km.group("col")
+                keys.append(out)
+                key_map.append((km.group("col"), out))
+                continue
+            rm = self._INC_RC_ITEM.match(item)
+            if rm is None or rm.group("alias") in kinds:
                 return None
-            out = km.group("alias") or km.group("col")
-            keys.append(out)
-            key_map.append((km.group("col"), out))
+            recompute_only = True
+            kinds.setdefault(rm.group("alias"), "recompute")
         if not kinds or not keys:
             return None
         # merge keys must uniquely identify stored rows: every GROUP
         # BY column selected exactly once and no duplicate output
         # names (GROUP BY o.region, u.region emitting one 'region'
         # would let one delta group match multiple stored rows)
-        if len(keys) != len(grp_cols) or len(set(keys)) != len(keys):
+        if (
+            len(keys) != len(grp_cols)
+            or len(set(keys)) != len(keys)
+            or len(set(kinds) & set(keys)) > 0
+        ):
             return None
         join_proj = ", ".join(
             f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)
@@ -4412,6 +4440,7 @@ class SparkEngine:
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
+            "recompute_only": recompute_only,
         }
 
     def _incja_join_stmt(self, incja: dict, views: list[str]) -> str:
@@ -4531,10 +4560,12 @@ class SparkEngine:
         # (The enclosing wrapper still holds the lock — tables below
         # are read lazily, no snapshot copies, consistent through
         # publication.) Expose only the sides some term actually
-        # reads: all sides when retracting, otherwise the partners of
-        # sides with a non-empty insert delta.
+        # reads: all sides when retracting (or on the recompute-only
+        # plan, whose re-agg reads every side), otherwise the partners
+        # of sides with a non-empty insert delta.
+        recomp = bool(incja.get("recompute_only"))
         need = set()
-        if has_del:
+        if has_del or (recomp and any(has_ins)):
             need = set(range(n))
         else:
             for i in range(n):
@@ -4583,21 +4614,57 @@ class SparkEngine:
                     term if join_delta is None
                     else join_delta.unionByName(term)
                 )
-            if join_delta is None:
+            if recomp:
+                # RECOMPUTE-ONLY: touched groups = keys of the
+                # telescoping insert delta (WHERE applied) ∪ the
+                # retracted-tuple superset; re-aggregate them wholesale
+                # from the post-batch tables — no merge rule ever runs.
                 dagg = None
+                tkparts: list[DataFrame] = []
+                if join_delta is not None:
+                    join_delta = join_delta.localCheckpoint(eager=True)
+                    join_delta.createOrReplaceTempView(v_delta)
+                    try:
+                        q = "SELECT DISTINCT " + ", ".join(
+                            f"{fc} AS {out}"
+                            for fc, out in incja["key_map"]
+                        ) + f" FROM {v_delta}"
+                        if incja["where"]:
+                            q += f" WHERE {incja['where']}"
+                        tkparts.append(
+                            spark.sql(q).localCheckpoint(eager=True)
+                        )
+                    finally:
+                        spark.catalog.dropTempView(v_delta)
+                if has_del:
+                    tkparts.append(self._joinagg_del_touched(
+                        incja, tag, tabs, del_rows, has_del_i
+                    ))
+                if tkparts:
+                    touched = tkparts[0]
+                    for t in tkparts[1:]:
+                        touched = touched.unionByName(t)
+                    touched = touched.distinct().localCheckpoint(eager=True)
+                    retract = (
+                        touched,
+                        self._joinagg_reagg(incja, tag, tabs, touched),
+                    )
             else:
-                join_delta = join_delta.localCheckpoint(eager=True)
-                join_delta.createOrReplaceTempView(v_delta)
-                try:
-                    dagg = spark.sql(
-                        self._incja_agg_stmt(incja, v_delta)
-                    ).localCheckpoint(eager=True)
-                finally:
-                    spark.catalog.dropTempView(v_delta)
-            if has_del:
-                retract = self._joinagg_retract(
-                    incja, tag, tabs, del_rows, has_del_i
-                )
+                if join_delta is None:
+                    dagg = None
+                else:
+                    join_delta = join_delta.localCheckpoint(eager=True)
+                    join_delta.createOrReplaceTempView(v_delta)
+                    try:
+                        dagg = spark.sql(
+                            self._incja_agg_stmt(incja, v_delta)
+                        ).localCheckpoint(eager=True)
+                    finally:
+                        spark.catalog.dropTempView(v_delta)
+                if has_del:
+                    retract = self._joinagg_retract(
+                        incja, tag, tabs, del_rows, has_del_i
+                    )
         finally:
             for v in made:
                 spark.catalog.dropTempView(v)
@@ -4627,9 +4694,21 @@ class SparkEngine:
         current or just-deleted) AND intra-batch insert+delete pairs.
         Over-approximation is harmless: an untouched group re-agg's to
         its stored value and emits nothing."""
+        touched = self._joinagg_del_touched(
+            incja, tag, tabs, del_rows, has_del_i
+        )
+        return touched, self._joinagg_reagg(incja, tag, tabs, touched)
+
+    def _joinagg_del_touched(
+        self,
+        incja: dict,
+        tag: str,
+        tabs: dict[int, DataFrame],
+        del_rows: list[DataFrame],
+        has_del_i: list[bool],
+    ) -> DataFrame:
         spark = self.spark
         n = len(del_rows)
-        aliases = [al for _, al in incja["sides"]]
 
         def partner(i: int) -> DataFrame:
             df = tabs[i]
@@ -4667,7 +4746,18 @@ class SparkEngine:
         finally:
             for v in v_del + v_prt:
                 spark.catalog.dropTempView(v)
+        return touched
 
+    def _joinagg_reagg(
+        self,
+        incja: dict,
+        tag: str,
+        tabs: dict[int, DataFrame],
+        touched: DataFrame,
+    ) -> DataFrame:
+        spark = self.spark
+        n = len(incja["sides"])
+        aliases = [al for _, al in incja["sides"]]
         # Re-aggregate touched groups from the post-batch TABLE
         # snapshots. If all GROUP BY keys come from ONE join side,
         # semi-restrict THAT side before the join (star-schema
@@ -4725,7 +4815,7 @@ class SparkEngine:
         finally:
             for v in v_src:
                 spark.catalog.dropTempView(v)
-        return (touched, re_agg)
+        return re_agg
 
     # -- incremental TOP-N MVs (grouped ranking, bounded output) -----------
     #

@@ -76,7 +76,7 @@ PRIORITY: list[str] = [
     # new this round — direct-refresh avg/WHERE, MV time travel, and
     # the recompute-only incremental plan for non-mergeable aggregates
     "avg_where_mv_scenario", "mv_time_travel_scenario",
-    "stats_inc_mv_scenario",
+    "stats_inc_mv_scenario", "stats_join_mv_scenario",
     # changed this round: the direct-refresh extension touches every
     # MV refresh path — the full scenario battery leads
     "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
@@ -92,7 +92,7 @@ PRIORITY: list[str] = [
     # stalest driver verdicts: r7-era relational/scalar/join/setop
     "scan_filter_project", "project_computed", "predicate_algebra",
     "join_inner_basic", "join_left_outer", "join_full_outer",
-    "join_semi_exists", "join_anti_not_exists", "join_non_equi_theta",
+    "join_semi_exists", "join_anti_not_exists",
     "agg_stddev_exact", "setop_bag_semantics", "distinct_on_latest_event",
     "recursive_month_spine", "scalar_string_funcs", "scalar_date_funcs",
     # r8-era window/OVER family

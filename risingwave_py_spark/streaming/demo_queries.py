@@ -1542,3 +1542,54 @@ def stats_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "p string, a double, sd double, n bigint"
     )
+
+
+@register(
+    "stats_join_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('eu', CAST(15.0 AS DOUBLE), CAST(2 AS BIGINT)),
+        ('us', CAST(6.0 AS DOUBLE), CAST(1 AS BIGINT))
+    ) AS t(region, aov, n)
+    """,
+)
+def stats_join_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 RECOMPUTE-ONLY join+agg plan: avg-by-dimension over a
+    fact ⋈ dimension join — THE canonical OLAP MV — stays on the
+    incremental path for fact inserts, a late-arriving dimension,
+    UPDATE, and DELETE (touched groups re-aggregated wholesale from
+    the post-batch tables; engine._refresh_incremental_joinagg
+    recompute branch). Asserts the plan arms and survives; returns the
+    final MV, which must equal a from-scratch evaluation."""
+    conn, eng = _fresh_conn(spark, "rwdemo_jrc")
+    conn.execute("CREATE TABLE rwdemo_jrc.o (uid BIGINT, amt DOUBLE)")
+    conn.execute("CREATE TABLE rwdemo_jrc.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "amt": [10.0, 20.0, 5.0]}),
+                table_name="o", schema_name="rwdemo_jrc", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["eu", "us"]}),
+                table_name="u", schema_name="rwdemo_jrc", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_jrc.m AS "
+        "SELECT u.region AS region, avg(o.amt) AS aov, count(*) AS n "
+        "FROM rwdemo_jrc.o o JOIN rwdemo_jrc.u u ON o.uid = u.uid "
+        "GROUP BY u.region"
+    )
+    st = eng.mvs["rwdemo_jrc.m"]
+    assert st.inc_joinagg is not None and st.inc_joinagg.get(
+        "recompute_only"
+    ), "avg-by-dimension MV must arm the recompute-only join+agg plan"
+    # orphan fact row, then its dimension arrives (group materializes)
+    conn.insert(pd.DataFrame({"uid": [3, 9], "amt": [7.0, 99.0]}),
+                table_name="o", schema_name="rwdemo_jrc", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [9], "region": ["ap"]}),
+                table_name="u", schema_name="rwdemo_jrc", force_flush=True)
+    conn.execute("UPDATE rwdemo_jrc.o SET amt = amt + 1 WHERE uid = 2")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_jrc.o WHERE uid = 9")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "join+agg recompute plan lost"
+    cols, rows = conn._dispatch(
+        "SELECT region, round(aov, 6) AS aov, n FROM rwdemo_jrc.m "
+        "ORDER BY region"
+    )
+    return spark.createDataFrame(rows, "region string, aov double, n bigint")

@@ -1224,3 +1224,49 @@ def test_recompute_only_where_filters_touched_groups(eng_conn):
     got = sorted(conn._dispatch("SELECT * FROM inct.m")[1])
     assert got == [("a", 2.0, 1), ("x", 4.0, 1)]
     assert st.inc is not None
+
+
+def test_joinagg_recompute_only_avg_by_dimension(eng_conn):
+    """Round 10: the star-join aggregate with non-mergeable aggregates
+    (avg/stddev by dimension — THE canonical OLAP MV) arms the
+    recompute-only join+agg plan and stays incremental through fact
+    inserts, a late-arriving dimension, UPDATE, and DELETE."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.o (uid BIGINT, amt DOUBLE)")
+    conn.execute("CREATE TABLE inct.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "amt": [10.0, 20.0, 5.0]}),
+                table_name="o", schema_name="inct", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2, 3], "region": ["eu", "us", "eu"]}),
+                table_name="u", schema_name="inct", force_flush=True)
+    sel = ("SELECT u.region AS region, avg(o.amt) AS aov, count(*) AS n, "
+           "stddev(o.amt) AS sd FROM inct.o o JOIN inct.u u "
+           "ON o.uid = u.uid GROUP BY u.region")
+    conn.execute(f"CREATE MATERIALIZED VIEW inct.m AS {sel}")
+    st = eng.mvs["inct.m"]
+    assert st.inc_joinagg is not None
+    assert st.inc_joinagg.get("recompute_only") is True
+
+    def check():
+        got = _r6(conn._dispatch("SELECT * FROM inct.m")[1])
+        want = _r6(conn._dispatch(sel)[1])
+        assert got == want
+        assert st.inc_joinagg is not None, "plan lost"
+
+    conn.insert(pd.DataFrame({"uid": [3, 2], "amt": [7.0, 9.0]}),
+                table_name="o", schema_name="inct", force_flush=True)
+    check()
+    # orphan fact, then its dimension arrives
+    conn.insert(pd.DataFrame({"uid": [9], "amt": [99.0]}),
+                table_name="o", schema_name="inct", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [9], "region": ["ap"]}),
+                table_name="u", schema_name="inct", force_flush=True)
+    check()
+    conn.execute("UPDATE inct.o SET amt = amt + 1 WHERE uid = 1")
+    conn.execute("FLUSH")
+    check()
+    conn.execute("DELETE FROM inct.o WHERE uid = 9")  # empties group ap
+    conn.execute("FLUSH")
+    check()
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("inct.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Delete" in ops and "UpdateDelete" in ops
