@@ -237,17 +237,27 @@ def test_fast_paths_rearm_after_restart(spark):
         )[1]
     )
 
-    # Ineligible shapes block after ONE probe, not retry forever.
+    # avg re-arms as the RECOMPUTE-ONLY plan since round 10; a
+    # genuinely ineligible shape (order-dependent aggregate) blocks
+    # after ONE probe, not retrying forever.
     avg_mv = f"ra_avg_{tag}"
     rw1.execute(f"CREATE MATERIALIZED VIEW {avg_mv} AS "
                 f"SELECT p, avg(v) AS av FROM {t} GROUP BY p")
+    blk_mv = f"ra_blk_{tag}"
+    rw1.execute(f"CREATE MATERIALIZED VIEW {blk_mv} AS "
+                f"SELECT p, first(v) AS fv FROM {t} GROUP BY p")
     e3 = SparkEngine(spark)
     conn3 = RisingWaveConnection(e3)
     st_avg = e3.mvs[f"public.{avg_mv}"]
+    st_blk = e3.mvs[f"public.{blk_mv}"]
     conn3.insert(pd.DataFrame({"p": ["c"], "v": [4]}),
                  table_name=t, force_flush=True)
-    assert st_avg.inc is None and st_avg.fastpath_blocked
-    for mv in (agg_mv, join_mv, ja_mv, avg_mv):
+    assert st_avg.inc is not None and st_avg.inc.get("recompute_only")
+    assert sorted(conn3._dispatch(f"SELECT * FROM {avg_mv}")[1]) == sorted(
+        conn3._dispatch(f"SELECT p, avg(v) AS av FROM {t} GROUP BY p")[1]
+    )
+    assert st_blk.inc is None and st_blk.fastpath_blocked
+    for mv in (agg_mv, join_mv, ja_mv, avg_mv, blk_mv):
         conn3.execute(f"DROP MATERIALIZED VIEW IF EXISTS {mv}")
     for tb in (t, f_, d):
         conn3.execute(f"DROP TABLE IF EXISTS {tb}")
