@@ -4059,6 +4059,32 @@ class SparkEngine:
                     )
                 finally:
                     spark.catalog.dropTempView(v_base)
+            # A co-armed avg DIRECT plan keeps sum/count companions in
+            # memory; this refresh rewrites the stored result, so the
+            # companions must be recomputed from the SAME lock-pinned
+            # base (== the changelog fold at m1) or the next
+            # small-delta direct merge would fold into stale sums.
+            # None on oversize: the direct path then defers avg MVs
+            # to this path, which is always correct.
+            aux2 = None
+            need_aux = (
+                state.inc_direct is not None
+                and state.direct_aux is not None
+                and any(
+                    fn == "avg"
+                    for fn in state.inc_direct["kinds"].values()
+                )
+            )
+            if need_aux:
+                v_aux = f"__rw_inc_aux_{tag}"
+                spark.catalog.refreshTable(inc["base_fq"])
+                spark.table(inc["base_fq"]).createOrReplaceTempView(v_aux)
+                try:
+                    aux2 = self._direct_collect_aux(
+                        state.inc_direct, v_aux
+                    )
+                finally:
+                    spark.catalog.dropTempView(v_aux)
         if recomp:
             # every touched group replaces via the retract rule; the
             # merge side sees an empty (same-schema) aggregated delta
@@ -4080,6 +4106,8 @@ class SparkEngine:
                 spark.catalog.dropTempView(view)
         retract = (r_keys, r_rows) if has_del else None
         self._merge_agg_delta(state, inc, dagg, m1, retract)
+        if need_aux:
+            state.direct_aux = aux2
         return True
 
     def _merge_agg_delta(self, state: MVState, inc: dict,

@@ -463,3 +463,51 @@ def test_where_string_number_coercion_demotes_not_corrupts(spark, conn):
         f"SELECT count(*) AS n, sum(v) AS sm FROM {s}.t WHERE p > 5"
     )
     assert got == want == [(1, 1)]
+
+
+def test_avg_companions_refresh_after_inc_path_interleave(spark, conn):
+    """A grouped avg MV co-arms the direct path (sum/count companions
+    in memory) AND the recompute-only inc path. An inc refresh (big
+    delta / DML) rewrites the stored result — it must also recompute
+    the companions from the same pinned base, or the NEXT small-delta
+    direct merge would fold into stale sums."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.t (p STRING, v DOUBLE)")
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT p, avg(v) AS a, count(*) AS n FROM {s}.t "
+        f"WHERE v >= 0 GROUP BY p"
+    )
+    st = eng.mvs[f"{s}.m"]
+    assert st.inc_direct is not None and st.direct_aux is not None
+    assert st.inc is not None and st.inc.get("recompute_only")
+    c.insert_row("t", schema_name=s, force_flush=True, p="a", v=2.0)
+    # big delta -> direct bows out, the inc recompute path handles it
+    big = pd.DataFrame({
+        "p": ["a"] * (eng.DIRECT_MAX_DELTA_ROWS + 50),
+        "v": [1.0] * (eng.DIRECT_MAX_DELTA_ROWS + 50),
+    })
+    c.insert(big, table_name="t", schema_name=s, force_flush=True)
+    assert st.inc_direct is not None, "direct must stay armed"
+    # small delta -> the DIRECT merge must see refreshed companions
+    with _no_jobs(spark) as jobs:
+        c.insert_row("t", schema_name=s, force_flush=True, p="a", v=100.0)
+    assert jobs.clean
+    got = sorted(c.fetch(f"SELECT * FROM {s}.m"))
+    want = sorted(c.fetch(
+        f"SELECT p, avg(v) AS a, count(*) AS n FROM {s}.t "
+        f"WHERE v >= 0 GROUP BY p"
+    ))
+    assert got == want, "direct merge used stale avg companions"
+    # DML through the inc retraction branch, then direct again
+    c.execute(f"UPDATE {s}.t SET v = 50.0 WHERE v = 100.0")
+    c.execute("FLUSH")
+    with _no_jobs(spark) as jobs:
+        c.insert_row("t", schema_name=s, force_flush=True, p="a", v=7.0)
+    assert jobs.clean
+    got = sorted(c.fetch(f"SELECT * FROM {s}.m"))
+    want = sorted(c.fetch(
+        f"SELECT p, avg(v) AS a, count(*) AS n FROM {s}.t "
+        f"WHERE v >= 0 GROUP BY p"
+    ))
+    assert got == want
