@@ -426,7 +426,10 @@ def main() -> None:
                 if (m := re.match(r"BENCH_r(\d+)\.json$", f))
             ]
             rnd = f"{(max(done) + 1) if done else 1:02d}"
-        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "w") as fh:
+        # APPEND, never overwrite: every local sample stays
+        # reconstructible (COVERAGE round-10 rule) — one JSON line per
+        # run, newest last.
+        with open(os.path.join(here, f"BENCH_LOCAL_r{rnd}.json"), "a") as fh:
             fh.write(line + "\n")
     except OSError:
         pass

@@ -511,3 +511,38 @@ def test_avg_companions_refresh_after_inc_path_interleave(spark, conn):
         f"WHERE v >= 0 GROUP BY p"
     ))
     assert got == want
+
+
+def test_tumble_direct_window_boundary_exact(spark, conn):
+    """A timestamp exactly on a window edge must land in the NEXT
+    window (floor semantics), bit-identical to Spark's rewrite — the
+    Python fold recomputes window_start with the same double
+    arithmetic, including sub-second microseconds."""
+    c, eng, s = conn
+    c.execute(f"CREATE TABLE {s}.tick (sym STRING, ts TIMESTAMP, v DOUBLE)")
+    c.insert_row("tick", schema_name=s, force_flush=True, sym="a",
+                 ts=pd.Timestamp("2024-01-01 00:00:09.999999"), v=1.0)
+    c.execute(
+        f"CREATE MATERIALIZED VIEW {s}.m AS "
+        f"SELECT window_start, sym, avg(v) AS a, count(*) AS n "
+        f"FROM tumble({s}.tick, ts, interval '10 seconds') "
+        f"GROUP BY window_start, sym"
+    )
+    st = eng.mvs[f"{s}.m"]
+    assert st.inc_direct is not None and st.inc_direct["derived"]
+    with _no_jobs(spark) as jobs:
+        # exact edge: 00:00:10.000000 -> second window, not the first
+        c.insert_row("tick", schema_name=s, force_flush=True, sym="a",
+                     ts=pd.Timestamp("2024-01-01 00:00:10"), v=3.0)
+        # one microsecond before the edge -> first window (touched)
+        c.insert_row("tick", schema_name=s, force_flush=True, sym="a",
+                     ts=pd.Timestamp("2024-01-01 00:00:09.999998"), v=5.0)
+    assert jobs.clean
+    got = sorted(c.fetch(f"SELECT * FROM {s}.m"))
+    want = sorted(c.fetch(
+        f"SELECT window_start, sym, avg(v) AS a, count(*) AS n "
+        f"FROM tumble({s}.tick, ts, interval '10 seconds') "
+        f"GROUP BY window_start, sym"
+    ))
+    assert got == want
+    assert [r[-1] for r in got] == [2, 1]
