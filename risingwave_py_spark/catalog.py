@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -161,17 +162,26 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
                 stored = None  # legacy cache without a fingerprint
             if stored != fp:
                 # Replace, never delete in place: move the stale dir
-                # aside atomically and defer its removal, so a
-                # concurrent process mid-query keeps a consistent
-                # directory for as long as it holds the old listing
-                # (triggers only when the SOURCE was regenerated — the
-                # same reader-breakage class the bucketed path's flock
-                # fixed in round 9).
-                stale = f"{final}__stale_{os.getpid()}"
+                # aside atomically, then remove the aside copy — a
+                # concurrent reader that already OPENED files keeps
+                # valid handles through the unlink (POSIX), which is
+                # the breakage class the in-place delete had (triggers
+                # only when the SOURCE was regenerated — same class
+                # the bucketed path's flock fixed in round 9). The
+                # aside name is unique per call so a leftover from a
+                # prior partial failure can never collide.
+                stale = f"{final}__stale_{uuid.uuid4().hex}"
                 try:
                     os.rename(final, stale)
                 except OSError:
-                    pass  # another process already swapped it
+                    # Swallow ONLY a genuine concurrent swap (final is
+                    # gone). If final persists, the stale-fingerprint
+                    # layout must not be served: drop it in place, and
+                    # if even that fails, read the source directly.
+                    if os.path.isdir(final):
+                        shutil.rmtree(final, ignore_errors=True)
+                    if os.path.isdir(final):
+                        return df
                 shutil.rmtree(stale, ignore_errors=True)
         if not os.path.isdir(final):
             # cores/2 split files: enough parallel decode to saturate

@@ -111,6 +111,14 @@ class MVState:
         # Highest base-changelog epoch already folded into the stored
         # result (only meaningful while self.inc is set).
         self.last_epoch: int = 0
+        # The MV's OWN changelog max at catalog-restore time — the
+        # only epoch a crashed predecessor could have committed to the
+        # log without applying to the table (commit order: changelog
+        # first, table swap second). _mv_asof probes it against the
+        # next emitted epoch to detect crash redelivery; None for MVs
+        # created by this engine instance (a crash = process death, so
+        # no orphan can exist in-session).
+        self.recovered_epoch: int | None = None
         # True once a fast path is ruled out PERMANENTLY (unsupported
         # shape, double-typed SUM, upsert base, join history vacuumed,
         # refresh exception): stops the snapshot-diff path from
@@ -977,6 +985,12 @@ class SparkEngine:
                     m.get("emit_on_close", False),
                 )
                 st.created_epoch = m.get("created_epoch")
+                try:
+                    mv_cl = self.changelog_name(mv_fq)
+                    if self.spark.catalog.tableExists(mv_cl):
+                        st.recovered_epoch = self._changelog_max_epoch(mv_cl)
+                except Exception:  # noqa: BLE001 — probe only
+                    st.recovered_epoch = None
                 self.mvs[mv_fq] = st
         self.upsert_meta.update(doc.get("upsert_meta", {}))
         for up_fq in list(self.upsert_meta):
@@ -2027,7 +2041,7 @@ class SparkEngine:
     # follow the token FROM/JOIN still matches — the rewrite is
     # textual, like the reference's own psql-style parameterization.
     _ASOF_EPOCH = re.compile(
-        r"(?P<kw>\b(?:FROM|JOIN)\s+)(?P<tbl>[A-Za-z_][\w.]*)"
+        r"(?P<kw>\b(?:FROM|JOIN)\s+|,\s*)(?P<tbl>[A-Za-z_][\w.]*)"
         r"(?:\s+(?:AS\s+)?(?!FOR\b)(?P<alias>[A-Za-z_]\w*))?"
         r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+EPOCH\s+(?P<n>\d+)",
         re.I,
@@ -2120,39 +2134,107 @@ class SparkEngine:
         cl = self.changelog_name(fq)
         if not self.spark.catalog.tableExists(cl):
             raise ValueError(f"no changelog for materialized view {fq}")
-        if self.vacuum_floor.get(cl, 0) > epoch:
-            raise ValueError(
-                f"time travel to epoch {epoch} needs the changelog "
-                f"suffix of {fq} above it, but the changelog is "
-                f"vacuumed through epoch {self.vacuum_floor[cl]}"
+        # Floor check + two-source read + fold all under the engine
+        # lock, with the RESULT pinned eagerly before releasing it:
+        # vacuum advances the floor and truncates under this same
+        # lock, and every refresh commits changelog-then-table under
+        # it, so nothing can truncate the suffix or swap the table
+        # between the check and the evaluation (ADVICE r10: the
+        # unlocked check raced a concurrent vacuum, and a lazy return
+        # value re-read both sources after arbitrary later commits).
+        with self._lock:
+            if self.vacuum_floor.get(cl, 0) > epoch:
+                raise ValueError(
+                    f"time travel to epoch {epoch} needs the changelog "
+                    f"suffix of {fq} above it, but the changelog is "
+                    f"vacuumed through epoch {self.vacuum_floor[cl]}"
+                )
+            self.spark.catalog.refreshTable(fq)
+            self.spark.catalog.refreshTable(cl)
+            cur = self.spark.table(fq)
+            payload = cur.columns
+            log = self.spark.table(cl)
+            missing = set(payload) - set(log.columns)
+            if missing:
+                raise ValueError(
+                    f"changelog of {fq} lacks columns {sorted(missing)} "
+                    "(post-hoc schema drift): cannot reverse-fold"
+                )
+            suffix = log.filter(F.col("rw_timestamp") > epoch)
+            # Crash re-emission probe: the refresh commit order is
+            # changelog-first/table-second, so a crash between them
+            # leaves an epoch in the log that the table never absorbed
+            # — and the next (snapshot-diff) refresh re-emits the same
+            # delta, the system's at-least-once contract. The only
+            # candidate orphan is the changelog max AT RESTORE TIME
+            # (recovered_epoch). If its row multiset equals the next
+            # epoch's exactly, a redelivery happened: for a KEYED
+            # (grouped) MV adjacent identical transition sets are
+            # impossible legitimately (the second epoch's retract side
+            # could not match the post-first stored state), so the
+            # orphan is excluded from every fold; for a bag MV the
+            # pattern is ambiguous (Insert(x) twice is legal), so the
+            # travel is refused loudly rather than answered wrongly.
+            # A MIXED redelivery (base changed before the re-emit,
+            # folding old and new deltas into one diff) is not
+            # detectable from the log alone — documented limitation.
+            rec = getattr(st, "recovered_epoch", None)
+            if rec is not None and rec > epoch:
+                sfx_tagged = suffix.select("rw_timestamp", "op", *payload)
+                a = (
+                    sfx_tagged.filter(F.col("rw_timestamp") == rec)
+                    .drop("rw_timestamp")
+                    .localCheckpoint(eager=True)
+                )
+                nxt = (
+                    log.filter(F.col("rw_timestamp") > rec)
+                    .agg(F.min("rw_timestamp"))
+                    .first()[0]
+                )
+                if a.isEmpty() or nxt is None:
+                    pass  # nothing to compare (yet) — fold as usual
+                else:
+                    b = log.filter(F.col("rw_timestamp") == nxt).select(
+                        "op", *payload
+                    )
+                    dup = (
+                        a.exceptAll(b).isEmpty()
+                        and b.exceptAll(a).isEmpty()
+                    )
+                    if dup and st.key_cols:
+                        suffix = suffix.filter(
+                            F.col("rw_timestamp") != rec
+                        )
+                    elif dup:
+                        raise ValueError(
+                            f"time travel on {fq}: changelog epochs "
+                            f"{rec} and {nxt} are identical across a "
+                            "restart boundary — indistinguishable "
+                            "from a crash redelivery (the epoch may "
+                            "not be reflected in the stored result). "
+                            "Recreate the view for exact pre-crash "
+                            "time travel."
+                        )
+                    else:
+                        # next epoch differs: no (detectable)
+                        # redelivery — stop probing on later calls
+                        st.recovered_epoch = None
+            # reverse weights: undo the suffix against the current bag
+            undo = F.when(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT), F.lit(-1)
+            ).otherwise(F.lit(1))
+            union = cur.select(
+                *payload, F.lit(1).alias("__rw_w")
+            ).unionByName(suffix.select(*payload, undo.alias("__rw_w")))
+            bag = (
+                union.groupBy(*payload)
+                .agg(F.sum("__rw_w").alias("__rw_cnt"))
+                .filter(F.col("__rw_cnt") > 0)
             )
-        self.spark.catalog.refreshTable(fq)
-        cur = self.spark.table(fq)
-        payload = cur.columns
-        log = self.spark.table(cl)
-        missing = set(payload) - set(log.columns)
-        if missing:
-            raise ValueError(
-                f"changelog of {fq} lacks columns {sorted(missing)} "
-                "(post-hoc schema drift): cannot reverse-fold"
-            )
-        suffix = log.filter(F.col("rw_timestamp") > epoch)
-        # reverse weights: undo the suffix against the current bag
-        undo = F.when(
-            F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT), F.lit(-1)
-        ).otherwise(F.lit(1))
-        union = cur.select(
-            *payload, F.lit(1).alias("__rw_w")
-        ).unionByName(suffix.select(*payload, undo.alias("__rw_w")))
-        bag = (
-            union.groupBy(*payload)
-            .agg(F.sum("__rw_w").alias("__rw_cnt"))
-            .filter(F.col("__rw_cnt") > 0)
-        )
-        return bag.select(
-            *payload,
-            F.explode(F.expr("sequence(1, __rw_cnt)")).alias("__rw_i"),
-        ).select(*payload)
+            return bag.select(
+                *payload,
+                F.explode(F.expr("sequence(1, __rw_cnt)")).alias("__rw_i"),
+            ).select(*payload).localCheckpoint(eager=True)
 
     _GROUP_BY = re.compile(
         r"\bGROUP\s+BY\s+(?P<cols>.+?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)", re.I | re.S
@@ -2207,8 +2289,22 @@ class SparkEngine:
     )
     _INC_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>[\w.\s,]+?)\s*;?\s*$",
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>[\w.\s,]+?)"
+        r"(?:\s+HAVING\s+(?P<hav>.+?))?\s*;?\s*$",
         re.I | re.S,
+    )
+    # The EXACT derived table rewrite_hop emits (plans/rewrite.py:517)
+    # — like _DIRECT_TUMBLE, window_start/window_end (and the per-row
+    # window explode) are deterministic per-row expressions, so a
+    # delta view wrapped in the same derived table yields exactly the
+    # windowed delta rows and the group-wise merge applies unchanged.
+    _INC_HOP = re.compile(
+        r"\(SELECT \*, timestamp_micros\(__ws\) AS window_start, "
+        r"timestamp_micros\(__ws \+ (?P<size>\d+)\) AS window_end FROM "
+        r"\(SELECT \*, explode\(sequence\((?P<first>\(CAST\(floor\("
+        r"unix_micros\((?P<col>\w+)\) / (?P<slide>\d+)\) AS BIGINT\) - "
+        r"\d+\) \* (?P=slide)), (?P=first) \+ \d+, (?P=slide)\)\) "
+        r"AS __ws FROM (?P<rel>[\w.]+)\)\)"
     )
     # Agg args may be scalar EXPRESSIONS (sum(price * (1 - disc))) —
     # one paren-nesting level; deeper nesting falls back to
@@ -2233,13 +2329,19 @@ class SparkEngine:
     # only hard requirements are determinism (no volatiles, no
     # order-dependent or sketch aggregates) and the single-table shape.
     _INC_RC_BLOCKERS = re.compile(
-        r"\b(JOIN|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER|LIMIT|ORDER\s+BY"
+        r"\b(JOIN|UNION|INTERSECT|EXCEPT|OVER|LIMIT|ORDER\s+BY"
         r"|WINDOW|TUMBLE|HOP|SESSION_WINDOW"
         r"|PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG"
         r"|LISTAGG|FIRST|LAST|ANY_VALUE"
         r"|CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|UNIX_TIMESTAMP)\b"
         r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
-        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\(",
+        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\("
+        # order/tie-sensitive aggregates: a touched-group re-agg can
+        # legally break ties differently from a from-scratch recompute,
+        # violating bit-reproducibility (SCALE.md rule 5) — call-form
+        # matched so a COLUMN named e.g. `mode` never blocks arming
+        r"|\bmode\s*\(|\bhistogram_numeric\s*\(|\bmax_by\s*\("
+        r"|\bmin_by\s*\(|\bfirst_value\s*\(|\blast_value\s*\(",
         re.I,
     )
     # A non-key, non-mergeable select item: any expression with a
@@ -2257,19 +2359,43 @@ class SparkEngine:
         aggregation, or None if the statement is not (provably) one.
         Two regimes share the plan shape: MERGEABLE (every aggregate is
         sum/count/min/max — insert deltas merge group-wise in O(delta))
-        and RECOMPUTE-ONLY (any other deterministic aggregate present —
-        every delta takes the touched-group re-aggregation branch, so
-        refresh stays O(delta + touched groups' base rows) instead of a
-        full snapshot-diff)."""
+        and RECOMPUTE-ONLY (any other deterministic aggregate present,
+        a DISTINCT aggregate, or a HAVING clause — every delta takes
+        the touched-group re-aggregation branch, so refresh stays
+        O(delta + touched groups' base rows) instead of a full
+        snapshot-diff; HAVING is applied at publication time: a
+        recomputed group entering/leaving the predicate emits
+        Insert/Delete through the retract bag-diff).
+
+        Windowed shapes: the tumble/hop-rewritten derived tables
+        (plans/rewrite.py:485,517) are recognized and replaced by the
+        inner relation plus a derive template — window_start/window_end
+        are deterministic per-row expressions, so re-deriving them on
+        the delta view (and on the touched-group re-agg relation)
+        yields exactly the rows a full recompute would see. This keeps
+        the reference's canonical MV shape (tumble + agg,
+        /root/reference/demo.py:98-100) O(delta) at bulk ingest rates
+        instead of falling from the 512-row direct cap to O(base)."""
+        derive_tpl = None
+        m_d = self._DIRECT_TUMBLE.search(stmt) or self._INC_HOP.search(stmt)
+        if m_d:
+            sql = m_d.group(0)
+            rel = m_d.group("rel")
+            head, _, tail = sql.rpartition(f"FROM {rel})")
+            derive_tpl = head + "FROM {0})" + tail
+            stmt = stmt[: m_d.start()] + rel + stmt[m_d.end():]
         if self._INC_RC_BLOCKERS.search(stmt):
             return None
         m = self._INC_SHAPE.match(stmt)
         if not m:
             return None
         sel, where, grp = m.group("sel"), m.group("where"), m.group("grp")
+        having = (m.group("hav") or "").strip() or None
         # Qualified column refs (t.col) would dangle once FROM is
         # rebound to the delta view; bare columns only.
-        if self._QUALIFIED_REF.search(" ".join(filter(None, (sel, where, grp)))):
+        if self._QUALIFIED_REF.search(
+            " ".join(filter(None, (sel, where, grp, having)))
+        ):
             return None
         grp_cols = []
         for part in grp.split(","):
@@ -2280,10 +2406,18 @@ class SparkEngine:
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (base col, output name)
-        recompute_only = self._INC_BLOCKERS.search(stmt) is not None
+        recompute_only = (
+            self._INC_BLOCKERS.search(stmt) is not None or having is not None
+        )
         for item in RW.split_top_level(sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
+                if re.match(r"\s*DISTINCT\b", am.group("arg"), re.I):
+                    # sum/count(DISTINCT x): deterministic but NOT
+                    # group-wise mergeable — recompute regime only
+                    kinds.setdefault(am.group("alias"), "recompute")
+                    recompute_only = True
+                    continue
                 kinds[am.group("alias")] = am.group("fn").lower()
                 continue
             km = self._INC_KEY_ITEM.match(item)
@@ -2314,17 +2448,36 @@ class SparkEngine:
             "sel": sel.strip(),
             "where": (where or "").strip() or None,
             "grp": grp.strip(),
+            "having": having,
+            "derive_tpl": derive_tpl,
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
             "recompute_only": recompute_only,
         }
 
-    def _inc_delta_stmt(self, inc: dict, view: str) -> str:
-        q = f"SELECT {inc['sel']} FROM {view}"
+    def _inc_from(self, inc: dict, view: str) -> str:
+        """The FROM relation for an inc-plan statement over ``view``:
+        the view itself, or the tumble/hop derive template re-applied
+        to it (window columns recomputed per row — deterministic, so
+        bit-identical to what a full recompute derives)."""
+        tpl = inc.get("derive_tpl")
+        return tpl.format(view) if tpl else view
+
+    def _inc_delta_stmt(self, inc: dict, view: str, wrap: bool = True) -> str:
+        """``wrap=False`` when ``view`` is ALREADY the derived relation
+        (the touched-group re-agg builds it explicitly to semi-join on
+        window keys); the HAVING gate applies only in the recompute
+        regime, where this statement re-aggregates touched groups
+        wholesale — groups failing it vanish from r_rows and the merge
+        bag-diff emits their Deletes (publication-time gating)."""
+        q = f"SELECT {inc['sel']} FROM {self._inc_from(inc, view) if wrap else view}"
         if inc["where"]:
             q += f" WHERE {inc['where']}"
-        return q + f" GROUP BY {inc['grp']}"
+        q += f" GROUP BY {inc['grp']}"
+        if inc.get("having"):
+            q += f" HAVING {inc['having']}"
+        return q
 
     # -- DRIVER-SIDE agg refresh (zero Spark jobs for small deltas) --------
 
@@ -2630,6 +2783,14 @@ class SparkEngine:
                     and abs(v) > 2**53
                 ):
                     raise _DirectIneligible  # Spark casts the int lossily
+                if (
+                    isinstance(v, float)
+                    and isinstance(lit, int)
+                    and abs(lit) > 2**53
+                ):
+                    # mirror case: Spark casts the LITERAL to double
+                    # lossily while Python compares exactly
+                    raise _DirectIneligible
             elif kind == "bool":
                 if not isinstance(v, bool):
                     raise _DirectIneligible
@@ -3136,11 +3297,32 @@ class SparkEngine:
         re.I,
     )
 
+    # Non-equi residual ON terms an incremental join can carry: a
+    # time/range bound (`p.ts <= c.ts + INTERVAL 10 MINUTE`) or a
+    # side-local literal filter (`c.event_type = 'click'`). The delta
+    # rule ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB is bilinear in its inputs, so it
+    # holds for ANY deterministic join predicate; the equi pairs are
+    # still required (they keep the join a hash join at scale and key
+    # the retraction branch's touched-key recompute, which re-applies
+    # the FULL on-text within the restricted keys — exact because an
+    # inner output row depends only on the rows carrying its own equi
+    # key on both sides, residuals merely filtering within them).
+    _INCJ_RESIDUAL = re.compile(
+        r"^\s*\w+\.\w+\s*(?:<=|>=|<>|!=|<|>|=)\s*"
+        r"(?:\w+\.\w+|'[^']*'|-?\d+(?:\.\d+)?)"
+        r"(?:\s*[+-]\s*INTERVAL\s+'?\d+'?\s+\w+)?\s*$",
+        re.I,
+    )
+
     def _parse_simple_join(self, stmt: str) -> dict | None:
-        """Incremental plan for a two-table equi-join MV (ΔOUT =
-        ΔA⋈B_new ∪ A_old⋈ΔB for insert-only batches; batches with
-        UPDATE/DELETE take the touched-key retraction branch in
-        _join_retract_refresh), or None."""
+        """Incremental plan for a two-table join MV with equi keys and
+        optional non-equi residual terms — the interval join included
+        (ΔOUT = ΔA⋈B_new ∪ A_old⋈ΔB for insert-only batches; batches
+        with UPDATE/DELETE take the touched-key retraction branch in
+        _join_retract_refresh), or None. Residual terms restrict the
+        plan to INNER joins: outer-pad maintenance derives "newly
+        matched keys" from equi key-set diffs, which residuals can
+        invalidate (a pad may flip without any key appearing)."""
         if self._INCJ_BLOCKERS.search(stmt):
             return None
         if len(re.findall(r"\bJOIN\b", stmt, re.I)) != 1:
@@ -3156,14 +3338,27 @@ class SparkEngine:
         ):
             return None
         key_pairs: list[tuple[str, str]] = []  # (a1 col, a2 col)
+        residuals = 0
         for term in RW._split_and(m.group("on")):
             e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
-            if not e or {e.group(1), e.group(3)} != {a1, a2}:
+            if e and {e.group(1), e.group(3)} == {a1, a2}:
+                if e.group(1) == a1:
+                    key_pairs.append((e.group(2), e.group(4)))
+                else:
+                    key_pairs.append((e.group(4), e.group(2)))
+                continue
+            if not self._INCJ_RESIDUAL.match(term):
                 return None
-            if e.group(1) == a1:
-                key_pairs.append((e.group(2), e.group(4)))
-            else:
-                key_pairs.append((e.group(4), e.group(2)))
+            refs = re.findall(r"\b(\w+)\.\w+", term)
+            if not refs or any(x not in (a1, a2) for x in refs):
+                return None
+            residuals += 1
+        if not key_pairs:
+            return None  # no equi key: nested loop at scale — never arm
+        if residuals and (m.group("jt") or "").upper() in (
+            "LEFT", "RIGHT", "FULL"
+        ):
+            return None
         # SELECT items: qualified refs (al.col [AS alias]) only — they
         # rebind cleanly when FROM is rebound to the delta views.
         for item in RW.split_top_level(m.group("sel")):
@@ -3621,9 +3816,18 @@ class SparkEngine:
                     # table exists from a previous engine instance; re-register
                     rewritten = RW.rewrite_query(stmt, self.version_string)
                     out_cols = [f.name for f in self.spark.table(fq).schema.fields]
-                    self.mvs[fq] = MVState(fq, rewritten,
-                                           self._infer_key_cols(stmt, out_cols),
-                                           emit_on_close)
+                    st = MVState(fq, rewritten,
+                                 self._infer_key_cols(stmt, out_cols),
+                                 emit_on_close)
+                    try:
+                        mv_cl = self.changelog_name(fq)
+                        if self.spark.catalog.tableExists(mv_cl):
+                            st.recovered_epoch = self._changelog_max_epoch(
+                                mv_cl
+                            )
+                    except Exception:  # noqa: BLE001 — probe only
+                        st.recovered_epoch = None
+                    self.mvs[fq] = st
                 return
             raise RuntimeError(f"materialized view {fq} already exists")
         self.spark.catalog.setCurrentDatabase(self.default_schema)
@@ -4006,7 +4210,7 @@ class SparkEngine:
                 try:
                     q = "SELECT DISTINCT " + ", ".join(
                         f"{col} AS {out}" for col, out in inc["key_map"]
-                    ) + f" FROM {v_all}"
+                    ) + f" FROM {self._inc_from(inc, v_all)}"
                     if inc["where"]:
                         q += f" WHERE {inc['where']}"
                     r_keys = spark.sql(q).localCheckpoint(eager=True)
@@ -4040,7 +4244,17 @@ class SparkEngine:
                 # changelog fold at m1 (no concurrent publication can
                 # slip rows from epochs > m1 into the snapshot).
                 spark.catalog.refreshTable(inc["base_fq"])
-                base_df = spark.table(inc["base_fq"]).alias("b")
+                if inc.get("derive_tpl"):
+                    # windowed MV: key columns (window_start/end) are
+                    # derived, so the semi-join probe must run against
+                    # the derived relation, and the re-agg statement
+                    # must NOT re-wrap it (wrap=False below)
+                    base_df = spark.sql(
+                        "SELECT * FROM "
+                        + self._inc_from(inc, inc["base_fq"])
+                    ).alias("b")
+                else:
+                    base_df = spark.table(inc["base_fq"]).alias("b")
                 probe = r_keys.select(
                     *[F.col(out).alias(col) for col, out in inc["key_map"]]
                 ).alias("t")
@@ -4054,7 +4268,7 @@ class SparkEngine:
                 )
                 try:
                     r_rows = (
-                        spark.sql(self._inc_delta_stmt(inc, v_base))
+                        spark.sql(self._inc_delta_stmt(inc, v_base, wrap=False))
                         .localCheckpoint(eager=True)
                     )
                 finally:
@@ -4299,7 +4513,12 @@ class SparkEngine:
         r"PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG|"
         r"LISTAGG|FIRST|LAST|ANY_VALUE|"
         r"CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|"
-        r"UNIX_TIMESTAMP)\b|\(\s*SELECT",
+        r"UNIX_TIMESTAMP)\b|\(\s*SELECT"
+        # order/tie-sensitive aggregates (same rationale as the
+        # single-table RC blockers): a touched-group re-agg may break
+        # ties differently from a from-scratch recompute
+        r"|\bmode\s*\(|\bhistogram_numeric\s*\(|\bmax_by\s*\("
+        r"|\bmin_by\s*\(|\bfirst_value\s*\(|\blast_value\s*\(",
         re.I,
     )
 
