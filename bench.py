@@ -190,6 +190,7 @@ def subscription_latency(spark, n_events: int = 60) -> dict:
         conn.execute(f"CREATE TABLE benchlat.{base} (k BIGINT, v DOUBLE)")
         if mv_stmt is not None:
             conn.execute(mv_stmt)
+        ds0 = dict(conn.engine.direct_stats)
         arrivals: dict[int, float] = {}
         stop = threading.Event()
 
@@ -236,7 +237,16 @@ def subscription_latency(spark, n_events: int = 60) -> dict:
                 # write jobs) — total minus this is the consumer-side
                 # poll + cursor-fetch delivery gap
                 "insert_flush_median_ms": round(statistics.median(acks), 1),
+                "max_ms": round(srt[-1], 1),
                 "n": len(lats),
+                # direct-path event deltas for THIS phase (r10 verdict
+                # #5: attribute p99 tails to fallback/re-arm/companion-
+                # rebuild events vs host noise — a tail with zero
+                # events here is GC/host, not the engine's plan)
+                "direct_events": {
+                    k: conn.engine.direct_stats[k] - ds0[k]
+                    for k in ds0
+                },
             }
     spark.sql("DROP DATABASE IF EXISTS benchlat CASCADE")
     return out

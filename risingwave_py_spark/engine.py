@@ -163,6 +163,21 @@ class SparkEngine:
         self.udf_defs: dict[str, list] = {}  # name -> [rettype, body]
         # fq table -> (fs location, partition cols)
         self._locations: dict[str, tuple[str, list[str]]] = {}
+        # Per-changelog epoch manifest: the set of REGISTERED epoch
+        # partitions, maintained at every engine commit and validated
+        # per use by ONE os.stat of the on-disk commit marker — the
+        # per-flush hot loop's replacement for SHOW PARTITIONS, which
+        # is O(total retained epochs) driver-side (r10 verdict: 93 ms
+        # at ~140 epochs; 10⁵–10⁶ partitions at default retention).
+        # {cl: {"loc": str, "sig": (mtime_ns, size), "epochs": set}}
+        self._epoch_cache: dict[str, dict] = {}
+        # Diagnostic counters for the zero-job direct MV path (r10
+        # verdict #5: attribute the avg-MV p99 tail): how often a
+        # flush fell through to the Spark paths, how often the re-arm
+        # probe restored the direct plan, and how often the avg
+        # sum/count companions were rebuilt. bench.py reports per-
+        # phase deltas next to the latency percentiles.
+        self.direct_stats = {"fallback": 0, "rearm": 0, "aux_rebuild": 0}
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {default_schema}")
         RW.register_pg_shims(self.spark)
         self._restore_catalog()
@@ -462,6 +477,92 @@ class SparkEngine:
     def _table_location(self, fq: str) -> str | None:
         return self._table_meta(fq)[0]
 
+    @staticmethod
+    def _epoch_marker_path(loc: str) -> str:
+        # underscore-prefixed: invisible to Spark's file listings and
+        # to recoverPartitions' directory scan
+        return os.path.join(loc, "_rw_commit")
+
+    def _touch_epoch_marker(self, cl: str, epoch: int | None = None) -> None:
+        """Record an epoch-partition commit: add it to this engine's
+        in-memory manifest and bump the on-disk marker so OTHER
+        processes' manifests detect the change and re-list. Called
+        AFTER the partition is registered in the catalog, so a
+        manifest is always a subset of the registered partitions (a
+        listed-but-unregistered epoch would make Spark-side delta
+        reads silently skip its rows). A crash between registration
+        and this touch leaves live foreign readers one epoch behind
+        until the next commit bumps the marker (their own restart
+        re-lists) — the same at-least-once window the refresh commit
+        order already documents."""
+        loc = self._table_location(cl)
+        if loc is None:
+            return
+        marker = self._epoch_marker_path(loc)
+        try:
+            with open(marker, "w") as fh:
+                fh.write(str(epoch if epoch is not None else 0))
+        except OSError:
+            self._epoch_cache.pop(cl, None)
+            return
+        ent = self._epoch_cache.get(cl)
+        if ent is not None and ent["loc"] == loc and epoch is not None:
+            ent["epochs"].add(epoch)
+            try:
+                st = os.stat(marker)
+                ent["sig"] = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                self._epoch_cache.pop(cl, None)
+        elif ent is not None:
+            # epoch unknown (bulk/implicit registration): force re-list
+            self._epoch_cache.pop(cl, None)
+
+    def _changelog_epochs(self, cl: str) -> set[int] | None:
+        """Registered epoch partitions of ``cl`` — O(1) steady state
+        (one os.stat against the commit marker), falling back to one
+        authoritative SHOW PARTITIONS listing on first touch, engine
+        restart, vacuum rewrite, or cross-process drift. None when the
+        changelog is not in the epoch-partitioned layout (legacy
+        unpartitioned tables take the aggregate/Spark paths)."""
+        loc, parts = self._table_meta(cl)
+        if loc is None or parts != ["rw_timestamp"]:
+            return None
+        marker = self._epoch_marker_path(loc)
+        # Signature captured BEFORE the listing: a foreign commit
+        # landing between stat and list is either in the listing
+        # (registered first — fine) or bumps the marker after our
+        # stat, so the next call re-lists. Never the reverse.
+        try:
+            st = os.stat(marker)
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            try:
+                with open(marker, "x") as fh:
+                    fh.write("0")
+            except OSError:
+                pass
+            try:
+                st = os.stat(marker)
+                sig = (st.st_mtime_ns, st.st_size)
+            except OSError:
+                sig = None
+        ent = self._epoch_cache.get(cl)
+        if (
+            ent is not None
+            and ent["loc"] == loc
+            and sig is not None
+            and ent["sig"] == sig
+        ):
+            return ent["epochs"]
+        try:
+            rows = self.spark.sql(f"SHOW PARTITIONS {cl}").collect()
+        except Exception:  # noqa: BLE001 — layout drift: caller falls back
+            return None
+        eps = {int(r[0].split("=", 1)[1]) for r in rows}
+        if sig is not None:
+            self._epoch_cache[cl] = {"loc": loc, "sig": sig, "epochs": eps}
+        return eps
+
     def _changelog_max_epoch(self, cl: str) -> int | None:
         """Highest published epoch in a changelog WITHOUT a Spark job
         when the epoch-partitioned layout allows it: the registered
@@ -472,14 +573,9 @@ class SparkEngine:
         MV — with N MVs over quiet bases the per-insert cost used to
         be N job dispatches for N 'nothing changed' answers. Falls
         back to the aggregate for legacy unpartitioned layouts."""
-        loc, parts = self._table_meta(cl)
-        if loc is not None and parts == ["rw_timestamp"]:
-            try:
-                rows = self.spark.sql(f"SHOW PARTITIONS {cl}").collect()
-                eps = [int(r[0].split("=", 1)[1]) for r in rows]
-                return max(eps) if eps else None
-            except Exception:  # noqa: BLE001 — defensive: layout drift
-                pass
+        eps = self._changelog_epochs(cl)
+        if eps is not None:
+            return max(eps) if eps else None
         self.spark.catalog.refreshTable(cl)
         return self.spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
 
@@ -589,6 +685,7 @@ class SparkEngine:
                 f"ALTER TABLE {cl} ADD IF NOT EXISTS "
                 f"PARTITION (rw_timestamp={epoch})"
             )
+            self._touch_epoch_marker(cl, epoch)
             commit_file(pa.table(cols), loc,
                         f"rwfast-{epoch}-{uuid.uuid4().hex}.parquet")
             self.spark.catalog.refreshTable(fq)
@@ -641,6 +738,7 @@ class SparkEngine:
         )
         with self._lock:
             out.write.mode("append").insertInto(cl)
+            self._touch_epoch_marker(cl, epoch)
 
     def _append_changelog_tagged(self, fq: str, tagged: DataFrame, epoch: int) -> None:
         """Append a multi-op delta (rows already carry ``op``) as ONE
@@ -657,6 +755,7 @@ class SparkEngine:
             *[(F.col(c) if c in out.columns else F.lit(None)).alias(c) for c in phys]
         )
         out.write.mode("append").insertInto(cl)
+        self._touch_epoch_marker(cl, epoch)
 
     @staticmethod
     def _tag_ops(batches: list[tuple[DataFrame, str]]) -> DataFrame:
@@ -2888,15 +2987,14 @@ class SparkEngine:
                     self.next_epoch()  # refresh always consumes one epoch
                     return True
                 return False
-            # ONE partition listing serves both the high-water check
-            # and the pending-epoch list (this is the per-flush hot
-            # loop: SHOW PARTITIONS is O(total epochs) driver-side,
-            # so never run it twice per refresh)
-            try:
-                prows = spark.sql(f"SHOW PARTITIONS {base_cl}").collect()
-            except Exception:  # noqa: BLE001 — layout drift: Spark path
+            # The epoch manifest serves both the high-water check and
+            # the pending-epoch list — O(1) steady state (one os.stat
+            # of the commit marker); SHOW PARTITIONS runs only on
+            # first touch / restart / cross-process drift, keeping the
+            # per-flush hot loop flat in the retained-epoch count.
+            eps_all = self._changelog_epochs(base_cl)
+            if eps_all is None:
                 return False
-            eps_all = [int(p[0].split("=", 1)[1]) for p in prows]
             m1 = max(eps_all, default=None)
             if m1 is None or m1 <= state.last_epoch:
                 self.next_epoch()  # refresh always consumes one epoch
@@ -3073,6 +3171,7 @@ class SparkEngine:
                 f"ALTER TABLE {cl} ADD IF NOT EXISTS "
                 f"PARTITION (rw_timestamp={epoch})"
             )
+            self._touch_epoch_marker(cl, epoch)
             new_loc = (
                 re.sub(r"__rwgen_\d+$", "", loc_mv.rstrip("/"))
                 + f"__rwgen_{epoch}"
@@ -4322,6 +4421,7 @@ class SparkEngine:
         self._merge_agg_delta(state, inc, dagg, m1, retract)
         if need_aux:
             state.direct_aux = aux2
+            self.direct_stats["aux_rebuild"] += 1
         return True
 
     def _merge_agg_delta(self, state: MVState, inc: dict,
@@ -5473,6 +5573,10 @@ class SparkEngine:
                 state.inc_direct = direct
                 state.direct_aux = aux
                 state.last_epoch = m0
+                if direct is not None:
+                    self.direct_stats["rearm"] += 1
+                    if aux is not None:
+                        self.direct_stats["aux_rebuild"] += 1
 
             return df, finalize_inc
 
@@ -5603,11 +5707,13 @@ class SparkEngine:
             try:
                 if self._refresh_direct(state):
                     return
+                self.direct_stats["fallback"] += 1
             except Exception:  # pragma: no cover - defensive demotion
                 logger.exception(
                     "direct refresh of %s failed; falling back", state.fq,
                 )
                 state.inc_direct = None
+                self.direct_stats["fallback"] += 1
         if state.inc is not None:
             try:
                 if self._refresh_incremental(state):
@@ -5828,15 +5934,10 @@ class SparkEngine:
         loc, part_cols = self._table_meta(cl)
         if loc is None or part_cols != ["rw_timestamp"]:
             return None  # legacy unpartitioned changelog: Spark path
-        try:
-            parts = self.spark.sql(f"SHOW PARTITIONS {cl}").collect()
-        except Exception:  # noqa: BLE001 — defensive: layout changed
+        eps = self._changelog_epochs(cl)
+        if eps is None:
             return None
-        cand = sorted(
-            e for e in (
-                int(p[0].split("=", 1)[1]) for p in parts
-            ) if e > pos
-        )
+        cand = sorted(e for e in eps if e > pos)
         if not cand:
             return [], [], pos
 
@@ -6041,8 +6142,11 @@ class SparkEngine:
         self.spark.sql(f"ALTER TABLE {stage} RENAME TO {cl}")
         # the rewrite moved the changelog's data dir: the direct
         # ingest/fetch paths must re-resolve, not write into (or read
-        # from) the moved-away location
+        # from) the moved-away location — and the epoch manifest must
+        # re-list (truncated epochs leave it; the new dir has no
+        # marker, so the (loc, sig) check re-hydrates on first use)
         self._locations.pop(cl, None)
+        self._epoch_cache.pop(cl, None)
         # RENAME on a PARTITIONED managed table moves the data dir but
         # drops the partition metadata — recover it from the directory
         # structure or the table reads as empty.

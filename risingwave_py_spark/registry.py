@@ -73,34 +73,37 @@ def load_all() -> None:
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round — direct-refresh avg/WHERE, MV time travel, and
-    # the recompute-only incremental plan for non-mergeable aggregates
+    # new this round (r11): Spark-side O(delta) windowed MVs, HAVING
+    # publication gate, DISTINCT-agg recompute plan, interval-join IVM
+    "tumble_inc_mv_scenario", "hop_inc_mv_scenario",
+    "having_inc_mv_scenario", "distinct_inc_mv_scenario",
+    "interval_join_inc_mv_scenario",
+    # changed this round: the epoch manifest replaces SHOW PARTITIONS
+    # in every refresh/fetch hot path, and _parse_simple_agg/_mv_asof
+    # were reworked — the MV battery + cursor/direct scenarios cover it
+    "inc_mv_scenario", "dml_inc_mv_scenario", "tumble_mv_scenario",
     "avg_where_mv_scenario", "mv_time_travel_scenario",
-    "stats_inc_mv_scenario", "stats_join_mv_scenario",
-    # changed this round: the direct-refresh extension touches every
-    # MV refresh path — the full scenario battery leads
-    "inc_mv_scenario", "dml_inc_mv_scenario", "star3_inc_mv_scenario",
-    "join_inc_mv_scenario", "dml_join_inc_mv_scenario",
-    "join_agg_inc_mv_scenario", "dml_join_agg_inc_mv_scenario",
-    "topn_inc_mv_scenario", "cascade_mv_scenario", "streaming_mv_scenario",
-    "mv_changelog_scenario", "table_changelog_scenario", "buffer_scenario",
-    "emit_on_close_scenario", "tumble_mv_scenario",
-    "time_travel_scenario", "events_ema_drift",
-    # changed this round: packed single-projection k-means assign
-    "cluster_kmeans_embeddings", "dedup_semantic_clusters",
-    "ann_index_build", "ann_index_probe", "ann_index_dml", "ann_ivf_recall",
-    # stalest driver verdicts: r7-era relational/scalar/join/setop
-    "scan_filter_project", "project_computed", "predicate_algebra",
-    "join_inner_basic", "join_left_outer", "join_full_outer",
-    "join_semi_exists", "join_anti_not_exists",
-    "agg_stddev_exact", "setop_bag_semantics", "distinct_on_latest_event",
-    "recursive_month_spine", "scalar_string_funcs", "scalar_date_funcs",
-    # r8-era window/OVER family
-    "window_rank_lag", "window_range_frame", "window_filtered_agg",
-    "gapfill_locf", "session_window_events",
-    # r8-era bucketed twins + image/video decode pipelines
-    "q9_bucketed", "q18_bucketed",
-    "multimodal_image_pipeline", "multimodal_video_pipeline",
+    "time_travel_scenario", "buffer_scenario", "table_changelog_scenario",
+    "mv_changelog_scenario", "join_inc_mv_scenario",
+    "dml_join_inc_mv_scenario", "star3_inc_mv_scenario",
+    "join_agg_inc_mv_scenario", "topn_inc_mv_scenario",
+    "stats_inc_mv_scenario", "cascade_mv_scenario",
+    # stalest driver verdicts (r8-era scenario battery — judge-checked
+    # r10 but driver-graded beats judge-graded)
+    "source_scenario", "sink_scenario", "dml_scenario",
+    "catalog_scenario", "udf_scenario", "upsert_version_scenario",
+    "bucketed_scenario", "index_maintenance_scenario",
+    "join_mv_scenario", "topn_mv_scenario",
+    # TPC-H battery (q-family last driver-sampled r7-r9)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "q9_profit_by_nation",
+    "q10_returned_items", "q18_large_volume_customer",
+    "q19_disc_revenue_or", "q21_waiting_suppliers",
+    "q22_prospect_customers",
+    # SQ8 + audio/image/video index families (judge-checked r10)
+    "ann_sq8_build", "ann_sq8_probe", "ann_sq8_recall", "ann_sq8_dml",
+    "audio_index_build", "audio_index_probe", "audio_index_dml",
+    "image_index_probe",
 ]
 
 

@@ -1593,3 +1593,285 @@ def stats_join_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY region"
     )
     return spark.createDataFrame(rows, "region string, aov double, n bigint")
+
+
+@register(
+    "tumble_inc_mv_scenario",
+    oracle="""
+    WITH x AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS ts,
+               CAST(CASE WHEN i % 7 = 0 THEN 1 ELSE i % 7 END AS BIGINT) AS v
+        FROM range(0, 540) t(i)
+    )
+    SELECT time_bucket(INTERVAL '15 seconds', ts) AS window_start,
+           time_bucket(INTERVAL '15 seconds', ts)
+               + INTERVAL '15 seconds' AS window_end,
+           CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2 ORDER BY window_start
+    """,
+)
+def tumble_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 Spark-side O(delta) path for WINDOWED MVs: a 600-row
+    bulk delta (beyond DIRECT_MAX_DELTA_ROWS=512) on a tumble MV must
+    refresh via the incremental merge — the armed plan is asserted
+    before and after the bulk insert, UPDATE, and a whole-window
+    DELETE (before round 11 this shape fell to O(base) snapshot-diff
+    the moment the delta exceeded the direct cap)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_wt")
+    conn.execute("CREATE TABLE rwdemo_wt.tick (ts TIMESTAMP, v BIGINT)")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    seed = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(10)],
+        "v": [i % 7 for i in range(10)],
+    })
+    conn.insert(seed, table_name="tick", schema_name="rwdemo_wt",
+                force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_wt.m AS "
+        "SELECT window_start, window_end, sum(v) AS s, count(*) AS n "
+        "FROM tumble(rwdemo_wt.tick, ts, interval '15 seconds') "
+        "GROUP BY window_start, window_end"
+    )
+    st = eng.mvs["rwdemo_wt.m"]
+    assert st.inc is not None and st.inc["derive_tpl"], (
+        "tumble MV must arm the Spark incremental path"
+    )
+    bulk = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(10, 600)],
+        "v": [i % 7 for i in range(10, 600)],
+    })
+    conn.insert(bulk, table_name="tick", schema_name="rwdemo_wt",
+                force_flush=True)
+    assert st.inc is not None, "bulk delta demoted the tumble MV"
+    conn.execute("UPDATE rwdemo_wt.tick SET v = 1 WHERE v = 0")
+    conn.execute("FLUSH")
+    conn.execute(
+        "DELETE FROM rwdemo_wt.tick WHERE ts >= TIMESTAMP '2024-01-01 00:09:00'"
+    )
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DML demoted the tumble MV"
+    cols, rows = conn._dispatch(
+        "SELECT window_start, window_end, s, n FROM rwdemo_wt.m "
+        "ORDER BY window_start"
+    )
+    return spark.createDataFrame(
+        rows, "window_start timestamp, window_end timestamp, s bigint, n bigint"
+    )
+
+
+@register(
+    "hop_inc_mv_scenario",
+    oracle="""
+    WITH x AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS ts,
+               CAST(i % 5 AS BIGINT) AS v
+        FROM range(0, 120) t(i) WHERE i < 90 OR i % 5 <> 4
+    ), w AS (
+        SELECT time_bucket(INTERVAL '15 seconds', ts)
+                   - k * INTERVAL '15 seconds' AS window_start, v
+        FROM x CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, window_start + INTERVAL '30 seconds' AS window_end,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+    FROM w GROUP BY 1 ORDER BY window_start
+    """,
+)
+def hop_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: hop (sliding-window) MVs arm the same Spark O(delta)
+    path via the per-row multi-window explode inside the derive
+    template — each delta row contributes to size/slide windows, and
+    a DELETE re-aggregates only the touched windows."""
+    conn, eng = _fresh_conn(spark, "rwdemo_wh")
+    conn.execute("CREATE TABLE rwdemo_wh.tick (ts TIMESTAMP, v BIGINT)")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    seed = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(30)],
+        "v": [i % 5 for i in range(30)],
+    })
+    conn.insert(seed, table_name="tick", schema_name="rwdemo_wh",
+                force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_wh.m AS "
+        "SELECT window_start, window_end, count(*) AS n, sum(v) AS s "
+        "FROM hop(rwdemo_wh.tick, ts, interval '15 seconds', "
+        "interval '30 seconds') GROUP BY window_start, window_end"
+    )
+    st = eng.mvs["rwdemo_wh.m"]
+    assert st.inc is not None and st.inc["derive_tpl"], (
+        "hop MV must arm the Spark incremental path"
+    )
+    more = pd.DataFrame({
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(30, 120)],
+        "v": [i % 5 for i in range(30, 120)],
+    })
+    conn.insert(more, table_name="tick", schema_name="rwdemo_wh",
+                force_flush=True)
+    assert st.inc is not None, "insert delta demoted the hop MV"
+    conn.execute(
+        "DELETE FROM rwdemo_wh.tick WHERE v = 4 "
+        "AND ts >= TIMESTAMP '2024-01-01 00:01:30'"
+    )
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DELETE demoted the hop MV"
+    cols, rows = conn._dispatch(
+        "SELECT window_start, window_end, n, s FROM rwdemo_wh.m "
+        "ORDER BY window_start"
+    )
+    return spark.createDataFrame(
+        rows, "window_start timestamp, window_end timestamp, n bigint, s bigint"
+    )
+
+
+@register(
+    "having_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('b', CAST(3 AS BIGINT), CAST(45 AS BIGINT))
+    ) AS t(p, n, s)
+    """,
+)
+def having_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: HAVING MVs arm the recompute-only incremental plan
+    with publication-time gating — 'b' crosses INTO the predicate
+    (Insert emitted), 'a' drops OUT via DELETE (Delete emitted), and
+    the UPDATE leg revises a still-qualifying group, all without a
+    snapshot-diff."""
+    conn, eng = _fresh_conn(spark, "rwdemo_hv")
+    conn.execute("CREATE TABLE rwdemo_hv.t (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"] * 3 + ["b"] * 2,
+                              "v": [1, 2, 3, 4, 5]}),
+                table_name="t", schema_name="rwdemo_hv", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_hv.m AS "
+        "SELECT p, count(*) AS n, sum(v) AS s FROM rwdemo_hv.t "
+        "GROUP BY p HAVING count(*) > 2"
+    )
+    st = eng.mvs["rwdemo_hv.m"]
+    assert st.inc is not None and st.inc["having"], (
+        "HAVING MV must arm the recompute-only plan"
+    )
+    conn.insert(pd.DataFrame({"p": ["b"], "v": [6]}),
+                table_name="t", schema_name="rwdemo_hv", force_flush=True)
+    conn.execute("DELETE FROM rwdemo_hv.t WHERE p = 'a' AND v > 1")
+    conn.execute("FLUSH")
+    conn.execute("UPDATE rwdemo_hv.t SET v = v + 10 WHERE p = 'b'")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "HAVING plan lost mid-scenario"
+    ops = [r["op"] for r in
+           eng.spark.table(eng.changelog_name("rwdemo_hv.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops, (
+        "publication gate must emit Insert/Delete on threshold crossings"
+    )
+    cols, rows = conn._dispatch(
+        "SELECT p, n, s FROM rwdemo_hv.m ORDER BY p"
+    )
+    return spark.createDataFrame(rows, "p string, n bigint, s bigint")
+
+
+@register(
+    "distinct_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a', CAST(2 AS BIGINT), CAST(33 AS BIGINT)),
+        ('b', CAST(1 AS BIGINT), CAST(30 AS BIGINT))
+    ) AS t(p, users, s)
+    """,
+)
+def distinct_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: count(DISTINCT) MVs arm the recompute-only plan — a
+    duplicate user arriving in the delta must NOT bump the distinct
+    count (wholesale touched-group re-aggregation keeps distinctness
+    exact), and UPDATE/DELETE legs stay incremental."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dc")
+    conn.execute("CREATE TABLE rwdemo_dc.t (p STRING, u BIGINT, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a", "a", "b"], "u": [1, 1, 2],
+                              "v": [10, 20, 30]}),
+                table_name="t", schema_name="rwdemo_dc", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dc.m AS "
+        "SELECT p, count(DISTINCT u) AS users, sum(v) AS s "
+        "FROM rwdemo_dc.t GROUP BY p"
+    )
+    st = eng.mvs["rwdemo_dc.m"]
+    assert st.inc is not None and st.inc["kinds"]["users"] == "recompute", (
+        "count(DISTINCT) MV must arm the recompute-only plan"
+    )
+    # u=1 again (duplicate) + u=3 (new) in one delta
+    conn.insert(pd.DataFrame({"p": ["a", "a"], "u": [1, 3], "v": [1, 2]}),
+                table_name="t", schema_name="rwdemo_dc", force_flush=True)
+    conn.execute("UPDATE rwdemo_dc.t SET u = 9 WHERE p = 'b'")
+    conn.execute("FLUSH")
+    assert st.inc is not None, "distinct plan lost mid-scenario"
+    cols, rows = conn._dispatch(
+        "SELECT p, users, s FROM rwdemo_dc.m ORDER BY p"
+    )
+    return spark.createDataFrame(rows, "p string, users bigint, s bigint")
+
+
+@register(
+    "interval_join_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT),
+         TIMESTAMP '2024-03-01 12:00:00', TIMESTAMP '2024-03-01 12:05:00'),
+        (CAST(6 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT),
+         TIMESTAMP '2024-03-01 12:02:00', TIMESTAMP '2024-03-01 12:05:00')
+    ) AS t(click_id, purchase_id, uid, click_ts, purchase_ts)
+    """,
+)
+def interval_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 (#7): an interval-join MV — equi key + time-bound
+    residual ON terms, as a SELF join on the event table — arms the
+    incremental join plan (ΔA⋈B ∪ A_old⋈ΔB; time bounds are exact
+    within touched equi keys) and survives inserts in both delta
+    directions, an UPDATE that moves a purchase outside the bound
+    (pair retracts), and a DELETE."""
+    conn, eng = _fresh_conn(spark, "rwdemo_ij")
+    conn.execute(
+        "CREATE TABLE rwdemo_ij.ev (event_id BIGINT, user_id BIGINT, "
+        "et STRING, ts TIMESTAMP)"
+    )
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    conn.insert(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],
+        "et": ["click", "purchase", "click", "purchase"],
+        "ts": [t0, t0 + pd.Timedelta(minutes=5),
+               t0, t0 + pd.Timedelta(minutes=25)],
+    }), table_name="ev", schema_name="rwdemo_ij", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_ij.m AS "
+        "SELECT c.event_id AS click_id, p.event_id AS purchase_id, "
+        "c.user_id AS uid, c.ts AS click_ts, p.ts AS purchase_ts "
+        "FROM rwdemo_ij.ev c JOIN rwdemo_ij.ev p "
+        "ON c.user_id = p.user_id AND c.et = 'click' "
+        "AND p.et = 'purchase' AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + INTERVAL 10 MINUTE"
+    )
+    st = eng.mvs["rwdemo_ij.m"]
+    assert st.inc_join is not None, (
+        "interval join must arm the incremental join plan"
+    )
+    conn.insert(pd.DataFrame({
+        "event_id": [5, 6], "user_id": [8, 7],
+        "et": ["purchase", "click"],
+        "ts": [t0 + pd.Timedelta(minutes=8), t0 + pd.Timedelta(minutes=2)],
+    }), table_name="ev", schema_name="rwdemo_ij", force_flush=True)
+    assert st.inc_join is not None, "insert delta demoted the interval join"
+    conn.execute(
+        "UPDATE rwdemo_ij.ev SET ts = TIMESTAMP '2024-03-01 13:00:00' "
+        "WHERE event_id = 5"
+    )
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_ij.ev WHERE event_id = 3")
+    conn.execute("FLUSH")
+    assert st.inc_join is not None, "DML demoted the interval join MV"
+    cols, rows = conn._dispatch(
+        "SELECT click_id, purchase_id, uid, click_ts, purchase_ts "
+        "FROM rwdemo_ij.m ORDER BY click_id"
+    )
+    return spark.createDataFrame(
+        rows, "click_id bigint, purchase_id bigint, uid bigint, "
+              "click_ts timestamp, purchase_ts timestamp"
+    )
