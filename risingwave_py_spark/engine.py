@@ -2476,12 +2476,23 @@ class SparkEngine:
         /root/reference/demo.py:98-100) O(delta) at bulk ingest rates
         instead of falling from the 512-row direct cap to O(base)."""
         derive_tpl = None
+        derive_info = None
         m_d = self._DIRECT_TUMBLE.search(stmt) or self._INC_HOP.search(stmt)
         if m_d:
             sql = m_d.group(0)
             rel = m_d.group("rel")
             head, _, tail = sql.rpartition(f"FROM {rel})")
             derive_tpl = head + "FROM {0})" + tail
+            # window LENGTH in µs + event column: the touched-window
+            # re-agg turns small touched-key sets into a ts-range
+            # prefilter (row ∈ window [ws, we) ⟺ ts ∈ [ws, we), for
+            # hop too) — a pushable predicate parquet min/max pruning
+            # turns into a near-indexed read of the touched span.
+            gd = m_d.groupdict()
+            derive_info = {
+                "col": gd["col"],
+                "us": int(gd.get("size") or gd["us"]),
+            }
             stmt = stmt[: m_d.start()] + rel + stmt[m_d.end():]
         if self._INC_RC_BLOCKERS.search(stmt):
             return None
@@ -2549,11 +2560,58 @@ class SparkEngine:
             "grp": grp.strip(),
             "having": having,
             "derive_tpl": derive_tpl,
+            "derive_info": derive_info,
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
             "recompute_only": recompute_only,
         }
+
+    # Touched-window sets at or below this size become a driver-built
+    # ts-range scan predicate (a BOUNDED collect of window keys — the
+    # same catalog-metadata scale as a partition listing, never rows).
+    TOUCHED_WINDOW_PRUNE_CAP = 256
+
+    def _touched_window_filter(self, inc: dict, r_keys: DataFrame):
+        """OR of per-touched-window ``ts ∈ [ws, we)`` ranges, or None
+        when pruning does not apply (no derive info, too many touched
+        windows, NULL window keys, or no window key in the output)."""
+        import datetime as _dt
+
+        dinfo = inc.get("derive_info")
+        if dinfo is None:
+            return None
+        ws_out = next(
+            (out for col, out in inc["key_map"] if col == "window_start"),
+            None,
+        )
+        we_out = next(
+            (out for col, out in inc["key_map"] if col == "window_end"),
+            None,
+        )
+        if ws_out is None and we_out is None:
+            return None
+        rows = r_keys.limit(self.TOUCHED_WINDOW_PRUNE_CAP + 1).collect()
+        if len(rows) > self.TOUCHED_WINDOW_PRUNE_CAP:
+            return None
+        span = _dt.timedelta(microseconds=dinfo["us"])
+        cond = None
+        for r in rows:
+            if ws_out is not None:
+                ws = r[ws_out]
+                if ws is None:
+                    return None  # NULL-ts rows group under NULL windows
+                we = ws + span
+            else:
+                we = r[we_out]
+                if we is None:
+                    return None
+                ws = we - span
+            e = (F.col(dinfo["col"]) >= F.lit(ws)) & (
+                F.col(dinfo["col"]) < F.lit(we)
+            )
+            cond = e if cond is None else (cond | e)
+        return cond
 
     def _inc_from(self, inc: dict, view: str) -> str:
         """The FROM relation for an inc-plan statement over ``view``:
@@ -4343,14 +4401,31 @@ class SparkEngine:
                 # changelog fold at m1 (no concurrent publication can
                 # slip rows from epochs > m1 into the snapshot).
                 spark.catalog.refreshTable(inc["base_fq"])
+                v_pre = None
                 if inc.get("derive_tpl"):
                     # windowed MV: key columns (window_start/end) are
                     # derived, so the semi-join probe must run against
                     # the derived relation, and the re-agg statement
-                    # must NOT re-wrap it (wrap=False below)
+                    # must NOT re-wrap it (wrap=False below). When the
+                    # touched-window set is SMALL, prefilter the base
+                    # on the union of their ts ranges first — a
+                    # pushable scan predicate (parquet min/max / time
+                    # partition pruning at lakehouse scale), so the
+                    # O(base) derive+semi-join becomes a near-indexed
+                    # read of the touched span. Exact for tumble AND
+                    # hop: row ∈ window [ws, we) ⟺ ts ∈ [ws, we); the
+                    # semi-join after the derive still decides final
+                    # membership.
+                    pre = self._touched_window_filter(inc, r_keys)
+                    rel_src = inc["base_fq"]
+                    if pre is not None:
+                        v_pre = f"__rw_inc_pre_{tag}"
+                        spark.table(inc["base_fq"]).filter(
+                            pre
+                        ).createOrReplaceTempView(v_pre)
+                        rel_src = v_pre
                     base_df = spark.sql(
-                        "SELECT * FROM "
-                        + self._inc_from(inc, inc["base_fq"])
+                        "SELECT * FROM " + self._inc_from(inc, rel_src)
                     ).alias("b")
                 else:
                     base_df = spark.table(inc["base_fq"]).alias("b")
@@ -4372,6 +4447,8 @@ class SparkEngine:
                     )
                 finally:
                     spark.catalog.dropTempView(v_base)
+                    if v_pre is not None:
+                        spark.catalog.dropTempView(v_pre)
             # A co-armed avg DIRECT plan keeps sum/count companions in
             # memory; this refresh rewrites the stored result, so the
             # companions must be recomputed from the SAME lock-pinned

@@ -77,8 +77,16 @@ def limb_total(v: F.Column) -> F.Column:
 
 
 def limb_sum(v: F.Column, scale: int) -> F.Column:
-    """`limb_total` surfaced as DOUBLE at the given decimal scale."""
-    return (limb_total(v) / (10**scale)).cast("double")
+    """`limb_total` surfaced as DOUBLE at the given decimal scale —
+    cast the EXACT INTEGER total to double first, then one IEEE
+    division. Decimal-dividing first (the pre-r11 form) rounds at an
+    engine-specific intermediate scale, which diverges from DuckDB by
+    one ulp once the scaled total exceeds 2^53 (first seen at sf1 on
+    q1's e6-scaled charge total ≈ 5·10^16); double(T)/10^s is
+    bit-identical on any engine with IEEE doubles at ANY scale."""
+    return (limb_total(v).cast("double") / F.lit(float(10**scale))).cast(
+        "double"
+    )
 
 
 def rev_e4(price="l_extendedprice", disc="l_discount") -> F.Column:
@@ -179,9 +187,10 @@ def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                    * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+            / 1000000.0) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,

@@ -47,7 +47,12 @@ def _limb_total(v: str) -> str:
 
 
 def _limb_sum(v: str, scale: int) -> str:
-    return f"CAST({_limb_total(v)} / {10 ** scale} AS DOUBLE)"
+    # double(exact integer total) / 10^s — ONE IEEE division, so the
+    # value is bit-identical across engines at any magnitude (decimal
+    # division first rounds at an engine-specific scale and diverges
+    # by one ulp once the total exceeds 2^53 — seen at sf1 on q1's
+    # e6-scaled charge). Mirrors operators/relational.py limb_sum.
+    return f"(CAST({_limb_total(v)} AS DOUBLE) / {float(10 ** scale)})"
 
 
 def _dsum(c: str) -> str:
@@ -172,9 +177,9 @@ _sql_query(
                FROM supplier JOIN nation ON s_nationkey = n_nationkey)
     SELECT /*+ BROADCAST(p, s), SHUFFLE_HASH(o) */
            nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           CAST(({_limb_total(f"({_REV_E4}) * 100")}
-                 - {_limb_total(f"{_cents('p_retailprice')} * 10 * {_cents('l_quantity')}")})
-                / 1000000 AS DOUBLE) AS sum_profit
+           (CAST(({_limb_total(f"({_REV_E4}) * 100")}
+                  - {_limb_total(f"{_cents('p_retailprice')} * 10 * {_cents('l_quantity')}")})
+                 AS DOUBLE) / 1000000.0) AS sum_profit
     FROM lineitem li
     JOIN p ON li.l_partkey = p.p_partkey
     JOIN s ON li.l_suppkey = s.s_suppkey

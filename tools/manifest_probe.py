@@ -57,15 +57,38 @@ def main() -> None:
     st = eng.mvs["mprobe.m"]
     cl = eng.changelog_name("mprobe.t")
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cl_loc = eng._table_location(cl)
+
+    def fabricate_epochs(upto: int, committed: int) -> int:
+        """Accumulate retained history WITHOUT paying 10k sequential
+        ALTERs (the probe measures FLUSH latency at a given retained
+        count, not accumulation cost): write one-row epoch partition
+        dirs directly, register them with ONE recoverPartitions, bump
+        the engine's epoch counter, and invalidate the manifest (the
+        next flush re-lists once — exactly the restart/drift path)."""
+        while committed < upto:
+            committed += 1
+            pdir = os.path.join(cl_loc, f"rw_timestamp={committed}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.table({"p": ["bulk"], "v": [committed],
+                          "op": ["Insert"]}),
+                os.path.join(pdir, f"rwfast-fab-{committed}.parquet"),
+            )
+        spark.catalog.recoverPartitions(cl)
+        spark.catalog.refreshTable(cl)
+        eng._epoch = max(eng._epoch, committed)
+        eng._epoch_cache.pop(cl, None)
+        eng._touch_epoch_marker(cl)
+        return committed
+
     levels = [n for n in (100, 1_000, 10_000) if n <= args.max]
     committed = 1
     for level in levels:
-        # grow the retained-epoch count (one epoch per 1-row commit,
-        # no MV refresh in this phase — pure history accumulation)
-        while committed < level - args.flushes:
-            eng.insert_rows_local("t", [("bulk", committed)], schema,
-                                  "mprobe")
-            committed += 1
+        committed = fabricate_epochs(level - args.flushes, committed)
         # measured phase: insert_row + full MV refresh per flush
         lat: list[float] = []
         for i in range(args.flushes):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import datetime as dt
+import os
 import hashlib
 import math
 import sys
@@ -152,7 +153,10 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table dir (e.g. sf1 build)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     names = args.names or list(qs)
     if args.repeat > 1:
