@@ -4685,7 +4685,7 @@ class SparkEngine:
     # so only volatiles, order-dependent/sketch aggregates, and
     # non-INNER/shape-breaking constructs stay blocked.
     _INCJA_RC_BLOCKERS = re.compile(
-        r"\b(ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|"
+        r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|"
         r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|"
         r"PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG|"
         r"LISTAGG|FIRST|LAST|ANY_VALUE|"
@@ -4728,7 +4728,8 @@ class SparkEngine:
         m = re.match(
             r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<frm>.+?)"
             r"(?:\s+WHERE\s+(?P<where>.+?))?"
-            r"\s+GROUP\s+BY\s+(?P<grp>.+?)\s*;?\s*$",
+            r"\s+GROUP\s+BY\s+(?P<grp>.+?)"
+            r"(?:\s+HAVING\s+(?P<hav>.+?))?\s*;?\s*$",
             stmt,
             re.I | re.S,
         )
@@ -4776,7 +4777,8 @@ class SparkEngine:
         # inject a phantom column into join_proj.
         alias_alt = "|".join(re.escape(a) for a in aliases)
         text = " ".join(
-            filter(None, (m.group("sel"), m.group("where"), m.group("grp")))
+            filter(None, (m.group("sel"), m.group("where"), m.group("grp"),
+                          m.group("hav")))
         )
         text_nolit = re.sub(r"'(?:[^']|'')*'", " ", text)
         refs = set(re.findall(rf"\b({alias_alt})\.(\w+)", text_nolit))
@@ -4818,14 +4820,24 @@ class SparkEngine:
         flat_sel = ", ".join(sel_items)
         flat_where = flatten(m.group("where").strip()) if m.group("where") else None
         flat_grp = flatten(m.group("grp").strip())
+        flat_hav = flatten(m.group("hav").strip()) if m.group("hav") else None
         grp_cols = [g.strip() for g in flat_grp.split(",")]
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (flat col, output name)
-        recompute_only = self._INCJA_BLOCKERS.search(stmt) is not None
+        recompute_only = (
+            self._INCJA_BLOCKERS.search(stmt) is not None
+            or flat_hav is not None
+        )
         for item in RW.split_top_level(flat_sel):
             am = self._INC_AGG_ITEM.match(item)
             if am:
+                if re.match(r"\s*DISTINCT\b", am.group("arg"), re.I):
+                    # sum/count(DISTINCT x): deterministic but NOT
+                    # group-wise mergeable — recompute regime only
+                    kinds.setdefault(am.group("alias"), "recompute")
+                    recompute_only = True
+                    continue
                 kinds[am.group("alias")] = am.group("fn").lower()
                 continue
             km = self._INC_KEY_ITEM.match(item)
@@ -4861,6 +4873,7 @@ class SparkEngine:
             "sel": flat_sel,
             "where": flat_where,
             "grp": flat_grp,
+            "having": flat_hav,
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
@@ -4876,11 +4889,23 @@ class SparkEngine:
             frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
         return f"SELECT {incja['join_proj']} FROM {frm}"
 
-    def _incja_agg_stmt(self, incja: dict, view: str) -> str:
+    def _incja_agg_stmt(self, incja: dict, view: str,
+                        gate: bool = True) -> str:
+        """``gate=False`` omits the HAVING clause — used when deriving
+        TOUCHED KEYS from retracted tuples, where gating on the
+        retracted subset's aggregate (not the group's real state)
+        would hide groups that must be re-examined. Everywhere else
+        (initial materialization, wholesale touched-group re-agg)
+        HAVING applies at publication time: a re-aggregated group
+        failing it vanishes from r_rows and the merge bag-diff emits
+        its Delete."""
         q = f"SELECT {incja['sel']} FROM {view}"
         if incja["where"]:
             q += f" WHERE {incja['where']}"
-        return q + f" GROUP BY {incja['grp']}"
+        q += f" GROUP BY {incja['grp']}"
+        if gate and incja.get("having"):
+            q += f" HAVING {incja['having']}"
+        return q
 
     @staticmethod
     def _fastpath_types_ok(plan: dict, df: DataFrame) -> bool:
@@ -5160,7 +5185,8 @@ class SparkEngine:
             del_tuples.createOrReplaceTempView(v_pairs)
             try:
                 touched = (
-                    spark.sql(self._incja_agg_stmt(incja, v_pairs))
+                    spark.sql(self._incja_agg_stmt(incja, v_pairs,
+                                                   gate=False))
                     .select(*incja["keys"])
                     .distinct()
                     .localCheckpoint(eager=True)

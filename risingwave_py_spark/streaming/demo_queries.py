@@ -1875,3 +1875,48 @@ def interval_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame
         rows, "click_id bigint, purchase_id bigint, uid bigint, "
               "click_ts timestamp, purchase_ts timestamp"
     )
+
+
+@register(
+    "joinagg_having_distinct_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('eu', CAST(2 AS BIGINT), CAST(39.0 AS DOUBLE))
+    ) AS t(region, buyers, s)
+    """,
+)
+def joinagg_having_distinct_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11: HAVING + count(DISTINCT) on the N-way join+agg MV arm
+    the recompute-only plan — the publication gate admits 'us' when a
+    second order arrives and deletes it when its orders drop back to
+    one, while count(DISTINCT o.uid) stays exact through a duplicate
+    buyer in the delta."""
+    conn, eng = _fresh_conn(spark, "rwdemo_jhd")
+    conn.execute("CREATE TABLE rwdemo_jhd.o (uid BIGINT, amt DOUBLE)")
+    conn.execute("CREATE TABLE rwdemo_jhd.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "amt": [10.0, 20.0, 5.0]}),
+                table_name="o", schema_name="rwdemo_jhd", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2, 3], "region": ["eu", "us", "eu"]}),
+                table_name="u", schema_name="rwdemo_jhd", force_flush=True)
+    sel = ("SELECT u.region AS region, count(DISTINCT o.uid) AS buyers, "
+           "sum(o.amt) AS s FROM rwdemo_jhd.o o JOIN rwdemo_jhd.u u "
+           "ON o.uid = u.uid GROUP BY u.region HAVING count(*) > 1")
+    conn.execute(f"CREATE MATERIALIZED VIEW rwdemo_jhd.m AS {sel}")
+    st = eng.mvs["rwdemo_jhd.m"]
+    assert st.inc_joinagg is not None and st.inc_joinagg["having"], (
+        "HAVING+DISTINCT join+agg MV must arm the recompute-only plan"
+    )
+    # us crosses INTO the gate; eu gains a second distinct buyer
+    conn.insert(pd.DataFrame({"uid": [2, 3], "amt": [7.0, 9.0]}),
+                table_name="o", schema_name="rwdemo_jhd", force_flush=True)
+    # us drops back OUT (its second order deleted) → Delete emitted
+    conn.execute("DELETE FROM rwdemo_jhd.o WHERE amt = 7.0")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "join+agg gate plan lost"
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_jhd.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT region, buyers, s FROM rwdemo_jhd.m ORDER BY region"
+    )
+    return spark.createDataFrame(rows, "region string, buyers bigint, s double")

@@ -373,3 +373,49 @@ def test_interval_join_outer_never_arms(eng_conn):
         "AND p.ts >= c.ts"
     )
     assert eng.mvs["winc.mo"].inc_join is None
+
+
+JAHD_SEL = (
+    "SELECT u.region AS region, count(DISTINCT o.uid) AS buyers, "
+    "sum(o.amt) AS s FROM winc.o o JOIN winc.u u ON o.uid = u.uid "
+    "GROUP BY u.region HAVING count(*) > 1"
+)
+
+
+def test_joinagg_having_and_distinct_recompute(eng_conn):
+    """Round-11: HAVING + count(DISTINCT) on the N-way join+agg MV arm
+    the recompute-only plan — publication gate and exact distinctness
+    through fact inserts, UPDATE and DELETE."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE winc.o (uid BIGINT, amt DOUBLE)")
+    conn.execute("CREATE TABLE winc.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "amt": [10.0, 20.0, 5.0]}),
+                table_name="o", schema_name="winc", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [1, 2, 3], "region": ["eu", "us", "eu"]}),
+                table_name="u", schema_name="winc", force_flush=True)
+    conn.execute(f"CREATE MATERIALIZED VIEW winc.m AS {JAHD_SEL}")
+    st = eng.mvs["winc.m"]
+    assert st.inc_joinagg is not None, "HAVING+DISTINCT joinagg must arm"
+    assert st.inc_joinagg["having"] and st.inc_joinagg["recompute_only"]
+    assert st.inc_joinagg["kinds"]["buyers"] == "recompute"
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == [
+        ("eu", 1, 30.0)]
+
+    # us crosses INTO the gate; eu gains a second distinct buyer
+    conn.insert(pd.DataFrame({"uid": [2, 3], "amt": [7.0, 9.0]}),
+                table_name="o", schema_name="winc", force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == sorted(
+        conn._dispatch(JAHD_SEL)[1]
+    ) == [("eu", 2, 39.0), ("us", 1, 12.0)]
+
+    # DELETE drops eu back below the gate → Delete emitted
+    conn.execute("DELETE FROM winc.o WHERE uid IN (1, 3)")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "DELETE demoted the joinagg MV"
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == sorted(
+        conn._dispatch(JAHD_SEL)[1]
+    ) == [("us", 1, 12.0)]
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("winc.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Delete" in ops and "Insert" in ops
