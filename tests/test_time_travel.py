@@ -176,3 +176,89 @@ def test_asof_aliased_reference_resolves_table_not_alias(conn_eng):
         "ORDER BY a.k"
     )
     assert rows == [(1,), (2,)]
+
+
+def test_mv_asof_crash_redelivery_dedup_keyed(conn_eng, spark):
+    """Round-11 (ADVICE r10): commit order is changelog-first /
+    table-second, so a crash between them leaves an ORPHAN epoch in
+    the MV changelog that the next snapshot-diff re-emits. For a
+    KEYED MV, identical adjacent epochs across the restart boundary
+    are impossible legitimately, so the fold must EXCLUDE the orphan
+    — time travel below it stays exact."""
+    import pyspark.sql.functions as F
+
+    conn, eng = conn_eng
+    conn.execute("CREATE TABLE tt_t.b (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="b", schema_name="tt_t", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW tt_t.m AS "
+        "SELECT p, sum(v) AS s FROM tt_t.b GROUP BY p"
+    )
+    st = eng.mvs["tt_t.m"]
+    e_created = eng.current_epoch
+    s0 = sorted(conn.fetch("SELECT * FROM tt_t.m"))
+
+    # the applied refresh delta (epoch E')
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [4]}),
+                table_name="b", schema_name="tt_t", force_flush=True)
+    cl = eng.changelog_name("tt_t.m")
+    spark.catalog.refreshTable(cl)
+    e_applied = spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
+    delta = spark.table(cl).filter(
+        F.col("rw_timestamp") == e_applied
+    ).drop("rw_timestamp").localCheckpoint(eager=True)
+
+    # fabricate the ORPHAN: the same delta committed at a lower epoch
+    # that the table never absorbed (the crash window), then mark the
+    # restart boundary the restore path would record
+    e_orphan = e_applied - 1
+    with eng._lock:
+        eng._append_changelog_tagged("tt_t.m", delta, e_orphan)
+    st.recovered_epoch = e_orphan
+
+    got = sorted(
+        tuple(r) for r in eng.table_asof("tt_t.m", e_created).collect()
+    )
+    assert got == s0, (
+        "orphan epoch must be excluded from the reverse fold "
+        f"(got {got}, want {s0})"
+    )
+    # after the dedup probe, travel to the latest epoch still works
+    latest = sorted(
+        tuple(r)
+        for r in eng.table_asof("tt_t.m", eng.current_epoch).collect()
+    )
+    assert latest == sorted(conn.fetch("SELECT * FROM tt_t.m"))
+
+
+def test_mv_asof_crash_redelivery_refused_for_bag_mv(conn_eng, spark):
+    """For a BAG (non-keyed) MV, adjacent identical epochs are ALSO a
+    legal double-insert — indistinguishable from redelivery, so the
+    travel must refuse loudly rather than answer wrongly."""
+    import pyspark.sql.functions as F
+
+    conn, eng = conn_eng
+    conn.execute("CREATE TABLE tt_t.b2 (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="b2", schema_name="tt_t", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW tt_t.mb AS "
+        "SELECT p, v FROM tt_t.b2 WHERE v < 100"
+    )
+    st = eng.mvs["tt_t.mb"]
+    e_created = eng.current_epoch
+    conn.insert(pd.DataFrame({"p": ["z"], "v": [7]}),
+                table_name="b2", schema_name="tt_t", force_flush=True)
+    cl = eng.changelog_name("tt_t.mb")
+    spark.catalog.refreshTable(cl)
+    e_applied = spark.table(cl).agg(F.max("rw_timestamp")).first()[0]
+    delta = spark.table(cl).filter(
+        F.col("rw_timestamp") == e_applied
+    ).drop("rw_timestamp").localCheckpoint(eager=True)
+    with eng._lock:
+        eng._append_changelog_tagged("tt_t.mb", delta, e_applied - 1)
+    st.recovered_epoch = e_applied - 1
+    assert st.key_cols is None
+    with pytest.raises(ValueError, match="redelivery|identical"):
+        eng.table_asof("tt_t.mb", e_created)
