@@ -338,13 +338,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
     )
     cand = (
-        cells.join(F.broadcast(probes), "cell_id")
+        cells.withColumn("__en", F.expr(_spark_norm("embedding")))
+        .join(
+            F.broadcast(
+                probes.withColumn("__qn", F.expr(_spark_norm("qe")))
+            ),
+            "cell_id",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
+        # per-row norms precomputed on each side (bit-identical; one
+        # array lambda per pair instead of three)
         .withColumn(
             "cosine",
             F.round(
                 F.expr(_spark_dot("qe", "embedding"))
-                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                / (F.col("__qn") * F.col("__en")),
                 6,
             ),
         )
@@ -706,13 +714,21 @@ def _ivf_probe_topk(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell_id"
     )
     cand = (
-        idx.join(F.broadcast(probes), "cell_id")
+        idx.withColumn("__en", F.expr(_spark_norm("embedding")))
+        .join(
+            F.broadcast(
+                probes.withColumn("__qn", F.expr(_spark_norm("qe")))
+            ),
+            "cell_id",
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
+        # per-row norms precomputed on each side (bit-identical; one
+        # array lambda per pair instead of three)
         .withColumn(
             "cosine",
             F.round(
                 F.expr(_spark_dot("qe", "embedding"))
-                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                / (F.col("__qn") * F.col("__en")),
                 6,
             ),
         )
@@ -777,12 +793,18 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = fanout(raw, parts=4)
     pairs = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        e.withColumn("__en", F.expr(_spark_norm("embedding")))
+        .join(
+            F.broadcast(q.withColumn("__qn", F.expr(_spark_norm("qe")))),
+            F.col("vec_id") != F.col("query_id"),
+        )
+        # per-row norms precomputed on each side (bit-identical; one
+        # array lambda per pair instead of three)
         .withColumn(
             "cosine",
             F.round(
                 F.expr(_spark_dot("qe", "embedding"))
-                / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+                / (F.col("__qn") * F.col("__en")),
                 6,
             ),
         )
@@ -1330,18 +1352,25 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fanout(raw, parts=4)
     cents1 = _cents_packed(raw)
     is_new = (F.col("vec_id") % INC_NEW_MOD) >= 8
-    cells = _assign_cells(e.filter(~is_new), cents1)
+    # norms are per-ROW quantities: compute each side's ONCE before
+    # the candidate join instead of re-deriving both inside the
+    # per-pair projection (bit-identical — same sqrt over the same
+    # dot — but the pair stage now evaluates one array lambda, not
+    # three; measured 13x->? at sf1 where candidates dominate)
+    cells = _assign_cells(e.filter(~is_new), cents1).withColumn(
+        "__en", F.expr(_spark_norm("embedding"))
+    )
     probes = _probe_cells(raw.filter(is_new), cents1, N_PROBE).select(
         F.col("vec_id").alias("new_vec_id"),
         F.col("embedding").alias("qe"),
         "cell_id",
-    )
+    ).withColumn("__qn", F.expr(_spark_norm("qe")))
     cand = cells.join(probes, "cell_id").select(
         "new_vec_id",
         F.col("vec_id").alias("match_vec_id"),
         F.round(
             F.expr(_spark_dot("qe", "embedding"))
-            / (F.expr(_spark_norm("qe")) * F.expr(_spark_norm("embedding"))),
+            / (F.col("__qn") * F.col("__en")),
             6,
         ).alias("cosine"),
     )
