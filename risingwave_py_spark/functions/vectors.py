@@ -18,6 +18,8 @@ every exposed similarity is ROUND(x, 6) on both sides (error budget
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -372,7 +374,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference is a client SDK with no vector operators
 # (/root/reference/risingwave/core.py).
 
-KMEANS_K = 8
+# SemDeDup's scale contract is k ≈ √n (cluster populations stay
+# ~constant as the corpus grows, bounding the within-cluster
+# quadratic term). The default k=8 is the oracle-pinned demo size for
+# the driver's sf0.01 gate; scale runs raise it via the env knob —
+# the DuckDB oracle CTEs are built from the SAME constant at import,
+# so both engines move in lockstep and every hash check stays valid
+# at any k (k-means init is deterministic from vec_id 0..k-1).
+KMEANS_K = int(os.environ.get("SPARK_GRAFT_KMEANS_K", "8"))
 KMEANS_ITERS = 2
 EMB_DIM = 64
 SEMDEDUP_TAU = 0.30
