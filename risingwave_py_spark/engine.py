@@ -2343,15 +2343,40 @@ class SparkEngine:
         m = self._GROUP_BY.search(stmt)
         if not m:
             return None
+        # A group column may be SELECTED under an alias (c.user_id AS
+        # uid) — the OUTPUT name is the key. Full qualified lookup
+        # first; the bare terminal name only when unambiguous.
+        full_alias: dict[str, str] = {}
+        term_alias: dict[str, list[str]] = {}
+        sel_m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\b", stmt,
+                         re.I | re.S)
+        if sel_m:
+            for item in RW.split_top_level(sel_m.group("sel")):
+                im = re.match(
+                    r"^\s*(?P<expr>[\w.]+)\s+(?:AS\s+)?(?P<alias>\w+)\s*$",
+                    item, re.I,
+                )
+                if im and im.group("alias").upper() != "AS":
+                    full_alias[im.group("expr").lower()] = im.group("alias")
+                    term_alias.setdefault(
+                        im.group("expr").split(".")[-1].lower(), []
+                    ).append(im.group("alias"))
         keys = []
         for part in m.group("cols").split(","):
             ident = part.strip().strip(";")
             if not re.fullmatch(r"[\w.]+", ident):
                 return None  # expression group key → fall back to bag diff
-            ident = ident.split(".")[-1]
-            if ident not in out_cols:
+            term = ident.split(".")[-1]
+            if term in out_cols:
+                keys.append(term)
+                continue
+            alias = full_alias.get(ident.lower())
+            if alias is None:
+                cands = term_alias.get(term.lower(), [])
+                alias = cands[0] if len(cands) == 1 else None
+            if alias is None or alias not in out_cols:
                 return None
-            keys.append(ident)
+            keys.append(alias)
         return keys or None
 
     # -- incremental MV maintenance (delta-merge fast path) ----------------
@@ -4762,15 +4787,31 @@ class SparkEngine:
         # the telescoping delta rule exact.
         for i, on in enumerate(ons):
             in_scope = set(aliases[: i + 2])
+            equi = 0
             for term in RW._split_and(on):
                 e = re.match(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term)
                 if (
-                    not e
-                    or e.group(1) == e.group(3)
-                    or e.group(1) not in in_scope
-                    or e.group(3) not in in_scope
+                    e
+                    and e.group(1) != e.group(3)
+                    and e.group(1) in in_scope
+                    and e.group(3) in in_scope
                 ):
+                    equi += 1
+                    continue
+                # Non-equi residual (time bound / literal filter), as
+                # in _parse_simple_join: the telescoping delta rule is
+                # bilinear per side, so it holds under ANY
+                # deterministic inner-join predicate, and both
+                # retraction legs re-apply the FULL on-text. All refs
+                # must be in scope (standard SQL join scoping keeps
+                # the telescoping terms well-formed).
+                if not self._INCJ_RESIDUAL.match(term):
                     return None
+                refs = re.findall(r"\b(\w+)\.\w+", term)
+                if not refs or any(x not in in_scope for x in refs):
+                    return None
+            if not equi:
+                return None  # no equi key: nested loop at scale
         # collect every qualified ref; everything must be qualified.
         # Strip quoted literals FIRST (escape-aware, same split as
         # flatten below): a literal like 'o.nonexistent' must not

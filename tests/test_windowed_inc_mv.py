@@ -419,3 +419,60 @@ def test_joinagg_having_and_distinct_recompute(eng_conn):
     ops = [r["op"] for r in eng.spark.table(eng.changelog_name("winc.m"))
            .orderBy("rw_timestamp").collect()]
     assert "Delete" in ops and "Insert" in ops
+
+
+IVJA_SEL = (
+    "SELECT c.user_id AS uid, count(*) AS conversions, "
+    "sum(p.event_id) AS sid "
+    "FROM winc.ev c JOIN winc.ev p ON c.user_id = p.user_id "
+    "AND c.et = 'click' AND p.et = 'purchase' "
+    "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE "
+    "GROUP BY c.user_id"
+)
+
+
+def test_interval_join_agg_mv_incremental(eng_conn):
+    """Round-11: interval join + GROUP BY (conversion counting) arms
+    the join+agg incremental plan with residual ON terms and stays
+    armed + bit-equal through inserts, UPDATE and DELETE."""
+    conn, eng = eng_conn
+    conn.execute(
+        "CREATE TABLE winc.ev (event_id BIGINT, user_id BIGINT, "
+        "et STRING, ts TIMESTAMP)"
+    )
+    t0 = pd.Timestamp("2024-03-01 12:00:00")
+    conn.insert(pd.DataFrame({
+        "event_id": [1, 2, 3, 4],
+        "user_id": [7, 7, 8, 8],
+        "et": ["click", "purchase", "click", "purchase"],
+        "ts": [t0, t0 + pd.Timedelta(minutes=5),
+               t0, t0 + pd.Timedelta(minutes=25)],
+    }), table_name="ev", schema_name="winc", force_flush=True)
+    conn.execute(f"CREATE MATERIALIZED VIEW winc.m AS {IVJA_SEL}")
+    st = eng.mvs["winc.m"]
+    assert st.inc_joinagg is not None, (
+        "interval join+agg must arm the incremental plan"
+    )
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == [(7, 1, 2)]
+
+    conn.insert(pd.DataFrame({
+        "event_id": [5, 6], "user_id": [8, 7],
+        "et": ["purchase", "click"],
+        "ts": [t0 + pd.Timedelta(minutes=8), t0 + pd.Timedelta(minutes=2)],
+    }), table_name="ev", schema_name="winc", force_flush=True)
+    assert st.inc_joinagg is not None
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == sorted(
+        conn._dispatch(IVJA_SEL)[1]
+    )
+
+    conn.execute(
+        "UPDATE winc.ev SET ts = TIMESTAMP '2024-03-01 13:00:00' "
+        "WHERE event_id = 2"
+    )
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM winc.ev WHERE event_id = 5")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "DML demoted the interval join+agg"
+    assert sorted(conn._dispatch("SELECT * FROM winc.m")[1]) == sorted(
+        conn._dispatch(IVJA_SEL)[1]
+    )
