@@ -878,3 +878,109 @@ def test_topn_fast_path_matches_model_under_dml(rw, ops):
         rw.engine.drop_subscription(f"{tag}_sub")
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         rw.execute(f"DROP TABLE IF EXISTS {tag}")
+
+
+# -- round 11: windowed (tumble) MV under random DML -----------------------
+
+_TS_KEYS = list(range(4))  # four 15s windows' offsets
+
+_w_insert = st.tuples(
+    st.just("insert"),
+    st.lists(
+        st.tuples(st.sampled_from(_TS_KEYS), st.integers(0, 9)),
+        min_size=1, max_size=3,
+    ),
+)
+_w_update = st.tuples(st.just("update"), st.sampled_from(_TS_KEYS),
+                      st.integers(10, 19))
+_w_delete = st.tuples(st.just("delete"), st.sampled_from(_TS_KEYS))
+_w_ops_seq = st.lists(st.one_of(_w_insert, _w_update, _w_delete),
+                      min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_w_ops_seq)
+def test_tumble_mv_fast_path_matches_model(rw, ops):
+    """Round 11: arbitrary DML on a tumble MV stays on the Spark
+    incremental path (derive template + touched-window re-agg) and
+    matches a per-window model at every step. Window w covers
+    [w*15s, (w+1)*15s); each op targets one window's rows."""
+    import pandas as pd
+
+    tag = f"t_wprop_{next(_ids)}"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ts_of(w: int, j: int) -> pd.Timestamp:
+        return base + pd.Timedelta(seconds=w * 15 + (j % 15))
+
+    model: list[tuple[int, int]] = []  # (window, v)
+    rw.execute(f"CREATE TABLE {tag} (ts TIMESTAMP, v BIGINT)")
+    rw.mv(
+        stmt=(
+            f"SELECT window_start, window_end, sum(v) AS s, count(*) AS n "
+            f"FROM tumble({tag}, ts, interval '15 seconds') "
+            f"GROUP BY window_start, window_end"
+        ),
+        name=f"{tag}_mv",
+    )
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc is not None and st_mv.inc["derive_tpl"]
+    try:
+        j = 0
+        for op in ops:
+            if op[0] == "insert":
+                rows = op[1]
+                rw.insert(
+                    data=pd.DataFrame({
+                        "ts": [ts_of(w, j + i) for i, (w, _) in enumerate(rows)],
+                        "v": [v for _, v in rows],
+                    }),
+                    table_name=tag,
+                    force_flush=True,
+                )
+                model.extend(rows)
+                j += len(rows)
+            elif op[0] == "update":
+                _, w, val = op
+                lo, hi = w * 15, (w + 1) * 15
+                rw.execute(
+                    f"UPDATE {tag} SET v = {val} WHERE "
+                    f"ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {lo} SECOND AND "
+                    f"ts < TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {hi} SECOND"
+                )
+                model = [(k, val if k == w else v) for k, v in model]
+            else:
+                _, w = op
+                lo, hi = w * 15, (w + 1) * 15
+                rw.execute(
+                    f"DELETE FROM {tag} WHERE "
+                    f"ts >= TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {lo} SECOND AND "
+                    f"ts < TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {hi} SECOND"
+                )
+                model = [(k, v) for k, v in model if k != w]
+            rw.execute("FLUSH")
+        assert st_mv.inc is not None, (
+            "DML sequence must not demote the windowed MV"
+        )
+        agg: dict[int, list[int]] = {}
+        for w, v in model:
+            agg.setdefault(w, [0, 0])
+            agg[w][0] += v
+            agg[w][1] += 1
+        want = Counter(
+            (str(base + pd.Timedelta(seconds=w * 15)),
+             str(base + pd.Timedelta(seconds=(w + 1) * 15)), s, n)
+            for w, (s, n) in agg.items()
+        )
+        got = Counter(
+            (str(r[0]), str(r[1]), r[2], r[3])
+            for r in rw.fetch(f"SELECT window_start, window_end, s, n FROM {tag}_mv")
+        )
+        assert got == want
+    finally:
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}")
