@@ -174,14 +174,20 @@ def _split_layout(spark: SparkSession, df: DataFrame, sf_dir: str, name: str) ->
                 try:
                     os.rename(final, stale)
                 except OSError:
-                    # Swallow ONLY a genuine concurrent swap (final is
-                    # gone). If final persists, the stale-fingerprint
-                    # layout must not be served: drop it in place, and
-                    # if even that fails, read the source directly.
-                    if os.path.isdir(final):
-                        shutil.rmtree(final, ignore_errors=True)
-                    if os.path.isdir(final):
-                        return df
+                    # Retry once with a fresh unique name (a transient
+                    # collision or EBUSY), then give up to the direct
+                    # source read. NEVER rmtree-in-place here: a
+                    # concurrent reader that LISTED the directory but
+                    # has not yet opened the files would hit
+                    # FileNotFound mid-scan — the exact breakage the
+                    # rename-aside protocol exists to avoid (only
+                    # already-open handles survive a POSIX unlink).
+                    stale = f"{final}__stale_{uuid.uuid4().hex}"
+                    try:
+                        os.rename(final, stale)
+                    except OSError:
+                        if os.path.isdir(final):
+                            return df  # stale layout must not be served
                 shutil.rmtree(stale, ignore_errors=True)
         if not os.path.isdir(final):
             # cores/2 split files: enough parallel decode to saturate

@@ -39,6 +39,7 @@ import re
 import shutil
 import threading
 import time
+import uuid as _uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +48,13 @@ from pyspark.sql import types as T
 from risingwave_py_spark.plans import rewrite as RW
 
 logger = logging.getLogger(__name__)
+
+def _norm_sql(s: str) -> str:
+    """Whitespace-collapsed, lowercased SQL text — the comparison key
+    for matching a GROUP BY expression against a SELECT item (SQL
+    identifiers here are engine-created and case-insensitive)."""
+    return re.sub(r"\s+", " ", s.strip()).lower()
+
 
 OP_INSERT = "Insert"
 OP_DELETE = "Delete"
@@ -85,6 +93,13 @@ class MVState:
         # Incremental plan for join+aggregation MVs (join delta →
         # group-wise merge); None → snapshot-diff.
         self.inc_joinagg: dict | None = None
+        # Incremental plan for N-way (>=3 tables) INNER equi-join MVs
+        # with NO aggregate (the enrichment view): signed telescoping
+        # delta in bag algebra; None → snapshot-diff.
+        self.inc_join_nway: dict | None = None
+        # Incremental plan for SESSION-window MVs: per-key touched-span
+        # recompute + bag diff; None → snapshot-diff.
+        self.inc_session: dict | None = None
         # Incremental plan for (grouped) Top-N MVs — row_number()
         # over a derived table, outer rank filter; None → snapshot-diff.
         self.inc_topn: dict | None = None
@@ -119,6 +134,13 @@ class MVState:
         # created by this engine instance (a crash = process death, so
         # no orphan can exist in-session).
         self.recovered_epoch: int | None = None
+        # False until the FIRST refresh completes after a catalog
+        # restore. While False and recovered_epoch is still the
+        # changelog max, a crash orphan (emitted to the log, never
+        # applied to the table) cannot yet be ruled out, so _mv_asof
+        # refuses travel below it instead of silently un-applying a
+        # delta the table never absorbed.
+        self.post_restore_refreshed = False
         # True once a fast path is ruled out PERMANENTLY (unsupported
         # shape, double-typed SUM, upsert base, join history vacuumed,
         # refresh exception): stops the snapshot-diff path from
@@ -483,6 +505,20 @@ class SparkEngine:
         # to recoverPartitions' directory scan
         return os.path.join(loc, "_rw_commit")
 
+    @staticmethod
+    def _read_marker_sig(marker: str) -> tuple | None:
+        """(mtime_ns, size, content) of the commit marker, or None.
+        The CONTENT (a per-write unique token) is part of the
+        signature: two same-length writes landing within one mtime
+        granule on a coarse-granularity filesystem are therefore
+        still distinguishable — the stat pair alone is not."""
+        try:
+            st = os.stat(marker)
+            with open(marker) as fh:
+                return (st.st_mtime_ns, st.st_size, fh.read())
+        except OSError:
+            return None
+
     def _touch_epoch_marker(self, cl: str, epoch: int | None = None) -> None:
         """Record an epoch-partition commit: add it to this engine's
         in-memory manifest and bump the on-disk marker so OTHER
@@ -499,20 +535,31 @@ class SparkEngine:
         if loc is None:
             return
         marker = self._epoch_marker_path(loc)
+        # Unique per write: epoch number + a uuid, so the signature is
+        # CONTENT-based and a foreign process's write can never be
+        # mistaken for (or absorbed into) this process's own.
+        token = f"{epoch if epoch is not None else 0}:{_uuid.uuid4().hex}"
         try:
             with open(marker, "w") as fh:
-                fh.write(str(epoch if epoch is not None else 0))
+                fh.write(token)
         except OSError:
             self._epoch_cache.pop(cl, None)
             return
         ent = self._epoch_cache.get(cl)
         if ent is not None and ent["loc"] == loc and epoch is not None:
             ent["epochs"].add(epoch)
-            try:
-                st = os.stat(marker)
-                ent["sig"] = (st.st_mtime_ns, st.st_size)
-            except OSError:
+            sig = self._read_marker_sig(marker)
+            # Adopt the signature ONLY when the read-back content is
+            # the token this process just wrote. A foreign commit
+            # interleaving between our write and the read-back shows
+            # its own token here — drop the cache entry so the next
+            # use re-lists and picks up the foreign epoch (previously
+            # the foreign mtime was silently absorbed and its epoch
+            # skipped forever).
+            if sig is None or sig[2] != token:
                 self._epoch_cache.pop(cl, None)
+            else:
+                ent["sig"] = sig
         elif ent is not None:
             # epoch unknown (bulk/implicit registration): force re-list
             self._epoch_cache.pop(cl, None)
@@ -530,22 +577,18 @@ class SparkEngine:
         marker = self._epoch_marker_path(loc)
         # Signature captured BEFORE the listing: a foreign commit
         # landing between stat and list is either in the listing
-        # (registered first — fine) or bumps the marker after our
-        # stat, so the next call re-lists. Never the reverse.
-        try:
-            st = os.stat(marker)
-            sig = (st.st_mtime_ns, st.st_size)
-        except OSError:
+        # (registered first — fine) or changes the marker after our
+        # read, so the next call re-lists. Never the reverse. The
+        # signature includes the marker CONTENT (unique per write),
+        # so same-size writes within one mtime granule still differ.
+        sig = self._read_marker_sig(marker)
+        if sig is None:
             try:
                 with open(marker, "x") as fh:
-                    fh.write("0")
+                    fh.write(f"0:{_uuid.uuid4().hex}")
             except OSError:
                 pass
-            try:
-                st = os.stat(marker)
-                sig = (st.st_mtime_ns, st.st_size)
-            except OSError:
-                sig = None
+            sig = self._read_marker_sig(marker)
         ent = self._epoch_cache.get(cl)
         if (
             ent is not None
@@ -2290,6 +2333,24 @@ class SparkEngine:
                     .agg(F.min("rw_timestamp"))
                     .first()[0]
                 )
+                if nxt is None and not a.isEmpty() and not getattr(
+                    st, "post_restore_refreshed", False
+                ):
+                    # No successor epoch AND no refresh has completed
+                    # since the restore: the restore-time max may be a
+                    # crash orphan the stored table never absorbed, and
+                    # there is nothing to compare it against — folding
+                    # through it would silently return wrong rows for
+                    # targets below it (ADVICE r11). Refuse loudly; one
+                    # FLUSH re-emits an orphan (dup probe then excludes
+                    # it) or proves absorption (this branch disarms).
+                    raise ValueError(
+                        f"time travel on {fq}: epoch {rec} is the "
+                        "changelog max across a restart boundary and no "
+                        "refresh has confirmed the stored result since. "
+                        "It may be an unabsorbed crash orphan — run "
+                        "FLUSH (any refresh) once, then retry."
+                    )
                 if a.isEmpty() or nxt is None:
                     pass  # nothing to compare (yet) — fold as usual
                 else:
@@ -2348,6 +2409,7 @@ class SparkEngine:
         # first; the bare terminal name only when unambiguous.
         full_alias: dict[str, str] = {}
         term_alias: dict[str, list[str]] = {}
+        expr_alias: dict[str, str] = {}  # normalized expr text → alias
         sel_m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\b", stmt,
                          re.I | re.S)
         if sel_m:
@@ -2361,11 +2423,25 @@ class SparkEngine:
                     term_alias.setdefault(
                         im.group("expr").split(".")[-1].lower(), []
                     ).append(im.group("alias"))
+                    continue
+                xm = re.match(
+                    r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$",
+                    item, re.I | re.S,
+                )
+                if xm:
+                    expr_alias[_norm_sql(xm.group("expr"))] = xm.group("alias")
         keys = []
-        for part in m.group("cols").split(","):
+        for part in RW.split_top_level(m.group("cols")):
             ident = part.strip().strip(";")
             if not re.fullmatch(r"[\w.]+", ident):
-                return None  # expression group key → fall back to bag diff
+                # Expression group key (date_trunc(...), CAST(...),
+                # arithmetic): keyed only when SELECTED verbatim under
+                # an alias — the OUTPUT alias is then the key column.
+                alias = expr_alias.get(_norm_sql(ident))
+                if alias is None or alias not in out_cols:
+                    return None  # not selected → fall back to bag diff
+                keys.append(alias)
+                continue
             term = ident.split(".")[-1]
             if term in out_cols:
                 keys.append(term)
@@ -2413,7 +2489,7 @@ class SparkEngine:
     )
     _INC_SHAPE = re.compile(
         r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[A-Za-z_][\w.]*)"
-        r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>[\w.\s,]+?)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s+GROUP\s+BY\s+(?P<grp>.+?)"
         r"(?:\s+HAVING\s+(?P<hav>.+?))?\s*;?\s*$",
         re.I | re.S,
     )
@@ -2444,6 +2520,15 @@ class SparkEngine:
         re.I,
     )
     _INC_KEY_ITEM = re.compile(r"^\s*(?P<col>\w+)\s*(?:AS\s+(?P<alias>\w+))?\s*$", re.I)
+    # A deterministic scalar EXPRESSION selected under an alias and
+    # repeated (or alias-referenced) in GROUP BY — date_trunc, CAST,
+    # substr, arithmetic. Volatile functions are excluded by the
+    # blocker scans above; the expression becomes a per-row DERIVE
+    # step (same mechanism as the tumble/hop window templates), after
+    # which the whole plan sees it as a bare key column.
+    _INC_EXPR_KEY = re.compile(
+        r"^\s*(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)\s*$", re.I | re.S
+    )
     _QUALIFIED_REF = re.compile(r"[A-Za-z_]\w*\.\w")
     # RECOMPUTE-ONLY blockers: relax the mergeable-agg list to anything
     # DETERMINISTIC — avg/stddev/var/percentile/corr/bool aggs have no
@@ -2499,7 +2584,18 @@ class SparkEngine:
         yields exactly the rows a full recompute would see. This keeps
         the reference's canonical MV shape (tumble + agg,
         /root/reference/demo.py:98-100) O(delta) at bulk ingest rates
-        instead of falling from the 512-row direct cap to O(base)."""
+        instead of falling from the 512-row direct cap to O(base).
+
+        EXPRESSION group keys (round 12): any deterministic scalar
+        expression in GROUP BY that is selected verbatim under an
+        alias — ``GROUP BY date_trunc('day', ts), region`` being the
+        canonical real-world MV shape — generalizes the same derive
+        mechanism: the expression becomes a per-row derive column on
+        the FROM relation (delta view and touched-group re-agg relation
+        identically), after which the whole plan sees a bare key.
+        Volatile functions are excluded by the blocker scans; the
+        reference's MV surface is arbitrary SELECT text
+        (/root/reference/risingwave/core.py:453-455)."""
         derive_tpl = None
         derive_info = None
         m_d = self._DIRECT_TUMBLE.search(stmt) or self._INC_HOP.search(stmt)
@@ -2532,15 +2628,16 @@ class SparkEngine:
             " ".join(filter(None, (sel, where, grp, having)))
         ):
             return None
-        grp_cols = []
-        for part in grp.split(","):
-            ident = part.strip()
-            if not re.fullmatch(r"\w+", ident) or ident.isdigit():
-                return None
-            grp_cols.append(ident)
+        grp_terms = [t.strip() for t in RW.split_top_level(grp)]
+        if any(not t or t.isdigit() for t in grp_terms):
+            return None  # ordinal group keys unsupported
+        grp_norm = [_norm_sql(t) for t in grp_terms]
+        bare_grp = {t for t in grp_terms if re.fullmatch(r"\w+", t)}
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (base col, output name)
+        derive_items: list[tuple[str, str]] = []  # (expr sql, alias)
+        sel_out: list[str] = []  # select list after key-expr rewrite
         recompute_only = (
             self._INC_BLOCKERS.search(stmt) is not None or having is not None
         )
@@ -2552,37 +2649,97 @@ class SparkEngine:
                     # group-wise mergeable — recompute regime only
                     kinds.setdefault(am.group("alias"), "recompute")
                     recompute_only = True
+                    sel_out.append(item.strip())
                     continue
                 kinds[am.group("alias")] = am.group("fn").lower()
+                sel_out.append(item.strip())
                 continue
             km = self._INC_KEY_ITEM.match(item)
-            if km and km.group("col") in grp_cols:
+            if km and km.group("col") in bare_grp:
                 out = km.group("alias") or km.group("col")
                 keys.append(out)
                 key_map.append((km.group("col"), out))
+                sel_out.append(item.strip())
                 continue
+            em = self._INC_EXPR_KEY.match(item)
+            if em is not None:
+                ex_raw = em.group("expr").strip()
+                ex, alias = _norm_sql(ex_raw), em.group("alias")
+                if ex in grp_norm or alias.lower() in grp_norm:
+                    # Deterministic expression GROUP BY key: derive it
+                    # per row (delta view AND touched-group re-agg see
+                    # the identical derive — exactly the windowed-MV
+                    # template rule, generalized). Braces would break
+                    # the str.format template; bail on them.
+                    if "{" in ex_raw or "}" in ex_raw:
+                        return None
+                    derive_items.append((ex_raw, alias))
+                    grp_norm = [
+                        alias.lower()
+                        if t in (ex, alias.lower())
+                        else t
+                        for t in grp_norm
+                    ]
+                    keys.append(alias)
+                    key_map.append((alias, alias))
+                    sel_out.append(alias)
+                    continue
             rm = self._INC_RC_ITEM.match(item)
             if rm is None or rm.group("alias") in kinds:
                 return None
             recompute_only = True
             kinds.setdefault(rm.group("alias"), "recompute")
+            sel_out.append(item.strip())
         if not kinds or not keys:
             return None
-        # key_map must be a bijection grp_cols ↔ output keys: the
+        # Every rewritten GROUP BY term must now be a bare output key;
+        # an unselected expression key cannot key the stored result.
+        if any(not re.fullmatch(r"\w+", t) for t in grp_norm):
+            return None
+        # key_map must be a bijection grp terms ↔ output keys: the
         # retraction path semi-joins the base on these columns, so a
         # group column selected twice (or not at all) is unsafe.
         if (
-            len(key_map) != len(grp_cols)
+            len(key_map) != len(grp_terms)
             or len({c for c, _ in key_map}) != len(key_map)
             or len(set(keys)) != len(keys)
             or len(set(kinds) & set(keys)) > 0
         ):
             return None
+        base_fq = self.qualify(m.group("tbl"))
+        if derive_items:
+            # The derive wraps the FROM relation as
+            # (SELECT *, expr AS alias, … FROM rel) — an alias equal
+            # to an existing base column would duplicate the name and
+            # make every later reference ambiguous; probe the catalog
+            # once at parse time and bail on collision.
+            try:
+                base_cols = {
+                    c.lower() for c in self.spark.table(base_fq).columns
+                }
+            except Exception:  # noqa: BLE001 — unknown base: no arm
+                return None
+            if derive_tpl is not None:
+                base_cols |= {"window_start", "window_end"}
+            if any(a.lower() in base_cols for _, a in derive_items):
+                return None
+            expr_tpl = (
+                "(SELECT *, "
+                + ", ".join(f"{e} AS {a}" for e, a in derive_items)
+                + " FROM {0})"
+            )
+            # Composition: the window template (if any) stays the
+            # INNER relation — str.format leaves the argument's own
+            # {0} untouched, so the combined template still formats
+            # against the final view name.
+            derive_tpl = (
+                expr_tpl.format(derive_tpl) if derive_tpl else expr_tpl
+            )
         return {
-            "base_fq": self.qualify(m.group("tbl")),
-            "sel": sel.strip(),
+            "base_fq": base_fq,
+            "sel": ", ".join(sel_out) if derive_items else sel.strip(),
             "where": (where or "").strip() or None,
-            "grp": grp.strip(),
+            "grp": ", ".join(grp_norm) if derive_items else grp.strip(),
             "having": having,
             "derive_tpl": derive_tpl,
             "derive_info": derive_info,
@@ -3983,6 +4140,617 @@ class SparkEngine:
             spark.catalog.refreshTable(fq)
         return True
 
+    # -- session-window MVs: touched-span recompute ---------------------
+
+    # Same discipline as _INC_RC_BLOCKERS minus SESSION_WINDOW itself
+    # (note \bWINDOW\b cannot match inside "session_window" — the
+    # underscore is a word character, so there is no boundary).
+    _SESS_BLOCKERS = re.compile(
+        r"\b(JOIN|UNION|INTERSECT|EXCEPT|OVER|LIMIT|ORDER\s+BY"
+        r"|HAVING|TUMBLE|HOP"
+        r"|PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG"
+        r"|LISTAGG|FIRST|LAST|ANY_VALUE"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|UNIX_TIMESTAMP)\b"
+        r"|\(\s*SELECT\b|\bcurrent_timestamp\b|\bcurrent_date\b"
+        r"|\bnow\s*\(|\brandn?\s*\(|\brandom\s*\(|\buuid\s*\("
+        r"|\bmode\s*\(|\bhistogram_numeric\s*\(|\bmax_by\s*\("
+        r"|\bmin_by\s*\(|\bfirst_value\s*\(|\blast_value\s*\(",
+        re.I,
+    )
+    _SESS_WINDOW_TERM = re.compile(
+        r"^session_window\s*\(\s*(?P<col>\w+)\s*,\s*"
+        r"(?:'(?P<g1>[^']+)'"
+        r"|interval\s+'(?P<g2>[^']+)'(?:\s+(?P<unit>\w+))?)\s*\)$",
+        re.I,
+    )
+    _SESS_FIELD_ITEM = re.compile(
+        r"^\s*session_window\s*\.\s*(?P<fld>start|end)\s+AS\s+"
+        r"(?P<alias>\w+)\s*$",
+        re.I,
+    )
+
+    def _parse_session_agg(self, stmt: str) -> dict | None:
+        """Incremental plan for a SESSION-window MV:
+
+            SELECT session_window.start AS a, session_window.end AS b,
+                   keys…, agg(...) …
+            FROM tbl [WHERE …]
+            GROUP BY session_window(col, '<gap>'), keys…
+
+        Sessions are data-dependent (a delta row can merge or split
+        sessions), so there is no per-row derive — the refresh is a
+        TOUCHED-SPAN recompute (see _refresh_incremental_session):
+        delta rows of a key can only affect stored sessions whose
+        extents intersect [min(ts)−gap, max(ts)+gap]; one expansion to
+        those sessions' full extents closes the region (stored
+        sessions of one key are disjoint and ≥gap-separated, so no
+        second-order reach exists). Any deterministic aggregate is
+        allowed — the affected region is re-aggregated wholesale.
+        Both window bounds must be selected (they identify the stored
+        rows the bag-diff replaces); at least one plain key is
+        required (the per-key span join shape)."""
+        if self._SESS_BLOCKERS.search(stmt):
+            return None
+        if not re.search(r"\bsession_window\s*\(", stmt, re.I):
+            return None
+        m = self._INC_SHAPE.match(stmt)
+        if not m or m.group("hav"):
+            return None
+        sel, where, grp = m.group("sel"), m.group("where"), m.group("grp")
+        # The only qualified references allowed are
+        # session_window.start/end (the grouping struct's fields).
+        for alq in re.findall(
+            r"\b([A-Za-z_]\w*)\s*\.\s*\w+",
+            " ".join(filter(None, (sel, where, grp))),
+        ):
+            if alq.lower() != "session_window":
+                return None
+        sess = None
+        part: list[str] = []
+        for t in (x.strip() for x in RW.split_top_level(grp)):
+            sm = self._SESS_WINDOW_TERM.match(t)
+            if sm:
+                if sess is not None:
+                    return None
+                sess = sm
+                continue
+            if not re.fullmatch(r"\w+", t) or t.isdigit():
+                return None
+            part.append(t)
+        if sess is None or not part:
+            return None
+        gap_txt = sess.group("g1") or (
+            sess.group("g2")
+            + (f" {sess.group('unit')}" if sess.group("unit") else "")
+        )
+        try:
+            gap_us = RW.interval_to_micros(gap_txt)
+        except ValueError:
+            return None
+        start_out = end_out = None
+        keys: list[str] = []
+        key_map: list[tuple[str, str]] = []  # (base col, output name)
+        has_agg = False
+        for item in RW.split_top_level(sel):
+            fm = self._SESS_FIELD_ITEM.match(item)
+            if fm:
+                if fm.group("fld").lower() == "start":
+                    if start_out is not None:
+                        return None
+                    start_out = fm.group("alias")
+                else:
+                    if end_out is not None:
+                        return None
+                    end_out = fm.group("alias")
+                continue
+            am = self._INC_AGG_ITEM.match(item)
+            if am and not re.match(r"\s*DISTINCT\b", am.group("arg"), re.I):
+                has_agg = True
+                continue
+            km = self._INC_KEY_ITEM.match(item)
+            if km and km.group("col") in part:
+                out = km.group("alias") or km.group("col")
+                keys.append(out)
+                key_map.append((km.group("col"), out))
+                continue
+            rm = self._INC_RC_ITEM.match(item)
+            if rm is None:
+                return None
+            has_agg = True  # any deterministic aggregate: recomputed
+        if start_out is None or end_out is None or not has_agg:
+            return None
+        out_all = keys + [start_out, end_out]
+        if (
+            len(key_map) != len(part)
+            or len({c for c, _ in key_map}) != len(key_map)
+            or len(set(out_all)) != len(out_all)
+        ):
+            return None
+        return {
+            "base_fq": self.qualify(m.group("tbl")),
+            "sel": sel.strip(),
+            "where": (where or "").strip() or None,
+            "grp": grp.strip(),
+            "col": sess.group("col"),
+            "gap_us": gap_us,
+            "key_map": key_map,
+            "start_out": start_out,
+            "end_out": end_out,
+        }
+
+    def _sess_stmt(self, plan: dict, view: str) -> str:
+        q = f"SELECT {plan['sel']} FROM {view}"
+        if plan["where"]:
+            q += f" WHERE {plan['where']}"
+        q += f" GROUP BY {plan['grp']}"
+        return q
+
+    def _refresh_incremental_session(self, state: MVState) -> bool:
+        """Touched-span recompute for a session-window MV — retraction
+        capable (merge-two-sessions and split-by-DELETE both land in
+        the recomputed region).
+
+        Region proof sketch: per key, delta rows span
+        S = [min(ts)−gap, max(ts)+gap] (one contiguous interval).
+        Stored sessions intersecting S are affected; expand S to their
+        extents → S'. (1) No UNAFFECTED stored session intersects S':
+        same-key sessions are disjoint intervals, and any interval
+        between/overlapping the expanded extremes would overlap an
+        affected session's interval. (2) No post-batch session spans
+        beyond S': new rows end ≥gap inside S, and chains past the
+        boundary could only pass through a stored session, which
+        expansion absorbed. Hence sessions recomputed over base rows
+        with ts ∈ [S'.lo, S'.hi) — half-open so a next session
+        starting exactly at a replaced end stays untouched — equal
+        exactly the post-batch state of the replaced region, and the
+        bag-diff against the stored affected rows emits the net
+        Insert/Delete.
+
+        SCALE: the global [min lo, max hi) bound is a PUSHABLE scan
+        predicate (parquet min/max or time-partition pruning at
+        lakehouse scale); the per-key exactness comes from the
+        span join, which touches only pruned rows."""
+        with self._lock:
+            return self._refresh_incremental_session_locked(state)
+
+    def _refresh_incremental_session_locked(self, state: MVState) -> bool:
+        plan = state.inc_session
+        spark = self.spark
+        fq = state.fq
+        cl = self.changelog_name(plan["base_fq"])
+        last = state.last_epoch
+        if self.vacuum_floor.get(cl, 0) > last:
+            state.inc_session = None
+            return False
+        m1 = self._changelog_max_epoch(cl)
+        if m1 is None or m1 <= last:
+            self.next_epoch()
+            return True
+        spark.catalog.refreshTable(cl)
+        delta = (
+            spark.table(cl)
+            .filter(
+                (F.col("rw_timestamp") > last)
+                & (F.col("rw_timestamp") <= m1)
+            )
+            .drop("op", "rw_timestamp")
+            .localCheckpoint(eager=True)
+        )
+        tag = "_".join(_split_fq(fq))
+        col, gap = plan["col"], plan["gap_us"]
+        base_keys = [c for c, _ in plan["key_map"]]
+        v_d = f"__rw_sess_d_{tag}"
+        delta.createOrReplaceTempView(v_d)
+        try:
+            q = f"SELECT * FROM {v_d}"
+            if plan["where"]:
+                q += f" WHERE {plan['where']}"
+            # NULL session timestamps never form windows (Spark drops
+            # them from session grouping) — they cannot touch any span
+            d_f = spark.sql(q).filter(F.col(col).isNotNull())
+            spans = (
+                d_f.groupBy(*base_keys)
+                .agg(
+                    F.timestamp_micros(
+                        F.unix_micros(F.min(col)) - gap
+                    ).alias("__lo"),
+                    F.timestamp_micros(
+                        F.unix_micros(F.max(col)) + gap
+                    ).alias("__hi"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.catalog.dropTempView(v_d)
+        if spans.isEmpty():
+            state.last_epoch = m1
+            self.next_epoch()
+            return True
+        so, eo = plan["start_out"], plan["end_out"]
+        stored = spark.table(fq)
+
+        def keyed(left, right, lcols, rcols):
+            cond = None
+            for lc, rc in zip(lcols, rcols):
+                e = F.col(lc).eqNullSafe(F.col(rc))
+                cond = e if cond is None else (cond & e)
+            return cond
+
+        s_al, p_al = stored.alias("s"), spans.alias("p")
+        kcond = keyed(
+            s_al, p_al,
+            [f"s.{out}" for _, out in plan["key_map"]],
+            [f"p.{c}" for c in base_keys],
+        )
+        inter = (F.col(f"s.{eo}") >= F.col("p.__lo")) & (
+            F.col(f"s.{so}") <= F.col("p.__hi")
+        )
+        # expansion: the affected sessions' full extents widen the span
+        ext = (
+            s_al.join(p_al, kcond & inter, "inner")
+            .select(
+                *[F.col(f"p.{c}").alias(c) for c in base_keys],
+                F.col(f"s.{so}").alias("__as"),
+                F.col(f"s.{eo}").alias("__ae"),
+            )
+            .groupBy(*base_keys)
+            .agg(F.min("__as").alias("__ms"), F.max("__ae").alias("__me"))
+        )
+        x_al = ext.alias("x")
+        kcond_px = keyed(
+            p_al, x_al,
+            [f"p.{c}" for c in base_keys],
+            [f"x.{c}" for c in base_keys],
+        )
+        spans2 = (
+            p_al.join(x_al, kcond_px, "left")
+            .select(
+                *[F.col(f"p.{c}").alias(c) for c in base_keys],
+                F.least(F.col("p.__lo"), F.col("x.__ms")).alias("__lo2"),
+                F.greatest(F.col("p.__hi"), F.col("x.__me")).alias("__hi2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # global prune bounds: ONE pushable range predicate on the scan
+        gl = spans2.agg(F.min("__lo2"), F.max("__hi2")).first()
+        spark.catalog.refreshTable(plan["base_fq"])
+        pre = spark.table(plan["base_fq"]).filter(
+            (F.col(col) >= F.lit(gl[0])) & (F.col(col) < F.lit(gl[1]))
+        )
+        b_al, p2_al = pre.alias("b"), spans2.alias("p")
+        kcond_b = keyed(
+            b_al, p2_al,
+            [f"b.{c}" for c in base_keys],
+            [f"p.{c}" for c in base_keys],
+        )
+        rng = (F.col(f"b.{col}") >= F.col("p.__lo2")) & (
+            F.col(f"b.{col}") < F.col("p.__hi2")
+        )
+        restricted = b_al.join(p2_al, kcond_b & rng, "inner").select("b.*")
+        v_r = f"__rw_sess_r_{tag}"
+        restricted.createOrReplaceTempView(v_r)
+        try:
+            new_rows = (
+                spark.sql(self._sess_stmt(plan, v_r))
+                .select(*stored.columns)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.catalog.dropTempView(v_r)
+        old_rows = (
+            s_al.join(p_al, kcond & inter, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        netdel = old_rows.exceptAll(new_rows).localCheckpoint(eager=True)
+        netins = new_rows.exceptAll(old_rows).localCheckpoint(eager=True)
+        state.last_epoch = m1
+        if netdel.isEmpty() and netins.isEmpty():
+            self.next_epoch()
+            return True
+        self._ensure_changelog(fq)
+        tagged = netdel.withColumn("op", F.lit(OP_DELETE)).unionByName(
+            netins.withColumn("op", F.lit(OP_INSERT))
+        )
+        if netdel.isEmpty():
+            with self._lock:
+                epoch = self.next_epoch()
+                self._append_changelog_tagged(fq, tagged, epoch)
+                netins.write.mode("append").format("parquet").saveAsTable(fq)
+                spark.catalog.refreshTable(fq)
+            return True
+        new_result = spark.table(fq).exceptAll(netdel).unionByName(netins)
+        db_, tbl_ = _split_fq(fq)
+        stage = f"{db_}.__rw_stage__{tbl_}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        new_result.write.format("parquet").saveAsTable(stage)
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_changelog_tagged(fq, tagged, epoch)
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
+        return True
+
+    # -- N-way plain-join MVs (no aggregate): signed telescoping delta --
+
+    _INCJN_BLOCKERS = re.compile(
+        r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
+        r"DISTINCT|OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|"
+        r"CURRENT_TIMESTAMP|CURRENT_DATE)\b"
+        r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\("
+        r"|\(\s*SELECT",
+        re.I,
+    )
+
+    def _parse_join_nway(self, stmt: str) -> dict | None:
+        """Incremental plan for an N-way (>= 3 tables) INNER equi-join
+        MV with NO aggregate — the enrichment/serving view (fact plus
+        several dimensions; the reference's MV surface is arbitrary
+        SELECT text, /root/reference/risingwave/core.py:453-455).
+        2-table MVs stay on _parse_simple_join (outer-capable).
+
+        Delta rule (ℤ-multiplicity bag algebra — join is bilinear over
+        signed bags, so this is exact for INNER joins under ANY
+        deterministic ON/WHERE predicate, retraction batches included):
+
+            OUT_new − OUT_old = Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁,
+            Δᵢ = Δᵢ⁺ − Δᵢ⁻
+
+        Each telescoping term splits into a positive part (Δᵢ⁺) and a
+        negative part (Δᵢ⁻); net Insert = P ∸ N and net Delete = N ∸ P
+        recover the ℤ result with exceptAll. No touched-key recompute
+        and no key-set reasoning is needed — which is why UPDATE/DELETE
+        on any side keeps this plan armed with zero extra machinery.
+
+        SCALE: cost is Σᵢ |Δᵢ| ⋈ partners — empty-delta sides are
+        skipped outright, so the common fact-append flush joins ONE
+        delta against the (broadcastable) dimensions. Equi keys are
+        required per ON so every term stays a hash/broadcast join."""
+        if self._INCJN_BLOCKERS.search(stmt):
+            return None
+        m = re.match(
+            r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<frm>.+?)"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+            stmt,
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        segs = re.split(r"\s+(?:INNER\s+)?JOIN\s+", m.group("frm"), flags=re.I)
+        if len(segs) < 3:  # 2-table MVs: _parse_simple_join's territory
+            return None
+        first = self._INCJA_FROM_SEG.match(segs[0])
+        if not first:
+            return None
+        sides: list[tuple[str, str]] = [
+            (self.qualify(first.group("tbl")), first.group("alias"))
+        ]
+        ons: list[str] = []
+        for seg in segs[1:]:
+            jm = self._INCJA_JOIN_SEG.match(seg)
+            if not jm:
+                return None
+            sides.append((self.qualify(jm.group("tbl")), jm.group("alias")))
+            ons.append(jm.group("on").strip())
+        aliases = [al for _, al in sides]
+        if len(set(aliases)) != len(aliases) or any(
+            al.upper() in self._RESERVED_ALIASES for al in aliases
+        ):
+            return None
+        # Same ON discipline as _parse_join_agg: every term is either
+        # an equi-condition between two distinct in-scope aliases or a
+        # residual the bilinear rule absorbs; each join needs >= 1
+        # equi key (hash join at scale, never a nested loop).
+        for i, on in enumerate(ons):
+            in_scope = set(aliases[: i + 2])
+            equi = 0
+            for term in RW._split_and(on):
+                e = re.match(
+                    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term
+                )
+                if (
+                    e
+                    and e.group(1) != e.group(3)
+                    and e.group(1) in in_scope
+                    and e.group(3) in in_scope
+                ):
+                    equi += 1
+                    continue
+                if not self._INCJ_RESIDUAL.match(term):
+                    return None
+                refs = re.findall(r"\b(\w+)\.\w+", term)
+                if not refs or any(x not in in_scope for x in refs):
+                    return None
+            if not equi:
+                return None
+        # SELECT items: qualified refs only (al.col [AS name]) — they
+        # rebind cleanly when FROM is rebound to delta/partner views.
+        out_names: list[str] = []
+        for item in RW.split_top_level(m.group("sel")):
+            im = re.fullmatch(
+                r"\s*(?P<al>\w+)\.(?P<col>\w+)"
+                r"(?:\s+(?:AS\s+)?(?P<out>\w+))?\s*",
+                item,
+                re.I,
+            )
+            if not im or im.group("al") not in aliases:
+                return None
+            out_names.append(im.group("out") or im.group("col"))
+        if len(set(out_names)) != len(out_names):
+            return None  # duplicate output names: ambiguous bag diff
+        if m.group("where"):
+            refs = re.findall(r"\b(\w+)\.\w+", m.group("where"))
+            if any(x not in aliases for x in refs):
+                return None
+        return {
+            "sides": sides,  # [(fq, alias), ...] in FROM order
+            "ons": ons,  # on-condition for join i (binds sides[i+1])
+            "sel": m.group("sel").strip(),
+            "where": (m.group("where") or "").strip() or None,
+        }
+
+    def _incjn_stmt(self, plan: dict, views: list[str]) -> str:
+        """Join all N sides' views under their original aliases,
+        projecting the MV's own select list."""
+        aliases = [al for _, al in plan["sides"]]
+        frm = f"{views[0]} AS {aliases[0]}"
+        for i, on in enumerate(plan["ons"]):
+            frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
+        q = f"SELECT {plan['sel']} FROM {frm}"
+        if plan["where"]:
+            q += f" WHERE {plan['where']}"
+        return q
+
+    def _refresh_incremental_join_nway(self, state: MVState) -> bool:
+        """Signed telescoping refresh for an N-way plain-join MV —
+        retraction capable by construction (Δᵢ⁻ terms carry deletes
+        through the same bilinear rule; no touched-key recompute).
+
+        The publish lock is held for the WHOLE refresh (re-entrant):
+        partner tables are read lazily — no O(table) snapshot copies —
+        and stay consistent because every publication path acquires
+        this same lock (the inc_join/inc_joinagg contract)."""
+        with self._lock:
+            return self._refresh_incremental_join_nway_locked(state)
+
+    def _refresh_incremental_join_nway_locked(self, state: MVState) -> bool:
+        plan = state.inc_join_nway
+        spark = self.spark
+        fq = state.fq
+        last = state.last_epoch
+        cls = [self.changelog_name(b) for b, _ in plan["sides"]]
+        # Same demotion rule as the other join paths: only the
+        # unconsumed delta suffix comes from the changelogs.
+        if any(self.vacuum_floor.get(cl, 0) > last for cl in cls):
+            state.inc_join_nway = None
+            return False
+        m1 = max(self._changelog_max_epoch(cl) or 0 for cl in cls)
+        if m1 <= last:
+            self.next_epoch()
+            return True
+        deltas: list[tuple] = []  # (ins_df, del_df, has_ins, has_del)
+        for cl in cls:
+            spark.catalog.refreshTable(cl)
+            d = (
+                spark.table(cl)
+                .filter(
+                    (F.col("rw_timestamp") > last)
+                    & (F.col("rw_timestamp") <= m1)
+                )
+                .localCheckpoint(eager=True)
+            )
+            ins = d.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
+            dele = d.filter(
+                F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+            ).drop("op", "rw_timestamp")
+            deltas.append((ins, dele, not ins.isEmpty(), not dele.isEmpty()))
+        tabs: list[DataFrame] = []
+        for b, _ in plan["sides"]:
+            spark.catalog.refreshTable(b)
+            tabs.append(spark.table(b))
+        n = len(tabs)
+        tag = "_".join(_split_fq(fq))
+        pos: list[DataFrame] = []
+        neg: list[DataFrame] = []
+        made: list[str] = []
+
+        def mkview(df: DataFrame, name: str) -> str:
+            df.createOrReplaceTempView(name)
+            made.append(name)
+            return name
+
+        try:
+            for i, (ins, dele, has_i, has_d) in enumerate(deltas):
+                if not has_i and not has_d:
+                    continue  # term is empty: partners never scanned
+                views: list[str | None] = [None] * n
+                for j in range(n):
+                    if j < i:
+                        # prefix: POST-batch state (the table itself)
+                        views[j] = mkview(tabs[j], f"__rw_jn_n{j}i{i}_{tag}")
+                    elif j > i:
+                        # suffix: PRE-batch state, algebraically
+                        # (table ∪ Δdel) − Δins — add-before-subtract
+                        # (engine bag invariant: same-batch ins+del of
+                        # one value otherwise under-subtracts)
+                        old_j = tabs[j]
+                        if deltas[j][3]:
+                            old_j = old_j.unionByName(deltas[j][1])
+                        if deltas[j][2]:
+                            old_j = old_j.exceptAll(deltas[j][0])
+                        views[j] = mkview(old_j, f"__rw_jn_o{j}i{i}_{tag}")
+                if has_i:
+                    views[i] = mkview(ins, f"__rw_jn_dp{i}_{tag}")
+                    pos.append(
+                        spark.sql(self._incjn_stmt(plan, views))
+                        .localCheckpoint(eager=True)
+                    )
+                if has_d:
+                    views[i] = mkview(dele, f"__rw_jn_dn{i}_{tag}")
+                    neg.append(
+                        spark.sql(self._incjn_stmt(plan, views))
+                        .localCheckpoint(eager=True)
+                    )
+        finally:
+            for v in made:
+                spark.catalog.dropTempView(v)
+        state.last_epoch = m1
+        P = pos[0] if pos else None
+        for p in pos[1:]:
+            P = P.unionByName(p)
+        Ng = neg[0] if neg else None
+        for q_ in neg[1:]:
+            Ng = Ng.unionByName(q_)
+        if P is not None and Ng is not None:
+            netins = P.exceptAll(Ng).localCheckpoint(eager=True)
+            netdel = Ng.exceptAll(P).localCheckpoint(eager=True)
+        elif P is not None:
+            netins, netdel = P, None
+        elif Ng is not None:
+            netins, netdel = None, Ng
+        else:
+            self.next_epoch()
+            return True
+        ins_empty = netins is None or netins.isEmpty()
+        del_empty = netdel is None or netdel.isEmpty()
+        if ins_empty and del_empty:
+            self.next_epoch()
+            return True
+        self._ensure_changelog(fq)
+        tagged = None
+        if not del_empty:
+            tagged = netdel.withColumn("op", F.lit(OP_DELETE))
+        if not ins_empty:
+            t_ins = netins.withColumn("op", F.lit(OP_INSERT))
+            tagged = t_ins if tagged is None else tagged.unionByName(t_ins)
+        if del_empty:
+            with self._lock:
+                epoch = self.next_epoch()
+                self._append_changelog_tagged(fq, tagged, epoch)
+                netins.write.mode("append").format("parquet").saveAsTable(fq)
+                spark.catalog.refreshTable(fq)
+            return True
+        new_result = spark.table(fq).exceptAll(netdel)
+        if not ins_empty:
+            new_result = new_result.unionByName(netins)
+        db_, tbl_ = _split_fq(fq)
+        stage = f"{db_}.__rw_stage__{tbl_}"
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        self._clear_stale_location(stage)
+        new_result.write.format("parquet").saveAsTable(stage)
+        # Swap + changelog publication under ONE lock acquisition
+        # (same contract as the other join paths).
+        with self._lock:
+            epoch = self.next_epoch()
+            self._append_changelog_tagged(fq, tagged, epoch)
+            spark.sql(f"DROP TABLE IF EXISTS {fq}")
+            spark.sql(f"ALTER TABLE {stage} RENAME TO {fq}")
+            spark.catalog.refreshTable(fq)
+        return True
+
     def create_mv(
         self,
         name: str,
@@ -4101,6 +4869,7 @@ class SparkEngine:
                 ).localCheckpoint(eager=True)
         incj = None
         incja = None
+        incjn = None
         if inc is None and direct is None and inctop is None and not emit_on_close:
             incj = self._parse_simple_join(rewritten)
             if incj is None:
@@ -4118,6 +4887,48 @@ class SparkEngine:
                         ):
                             incja = None
                             break
+                if incja is None:
+                    incjn = self._parse_join_nway(rewritten)
+                    if incjn is not None:
+                        for base, _ in incjn["sides"]:
+                            if (
+                                base in self.upsert_meta
+                                or not self.spark.catalog.tableExists(
+                                    self.changelog_name(base)
+                                )
+                            ):
+                                incjn = None
+                                break
+        incs = None
+        if (
+            inc is None and direct is None and inctop is None
+            and incj is None and incja is None and incjn is None
+            and not emit_on_close
+        ):
+            incs = self._parse_session_agg(rewritten)
+            if incs is not None and (
+                incs["base_fq"] in self.upsert_meta
+                or not self.spark.catalog.tableExists(
+                    self.changelog_name(incs["base_fq"])
+                )
+            ):
+                incs = None
+        m0s = 0
+        snap_s = None
+        if incs is not None:
+            # Same pinned-induction-base contract as the agg path.
+            with self._lock:
+                cl_s = self.changelog_name(incs["base_fq"])
+                self.spark.catalog.refreshTable(cl_s)
+                m0s = max(
+                    self.spark.table(cl_s)
+                    .agg(F.max("rw_timestamp")).first()[0] or 0,
+                    self.vacuum_floor.get(cl_s, 0),
+                )
+                self.spark.catalog.refreshTable(incs["base_fq"])
+                snap_s = self.spark.table(
+                    incs["base_fq"]
+                ).localCheckpoint(eager=True)
         if incj is not None:
             cla = self.changelog_name(incj["a_fq"])
             clb = self.changelog_name(incj["b_fq"])
@@ -4136,13 +4947,17 @@ class SparkEngine:
             ]
         elif incja is not None:
             side_cls = [self.changelog_name(b) for b, _ in incja["sides"]]
+        elif incjn is not None:
+            side_cls = [self.changelog_name(b) for b, _ in incjn["sides"]]
         snaps0: list[DataFrame] = []
         m0j = 0
         if side_cls:
             if incj is not None:
                 side_fqs = [incj["a_fq"], incj["b_fq"]]
             else:
-                side_fqs = [b for b, _ in incja["sides"]]
+                side_fqs = [
+                    b for b, _ in (incja or incjn)["sides"]
+                ]
             # Consistent induction base, pinned under the publish lock
             # (same contract as the aggregation path): the TABLE
             # snapshot is the fold of all published epochs ≤ m0j, so
@@ -4181,7 +4996,11 @@ class SparkEngine:
             base_view = "__rw_topn_base_" + "_".join(_split_fq(fq))
             snap_t.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._topn_stmt(inctop, base_view))
-        elif incj is not None or incja is not None:
+        elif incs is not None:
+            base_view = "__rw_sess_base_" + "_".join(_split_fq(fq))
+            snap_s.createOrReplaceTempView(base_view)
+            df = self.spark.sql(self._sess_stmt(incs, base_view))
+        elif incj is not None or incja is not None or incjn is not None:
             tag = "_".join(_split_fq(fq))
             join_views = []
             for i, sn in enumerate(snaps0):
@@ -4194,6 +5013,8 @@ class SparkEngine:
                         incj, join_views[0], join_views[1], incj["how"]
                     )
                 )
+            elif incjn is not None:
+                df = self.spark.sql(self._incjn_stmt(incjn, join_views))
             else:
                 df = self.spark.sql(
                     self._incja_agg_stmt(
@@ -4249,6 +5070,17 @@ class SparkEngine:
         ):
             state.inc_joinagg = incja
             state.last_epoch = m0j
+        elif incjn is not None:
+            # bag MV (no group keys): the signed telescoping rule emits
+            # net Insert/Delete — no key_cols contract to satisfy
+            state.inc_join_nway = incjn
+            state.last_epoch = m0j
+        elif incs is not None:
+            # session MV: keyed by (keys…, window) but the window is
+            # data-dependent — emission is the net Insert/Delete bag,
+            # same vocabulary the snapshot-diff fallback uses for it
+            state.inc_session = incs
+            state.last_epoch = m0s
         if direct is not None and (
             not state.key_cols or set(state.key_cols) == set(direct["keys"])
         ):
@@ -5757,15 +6589,53 @@ class SparkEngine:
 
             return df, finalize_topn
 
+        incs = self._parse_session_agg(stmt)
+        if incs is not None:
+            base = incs["base_fq"]
+            base_cl = self.changelog_name(base)
+            if base in self.upsert_meta:
+                state.fastpath_blocked = True
+                return None
+            if not spark.catalog.tableExists(base_cl):
+                return None  # may appear after the first insert
+            with self._lock:
+                spark.catalog.refreshTable(base_cl)
+                m0 = max(
+                    spark.table(base_cl).agg(F.max("rw_timestamp")).first()[0]
+                    or 0,
+                    self.vacuum_floor.get(base_cl, 0),
+                )
+                spark.catalog.refreshTable(base)
+                snap = spark.table(base).localCheckpoint(eager=True)
+            view = f"__rw_rearm_{tag}"
+            snap.createOrReplaceTempView(view)
+            try:
+                df = spark.sql(
+                    self._sess_stmt(incs, view)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(view)
+
+            def finalize_sess():
+                state.inc_session = incs
+                state.last_epoch = m0
+
+            return df, finalize_sess
+
         incj = self._parse_simple_join(stmt)
         incja = None if incj is not None else self._parse_join_agg(stmt)
-        if incj is None and incja is None:
+        incjn = (
+            None
+            if (incj is not None or incja is not None)
+            else self._parse_join_nway(stmt)
+        )
+        if incj is None and incja is None and incjn is None:
             state.fastpath_blocked = True
             return None
         if incj is not None:
             bases = [incj["a_fq"], incj["b_fq"]]
         else:
-            bases = [b for b, _ in incja["sides"]]
+            bases = [b for b, _ in (incja or incjn)["sides"]]
         cls = [self.changelog_name(b) for b in bases]
         if any(b in self.upsert_meta for b in bases):
             state.fastpath_blocked = True
@@ -5805,6 +6675,8 @@ class SparkEngine:
                 df = spark.sql(
                     self._incj_stmt(incj, views[0], views[1], incj["how"])
                 )
+            elif incjn is not None:
+                df = spark.sql(self._incjn_stmt(incjn, views))
             else:
                 df = spark.sql(
                     self._incja_agg_stmt(
@@ -5823,8 +6695,10 @@ class SparkEngine:
         def finalize_join():
             if incj is not None:
                 state.inc_join = incj
-            else:
+            elif incja is not None:
                 state.inc_joinagg = incja
+            else:
+                state.inc_join_nway = incjn
             state.last_epoch = m0j
 
         return df, finalize_join
@@ -5842,6 +6716,14 @@ class SparkEngine:
         with multiplicity."""
         with state.refresh_lock:
             self._refresh_mv_locked(state)
+            # A completed refresh brings the stored table current: if
+            # the restore-time changelog max was a crash orphan, this
+            # refresh just RE-EMITTED its delta (snapshot-diff against
+            # the unabsorbed table) as a successor epoch — the _mv_asof
+            # dup probe now has both sides to compare. If it emitted
+            # nothing, the epoch was genuinely absorbed pre-restart.
+            # Either way, travel below recovered_epoch is safe again.
+            state.post_restore_refreshed = True
 
     def _refresh_mv_locked(self, state: MVState) -> None:
         if state.emit_on_close:
@@ -5903,6 +6785,30 @@ class SparkEngine:
                 )
                 state.inc_joinagg = None
                 state.fastpath_blocked = True
+        if state.inc_join_nway is not None:
+            try:
+                if self._refresh_incremental_join_nway(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental N-way join refresh of %s failed; "
+                    "demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_join_nway = None
+                state.fastpath_blocked = True
+        if state.inc_session is not None:
+            try:
+                if self._refresh_incremental_session(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental session refresh of %s failed; "
+                    "demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_session = None
+                state.fastpath_blocked = True
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
@@ -5918,6 +6824,8 @@ class SparkEngine:
             and state.inc_topn is None
             and state.inc_join is None
             and state.inc_joinagg is None
+            and state.inc_join_nway is None
+            and state.inc_session is None
         ):
             try:
                 rearm = self._prepare_fastpath_rearm(state)

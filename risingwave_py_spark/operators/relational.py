@@ -187,9 +187,9 @@ def project_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-           (CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                     * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+           (CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                     * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                     * (100 + CAST(round(l_tax * 100) AS HUGEINT))) AS DOUBLE)
             / 1000000.0) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,

@@ -72,36 +72,41 @@ def load_all() -> None:
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round (r11): Spark-side O(delta) windowed MVs, HAVING
-    # publication gate, DISTINCT-agg recompute plan, interval-join IVM
-    "tumble_inc_mv_scenario", "hop_inc_mv_scenario",
-    "having_inc_mv_scenario", "distinct_inc_mv_scenario",
-    "interval_join_inc_mv_scenario", "joinagg_having_distinct_scenario",
-    # changed this round: the epoch manifest replaces SHOW PARTITIONS
-    # in every refresh/fetch hot path, and _parse_simple_agg/_mv_asof
-    # were reworked — the MV battery + cursor/direct scenarios cover it
-    "inc_mv_scenario", "dml_inc_mv_scenario", "tumble_mv_scenario",
-    "avg_where_mv_scenario", "mv_time_travel_scenario",
-    "time_travel_scenario", "buffer_scenario", "table_changelog_scenario",
-    "mv_changelog_scenario", "join_inc_mv_scenario",
-    "dml_join_inc_mv_scenario", "star3_inc_mv_scenario",
-    "join_agg_inc_mv_scenario", "topn_inc_mv_scenario",
-    "stats_inc_mv_scenario", "cascade_mv_scenario",
-    # stalest driver verdicts (r8-era scenario battery — judge-checked
-    # r10 but driver-graded beats judge-graded)
-    "source_scenario", "sink_scenario", "dml_scenario",
-    "catalog_scenario", "udf_scenario", "upsert_version_scenario",
-    "bucketed_scenario", "index_maintenance_scenario",
-    "join_mv_scenario", "topn_mv_scenario",
-    # TPC-H battery (q-family last driver-sampled r7-r9)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q9_profit_by_nation",
-    "q10_returned_items", "q18_large_volume_customer",
-    "q19_disc_revenue_or", "q21_waiting_suppliers",
-    "q22_prospect_customers",
-    # SQ8 + audio/image/video index families (judge-checked r10)
-    "ann_sq8_build", "ann_sq8_probe", "ann_sq8_recall", "ann_sq8_dml",
-    "audio_index_build", "audio_index_probe", "audio_index_dml",
+    # new this round (r12): expression-group-key IVM, N-way plain-join
+    # telescoping, session-window touched-span recompute
+    "datetrunc_inc_mv_scenario", "nway_join_inc_mv_scenario",
+    "session_inc_mv_scenario",
+    # changed this round: KMEANS_K now derives k≈√n from the corpus
+    # count (oracle computes the same formula) — drive the whole
+    # kmeans-dependent ANN/SemDeDup family through the grader
+    "cluster_kmeans_embeddings", "dedup_semantic_clusters",
+    "embedding_label_outliers", "ann_ivf_topk", "ann_ivf_recall",
+    "ann_index_build", "ann_index_probe", "ann_index_dml",
+    "ann_incremental_probe",
+    # stalest driver verdicts (judge-only since r9 or earlier):
+    # scalar battery
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_coalesce",
+    "scalar_math_funcs", "scalar_regexp_funcs", "map_struct_access",
+    "scalar_array_lambda",
+    # set-operation battery
+    "setop_union_all", "setop_union_distinct", "setop_intersect",
+    "setop_except", "setop_except_all", "setop_bag_semantics",
+    # OVER battery
+    "window_rank_lag", "window_range_frame", "gapfill_locf",
+    "window_first_last_nth", "window_ntile_percentrank",
+    "window_filtered_agg",
+    # text-analysis family
+    "text_quality_scores", "text_langid_markers", "text_token_count_bpe",
+    "text_unigram_logprob", "text_pii_redact",
+    # sampling family
+    "sample_uniform_hash", "sample_stratified_quota",
+    "sample_split_assign",
+    # image/video index families
+    "image_index_build", "image_index_probe", "image_index_dml",
+    "video_index_build", "video_index_probe", "video_index_dml",
+    # stalest TPC-H (last driver-sampled r7)
+    "q4_order_priority", "q5_local_supplier_volume", "q8_market_share",
+    "q11_important_stock", "q20_promotion_suppliers",
 ]
 
 

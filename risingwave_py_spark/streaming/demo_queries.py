@@ -1920,3 +1920,242 @@ def joinagg_having_distinct_scenario(spark: SparkSession, sf_dir: str) -> DataFr
         "SELECT region, buyers, s FROM rwdemo_jhd.m ORDER BY region"
     )
     return spark.createDataFrame(rows, "region string, buyers bigint, s double")
+
+
+@register(
+    "datetrunc_inc_mv_scenario",
+    oracle="""
+    WITH x AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 MINUTE AS ts,
+               'r' || CAST(i % 3 AS VARCHAR) AS region,
+               CAST(CASE WHEN i % 11 = 0 THEN 5 ELSE i % 11 END AS BIGINT) AS v
+        FROM range(0, 540) t(i)
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, region,
+           CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM x GROUP BY 1, 2 ORDER BY hr, region
+    """,
+)
+def datetrunc_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: EXPRESSION group keys stay incremental. ``GROUP BY
+    date_trunc('day'|'hour', ts), dim`` is the most common real MV
+    shape after plain columns (VERDICT r11 'what's missing' #1); the
+    derive-template mechanism generalizes from the rewriter-emitted
+    tumble/hop forms to any deterministic scalar GROUP BY expression
+    selected under an alias. Legs: bulk insert past the 512-row direct
+    cap, UPDATE, and a range DELETE — the armed plan must survive all
+    three and the result must be bit-equal to a recompute."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dtk")
+    conn.execute(
+        "CREATE TABLE rwdemo_dtk.tick (ts TIMESTAMP, region STRING, v BIGINT)"
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    seed = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(10)],
+        "region": [f"r{i % 3}" for i in range(10)],
+        "v": [i % 11 for i in range(10)],
+    })
+    conn.insert(seed, table_name="tick", schema_name="rwdemo_dtk",
+                force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dtk.m AS "
+        "SELECT date_trunc('HOUR', ts) AS hr, region, "
+        "sum(v) AS s, count(*) AS n "
+        "FROM rwdemo_dtk.tick GROUP BY date_trunc('HOUR', ts), region"
+    )
+    st = eng.mvs["rwdemo_dtk.m"]
+    assert st.inc is not None and st.inc["derive_tpl"], (
+        "expression-group-key MV must arm the Spark incremental path"
+    )
+    assert not st.inc["recompute_only"], (
+        "sum/count with expression keys stays in the MERGEABLE regime"
+    )
+    bulk = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(10, 600)],
+        "region": [f"r{i % 3}" for i in range(10, 600)],
+        "v": [i % 11 for i in range(10, 600)],
+    })
+    conn.insert(bulk, table_name="tick", schema_name="rwdemo_dtk",
+                force_flush=True)
+    assert st.inc is not None, "bulk delta demoted the expression-key MV"
+    conn.execute("UPDATE rwdemo_dtk.tick SET v = 5 WHERE v = 0")
+    conn.execute("FLUSH")
+    conn.execute(
+        "DELETE FROM rwdemo_dtk.tick "
+        "WHERE ts >= TIMESTAMP '2024-01-01 09:00:00'"
+    )
+    conn.execute("FLUSH")
+    assert st.inc is not None, "DML demoted the expression-key MV"
+    cols, rows = conn._dispatch(
+        "SELECT hr, region, s, n FROM rwdemo_dtk.m ORDER BY hr, region"
+    )
+    return spark.createDataFrame(
+        rows, "hr timestamp, region string, s bigint, n bigint"
+    )
+
+
+@register(
+    "nway_join_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), 'A', 'x'),
+        (2, 10, 7, 'b', 'x'),
+        (2, 20, 9, 'b', 'y'),
+        (3, 10, 100, 'c', 'x'),
+        (3, 20, 200, 'c', 'y')
+    ) AS t(k1, k2, amt, name1, name2) ORDER BY k1, k2
+    """,
+)
+def nway_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: N-way PLAIN-join MVs (no aggregate) stay incremental —
+    the 3-table enrichment view (VERDICT r11 'what's missing' #3) via
+    the SIGNED telescoping delta rule (ℤ-bag algebra: each side's
+    Δ⁺/Δ⁻ term joins new-prefix × old-suffix; net Insert = P ∸ N).
+    Legs: fact append, dim UPDATE (delete+insert through the same
+    rule), fact DELETE, and LATE DIM ARRIVAL (fact rows invisible
+    under the inner join until their dim row lands)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_jn")
+    conn.execute("CREATE TABLE rwdemo_jn.f (k1 BIGINT, k2 BIGINT, amt BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_jn.d1 (k1 BIGINT, name1 STRING)")
+    conn.execute("CREATE TABLE rwdemo_jn.d2 (k2 BIGINT, name2 STRING)")
+    conn.insert(pd.DataFrame({"k1": [1, 2], "name1": ["a", "b"]}),
+                table_name="d1", schema_name="rwdemo_jn", force_flush=True)
+    conn.insert(pd.DataFrame({"k2": [10, 20], "name2": ["x", "y"]}),
+                table_name="d2", schema_name="rwdemo_jn", force_flush=True)
+    conn.insert(
+        pd.DataFrame({"k1": [1, 1, 2], "k2": [10, 20, 10], "amt": [5, 6, 7]}),
+        table_name="f", schema_name="rwdemo_jn", force_flush=True,
+    )
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_jn.m AS "
+        "SELECT f.k1 AS k1, f.k2 AS k2, f.amt AS amt, "
+        "d1.name1 AS name1, d2.name2 AS name2 "
+        "FROM rwdemo_jn.f f "
+        "JOIN rwdemo_jn.d1 d1 ON f.k1 = d1.k1 "
+        "JOIN rwdemo_jn.d2 d2 ON f.k2 = d2.k2"
+    )
+    st = eng.mvs["rwdemo_jn.m"]
+    assert st.inc_join_nway is not None, (
+        "3-table plain-join MV must arm the N-way telescoping path"
+    )
+    conn.insert(pd.DataFrame({"k1": [2], "k2": [20], "amt": [9]}),
+                table_name="f", schema_name="rwdemo_jn", force_flush=True)
+    conn.execute("UPDATE rwdemo_jn.d1 SET name1 = 'A' WHERE k1 = 1")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_jn.f WHERE amt = 6")
+    conn.execute("FLUSH")
+    assert st.inc_join_nway is not None, "DML demoted the N-way join MV"
+    # late dim arrival: the k1=3 fact rows must surface only when d1
+    # gets its row — dim-side Δ⁺ joined against the fact is the
+    # telescoping term that produces them
+    conn.insert(pd.DataFrame({"k1": [3, 3], "k2": [10, 20],
+                              "amt": [100, 200]}),
+                table_name="f", schema_name="rwdemo_jn", force_flush=True)
+    conn.insert(pd.DataFrame({"k1": [3], "name1": ["c"]}),
+                table_name="d1", schema_name="rwdemo_jn", force_flush=True)
+    assert st.inc_join_nway is not None, "late dim arrival demoted the MV"
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_jn.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT k1, k2, amt, name1, name2 FROM rwdemo_jn.m ORDER BY k1, k2"
+    )
+    return spark.createDataFrame(
+        rows, "k1 bigint, k2 bigint, amt bigint, name1 string, name2 string"
+    )
+
+
+@register(
+    "session_inc_mv_scenario",
+    oracle="""
+    WITH x AS (
+        SELECT * FROM (VALUES
+            (TIMESTAMP '2024-01-01 00:00:00', CAST(1 AS BIGINT), CAST(100 AS BIGINT)),
+            (TIMESTAMP '2024-01-01 00:05:00', 1, 2),
+            (TIMESTAMP '2024-01-01 00:40:00', 1, 3),
+            (TIMESTAMP '2024-01-01 00:45:00', 1, 4),
+            (TIMESTAMP '2024-01-01 00:55:00', 1, 7),
+            (TIMESTAMP '2024-01-01 05:00:00', 3, 8),
+            (TIMESTAMP '2024-01-01 05:20:00', 3, 6)
+        ) AS v(ts, uid, v)
+    ), flagged AS (
+        SELECT uid, ts, v,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 20 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM x WINDOW w AS (PARTITION BY uid ORDER BY ts)
+    ), numbered AS (
+        SELECT uid, ts, v,
+               SUM(is_new) OVER (PARTITION BY uid ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT uid, MIN(ts) AS s_start, MAX(ts) + INTERVAL 20 MINUTE AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+    FROM numbered GROUP BY uid, sid ORDER BY uid, s_start
+    """,
+)
+def session_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: SESSION-window MVs get an incremental path (VERDICT
+    r11 'what's missing' #2) — per-key touched-span recompute: delta
+    rows can only affect sessions intersecting [ts−gap, ts+gap]; one
+    expansion to those sessions' extents closes the region, which is
+    re-sessionized from a PRUNED base scan (the global span is a
+    pushable ts-range predicate) and bag-diffed for retractions.
+    Legs: a bridge row MERGING two sessions, a DELETE SPLITTING them
+    back, session extension, a new key with an EXACT-GAP pair (Spark
+    merges at distance == gap — the oracle's `>` is_new rule pins
+    it), a whole-session DELETE, and a value UPDATE."""
+    conn, eng = _fresh_conn(spark, "rwdemo_sw")
+    conn.execute(
+        "CREATE TABLE rwdemo_sw.ev (ts TIMESTAMP, uid BIGINT, v BIGINT)"
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mins(*m):
+        return [base + pd.Timedelta(minutes=x) for x in m]
+
+    conn.insert(pd.DataFrame({"ts": mins(0, 5, 40, 45, 100),
+                              "uid": [1, 1, 1, 1, 2],
+                              "v": [1, 2, 3, 4, 5]}),
+                table_name="ev", schema_name="rwdemo_sw", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_sw.m AS "
+        "SELECT uid, session_window.start AS s_start, "
+        "session_window.end AS s_end, count(*) AS n, sum(v) AS sv "
+        "FROM rwdemo_sw.ev GROUP BY session_window(ts, '20 minutes'), uid"
+    )
+    st = eng.mvs["rwdemo_sw.m"]
+    assert st.inc_session is not None, (
+        "session-window MV must arm the touched-span incremental path"
+    )
+    # bridge row merges [00:00,00:25] and [00:40,01:05] into one
+    conn.insert(pd.DataFrame({"ts": mins(22), "uid": [1], "v": [9]}),
+                table_name="ev", schema_name="rwdemo_sw", force_flush=True)
+    assert st.inc_session is not None, "merge leg demoted the session MV"
+    # deleting the bridge splits them back
+    conn.execute("DELETE FROM rwdemo_sw.ev WHERE v = 9")
+    conn.execute("FLUSH")
+    assert st.inc_session is not None, "split leg demoted the session MV"
+    # extend uid1's second session; uid3 lands an EXACT-GAP pair
+    conn.insert(pd.DataFrame({"ts": mins(55, 300, 320),
+                              "uid": [1, 3, 3], "v": [7, 8, 6]}),
+                table_name="ev", schema_name="rwdemo_sw", force_flush=True)
+    # whole-session delete (uid2) and a value-only UPDATE
+    conn.execute("DELETE FROM rwdemo_sw.ev WHERE uid = 2")
+    conn.execute("FLUSH")
+    conn.execute("UPDATE rwdemo_sw.ev SET v = 100 WHERE v = 1")
+    conn.execute("FLUSH")
+    assert st.inc_session is not None, "DML demoted the session MV"
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_sw.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT uid, s_start, s_end, n, sv FROM rwdemo_sw.m "
+        "ORDER BY uid, s_start"
+    )
+    return spark.createDataFrame(
+        rows,
+        "uid bigint, s_start timestamp, s_end timestamp, n bigint, sv bigint",
+    )

@@ -92,3 +92,59 @@ def test_manifest_survives_vacuum_rewrite(fresh):
     assert after and after < before | after
     assert min(after) > min(before), "expired epochs must leave the manifest"
     assert max(after) == eng._changelog_max_epoch(cl)
+
+
+def test_manifest_content_signature_same_size_drift(fresh):
+    """A foreign writer that lands a SAME-LENGTH marker write inside
+    the same mtime granule is invisible to a (mtime, size) signature;
+    the round-12 content token must still force a re-list."""
+    import os
+
+    conn, eng = fresh
+    conn.execute("CREATE TABLE mant.t (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="t", schema_name="mant", force_flush=True)
+    cl = eng.changelog_name("mant.t")
+    eng._changelog_max_epoch(cl)  # hydrate the manifest
+    loc = eng._table_location(cl)
+    marker = eng._epoch_marker_path(loc)
+    st = os.stat(marker)
+    with open(marker) as fh:
+        old = fh.read()
+    # same length, different content; pin mtime back to the old value
+    # (the coarse-filesystem collision the signature must survive)
+    new = old[:-1] + ("0" if old[-1] != "0" else "1")
+    with open(marker, "w") as fh:
+        fh.write(new)
+    os.utime(marker, ns=(st.st_atime_ns, st.st_mtime_ns))
+    ent = eng._epoch_cache[cl]
+    assert ent["sig"][:2] == (st.st_mtime_ns, st.st_size)
+    # the cached sig no longer matches on CONTENT → re-list, fresh sig
+    eng._changelog_epochs(cl)
+    assert eng._epoch_cache[cl]["sig"][2] == new
+
+
+def test_touch_marker_rejects_foreign_interleaved_write(fresh, monkeypatch):
+    """A foreign commit landing between _touch_epoch_marker's write
+    and its read-back must NOT be absorbed into the cached signature:
+    the entry is dropped so the next use re-lists (previously the
+    foreign epoch was skipped forever)."""
+    conn, eng = fresh
+    conn.execute("CREATE TABLE mant.t (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="t", schema_name="mant", force_flush=True)
+    cl = eng.changelog_name("mant.t")
+    eng._changelog_max_epoch(cl)
+    assert cl in eng._epoch_cache
+    real = eng._read_marker_sig
+
+    def foreign_then_read(marker):
+        with open(marker, "w") as fh:
+            fh.write("999:feedfacefeedface")  # the interleaved foreign write
+        return real(marker)
+
+    monkeypatch.setattr(eng, "_read_marker_sig", foreign_then_read)
+    eng._touch_epoch_marker(cl, epoch=12345)
+    assert cl not in eng._epoch_cache, (
+        "foreign token read back after our write must drop the entry"
+    )

@@ -188,11 +188,12 @@ def test_refresh_never_collects_delta_to_driver(eng_conn):
         "CREATE MATERIALIZED VIEW inct.ncm AS "
         "SELECT p, sum(v) AS total FROM inct.nc GROUP BY p"
     )
-    # snapshot-diff path (an expression GROUP BY key is never
-    # incremental; avg alone is since round 10's recompute-only plan)
+    # snapshot-diff path (expression GROUP BY keys arm since round 12
+    # — an ORDER-SENSITIVE aggregate is what still never arms)
     conn.execute(
         "CREATE MATERIALIZED VIEW inct.ncm2 AS "
-        "SELECT upper(p) AS pu, avg(v) AS av FROM inct.nc GROUP BY upper(p)"
+        "SELECT upper(p) AS pu, any_value(v) AS av "
+        "FROM inct.nc GROUP BY upper(p)"
     )
     assert eng.mvs["inct.ncm"].inc is not None
     assert eng.mvs["inct.ncm2"].inc is None
@@ -1270,3 +1271,268 @@ def test_joinagg_recompute_only_avg_by_dimension(eng_conn):
     ops = [r["op"] for r in eng.spark.table(eng.changelog_name("inct.m"))
            .orderBy("rw_timestamp").collect()]
     assert "Delete" in ops and "UpdateDelete" in ops
+
+
+# ---------------------------------------------------------------------
+# Round 12: expression GROUP BY keys (derive-template generalization)
+# and N-way plain-join MVs (signed telescoping rule)
+# ---------------------------------------------------------------------
+
+
+def test_expression_group_key_mv_stays_incremental(eng_conn):
+    """GROUP BY date_trunc('day', ts), dim — the derive template must
+    arm, survive bulk insert / UPDATE / DELETE, and stay bit-equal to
+    a from-scratch recompute at every step."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.ek (ts TIMESTAMP, r STRING, v BIGINT)")
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=i) for i in range(8)],
+        "r": [f"g{i % 2}" for i in range(8)],
+        "v": list(range(8)),
+    }), table_name="ek", schema_name="inct", force_flush=True)
+    sel = ("SELECT date_trunc('DAY', ts) AS d, r, sum(v) AS s, "
+           "count(*) AS n FROM inct.ek GROUP BY date_trunc('DAY', ts), r")
+    conn.execute(f"CREATE MATERIALIZED VIEW inct.mek AS {sel}")
+    st = eng.mvs["inct.mek"]
+    assert st.inc is not None and st.inc["derive_tpl"]
+    assert not st.inc["recompute_only"]
+
+    def check():
+        assert sorted(conn._dispatch("SELECT * FROM inct.mek")[1]) == sorted(
+            conn._dispatch(sel)[1]
+        )
+        assert st.inc is not None
+
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=i) for i in range(8, 80)],
+        "r": [f"g{i % 2}" for i in range(8, 80)],
+        "v": list(range(8, 80)),
+    }), table_name="ek", schema_name="inct", force_flush=True)
+    check()
+    conn.execute("UPDATE inct.ek SET v = 500 WHERE v = 3")
+    conn.execute("FLUSH")
+    check()
+    conn.execute(
+        "DELETE FROM inct.ek WHERE ts >= TIMESTAMP '2024-03-03 00:00:00'"
+    )
+    conn.execute("FLUSH")
+    check()
+
+
+def test_expression_key_unselected_or_colliding_falls_back(eng_conn):
+    """Guards: an expression GROUP BY key NOT selected verbatim, and a
+    derive alias colliding with a base column, must both fall back to
+    snapshot-diff (never arm) — and still answer correctly."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.ek2 (ts TIMESTAMP, d STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({
+        "ts": [pd.Timestamp("2024-03-01 05:00:00")], "d": ["x"], "v": [1],
+    }), table_name="ek2", schema_name="inct", force_flush=True)
+    # alias 'd' collides with base column d
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.mcol AS "
+        "SELECT date_trunc('DAY', ts) AS d, sum(v) AS s "
+        "FROM inct.ek2 GROUP BY date_trunc('DAY', ts)"
+    )
+    assert eng.mvs["inct.mcol"].inc is None
+    # expression key selected under NO alias match (only count selected)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.mnosel AS "
+        "SELECT count(*) AS n FROM inct.ek2 GROUP BY date_trunc('DAY', ts)"
+    )
+    assert eng.mvs["inct.mnosel"].inc is None
+    conn.insert(pd.DataFrame({
+        "ts": [pd.Timestamp("2024-03-02 07:00:00")], "d": ["y"], "v": [4],
+    }), table_name="ek2", schema_name="inct", force_flush=True)
+    assert sorted(conn._dispatch("SELECT * FROM inct.mcol")[1]) == sorted(
+        conn._dispatch(
+            "SELECT date_trunc('DAY', ts) AS d, sum(v) AS s "
+            "FROM inct.ek2 GROUP BY date_trunc('DAY', ts)"
+        )[1]
+    )
+
+
+def test_nway_join_mv_matches_recompute_through_dml(spark):
+    """3-table plain-join MV on the signed telescoping rule: every DML
+    mix (fact append, dim update, fact delete, same-batch churn, late
+    dim arrival) must stay armed and bit-equal to a recompute."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS jnw CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/jnw.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="jnw")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE jnw.f (k1 BIGINT, k2 BIGINT, amt BIGINT)")
+    conn.execute("CREATE TABLE jnw.d1 (k1 BIGINT, n1 STRING)")
+    conn.execute("CREATE TABLE jnw.d2 (k2 BIGINT, n2 STRING)")
+    conn.insert(pd.DataFrame({"k1": [1, 2], "n1": ["a", "b"]}),
+                table_name="d1", schema_name="jnw", force_flush=True)
+    conn.insert(pd.DataFrame({"k2": [10, 20], "n2": ["x", "y"]}),
+                table_name="d2", schema_name="jnw", force_flush=True)
+    conn.insert(pd.DataFrame({"k1": [1, 1, 2], "k2": [10, 20, 10],
+                              "amt": [5, 5, 7]}),
+                table_name="f", schema_name="jnw", force_flush=True)
+    sel = ("SELECT f.k1 AS k1, f.k2 AS k2, f.amt AS amt, d1.n1 AS n1, "
+           "d2.n2 AS n2 FROM jnw.f f JOIN jnw.d1 d1 ON f.k1 = d1.k1 "
+           "JOIN jnw.d2 d2 ON f.k2 = d2.k2")
+    conn.execute(f"CREATE MATERIALIZED VIEW jnw.m AS {sel}")
+    st = eng.mvs["jnw.m"]
+    assert st.inc_join_nway is not None
+
+    def check():
+        assert sorted(conn._dispatch("SELECT * FROM jnw.m")[1]) == sorted(
+            conn._dispatch(sel)[1]
+        ), "nway MV diverged from recompute"
+        assert st.inc_join_nway is not None, "nway MV demoted"
+
+    conn.insert(pd.DataFrame({"k1": [2], "k2": [20], "amt": [9]}),
+                table_name="f", schema_name="jnw", force_flush=True)
+    check()
+    conn.execute("UPDATE jnw.d1 SET n1 = 'A' WHERE k1 = 1")
+    conn.execute("FLUSH")
+    check()
+    # duplicate fact rows (bag semantics): delete ONE of the (1,10,5)
+    # twins via amt rewrite, checking multiplicity handling
+    conn.execute("UPDATE jnw.f SET amt = 6 WHERE k2 = 20 AND k1 = 1")
+    conn.execute("FLUSH")
+    check()
+    conn.execute("DELETE FROM jnw.f WHERE amt = 6")
+    conn.execute("FLUSH")
+    check()
+    # same-flush churn on a dim: delete + reinsert the same key
+    conn.execute("DELETE FROM jnw.d2 WHERE k2 = 10")
+    conn.execute("FLUSH")
+    check()
+    conn.insert(pd.DataFrame({"k2": [10], "n2": ["X"]}),
+                table_name="d2", schema_name="jnw", force_flush=True)
+    check()
+    # late dim arrival
+    conn.insert(pd.DataFrame({"k1": [3], "k2": [10], "amt": [50]}),
+                table_name="f", schema_name="jnw", force_flush=True)
+    conn.insert(pd.DataFrame({"k1": [3], "n1": ["c"]}),
+                table_name="d1", schema_name="jnw", force_flush=True)
+    check()
+
+
+def test_nway_join_guards_reject_outer_and_nonequi(spark):
+    """Outer N-way joins and equi-free ON clauses must NOT arm the
+    telescoping plan (pads / nested loops break the rule)."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS jng CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/jng.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="jng")
+    conn = RisingWaveConnection(eng)
+    for t in ("a", "b", "c"):
+        conn.execute(f"CREATE TABLE jng.{t} (k BIGINT, v BIGINT)")
+        conn.insert(pd.DataFrame({"k": [1], "v": [1]}),
+                    table_name=t, schema_name="jng", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW jng.mo AS "
+        "SELECT a.k AS k, b.v AS bv, c.v AS cv "
+        "FROM jng.a a JOIN jng.b b ON a.k = b.k "
+        "LEFT JOIN jng.c c ON a.k = c.k"
+    )
+    assert eng.mvs["jng.mo"].inc_join_nway is None
+    conn.execute(
+        "CREATE MATERIALIZED VIEW jng.mq AS "
+        "SELECT a.k AS k, b.v AS bv, c.v AS cv "
+        "FROM jng.a a JOIN jng.b b ON a.k = b.k "
+        "JOIN jng.c c ON a.k < c.k"
+    )
+    assert eng.mvs["jng.mq"].inc_join_nway is None
+
+
+def test_session_window_mv_matches_recompute_through_dml(eng_conn):
+    """Session MV on the touched-span recompute: merge-two-sessions,
+    split-by-DELETE, whole-session delete, exact-gap pair (Spark
+    merges at distance == gap), and value UPDATE all stay armed and
+    bit-equal to a from-scratch recompute."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.sw (ts TIMESTAMP, uid BIGINT, v BIGINT)")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mins(*m):
+        return [base + pd.Timedelta(minutes=x) for x in m]
+
+    conn.insert(pd.DataFrame({"ts": mins(0, 5, 40, 45, 100),
+                              "uid": [1, 1, 1, 1, 2],
+                              "v": [1, 2, 3, 4, 5]}),
+                table_name="sw", schema_name="inct", force_flush=True)
+    sel = ("SELECT uid, session_window.start AS s_start, "
+           "session_window.end AS s_end, count(*) AS n, sum(v) AS sv "
+           "FROM inct.sw GROUP BY session_window(ts, '20 minutes'), uid")
+    conn.execute(f"CREATE MATERIALIZED VIEW inct.msw AS {sel}")
+    st = eng.mvs["inct.msw"]
+    assert st.inc_session is not None
+
+    def check():
+        assert sorted(conn._dispatch("SELECT * FROM inct.msw")[1]) == sorted(
+            conn._dispatch(sel)[1]
+        ), "session MV diverged from recompute"
+        assert st.inc_session is not None, "session MV demoted"
+
+    conn.insert(pd.DataFrame({"ts": mins(22), "uid": [1], "v": [9]}),
+                table_name="sw", schema_name="inct", force_flush=True)
+    check()  # bridge merged two sessions
+    conn.execute("DELETE FROM inct.sw WHERE v = 9")
+    conn.execute("FLUSH")
+    check()  # split back
+    conn.insert(pd.DataFrame({"ts": mins(55, 300, 320),
+                              "uid": [1, 3, 3], "v": [7, 8, 6]}),
+                table_name="sw", schema_name="inct", force_flush=True)
+    check()  # extension + exact-gap pair (merges in Spark)
+    conn.execute("DELETE FROM inct.sw WHERE uid = 2")
+    conn.execute("FLUSH")
+    check()  # whole-session delete
+    conn.execute("UPDATE inct.sw SET v = 100 WHERE v = 1")
+    conn.execute("FLUSH")
+    check()  # value-only update
+    conn.execute("FLUSH")
+    check()  # no-op refresh
+
+
+def test_session_mv_guards(eng_conn):
+    """Shapes the touched-span plan cannot key must NOT arm: missing
+    window bound in the select list, no plain partition key, and an
+    order-sensitive aggregate."""
+    conn, eng = eng_conn
+    conn.execute("CREATE TABLE inct.sg (ts TIMESTAMP, uid BIGINT, v BIGINT)")
+    conn.insert(pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")],
+                              "uid": [1], "v": [1]}),
+                table_name="sg", schema_name="inct", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.msg1 AS "
+        "SELECT uid, session_window.start AS s_start, count(*) AS n "
+        "FROM inct.sg GROUP BY session_window(ts, '20 minutes'), uid"
+    )
+    assert eng.mvs["inct.msg1"].inc_session is None  # no end bound
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.msg2 AS "
+        "SELECT session_window.start AS s_start, "
+        "session_window.end AS s_end, count(*) AS n "
+        "FROM inct.sg GROUP BY session_window(ts, '20 minutes')"
+    )
+    assert eng.mvs["inct.msg2"].inc_session is None  # no plain key
+    conn.execute(
+        "CREATE MATERIALIZED VIEW inct.msg3 AS "
+        "SELECT uid, session_window.start AS s_start, "
+        "session_window.end AS s_end, any_value(v) AS av "
+        "FROM inct.sg GROUP BY session_window(ts, '20 minutes'), uid"
+    )
+    assert eng.mvs["inct.msg3"].inc_session is None  # order-sensitive
+    # and all three still answer correctly via snapshot-diff
+    conn.insert(pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 00:05:00")],
+                              "uid": [1], "v": [2]}),
+                table_name="sg", schema_name="inct", force_flush=True)
+    assert conn._dispatch("SELECT n FROM inct.msg1")[1] == [(2,)]
+    assert conn._dispatch("SELECT n FROM inct.msg2")[1] == [(2,)]

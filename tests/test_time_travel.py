@@ -262,3 +262,44 @@ def test_mv_asof_crash_redelivery_refused_for_bag_mv(conn_eng, spark):
     assert st.key_cols is None
     with pytest.raises(ValueError, match="redelivery|identical"):
         eng.table_asof("tt_t.mb", e_created)
+
+
+def test_mv_asof_unconfirmed_restore_max_is_refused(conn_eng, spark):
+    """Round-12 (ADVICE r11): when the restore-time changelog max has
+    NO successor epoch and no refresh has completed since the restore,
+    it may be an unabsorbed crash orphan — the fold must refuse
+    rather than silently un-apply a delta the table never absorbed.
+    One FLUSH re-emits a real orphan (dup probe excludes it) or
+    proves absorption (travel works again)."""
+    import pyspark.sql.functions as F
+
+    conn, eng = conn_eng
+    conn.execute("CREATE TABLE tt_t.b3 (p STRING, v BIGINT)")
+    conn.insert(pd.DataFrame({"p": ["a"], "v": [1]}),
+                table_name="b3", schema_name="tt_t", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW tt_t.m3 AS "
+        "SELECT p, sum(v) AS s FROM tt_t.b3 GROUP BY p"
+    )
+    st = eng.mvs["tt_t.m3"]
+    e_created = eng.current_epoch
+    s0 = sorted(conn.fetch("SELECT * FROM tt_t.m3"))
+    # fabricate a TRUE orphan at the changelog max: emitted to the
+    # log, never applied to the table (the crash window), restart
+    # boundary recorded, no refresh since
+    orphan = spark.createDataFrame(
+        [("zz", 999, "Insert")], "p STRING, s BIGINT, op STRING"
+    )
+    with eng._lock:
+        e_orphan = eng.next_epoch()
+        eng._append_changelog_tagged("tt_t.m3", orphan, e_orphan)
+    st.recovered_epoch = e_orphan
+    st.post_restore_refreshed = False
+    with pytest.raises(ValueError, match="orphan|confirmed"):
+        eng.table_asof("tt_t.m3", e_created)
+    # one refresh re-emits / confirms; travel below is exact again
+    conn.execute("FLUSH")
+    got = sorted(
+        tuple(r) for r in eng.table_asof("tt_t.m3", e_created).collect()
+    )
+    assert got == s0

@@ -7,7 +7,8 @@ oracle; this probe measures the WHOLE curve at bench scale: for each
 nprobe it times the stored-index probe (median of 3, warm) and
 computes mean recall@K against exact brute-force cosine top-k.
 
-nprobe = KMEANS_K visits every cell, so its recall row must read 1.0
+nprobe = k (corpus-derived, vectors.corpus_kmeans_k) visits every
+cell, so its recall row must read 1.0
 — a built-in self-check that the probe, the codebook, and the ground
 truth agree. Results land in SCALE.md.
 
@@ -49,7 +50,8 @@ def main() -> None:
 
     V._ensure_ivf_index(spark, args.sf)  # build once, untimed
 
-    sweep = sorted({1, 2, 4, V.KMEANS_K})
+    k_eff = V.corpus_kmeans_k(spark, args.sf)
+    sweep = sorted({1, 2, 4, max(8, k_eff // 4), k_eff})
     rows = []
     for np_ in sweep:
         df = V._ivf_probe_topk(spark, args.sf, n_probe=np_)
