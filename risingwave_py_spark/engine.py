@@ -5694,10 +5694,16 @@ class SparkEngine:
         flat_where = flatten(m.group("where").strip()) if m.group("where") else None
         flat_grp = flatten(m.group("grp").strip())
         flat_hav = flatten(m.group("hav").strip()) if m.group("hav") else None
-        grp_cols = [g.strip() for g in flat_grp.split(",")]
+        grp_terms = [g.strip() for g in RW.split_top_level(flat_grp)]
+        if any(not g or g.isdigit() for g in grp_terms):
+            return None
+        grp_norm = [_norm_sql(g) for g in grp_terms]
+        bare_grp = {g for g in grp_terms if re.fullmatch(r"\w+", g)}
         kinds: dict[str, str] = {}
         keys: list[str] = []
         key_map: list[tuple[str, str]] = []  # (flat col, output name)
+        derive_items: list[tuple[str, str]] = []  # (flat expr, alias)
+        sel_out: list[str] = []
         recompute_only = (
             self._INCJA_BLOCKERS.search(stmt) is not None
             or flat_hav is not None
@@ -5710,28 +5716,60 @@ class SparkEngine:
                     # group-wise mergeable — recompute regime only
                     kinds.setdefault(am.group("alias"), "recompute")
                     recompute_only = True
+                    sel_out.append(item.strip())
                     continue
                 kinds[am.group("alias")] = am.group("fn").lower()
+                sel_out.append(item.strip())
                 continue
             km = self._INC_KEY_ITEM.match(item)
-            if km and km.group("col") in grp_cols:
+            if km and km.group("col") in bare_grp:
                 out = km.group("alias") or km.group("col")
                 keys.append(out)
                 key_map.append((km.group("col"), out))
+                sel_out.append(item.strip())
                 continue
+            em = self._INC_EXPR_KEY.match(item)
+            if em is not None:
+                ex_raw = em.group("expr").strip()
+                ex, alias = _norm_sql(ex_raw), em.group("alias")
+                if ex in grp_norm or alias.lower() in grp_norm:
+                    # Expression GROUP BY key over the flat namespace
+                    # (date_trunc('day', __o_ts) etc.): derive it per
+                    # row on the joined relation — the same template
+                    # rule as the single-table path. Flat columns all
+                    # start with "__", so a plain alias cannot collide;
+                    # braces would break the str.format template.
+                    if (
+                        "{" in ex_raw
+                        or "}" in ex_raw
+                        or alias.startswith("__")
+                    ):
+                        return None
+                    derive_items.append((ex_raw, alias))
+                    grp_norm = [
+                        alias.lower() if t in (ex, alias.lower()) else t
+                        for t in grp_norm
+                    ]
+                    keys.append(alias)
+                    key_map.append((alias, alias))
+                    sel_out.append(alias)
+                    continue
             rm = self._INC_RC_ITEM.match(item)
             if rm is None or rm.group("alias") in kinds:
                 return None
             recompute_only = True
             kinds.setdefault(rm.group("alias"), "recompute")
+            sel_out.append(item.strip())
         if not kinds or not keys:
             return None
+        if any(not re.fullmatch(r"\w+", t) for t in grp_norm):
+            return None  # an unselected expression key cannot key rows
         # merge keys must uniquely identify stored rows: every GROUP
         # BY column selected exactly once and no duplicate output
         # names (GROUP BY o.region, u.region emitting one 'region'
         # would let one delta group match multiple stored rows)
         if (
-            len(keys) != len(grp_cols)
+            len(keys) != len(grp_terms)
             or len(set(keys)) != len(keys)
             or len(set(kinds) & set(keys)) > 0
         ):
@@ -5739,14 +5777,23 @@ class SparkEngine:
         join_proj = ", ".join(
             f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)
         )
+        derive_tpl = None
+        if derive_items:
+            derive_tpl = (
+                "(SELECT *, "
+                + ", ".join(f"{e} AS {a}" for e, a in derive_items)
+                + " FROM {0})"
+            )
         return {
             "sides": sides,  # [(fq, alias), ...] in FROM order
             "ons": ons,  # on-condition for join i (binds sides[i+1])
             "join_proj": join_proj,
-            "sel": flat_sel,
+            "sel": ", ".join(sel_out) if derive_items else flat_sel,
             "where": flat_where,
-            "grp": flat_grp,
+            "grp": ", ".join(grp_norm) if derive_items else flat_grp,
             "having": flat_hav,
+            "derive_tpl": derive_tpl,
+            "derive_items": derive_items,
             "kinds": kinds,
             "keys": keys,
             "key_map": key_map,
@@ -5762,8 +5809,16 @@ class SparkEngine:
             frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
         return f"SELECT {incja['join_proj']} FROM {frm}"
 
+    def _incja_from(self, incja: dict, view: str) -> str:
+        """The FROM relation for a joinagg statement over ``view``:
+        the view itself, or the expression-key derive template applied
+        to it (deterministic per-row columns over the flat namespace —
+        the single-table derive rule, round 12)."""
+        tpl = incja.get("derive_tpl")
+        return tpl.format(view) if tpl else view
+
     def _incja_agg_stmt(self, incja: dict, view: str,
-                        gate: bool = True) -> str:
+                        gate: bool = True, wrap: bool = True) -> str:
         """``gate=False`` omits the HAVING clause — used when deriving
         TOUCHED KEYS from retracted tuples, where gating on the
         retracted subset's aggregate (not the group's real state)
@@ -5771,8 +5826,11 @@ class SparkEngine:
         (initial materialization, wholesale touched-group re-agg)
         HAVING applies at publication time: a re-aggregated group
         failing it vanishes from r_rows and the merge bag-diff emits
-        its Delete."""
-        q = f"SELECT {incja['sel']} FROM {view}"
+        its Delete. ``wrap=False`` when ``view`` ALREADY carries the
+        derived expression-key columns (re-deriving would duplicate
+        the alias)."""
+        src = self._incja_from(incja, view) if wrap else view
+        q = f"SELECT {incja['sel']} FROM {src}"
         if incja["where"]:
             q += f" WHERE {incja['where']}"
         q += f" GROUP BY {incja['grp']}"
@@ -5950,7 +6008,7 @@ class SparkEngine:
                         q = "SELECT DISTINCT " + ", ".join(
                             f"{fc} AS {out}"
                             for fc, out in incja["key_map"]
-                        ) + f" FROM {v_delta}"
+                        ) + f" FROM {self._incja_from(incja, v_delta)}"
                         if incja["where"]:
                             q += f" WHERE {incja['where']}"
                         tkparts.append(
@@ -6116,6 +6174,13 @@ class SparkEngine:
         v_jout = f"__rw_jar_jo_{tag}"
         try:
             jout = spark.sql(self._incja_join_stmt(incja, v_src))
+            # expression keys: derive them on the join output BEFORE
+            # the touched-key semi-join (the probe's flat name IS the
+            # derived alias); the agg statement below then must not
+            # re-derive (wrap=False)
+            derived = bool(incja.get("derive_items"))
+            for e, a in incja.get("derive_items") or ():
+                jout = jout.withColumn(a, F.expr(e))
             if not single_side:
                 # generic path: restrict the join OUTPUT to touched
                 # groups on the flattened key columns
@@ -6131,7 +6196,7 @@ class SparkEngine:
             jout.createOrReplaceTempView(v_jout)
             try:
                 re_agg = spark.sql(
-                    self._incja_agg_stmt(incja, v_jout)
+                    self._incja_agg_stmt(incja, v_jout, wrap=not derived)
                 ).localCheckpoint(eager=True)
             finally:
                 spark.catalog.dropTempView(v_jout)

@@ -54,28 +54,28 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-10
-# sampled ten windows — cumulative driver coverage 203/203, all green
-# at the r10 verdict. Round 11's window leads with:
-#   1. the NEW queries (never driver-sampled): the six r11 scenarios —
-#      bulk-delta tumble/hop O(delta) refresh, the HAVING publication
-#      gate, count(DISTINCT) recompute arming (single-table AND
-#      join+agg), and the interval-join incremental MV;
-#   2. queries whose machinery changed this round: the epoch manifest
-#      replaced SHOW PARTITIONS in every refresh/fetch hot path, and
-#      _parse_simple_agg/_mv_asof were reworked — the MV battery plus
-#      the buffer/cursor/time-travel scenarios cover those paths;
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-11
+# sampled eleven windows — cumulative driver coverage 209/209, all
+# green at the r11 verdict. Round 12's window leads with:
+#   1. the NEW queries (never driver-sampled): the four r12 scenarios
+#      — expression-group-key IVM (single-table AND join+agg), the
+#      N-way plain-join signed-telescoping MV, and the session-window
+#      touched-span MV;
+#   2. queries whose machinery changed this round: the k-means
+#      cluster count now derives k≈√n from the corpus (the oracle
+#      computes the same formula) — the whole kmeans-dependent
+#      ANN/SemDeDup/IVF family re-graded;
 #   3. regression re-samples ordered by oldest driver verdict — the
-#      r8-era source/sink/dml/catalog/udf/upsert battery, the TPC-H
-#      battery (last driver-sampled r7-r9), and the SQ8/audio index
-#      families (judge-checked r10, never driver-graded).
+#      scalar/setop/OVER batteries, text/sampling families, the
+#      image/video index families (all judge-only since r9), and the
+#      stalest TPC-H queries (last driver-sampled r7).
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
     # new this round (r12): expression-group-key IVM, N-way plain-join
     # telescoping, session-window touched-span recompute
     "datetrunc_inc_mv_scenario", "nway_join_inc_mv_scenario",
-    "session_inc_mv_scenario",
+    "session_inc_mv_scenario", "datetrunc_join_inc_mv_scenario",
     # changed this round: KMEANS_K now derives k≈√n from the corpus
     # count (oracle computes the same formula) — drive the whole
     # kmeans-dependent ANN/SemDeDup family through the grader
@@ -100,7 +100,6 @@ PRIORITY: list[str] = [
     "text_unigram_logprob", "text_pii_redact",
     # sampling family
     "sample_uniform_hash", "sample_stratified_quota",
-    "sample_split_assign",
     # image/video index families
     "image_index_build", "image_index_probe", "image_index_dml",
     "video_index_build", "video_index_probe", "video_index_dml",

@@ -2159,3 +2159,72 @@ def session_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "uid bigint, s_start timestamp, s_end timestamp, n bigint, sv bigint",
     )
+
+
+@register(
+    "datetrunc_join_inc_mv_scenario",
+    oracle="""
+    WITH o AS (
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+            (1, 2, 20), (3, 2, 40), (4, 1, 50), (5, 2, 60),
+            (30, 1, 7), (31, 2, 8), (32, 1, 9)
+        ) AS t(h, uid, amt)
+    ), u AS (
+        SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'eu'),
+                              (CAST(2 AS BIGINT), 'apac')) AS t(uid, region)
+    )
+    SELECT CAST(date_trunc('day', TIMESTAMP '2024-01-01 00:00:00'
+                + o.h * INTERVAL 1 HOUR) AS TIMESTAMP) AS d,
+           u.region AS region, CAST(sum(o.amt) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o JOIN u ON o.uid = u.uid
+    GROUP BY 1, 2 ORDER BY d, region
+    """,
+)
+def datetrunc_join_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: expression GROUP BY keys on the JOIN+AGG fast path —
+    ``GROUP BY date_trunc('day', o.ts), u.region`` over a star join
+    derives the expression on the flat joined relation (the same
+    template rule as the single-table path). Legs: fact append, dim
+    UPDATE (touched-key retraction with a derived key), fact DELETE —
+    plan must survive all three in the MERGEABLE regime."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dtj")
+    conn.execute("CREATE TABLE rwdemo_dtj.o (ts TIMESTAMP, uid BIGINT, amt BIGINT)")
+    conn.execute("CREATE TABLE rwdemo_dtj.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["eu", "us"]}),
+                table_name="u", schema_name="rwdemo_dtj", force_flush=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=i) for i in range(6)],
+        "uid": [1, 2, 1, 2, 1, 2],
+        "amt": [10, 20, 30, 40, 50, 60],
+    }), table_name="o", schema_name="rwdemo_dtj", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dtj.m AS "
+        "SELECT date_trunc('DAY', o.ts) AS d, u.region AS region, "
+        "sum(o.amt) AS s, count(*) AS n "
+        "FROM rwdemo_dtj.o o JOIN rwdemo_dtj.u u ON o.uid = u.uid "
+        "GROUP BY date_trunc('DAY', o.ts), u.region"
+    )
+    st = eng.mvs["rwdemo_dtj.m"]
+    assert st.inc_joinagg is not None and st.inc_joinagg["derive_tpl"], (
+        "join+agg expression-key MV must arm with a derive template"
+    )
+    assert not st.inc_joinagg["recompute_only"]
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=30 + i) for i in range(3)],
+        "uid": [1, 2, 1], "amt": [7, 8, 9],
+    }), table_name="o", schema_name="rwdemo_dtj", force_flush=True)
+    assert st.inc_joinagg is not None, "fact append demoted the MV"
+    conn.execute("UPDATE rwdemo_dtj.u SET region = 'apac' WHERE uid = 2")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_dtj.o WHERE amt = 30")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "DML demoted the expression-key MV"
+    cols, rows = conn._dispatch(
+        "SELECT d, region, s, n FROM rwdemo_dtj.m ORDER BY d, region"
+    )
+    return spark.createDataFrame(
+        rows, "d timestamp, region string, s bigint, n bigint"
+    )

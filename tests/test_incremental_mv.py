@@ -1536,3 +1536,69 @@ def test_session_mv_guards(eng_conn):
                 table_name="sg", schema_name="inct", force_flush=True)
     assert conn._dispatch("SELECT n FROM inct.msg1")[1] == [(2,)]
     assert conn._dispatch("SELECT n FROM inct.msg2")[1] == [(2,)]
+
+
+def test_joinagg_expression_group_key_stays_incremental(spark):
+    """GROUP BY date_trunc(...) over a JOIN+AGG MV arms via the same
+    derive-template rule (flat-namespace expressions derived on the
+    joined relation), stays armed through fact/dim DML in both the
+    mergeable and recompute-only regimes, and matches a recompute."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS jaek CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/jaek.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="jaek")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE jaek.o (ts TIMESTAMP, uid BIGINT, amt BIGINT)")
+    conn.execute("CREATE TABLE jaek.u (uid BIGINT, region STRING)")
+    conn.insert(pd.DataFrame({"uid": [1, 2], "region": ["eu", "us"]}),
+                table_name="u", schema_name="jaek", force_flush=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=i) for i in range(6)],
+        "uid": [1, 2, 1, 2, 1, 2], "amt": [10, 20, 30, 40, 50, 60],
+    }), table_name="o", schema_name="jaek", force_flush=True)
+    sel = ("SELECT date_trunc('DAY', o.ts) AS d, u.region AS region, "
+           "sum(o.amt) AS s, count(*) AS n "
+           "FROM jaek.o o JOIN jaek.u u ON o.uid = u.uid "
+           "GROUP BY date_trunc('DAY', o.ts), u.region")
+    conn.execute(f"CREATE MATERIALIZED VIEW jaek.m AS {sel}")
+    st = eng.mvs["jaek.m"]
+    assert st.inc_joinagg is not None and st.inc_joinagg["derive_tpl"]
+    assert not st.inc_joinagg["recompute_only"]
+
+    def check():
+        assert sorted(conn._dispatch("SELECT * FROM jaek.m")[1]) == sorted(
+            conn._dispatch(sel)[1]
+        )
+        assert st.inc_joinagg is not None
+
+    conn.insert(pd.DataFrame({
+        "ts": [base + pd.Timedelta(hours=30 + i) for i in range(3)],
+        "uid": [1, 2, 1], "amt": [7, 8, 9],
+    }), table_name="o", schema_name="jaek", force_flush=True)
+    check()
+    conn.execute("UPDATE jaek.u SET region = 'apac' WHERE uid = 2")
+    conn.execute("FLUSH")
+    check()
+    conn.execute("DELETE FROM jaek.o WHERE amt = 30")
+    conn.execute("FLUSH")
+    check()
+    # avg → recompute-only regime, expression key still armed
+    sel2 = ("SELECT date_trunc('DAY', o.ts) AS d, avg(o.amt) AS av "
+            "FROM jaek.o o JOIN jaek.u u ON o.uid = u.uid "
+            "GROUP BY date_trunc('DAY', o.ts)")
+    conn.execute(f"CREATE MATERIALIZED VIEW jaek.m2 AS {sel2}")
+    st2 = eng.mvs["jaek.m2"]
+    assert st2.inc_joinagg is not None and st2.inc_joinagg["recompute_only"]
+    conn.insert(pd.DataFrame({"ts": [base + pd.Timedelta(hours=50)],
+                              "uid": [1], "amt": [99]}),
+                table_name="o", schema_name="jaek", force_flush=True)
+    assert sorted(conn._dispatch("SELECT * FROM jaek.m2")[1]) == sorted(
+        conn._dispatch(sel2)[1]
+    )
+    assert st2.inc_joinagg is not None

@@ -984,3 +984,110 @@ def test_tumble_mv_fast_path_matches_model(rw, ops):
     finally:
         rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
         rw.execute(f"DROP TABLE IF EXISTS {tag}")
+
+
+# -- round 12: session-window MV under random DML ---------------------------
+
+_S_GAP_MIN = 4
+
+_s_insert = st.tuples(
+    st.just("insert"),
+    st.lists(
+        st.tuples(st.sampled_from([1, 2]), st.integers(0, 29),
+                  st.integers(0, 9)),
+        min_size=1, max_size=3,
+    ),
+)
+_s_delete = st.tuples(st.just("delete"), st.sampled_from([1, 2]),
+                      st.integers(0, 29))
+_s_ops_seq = st.lists(st.one_of(_s_insert, _s_delete),
+                      min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_s_ops_seq)
+def test_session_mv_fast_path_matches_model(rw, ops):
+    """Round 12: arbitrary DML on a session-window MV stays on the
+    touched-span incremental path and matches a per-key gap-chained
+    model at every step — merges, splits, and whole-session deletes
+    fall out of random op sequences. Spark chains rows at distance
+    <= gap (exact-equality merges), so the model splits on > gap."""
+    import pandas as pd
+
+    tag = f"t_sprop_{next(_ids)}"
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    model: list[tuple[int, int, int]] = []  # (uid, minute, v)
+    rw.execute(f"CREATE TABLE {tag} (ts TIMESTAMP, uid BIGINT, v BIGINT)")
+    rw.mv(
+        stmt=(
+            f"SELECT uid, session_window.start AS s_start, "
+            f"session_window.end AS s_end, count(*) AS n, sum(v) AS sv "
+            f"FROM {tag} "
+            f"GROUP BY session_window(ts, '{_S_GAP_MIN} minutes'), uid"
+        ),
+        name=f"{tag}_mv",
+    )
+    st_mv = rw.engine.mvs[f"public.{tag}_mv"]
+    assert st_mv.inc_session is not None
+    try:
+        for op in ops:
+            if op[0] == "insert":
+                rows = op[1]
+                rw.insert(
+                    data=pd.DataFrame({
+                        "ts": [base + pd.Timedelta(minutes=m)
+                               for _, m, _ in rows],
+                        "uid": [u for u, _, _ in rows],
+                        "v": [v for _, _, v in rows],
+                    }),
+                    table_name=tag,
+                    force_flush=True,
+                )
+                model.extend(rows)
+            else:
+                _, u, m = op
+                rw.execute(
+                    f"DELETE FROM {tag} WHERE uid = {u} AND ts = "
+                    f"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {m} MINUTE"
+                )
+                model = [r for r in model if not (r[0] == u and r[1] == m)]
+                rw.execute("FLUSH")
+        assert st_mv.inc_session is not None, (
+            "DML sequence must not demote the session MV"
+        )
+        want = Counter()
+        for u in {r[0] for r in model}:
+            pts = sorted((m, v) for uu, m, v in model if uu == u)
+
+            def sess_row(chunk):
+                mins_ = [m for m, _ in chunk]
+                return (
+                    u,
+                    str(base + pd.Timedelta(minutes=min(mins_))),
+                    str(base + pd.Timedelta(minutes=max(mins_) + _S_GAP_MIN)),
+                    len(chunk),
+                    sum(v for _, v in chunk),
+                )
+
+            cur: list[tuple[int, int]] = []
+            for m, v in pts:
+                if cur and m - cur[-1][0] > _S_GAP_MIN:
+                    want[sess_row(cur)] += 1
+                    cur = []
+                cur.append((m, v))
+            if cur:
+                want[sess_row(cur)] += 1
+        got = Counter(
+            (r[0], str(r[1]), str(r[2]), r[3], r[4])
+            for r in rw.fetch(
+                f"SELECT uid, s_start, s_end, n, sv FROM {tag}_mv"
+            )
+        )
+        assert got == want
+    finally:
+        rw.execute(f"DROP MATERIALIZED VIEW IF EXISTS {tag}_mv")
+        rw.execute(f"DROP TABLE IF EXISTS {tag}")
