@@ -57,10 +57,11 @@ def load_all() -> None:
 # order ``__spark_entry__.queries()`` yields them. Rounds 1-11
 # sampled eleven windows — cumulative driver coverage 209/209, all
 # green at the r11 verdict. Round 12's window leads with:
-#   1. the NEW queries (never driver-sampled): the four r12 scenarios
+#   1. the NEW queries (never driver-sampled): the five r12 scenarios
 #      — expression-group-key IVM (single-table AND join+agg), the
-#      N-way plain-join signed-telescoping MV, and the session-window
-#      touched-span MV;
+#      N-way plain-join signed-telescoping MV, the session-window
+#      touched-span MV, and the outer interval-join forced-retraction
+#      MV;
 #   2. queries whose machinery changed this round: the k-means
 #      cluster count now derives k≈√n from the corpus (the oracle
 #      computes the same formula) — the whole kmeans-dependent
@@ -76,6 +77,7 @@ PRIORITY: list[str] = [
     # telescoping, session-window touched-span recompute
     "datetrunc_inc_mv_scenario", "nway_join_inc_mv_scenario",
     "session_inc_mv_scenario", "datetrunc_join_inc_mv_scenario",
+    "outer_interval_join_inc_mv_scenario",
     # changed this round: KMEANS_K now derives k≈√n from the corpus
     # count (oracle computes the same formula) — drive the whole
     # kmeans-dependent ANN/SemDeDup family through the grader
@@ -85,7 +87,7 @@ PRIORITY: list[str] = [
     "ann_incremental_probe",
     # stalest driver verdicts (judge-only since r9 or earlier):
     # scalar battery
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_case_coalesce",
+    "scalar_string_funcs", "scalar_date_funcs",
     "scalar_math_funcs", "scalar_regexp_funcs", "map_struct_access",
     "scalar_array_lambda",
     # set-operation battery

@@ -1602,3 +1602,65 @@ def test_joinagg_expression_group_key_stays_incremental(spark):
         conn._dispatch(sel2)[1]
     )
     assert st2.inc_joinagg is not None
+
+
+def test_outer_interval_join_mv_matches_recompute(spark):
+    """LEFT interval join (equi + residual time bound) arms with
+    force_retract and matches a recompute through pad flips,
+    resurrections, and timestamp updates — the shapes the insert-only
+    pad rule cannot maintain."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS oij CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/oij.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="oij")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE oij.a (ts TIMESTAMP, k BIGINT, aid BIGINT)")
+    conn.execute("CREATE TABLE oij.b (bts TIMESTAMP, bk BIGINT, bid BIGINT)")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mins(*x):
+        return [base + pd.Timedelta(minutes=i) for i in x]
+
+    conn.insert(pd.DataFrame({"ts": mins(0, 10), "k": [1, 1],
+                              "aid": [1, 2]}),
+                table_name="a", schema_name="oij", force_flush=True)
+    conn.insert(pd.DataFrame({"bts": mins(3), "bk": [1], "bid": [10]}),
+                table_name="b", schema_name="oij", force_flush=True)
+    sel = ("SELECT a.aid AS aid, b.bid AS bid FROM oij.a a "
+           "LEFT JOIN oij.b b ON a.k = b.bk AND b.bts >= a.ts "
+           "AND b.bts <= a.ts + INTERVAL 5 MINUTE")
+    conn.execute(f"CREATE MATERIALIZED VIEW oij.m AS {sel}")
+    st = eng.mvs["oij.m"]
+    assert st.inc_join is not None and st.inc_join["force_retract"]
+
+    def check():
+        assert sorted(
+            conn._dispatch("SELECT * FROM oij.m")[1], key=str
+        ) == sorted(conn._dispatch(sel)[1], key=str)
+        assert st.inc_join is not None
+
+    # existing-key pad flip (the unsound case for the pad rule)
+    conn.insert(pd.DataFrame({"bts": mins(12), "bk": [1], "bid": [11]}),
+                table_name="b", schema_name="oij", force_flush=True)
+    check()
+    # pad resurrection
+    conn.execute("DELETE FROM oij.b WHERE bid = 10")
+    conn.execute("FLUSH")
+    check()
+    # window-moving update
+    conn.execute(
+        "UPDATE oij.a SET ts = TIMESTAMP '2024-01-01 00:09:00' WHERE aid = 1"
+    )
+    conn.execute("FLUSH")
+    check()
+    # both sides in one flush
+    conn.insert(pd.DataFrame({"ts": mins(30), "k": [2], "aid": [3]}),
+                table_name="a", schema_name="oij", force_flush=False)
+    conn.insert(pd.DataFrame({"bts": mins(31), "bk": [2], "bid": [12]}),
+                table_name="b", schema_name="oij", force_flush=True)
+    check()
