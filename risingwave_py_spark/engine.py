@@ -4499,9 +4499,13 @@ class SparkEngine:
 
     # -- N-way plain-join MVs (no aggregate): signed telescoping delta --
 
+    # LEFT is deliberately NOT a blocker: fact-preserving star joins
+    # arm the touched-fact recompute mode (_star_nway_diff). RIGHT and
+    # FULL stay blocked — their preserved side breaks the one-fact-row
+    # output derivation the star argument needs.
     _INCJN_BLOCKERS = re.compile(
         r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|"
-        r"DISTINCT|OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|"
+        r"DISTINCT|OVER|LATERAL|RIGHT|FULL|CROSS|ASOF|"
         r"CURRENT_TIMESTAMP|CURRENT_DATE)\b"
         r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\("
         r"|\(\s*SELECT",
@@ -4509,15 +4513,18 @@ class SparkEngine:
     )
 
     def _parse_join_nway(self, stmt: str) -> dict | None:
-        """Incremental plan for an N-way (>= 3 tables) INNER equi-join
-        MV with NO aggregate — the enrichment/serving view (fact plus
+        """Incremental plan for an N-way (>= 3 tables) equi-join MV
+        with NO aggregate — the enrichment/serving view (fact plus
         several dimensions; the reference's MV surface is arbitrary
         SELECT text, /root/reference/risingwave/core.py:453-455).
         2-table MVs stay on _parse_simple_join (outer-capable).
 
-        Delta rule (ℤ-multiplicity bag algebra — join is bilinear over
-        signed bags, so this is exact for INNER joins under ANY
-        deterministic ON/WHERE predicate, retraction batches included):
+        Two regimes, chosen at parse time:
+
+        ALL-INNER → mode "telescope" (ℤ-multiplicity bag algebra —
+        join is bilinear over signed bags, so this is exact for INNER
+        joins under ANY deterministic ON/WHERE predicate, retraction
+        batches included):
 
             OUT_new − OUT_old = Σᵢ new₀..ᵢ₋₁ ⋈ Δᵢ ⋈ oldᵢ₊₁..ₙ₋₁,
             Δᵢ = Δᵢ⁺ − Δᵢ⁻
@@ -4528,10 +4535,20 @@ class SparkEngine:
         and no key-set reasoning is needed — which is why UPDATE/DELETE
         on any side keeps this plan armed with zero extra machinery.
 
-        SCALE: cost is Σᵢ |Δᵢ| ⋈ partners — empty-delta sides are
-        skipped outright, so the common fact-append flush joins ONE
-        delta against the (broadcastable) dimensions. Equi keys are
-        required per ON so every term stays a hash/broadcast join."""
+        ANY LEFT → mode "star" (fact LEFT JOIN dims — the common
+        enrichment view that keeps facts with missing dims): the
+        bilinear rule breaks on pads, so the refresh recomputes over
+        TOUCHED FACT ROWS instead (_star_nway_diff). Armable only
+        under star discipline — every ON references ONLY the first
+        alias and the dim it binds — because that is what makes each
+        output row derive from exactly one fact row. RIGHT/FULL stay
+        blocked (their preserved side breaks that derivation).
+
+        SCALE: telescope cost is Σᵢ |Δᵢ| ⋈ partners — empty-delta
+        sides are skipped outright, so the common fact-append flush
+        joins ONE delta against the (broadcastable) dimensions; star
+        cost is O(touched fact rows ⋈ key-restricted dims). Equi keys
+        are required per ON so every term stays a hash join."""
         if self._INCJN_BLOCKERS.search(stmt):
             return None
         m = re.match(
@@ -4542,9 +4559,19 @@ class SparkEngine:
         )
         if not m:
             return None
-        segs = re.split(r"\s+(?:INNER\s+)?JOIN\s+", m.group("frm"), flags=re.I)
+        toks = re.split(
+            r"\s+(LEFT(?:\s+OUTER)?\s+JOIN|INNER\s+JOIN|JOIN)\s+",
+            m.group("frm"),
+            flags=re.I,
+        )
+        segs = toks[0::2]
+        hows = [
+            "left" if sep.upper().startswith("LEFT") else "inner"
+            for sep in toks[1::2]
+        ]
         if len(segs) < 3:  # 2-table MVs: _parse_simple_join's territory
             return None
+        star = "left" in hows
         first = self._INCJA_FROM_SEG.match(segs[0])
         if not first:
             return None
@@ -4566,10 +4593,17 @@ class SparkEngine:
         # Same ON discipline as _parse_join_agg: every term is either
         # an equi-condition between two distinct in-scope aliases or a
         # residual the bilinear rule absorbs; each join needs >= 1
-        # equi key (hash join at scale, never a nested loop).
+        # equi key (hash join at scale, never a nested loop). Star
+        # mode tightens the scope to {fact, this dim} — the exactness
+        # argument of _star_nway_diff needs every output row to
+        # derive from one fact row — and records the fact↔dim key
+        # pairs that drive the touched-fact probe.
+        star_keys: list[list[tuple[str, str]]] = []
         for i, on in enumerate(ons):
             in_scope = set(aliases[: i + 2])
+            pair_scope = {aliases[0], aliases[i + 1]}
             equi = 0
+            kp: list[tuple[str, str]] = []
             for term in RW._split_and(on):
                 e = re.match(
                     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term
@@ -4580,15 +4614,24 @@ class SparkEngine:
                     and e.group(1) in in_scope
                     and e.group(3) in in_scope
                 ):
+                    if star:
+                        if {e.group(1), e.group(3)} != pair_scope:
+                            return None
+                        if e.group(1) == aliases[0]:
+                            kp.append((e.group(2), e.group(4)))
+                        else:
+                            kp.append((e.group(4), e.group(2)))
                     equi += 1
                     continue
                 if not self._INCJ_RESIDUAL.match(term):
                     return None
                 refs = re.findall(r"\b(\w+)\.\w+", term)
-                if not refs or any(x not in in_scope for x in refs):
+                scope = pair_scope if star else in_scope
+                if not refs or any(x not in scope for x in refs):
                     return None
             if not equi:
                 return None
+            star_keys.append(kp)
         # SELECT items: qualified refs only (al.col [AS name]) — they
         # rebind cleanly when FROM is rebound to delta/partner views.
         out_names: list[str] = []
@@ -4611,6 +4654,9 @@ class SparkEngine:
         return {
             "sides": sides,  # [(fq, alias), ...] in FROM order
             "ons": ons,  # on-condition for join i (binds sides[i+1])
+            "hows": hows,  # "inner" | "left" per join, FROM order
+            "mode": "star" if star else "telescope",
+            "star_keys": star_keys if star else None,
             "sel": m.group("sel").strip(),
             "where": (m.group("where") or "").strip() or None,
         }
@@ -4619,13 +4665,166 @@ class SparkEngine:
         """Join all N sides' views under their original aliases,
         projecting the MV's own select list."""
         aliases = [al for _, al in plan["sides"]]
+        hows = plan.get("hows") or ["inner"] * len(plan["ons"])
         frm = f"{views[0]} AS {aliases[0]}"
         for i, on in enumerate(plan["ons"]):
-            frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
+            kw = "LEFT JOIN" if hows[i] == "left" else "JOIN"
+            frm += f" {kw} {views[i + 1]} AS {aliases[i + 1]} ON {on}"
         q = f"SELECT {plan['sel']} FROM {frm}"
         if plan["where"]:
             q += f" WHERE {plan['where']}"
         return q
+
+    def _star_nway_diff(
+        self,
+        plan: dict,
+        deltas: list[tuple],
+        tabs: list[DataFrame],
+        tag: str,
+    ) -> tuple[DataFrame | None, DataFrame | None]:
+        """Touched-fact-row bag diff for a STAR N-way join MV carrying
+        LEFT (fact-preserving) terms — the enrichment/serving view
+        `fact LEFT JOIN dim …` that keeps facts with missing dims.
+        The signed telescoping rule is exact only for INNER joins
+        (bilinearity breaks on pads), so star mode recomputes the view
+        restricted to the fact rows this batch can affect and
+        bag-diffs old vs new.
+
+        Exactness: star discipline pins every ON to reference only
+        {fact, that dim}, so each output row — pads included — derives
+        from exactly ONE fact row: its value plus, per dim, the dim
+        rows matching its key tuple. A fact row is TOUCHED iff some
+        dim's delta (insert or retraction) carries its key tuple for
+        that dim, or the row's value appears in the fact delta.
+        Untouched fact rows therefore join identical dim-key
+        partitions before and after the batch — their output rows are
+        unchanged — so the old/new diff over touched fact rows equals
+        the global diff, and netdel ⊆ stored holds for exceptAll.
+        eqNullSafe in the probes over-touches NULL keys (a pad row can
+        never gain a match), which is a sound superset.
+
+        SCALE: the probes are distinct'd delta key tuples hash-joined
+        against the fact — O(|fact| scan, |delta| build side) — and
+        each dim is semi-join-restricted to the touched rows' key
+        tuples before the rejoin, so a one-dim-row update rejoins only
+        the fact rows carrying that key, never fact × dims."""
+        spark = self.spark
+        n = len(tabs)
+        f_ins, f_del, f_hi, f_hd = deltas[0]
+        fact_new = tabs[0]
+        fact_old = fact_new
+        if f_hd:
+            fact_old = fact_old.unionByName(f_del)
+        if f_hi:
+            fact_old = fact_old.exceptAll(f_ins)
+        # (probe df, [(fact col, probe col)], flag col) per delta side
+        probes: list[tuple[DataFrame, list[tuple[str, str]], str]] = []
+        for i in range(1, n):
+            ins, dele, hi, hd = deltas[i]
+            if not hi and not hd:
+                continue
+            kp = plan["star_keys"][i - 1]
+            pairs = [
+                (fc, f"__rw_sp{i}_{j}") for j, (fc, _) in enumerate(kp)
+            ]
+            pr = (
+                ins.unionByName(dele)
+                .select(
+                    *[
+                        F.col(dc).alias(pc)
+                        for (_, pc), (_, dc) in zip(pairs, kp)
+                    ]
+                )
+                .dropDuplicates()
+                .withColumn(f"__rw_st{i}", F.lit(1))
+            )
+            probes.append((pr, pairs, f"__rw_st{i}"))
+        if f_hi or f_hd:
+            fcols = tabs[0].columns
+            dd = f_ins if f_hi else None
+            if f_hd:
+                dd = f_del if dd is None else dd.unionByName(f_del)
+            pairs = [(c, f"__rw_spf_{j}") for j, c in enumerate(fcols)]
+            pr = (
+                dd.select(*[F.col(c).alias(pc) for c, pc in pairs])
+                .dropDuplicates()
+                .withColumn("__rw_stf", F.lit(1))
+            )
+            probes.append((pr, pairs, "__rw_stf"))
+        if not probes:
+            return None, None
+
+        def marked(df: DataFrame) -> DataFrame:
+            # Probe dfs are dropDuplicates'd, so each left join
+            # preserves the fact bag's multiplicities exactly.
+            for pr, pairs, _flag in probes:
+                cond = None
+                for fc, pc in pairs:
+                    e = F.col(fc).eqNullSafe(F.col(pc))
+                    cond = e if cond is None else cond & e
+                df = df.join(pr, cond, "left").drop(
+                    *[pc for _, pc in pairs]
+                )
+            return df
+
+        flags = [flag for _, _, flag in probes]
+        or_cond = None
+        for flag in flags:
+            c = F.col(flag).isNotNull()
+            or_cond = c if or_cond is None else or_cond | c
+        t_new = (
+            marked(fact_new).filter(or_cond).drop(*flags)
+            .localCheckpoint(eager=True)
+        )
+        t_old = (
+            marked(fact_old).filter(or_cond).drop(*flags)
+            .localCheckpoint(eager=True)
+        )
+        key_src = t_new.unionByName(t_old)
+        made: list[str] = []
+
+        def mkview(df: DataFrame, name: str) -> str:
+            df.createOrReplaceTempView(name)
+            made.append(name)
+            return name
+
+        try:
+            vold: list[str] = [mkview(t_old, f"__rw_sn_fo_{tag}")]
+            vnew: list[str] = [mkview(t_new, f"__rw_sn_fn_{tag}")]
+            for i in range(1, n):
+                ins, dele, hi, hd = deltas[i]
+                kp = plan["star_keys"][i - 1]
+                dim_new = tabs[i]
+                dim_old = dim_new
+                if hd:
+                    dim_old = dim_old.unionByName(dele)
+                if hi:
+                    dim_old = dim_old.exceptAll(ins)
+                # Restrict BOTH generations to the touched rows' key
+                # tuples (same probe both sides — the diff argument
+                # needs identical restriction predicates).
+                kprobe = key_src.select(
+                    *[
+                        F.col(fc).alias(f"__rw_sk_{j}")
+                        for j, (fc, _) in enumerate(kp)
+                    ]
+                ).dropDuplicates()
+                cond = None
+                for j, (_, dc) in enumerate(kp):
+                    e = F.col(dc).eqNullSafe(F.col(f"__rw_sk_{j}"))
+                    cond = e if cond is None else cond & e
+                dim_new = dim_new.join(kprobe, cond, "left_semi")
+                dim_old = dim_old.join(kprobe, cond, "left_semi")
+                vold.append(mkview(dim_old, f"__rw_sn_o{i}_{tag}"))
+                vnew.append(mkview(dim_new, f"__rw_sn_n{i}_{tag}"))
+            old_out = spark.sql(self._incjn_stmt(plan, vold))
+            new_out = spark.sql(self._incjn_stmt(plan, vnew))
+            netdel = old_out.exceptAll(new_out).localCheckpoint(eager=True)
+            netins = new_out.exceptAll(old_out).localCheckpoint(eager=True)
+        finally:
+            for v in made:
+                spark.catalog.dropTempView(v)
+        return netins, netdel
 
     def _refresh_incremental_join_nway(self, state: MVState) -> bool:
         """Signed telescoping refresh for an N-way plain-join MV —
@@ -4678,6 +4877,10 @@ class SparkEngine:
             tabs.append(spark.table(b))
         n = len(tabs)
         tag = "_".join(_split_fq(fq))
+        if plan.get("mode") == "star":
+            netins, netdel = self._star_nway_diff(plan, deltas, tabs, tag)
+            state.last_epoch = m1
+            return self._publish_nway_net(state, netins, netdel)
         pos: list[DataFrame] = []
         neg: list[DataFrame] = []
         made: list[str] = []
@@ -4739,6 +4942,20 @@ class SparkEngine:
         else:
             self.next_epoch()
             return True
+        return self._publish_nway_net(state, netins, netdel)
+
+    def _publish_nway_net(
+        self,
+        state: MVState,
+        netins: DataFrame | None,
+        netdel: DataFrame | None,
+    ) -> bool:
+        """Publish a net Insert/Delete bag delta for an N-way join MV:
+        changelog append + stored-table append (delete-free batch) or
+        stage-and-swap, one epoch either way (the engine's
+        one-epoch-per-refresh invariant)."""
+        spark = self.spark
+        fq = state.fq
         ins_empty = netins is None or netins.isEmpty()
         del_empty = netdel is None or netdel.isEmpty()
         if ins_empty and del_empty:

@@ -2317,3 +2317,91 @@ def outer_interval_join_inc_mv_scenario(
     return spark.createDataFrame(
         rows, "imp_id bigint, ts timestamp, clk_id bigint, cts timestamp"
     )
+
+
+@register(
+    "star_left_join_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST('carol' AS VARCHAR),
+         CAST(NULL AS VARCHAR)),
+        (3, 7, NULL, NULL),
+        (4, 8, 'carol', 'gizmo')
+    ) AS t(ok, qty, cname, pname) ORDER BY ok
+    """,
+)
+def star_left_join_inc_mv_scenario(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-12: N-way LEFT-join enrichment MVs stay incremental — the
+    fact LEFT JOIN dims serving view (facts kept when dims are
+    missing) arms the STAR touched-fact-recompute mode: every ON binds
+    only {fact, that dim}, so each output row derives from exactly one
+    fact row, and restricting the old/new evaluation to fact rows
+    touched by the batch (dim-key probes + fact-delta values) yields
+    an exact bag diff — the telescoping rule alone cannot maintain
+    pads. Legs: late dim arrival (pad flip under an existing fact),
+    all-dims-missing fact append, dim UPDATE rippling to several fact
+    rows, dim DELETE resurrecting pads, fact join-key UPDATE, fact
+    DELETE, and a multi-side flush."""
+    conn, eng = _fresh_conn(spark, "rwdemo_sn")
+    conn.execute(
+        "CREATE TABLE rwdemo_sn.f (ok BIGINT, ck BIGINT, pk BIGINT, "
+        "qty BIGINT)"
+    )
+    conn.execute("CREATE TABLE rwdemo_sn.c (ck BIGINT, cname STRING)")
+    conn.execute("CREATE TABLE rwdemo_sn.p (pk BIGINT, pname STRING)")
+    conn.insert(pd.DataFrame({"ok": [1, 2, 3], "ck": [10, 10, 99],
+                              "pk": [100, 200, 100], "qty": [5, 6, 7]}),
+                table_name="f", schema_name="rwdemo_sn", force_flush=True)
+    conn.insert(pd.DataFrame({"ck": [10], "cname": ["alice"]}),
+                table_name="c", schema_name="rwdemo_sn", force_flush=True)
+    conn.insert(pd.DataFrame({"pk": [100], "pname": ["widget"]}),
+                table_name="p", schema_name="rwdemo_sn", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_sn.m AS "
+        "SELECT f.ok AS ok, f.qty AS qty, c.cname AS cname, "
+        "p.pname AS pname FROM rwdemo_sn.f f "
+        "LEFT JOIN rwdemo_sn.c c ON f.ck = c.ck "
+        "LEFT JOIN rwdemo_sn.p p ON f.pk = p.pk"
+    )
+    st = eng.mvs["rwdemo_sn.m"]
+    assert st.inc_join_nway is not None and (
+        st.inc_join_nway["mode"] == "star"
+    ), "LEFT-join enrichment MV must arm the star N-way plan"
+    # late dim arrival: ok=2's pname pad flips under an existing fact
+    conn.insert(pd.DataFrame({"pk": [200], "pname": ["gadget"]}),
+                table_name="p", schema_name="rwdemo_sn", force_flush=True)
+    assert st.inc_join_nway is not None, "pad-flip leg demoted the MV"
+    # fact append with BOTH dims missing: a double-pad row
+    conn.insert(pd.DataFrame({"ok": [4], "ck": [50], "pk": [300],
+                              "qty": [8]}),
+                table_name="f", schema_name="rwdemo_sn", force_flush=True)
+    # dim UPDATE ripples to every fact row carrying ck=10
+    conn.execute("UPDATE rwdemo_sn.c SET cname = 'alicia' WHERE ck = 10")
+    conn.execute("FLUSH")
+    # dim DELETE: pname pads resurrect on ok=1 and ok=3
+    conn.execute("DELETE FROM rwdemo_sn.p WHERE pk = 100")
+    conn.execute("FLUSH")
+    # fact join-key UPDATE: ok=1 moves from ck=10 to ck=50
+    conn.execute("UPDATE rwdemo_sn.f SET ck = 50 WHERE ok = 1")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_sn.f WHERE ok = 2")
+    conn.execute("FLUSH")
+    assert st.inc_join_nway is not None, "DML demoted the star MV"
+    # multi-side flush: carol fills ok=1/ok=4 cname pads, gizmo fills
+    # ok=4's pname pad — one batch, two delta sides
+    conn.insert(pd.DataFrame({"ck": [50], "cname": ["carol"]}),
+                table_name="c", schema_name="rwdemo_sn", force_flush=False)
+    conn.insert(pd.DataFrame({"pk": [300], "pname": ["gizmo"]}),
+                table_name="p", schema_name="rwdemo_sn", force_flush=True)
+    assert st.inc_join_nway is not None, "multi-side flush demoted the MV"
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_sn.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT ok, qty, cname, pname FROM rwdemo_sn.m ORDER BY ok"
+    )
+    return spark.createDataFrame(
+        rows, "ok bigint, qty bigint, cname string, pname string"
+    )

@@ -1664,3 +1664,102 @@ def test_outer_interval_join_mv_matches_recompute(spark):
     conn.insert(pd.DataFrame({"bts": mins(31), "bk": [2], "bid": [12]}),
                 table_name="b", schema_name="oij", force_flush=True)
     check()
+
+
+def test_star_left_nway_join_mv_matches_recompute(spark):
+    """fact LEFT JOIN dim LEFT JOIN dim arms the star touched-fact
+    mode and matches a recompute through pad flips, dim updates/
+    deletes, fact key moves, and multi-side flushes; non-star shapes
+    (RIGHT, snowflake LEFT) refuse; all-INNER keeps telescoping."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS snw CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/snw.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="snw")
+    conn = RisingWaveConnection(eng)
+    conn.execute(
+        "CREATE TABLE snw.f (ok BIGINT, ck BIGINT, pk BIGINT, qty BIGINT)"
+    )
+    conn.execute("CREATE TABLE snw.c (ck BIGINT, cname STRING)")
+    conn.execute("CREATE TABLE snw.p (pk BIGINT, pname STRING)")
+    conn.insert(pd.DataFrame({"ok": [1, 2, 3], "ck": [10, 10, 99],
+                              "pk": [100, 200, 100], "qty": [5, 6, 7]}),
+                table_name="f", schema_name="snw", force_flush=True)
+    conn.insert(pd.DataFrame({"ck": [10], "cname": ["alice"]}),
+                table_name="c", schema_name="snw", force_flush=True)
+    conn.insert(pd.DataFrame({"pk": [100], "pname": ["widget"]}),
+                table_name="p", schema_name="snw", force_flush=True)
+    sel = ("SELECT f.ok AS ok, f.qty AS qty, c.cname AS cname, "
+           "p.pname AS pname FROM snw.f f "
+           "LEFT JOIN snw.c c ON f.ck = c.ck "
+           "LEFT JOIN snw.p p ON f.pk = p.pk")
+    conn.execute(f"CREATE MATERIALIZED VIEW snw.m AS {sel}")
+    st = eng.mvs["snw.m"]
+    assert st.inc_join_nway is not None
+    assert st.inc_join_nway["mode"] == "star"
+    assert st.inc_join_nway["star_keys"] == [[("ck", "ck")], [("pk", "pk")]]
+
+    def check():
+        assert sorted(
+            conn._dispatch("SELECT * FROM snw.m")[1], key=str
+        ) == sorted(conn._dispatch(sel)[1], key=str)
+        assert st.inc_join_nway is not None
+
+    # late dim arrival: pad flip under an existing fact row
+    conn.insert(pd.DataFrame({"pk": [200], "pname": ["gadget"]}),
+                table_name="p", schema_name="snw", force_flush=True)
+    check()
+    # dim UPDATE ripples to two fact rows
+    conn.execute("UPDATE snw.c SET cname = 'alicia' WHERE ck = 10")
+    conn.execute("FLUSH")
+    check()
+    # dim DELETE: pads resurrect
+    conn.execute("DELETE FROM snw.p WHERE pk = 100")
+    conn.execute("FLUSH")
+    check()
+    # fact join-key UPDATE
+    conn.execute("UPDATE snw.f SET ck = 50 WHERE ok = 1")
+    conn.execute("FLUSH")
+    check()
+    # multi-side flush: fact + both dims in one batch
+    conn.insert(pd.DataFrame({"ok": [5], "ck": [50], "pk": [400],
+                              "qty": [9]}),
+                table_name="f", schema_name="snw", force_flush=False)
+    conn.insert(pd.DataFrame({"ck": [50], "cname": ["carol"]}),
+                table_name="c", schema_name="snw", force_flush=False)
+    conn.insert(pd.DataFrame({"pk": [400], "pname": ["gizmo"]}),
+                table_name="p", schema_name="snw", force_flush=True)
+    check()
+    conn.execute("DELETE FROM snw.f WHERE ok = 2")
+    conn.execute("FLUSH")
+    check()
+
+    # guards: RIGHT and snowflake LEFT (dim-to-dim ON) must not arm
+    conn.execute(
+        "CREATE MATERIALIZED VIEW snw.mr AS SELECT f.ok AS ok, "
+        "c.cname AS cname, p.pname AS pname FROM snw.f f "
+        "RIGHT JOIN snw.c c ON f.ck = c.ck JOIN snw.p p ON f.pk = p.pk"
+    )
+    assert eng.mvs["snw.mr"].inc_join_nway is None
+    conn.execute(
+        "CREATE TABLE snw.d (ck BIGINT, region STRING)"
+    )
+    conn.execute(
+        "CREATE MATERIALIZED VIEW snw.ms AS SELECT f.ok AS ok, "
+        "c.cname AS cname, d.region AS region FROM snw.f f "
+        "LEFT JOIN snw.c c ON f.ck = c.ck "
+        "LEFT JOIN snw.d d ON c.ck = d.ck"
+    )
+    assert eng.mvs["snw.ms"].inc_join_nway is None
+    # all-INNER keeps the cheaper telescoping mode
+    conn.execute(
+        "CREATE MATERIALIZED VIEW snw.mt AS SELECT f.ok AS ok, "
+        "c.cname AS cname FROM snw.f f JOIN snw.c c ON f.ck = c.ck "
+        "JOIN snw.p p ON f.pk = p.pk"
+    )
+    assert eng.mvs["snw.mt"].inc_join_nway is not None
+    assert eng.mvs["snw.mt"].inc_join_nway["mode"] == "telescope"
