@@ -100,6 +100,11 @@ class MVState:
         # Incremental plan for SESSION-window MVs: per-key touched-span
         # recompute + bag diff; None → snapshot-diff.
         self.inc_session: dict | None = None
+        # Incremental plan for UNION ALL MVs (consolidation views):
+        # bag sum is LINEAR, so Δout = Σ branchᵢ(Δᵢ⁺) − Σ branchᵢ(Δᵢ⁻)
+        # exactly, per-branch projections/filters applied to each
+        # branch's own delta; None → snapshot-diff.
+        self.inc_union: dict | None = None
         # Incremental plan for (grouped) Top-N MVs — row_number()
         # over a derived table, outer rank filter; None → snapshot-diff.
         self.inc_topn: dict | None = None
@@ -4993,6 +4998,197 @@ class SparkEngine:
             spark.catalog.refreshTable(fq)
         return True
 
+    # -- UNION ALL MVs: linear bag-sum delta ----------------------------
+
+    _INCU_BLOCKERS = re.compile(
+        r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|JOIN|OVER|LATERAL"
+        r"|DISTINCT|INTERSECT|EXCEPT|TUMBLE|HOP|SESSION_WINDOW"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE)\b"
+        r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\("
+        r"|\(\s*SELECT",
+        re.I,
+    )
+    _INCU_BRANCH = re.compile(
+        r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        re.I | re.S,
+    )
+
+    def _parse_union_all(self, stmt: str) -> dict | None:
+        """Incremental plan for a UNION ALL MV — the consolidation
+        view stacking per-source SELECTs (the reference's MV surface
+        is arbitrary SELECT text,
+        /root/reference/risingwave/core.py:453-455). Bag sum is
+        LINEAR: Δout = Σᵢ branchᵢ(Δᵢ⁺) − Σᵢ branchᵢ(Δᵢ⁻), each
+        branch's own projection/filter applied to that branch's delta
+        — exact under arbitrary DML with no touched-key machinery,
+        and branches over the SAME table (the poor man's CASE) just
+        contribute two terms over one delta.
+
+        Armable: every branch is SELECT <deterministic exprs> FROM
+        <one engine table> [WHERE <pred>] — no joins, aggregates,
+        windows, set-ops beyond the top-level UNION ALL, or volatile
+        functions. Aggregates are rejected structurally (the analyzed
+        plan must contain no Aggregate/Window node), not just by
+        name-list, so an exotic implicit-global-agg branch can never
+        arm wrongly. Plain UNION (distinct) stays on snapshot-diff —
+        its dedup needs multiplicity counts.
+
+        SCALE: O(Σ|Δᵢ|) per refresh; each branch term is a pushed
+        projection+filter over a delta scan, no shuffle at all."""
+        if re.search(r"\bUNION\s+(?!ALL\b)", stmt, re.I):
+            return None  # plain UNION / UNION DISTINCT: bag dedup
+        parts = re.split(r"\bUNION\s+ALL\b", stmt, flags=re.I)
+        if len(parts) < 2:
+            return None
+        branches: list[dict] = []
+        for part in parts:
+            if self._INCU_BLOCKERS.search(part):
+                return None
+            bm = self._INCU_BRANCH.match(part)
+            if not bm:
+                return None
+            tbl = bm.group("tbl")
+            alias = bm.group("alias") or tbl.split(".")[-1]
+            if alias.upper() in self._RESERVED_ALIASES or alias.upper() in (
+                "UNION", "ALL", "SELECT", "FROM"
+            ):
+                return None
+            branches.append(
+                {
+                    "sel": bm.group("sel").strip(),
+                    "tbl_fq": self.qualify(tbl),
+                    "alias": alias,
+                    "where": (bm.group("where") or "").strip() or None,
+                }
+            )
+        ncols = None
+        for br in branches:
+            # Structural aggregate/window rejection: analyze the branch
+            # over its real table (arming sites guarantee it exists) —
+            # analysis only, nothing executes.
+            try:
+                df = self.spark.sql(
+                    self._incu_branch_stmt(br, br["tbl_fq"])
+                )
+                plan_str = df._jdf.queryExecution().analyzed().toString()
+            except Exception:
+                return None
+            if "Aggregate" in plan_str or "Window" in plan_str:
+                return None
+            if ncols is None:
+                ncols = len(df.columns)
+            elif len(df.columns) != ncols:
+                return None
+        return {"branches": branches}
+
+    def _incu_branch_stmt(self, br: dict, view: str) -> str:
+        """One branch's SELECT with FROM rebound to ``view`` under the
+        branch's original alias (or the table's bare name, so
+        table-qualified refs keep resolving)."""
+        q = f"SELECT {br['sel']} FROM {view} AS {br['alias']}"
+        if br["where"]:
+            q += f" WHERE {br['where']}"
+        return q
+
+    def _refresh_incremental_union(self, state: MVState) -> bool:
+        """Linear bag-sum refresh for a UNION ALL MV. The publish lock
+        is held for the whole refresh (re-entrant) — same consistency
+        contract as the join paths."""
+        with self._lock:
+            return self._refresh_incremental_union_locked(state)
+
+    def _refresh_incremental_union_locked(self, state: MVState) -> bool:
+        plan = state.inc_union
+        spark = self.spark
+        fq = state.fq
+        last = state.last_epoch
+        fqs = sorted({br["tbl_fq"] for br in plan["branches"]})
+        cls = {b: self.changelog_name(b) for b in fqs}
+        if any(self.vacuum_floor.get(cl, 0) > last for cl in cls.values()):
+            state.inc_union = None  # unconsumed epochs vacuumed
+            return False
+        m1 = max(
+            self._changelog_max_epoch(cl) or 0 for cl in cls.values()
+        )
+        if m1 <= last:
+            self.next_epoch()
+            return True
+        deltas: dict[str, tuple] = {}
+        for b, cl in cls.items():
+            spark.catalog.refreshTable(cl)
+            d = (
+                spark.table(cl)
+                .filter(
+                    (F.col("rw_timestamp") > last)
+                    & (F.col("rw_timestamp") <= m1)
+                )
+                .localCheckpoint(eager=True)
+            )
+            ins = d.filter(
+                F.col("op").isin(OP_INSERT, OP_UPDATE_INSERT)
+            ).drop("op", "rw_timestamp")
+            dele = d.filter(
+                F.col("op").isin(OP_DELETE, OP_UPDATE_DELETE)
+            ).drop("op", "rw_timestamp")
+            deltas[b] = (ins, dele, not ins.isEmpty(), not dele.isEmpty())
+        out_cols = spark.table(fq).columns
+        tag = "_".join(_split_fq(fq))
+        pos: list[DataFrame] = []
+        neg: list[DataFrame] = []
+        made: list[str] = []
+        try:
+            for bi, (b, (ins, dele, has_i, has_d)) in enumerate(
+                deltas.items()
+            ):
+                if has_i:
+                    v = f"__rw_u_p{bi}_{tag}"
+                    ins.createOrReplaceTempView(v)
+                    made.append(v)
+                if has_d:
+                    v = f"__rw_u_n{bi}_{tag}"
+                    dele.createOrReplaceTempView(v)
+                    made.append(v)
+            for br in plan["branches"]:
+                bi = list(deltas).index(br["tbl_fq"])
+                _, _, has_i, has_d = deltas[br["tbl_fq"]]
+                if has_i:
+                    pos.append(
+                        spark.sql(
+                            self._incu_branch_stmt(br, f"__rw_u_p{bi}_{tag}")
+                        ).toDF(*out_cols)
+                    )
+                if has_d:
+                    neg.append(
+                        spark.sql(
+                            self._incu_branch_stmt(br, f"__rw_u_n{bi}_{tag}")
+                        ).toDF(*out_cols)
+                    )
+            P = pos[0] if pos else None
+            for p in pos[1:]:
+                P = P.unionByName(p)
+            Ng = neg[0] if neg else None
+            for q_ in neg[1:]:
+                Ng = Ng.unionByName(q_)
+            if P is not None and Ng is not None:
+                netins = P.exceptAll(Ng).localCheckpoint(eager=True)
+                netdel = Ng.exceptAll(P).localCheckpoint(eager=True)
+            elif P is not None:
+                netins = P.localCheckpoint(eager=True)
+                netdel = None
+            elif Ng is not None:
+                netins, netdel = None, Ng.localCheckpoint(eager=True)
+            else:
+                state.last_epoch = m1
+                self.next_epoch()
+                return True
+        finally:
+            for v in made:
+                spark.catalog.dropTempView(v)
+        state.last_epoch = m1
+        return self._publish_nway_net(state, netins, netdel)
+
     def create_mv(
         self,
         name: str,
@@ -5171,6 +5367,44 @@ class SparkEngine:
                 snap_s = self.spark.table(
                     incs["base_fq"]
                 ).localCheckpoint(eager=True)
+        incu = None
+        if (
+            inc is None and direct is None and inctop is None
+            and incj is None and incja is None and incjn is None
+            and incs is None and not emit_on_close
+        ):
+            incu = self._parse_union_all(rewritten)
+            if incu is not None:
+                for br in incu["branches"]:
+                    if (
+                        br["tbl_fq"] in self.upsert_meta
+                        or not self.spark.catalog.tableExists(
+                            self.changelog_name(br["tbl_fq"])
+                        )
+                    ):
+                        incu = None
+                        break
+        m0u = 0
+        snaps_u: dict[str, DataFrame] = {}
+        if incu is not None:
+            ufqs = sorted({br["tbl_fq"] for br in incu["branches"]})
+            with self._lock:
+                ucls = [self.changelog_name(b) for b in ufqs]
+                for cl in ucls:
+                    self.spark.catalog.refreshTable(cl)
+                m0u = max(
+                    max(
+                        self.spark.table(cl)
+                        .agg(F.max("rw_timestamp")).first()[0] or 0,
+                        self.vacuum_floor.get(cl, 0),
+                    )
+                    for cl in ucls
+                )
+                for b in ufqs:
+                    self.spark.catalog.refreshTable(b)
+                    snaps_u[b] = self.spark.table(b).localCheckpoint(
+                        eager=True
+                    )
         if incj is not None:
             cla = self.changelog_name(incj["a_fq"])
             clb = self.changelog_name(incj["b_fq"])
@@ -5242,6 +5476,21 @@ class SparkEngine:
             base_view = "__rw_sess_base_" + "_".join(_split_fq(fq))
             snap_s.createOrReplaceTempView(base_view)
             df = self.spark.sql(self._sess_stmt(incs, base_view))
+        elif incu is not None:
+            tag = "_".join(_split_fq(fq))
+            join_views = []
+            uview = {}
+            for i, (b, sn) in enumerate(sorted(snaps_u.items())):
+                v = f"__rw_incu_s{i}0_{tag}"
+                sn.createOrReplaceTempView(v)
+                join_views.append(v)
+                uview[b] = v
+            df = self.spark.sql(
+                " UNION ALL ".join(
+                    self._incu_branch_stmt(br, uview[br["tbl_fq"]])
+                    for br in incu["branches"]
+                )
+            )
         elif incj is not None or incja is not None or incjn is not None:
             tag = "_".join(_split_fq(fq))
             join_views = []
@@ -5323,6 +5572,11 @@ class SparkEngine:
             # same vocabulary the snapshot-diff fallback uses for it
             state.inc_session = incs
             state.last_epoch = m0s
+        elif incu is not None:
+            # UNION ALL MV: bag emission (net Insert/Delete), linear
+            # delta — no key_cols contract to satisfy
+            state.inc_union = incu
+            state.last_epoch = m0u
         if direct is not None and (
             not state.key_cols or set(state.key_cols) == set(direct["keys"])
         ):
@@ -6936,9 +7190,56 @@ class SparkEngine:
             if (incj is not None or incja is not None)
             else self._parse_join_nway(stmt)
         )
+        incu = None
         if incj is None and incja is None and incjn is None:
+            incu = self._parse_union_all(stmt)
+        if incj is None and incja is None and incjn is None and incu is None:
             state.fastpath_blocked = True
             return None
+        if incu is not None:
+            ufqs = sorted({br["tbl_fq"] for br in incu["branches"]})
+            if any(b in self.upsert_meta for b in ufqs):
+                state.fastpath_blocked = True
+                return None
+            ucls = [self.changelog_name(b) for b in ufqs]
+            if not all(spark.catalog.tableExists(cl) for cl in ucls):
+                return None  # may appear after the first inserts
+            with self._lock:
+                for cl in ucls:
+                    spark.catalog.refreshTable(cl)
+                m0u = max(
+                    max(
+                        spark.table(cl).agg(F.max("rw_timestamp"))
+                        .first()[0] or 0,
+                        self.vacuum_floor.get(cl, 0),
+                    )
+                    for cl in ucls
+                )
+                usnaps = {}
+                for b in ufqs:
+                    spark.catalog.refreshTable(b)
+                    usnaps[b] = spark.table(b).localCheckpoint(eager=True)
+            uviews = {}
+            for i, (b, sn) in enumerate(sorted(usnaps.items())):
+                v = f"__rw_rearm_u{i}_{tag}"
+                sn.createOrReplaceTempView(v)
+                uviews[b] = v
+            try:
+                df = spark.sql(
+                    " UNION ALL ".join(
+                        self._incu_branch_stmt(br, uviews[br["tbl_fq"]])
+                        for br in incu["branches"]
+                    )
+                ).localCheckpoint(eager=True)
+            finally:
+                for v in uviews.values():
+                    spark.catalog.dropTempView(v)
+
+            def finalize_union():
+                state.inc_union = incu
+                state.last_epoch = m0u
+
+            return df, finalize_union
         if incj is not None:
             bases = [incj["a_fq"], incj["b_fq"]]
         else:
@@ -7116,6 +7417,18 @@ class SparkEngine:
                 )
                 state.inc_session = None
                 state.fastpath_blocked = True
+        if state.inc_union is not None:
+            try:
+                if self._refresh_incremental_union(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental UNION ALL refresh of %s failed; "
+                    "demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_union = None
+                state.fastpath_blocked = True
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
@@ -7133,6 +7446,7 @@ class SparkEngine:
             and state.inc_joinagg is None
             and state.inc_join_nway is None
             and state.inc_session is None
+            and state.inc_union is None
         ):
             try:
                 rearm = self._prepare_fastpath_rearm(state)

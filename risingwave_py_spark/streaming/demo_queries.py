@@ -2405,3 +2405,81 @@ def star_left_join_inc_mv_scenario(
     return spark.createDataFrame(
         rows, "ok bigint, qty bigint, cname string, pname string"
     )
+
+
+@register(
+    "union_all_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(25 AS BIGINT), CAST('web' AS VARCHAR)),
+        (1, 50, 'web2x'),
+        (2, 20, 'web'),
+        (2, 40, 'web2x'),
+        (4, 40, 'web'),
+        (4, 80, 'web2x'),
+        (6, 60, 'store'),
+        (7, 70, 'web'),
+        (7, 140, 'web2x')
+    ) AS t(uid, amount, src) ORDER BY uid, amount
+    """,
+)
+def union_all_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: UNION ALL MVs stay incremental — the consolidation
+    view stacking per-source SELECTs arms the linear bag-sum plan
+    (Δout = Σ branchᵢ(Δᵢ⁺) − Σ branchᵢ(Δᵢ⁻); each branch's own
+    projection/filter runs over that branch's delta only — exact
+    under arbitrary DML, branches over the SAME table included).
+    Legs: an append hitting two branches of one table, a
+    filtered-out append (no output change), an UPDATE crossing a
+    branch filter, a source DELETE, and a multi-side flush. Plain
+    UNION (distinct) and aggregate branches refuse (structural
+    analyzer check, not a name list)."""
+    conn, eng = _fresh_conn(spark, "rwdemo_un")
+    conn.execute(
+        "CREATE TABLE rwdemo_un.web (uid BIGINT, amt BIGINT, page STRING)"
+    )
+    conn.execute("CREATE TABLE rwdemo_un.store (uid BIGINT, amount BIGINT)")
+    conn.insert(pd.DataFrame({"uid": [1, 2], "amt": [10, 20],
+                              "page": ["a", "b"]}),
+                table_name="web", schema_name="rwdemo_un", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [3], "amount": [30]}),
+                table_name="store", schema_name="rwdemo_un",
+                force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_un.m AS "
+        "SELECT uid AS uid, amt AS amount, 'web' AS src FROM rwdemo_un.web "
+        "WHERE amt > 5 "
+        "UNION ALL SELECT uid, amount, 'store' FROM rwdemo_un.store "
+        "UNION ALL SELECT uid, amt * 2, 'web2x' FROM rwdemo_un.web "
+        "WHERE amt >= 20"
+    )
+    st = eng.mvs["rwdemo_un.m"]
+    assert st.inc_union is not None, "UNION ALL MV must arm the linear plan"
+    # append hitting both web branches in one delta
+    conn.insert(pd.DataFrame({"uid": [4], "amt": [40], "page": ["c"]}),
+                table_name="web", schema_name="rwdemo_un", force_flush=True)
+    # filtered out everywhere: no output change, still incremental
+    conn.insert(pd.DataFrame({"uid": [5], "amt": [3], "page": ["d"]}),
+                table_name="web", schema_name="rwdemo_un", force_flush=True)
+    # UPDATE crossing the second branch's filter (10 → 25)
+    conn.execute("UPDATE rwdemo_un.web SET amt = 25 WHERE uid = 1")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_un.store WHERE uid = 3")
+    conn.execute("FLUSH")
+    assert st.inc_union is not None, "DML demoted the UNION ALL MV"
+    # multi-side flush
+    conn.insert(pd.DataFrame({"uid": [6], "amount": [60]}),
+                table_name="store", schema_name="rwdemo_un",
+                force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [7], "amt": [70], "page": ["e"]}),
+                table_name="web", schema_name="rwdemo_un", force_flush=True)
+    assert st.inc_union is not None, "multi-side flush demoted the MV"
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_un.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT uid, amount, src FROM rwdemo_un.m ORDER BY uid, amount"
+    )
+    return spark.createDataFrame(
+        rows, "uid bigint, amount bigint, src string"
+    )

@@ -1763,3 +1763,87 @@ def test_star_left_nway_join_mv_matches_recompute(spark):
     )
     assert eng.mvs["snw.mt"].inc_join_nway is not None
     assert eng.mvs["snw.mt"].inc_join_nway["mode"] == "telescope"
+
+
+def test_union_all_mv_matches_recompute(spark):
+    """UNION ALL MVs arm the linear bag-sum plan and match a recompute
+    through appends, filter-crossing updates, deletes, multi-side
+    flushes, and an engine restart; plain UNION and aggregate branches
+    (structurally detected) refuse."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS unm CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/unm.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="unm")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE unm.web (uid BIGINT, amt BIGINT)")
+    conn.execute("CREATE TABLE unm.store (uid BIGINT, amount BIGINT)")
+    conn.insert(pd.DataFrame({"uid": [1, 2], "amt": [10, 20]}),
+                table_name="web", schema_name="unm", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [3], "amount": [30]}),
+                table_name="store", schema_name="unm", force_flush=True)
+    sel = ("SELECT uid AS uid, amt AS amount, 'web' AS src FROM unm.web "
+           "WHERE amt > 5 "
+           "UNION ALL SELECT uid, amount, 'store' FROM unm.store "
+           "UNION ALL SELECT uid, amt * 2, 'web2x' FROM unm.web "
+           "WHERE amt >= 20")
+    conn.execute(f"CREATE MATERIALIZED VIEW unm.m AS {sel}")
+    st = eng.mvs["unm.m"]
+    assert st.inc_union is not None
+    assert len(st.inc_union["branches"]) == 3
+
+    def check(c=conn, s=None):
+        s = s or eng.mvs["unm.m"]
+        assert sorted(
+            c._dispatch("SELECT * FROM unm.m")[1], key=str
+        ) == sorted(c._dispatch(sel)[1], key=str)
+        assert s.inc_union is not None
+
+    conn.insert(pd.DataFrame({"uid": [4], "amt": [40]}),
+                table_name="web", schema_name="unm", force_flush=True)
+    check()
+    # filtered out by every branch: output unchanged
+    conn.insert(pd.DataFrame({"uid": [5], "amt": [3]}),
+                table_name="web", schema_name="unm", force_flush=True)
+    check()
+    conn.execute("UPDATE unm.web SET amt = 25 WHERE uid = 1")
+    conn.execute("FLUSH")
+    check()
+    conn.execute("DELETE FROM unm.store WHERE uid = 3")
+    conn.execute("FLUSH")
+    check()
+    conn.insert(pd.DataFrame({"uid": [6], "amount": [60]}),
+                table_name="store", schema_name="unm", force_flush=False)
+    conn.insert(pd.DataFrame({"uid": [7], "amt": [70]}),
+                table_name="web", schema_name="unm", force_flush=True)
+    check()
+
+    # restart: restores as None, re-arms at the first refresh
+    eng2 = SparkEngine(spark=spark, default_schema="unm")
+    conn2 = RisingWaveConnection(eng2)
+    st2 = eng2.mvs["unm.m"]
+    assert st2.inc_union is None
+    conn2.insert(pd.DataFrame({"uid": [8], "amt": [80]}),
+                 table_name="web", schema_name="unm", force_flush=True)
+    assert st2.inc_union is not None
+    check(conn2, st2)
+    conn2.execute("DELETE FROM unm.web WHERE uid = 8")
+    conn2.execute("FLUSH")
+    check(conn2, st2)
+
+    # guards
+    conn2.execute(
+        "CREATE MATERIALIZED VIEW unm.md AS SELECT uid AS u FROM unm.web "
+        "UNION SELECT uid FROM unm.store"
+    )
+    assert eng2.mvs["unm.md"].inc_union is None
+    conn2.execute(
+        "CREATE MATERIALIZED VIEW unm.mg AS "
+        "SELECT regr_count(uid, amt) AS u FROM unm.web "
+        "UNION ALL SELECT uid FROM unm.store"
+    )
+    assert eng2.mvs["unm.mg"].inc_union is None
