@@ -6037,9 +6037,13 @@ class SparkEngine:
     # appear — its groups are re-aggregated wholesale, never merged —
     # so only volatiles, order-dependent/sketch aggregates, and
     # non-INNER/shape-breaking constructs stay blocked.
+    # LEFT is deliberately NOT a blocker: fact-preserving LEFT joins
+    # arm the recompute-only regime when every GROUP BY key comes from
+    # the preserved first side (see _parse_join_agg). RIGHT/FULL stay
+    # blocked — their pad side breaks the preserved-side key rule.
     _INCJA_RC_BLOCKERS = re.compile(
         r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT|"
-        r"OVER|LATERAL|LEFT|RIGHT|FULL|CROSS|ASOF|"
+        r"OVER|LATERAL|RIGHT|FULL|CROSS|ASOF|"
         r"PERCENTILE_APPROX|APPROX_\w+|COLLECT_\w+|ARRAY_AGG|STRING_AGG|"
         r"LISTAGG|FIRST|LAST|ANY_VALUE|"
         r"CURRENT_TIMESTAMP|CURRENT_DATE|NOW|RAND|RANDOM|UUID|"
@@ -6088,9 +6092,19 @@ class SparkEngine:
         )
         if not m:
             return None
-        segs = re.split(r"\s+(?:INNER\s+)?JOIN\s+", m.group("frm"), flags=re.I)
+        toks = re.split(
+            r"\s+(LEFT(?:\s+OUTER)?\s+JOIN|INNER\s+JOIN|JOIN)\s+",
+            m.group("frm"),
+            flags=re.I,
+        )
+        segs = toks[0::2]
+        hows = [
+            "left" if sep.upper().startswith("LEFT") else "inner"
+            for sep in toks[1::2]
+        ]
         if len(segs) < 2:
             return None
+        any_left = "left" in hows
         first = self._INCJA_FROM_SEG.match(segs[0])
         if not first:
             return None
@@ -6270,6 +6284,31 @@ class SparkEngine:
             or len(set(kinds) & set(keys)) > 0
         ):
             return None
+        if any_left:
+            # LEFT join+agg (the counts-including-zero reporting view,
+            # e.g. dim LEFT JOIN fact GROUP BY dim keys): sound only on
+            # the recompute regime — a partner-side insert can flip a
+            # pad with no retraction for the merge rule to see — and
+            # only when every GROUP BY key derives from the PRESERVED
+            # first side: a padded-side key would send a retracted pad
+            # row to a different (NULL-keyed) group than its
+            # replacement, and the touched-key derivation below maps
+            # deltas to groups through the preserved side.
+            recompute_only = True
+            foreign = {
+                flat(al, col) for al, col in refs if al != aliases[0]
+            }
+            for fc, _out in key_map:
+                src = fc
+                for e, a in derive_items:
+                    if a == fc:
+                        src = e
+                        break
+                if any(
+                    re.search(rf"\b{re.escape(f)}\b", src)
+                    for f in foreign
+                ):
+                    return None
         join_proj = ", ".join(
             f"{al}.{col} AS {flat(al, col)}" for al, col in sorted(refs)
         )
@@ -6283,6 +6322,7 @@ class SparkEngine:
         return {
             "sides": sides,  # [(fq, alias), ...] in FROM order
             "ons": ons,  # on-condition for join i (binds sides[i+1])
+            "hows": hows,  # "inner" | "left" per join, FROM order
             "join_proj": join_proj,
             "sel": ", ".join(sel_out) if derive_items else flat_sel,
             "where": flat_where,
@@ -6296,13 +6336,30 @@ class SparkEngine:
             "recompute_only": recompute_only,
         }
 
-    def _incja_join_stmt(self, incja: dict, views: list[str]) -> str:
+    def _incja_join_stmt(
+        self,
+        incja: dict,
+        views: list[str],
+        force_inner_at: int | None = None,
+    ) -> str:
         """Join all N sides' views under their original aliases,
-        projecting the flattened column namespace."""
+        projecting the flattened column namespace. ``force_inner_at``
+        downgrades that ONE join index to INNER — used by the
+        touched-key derivations when a DELTA occupies the bound side:
+        the rows a partner-side delta can affect are exactly the
+        preserved rows MATCHING it (a pad flip needs a match), so the
+        inner restriction is complete and avoids touching every
+        preserved row."""
         aliases = [al for _, al in incja["sides"]]
+        hows = incja.get("hows") or ["inner"] * len(incja["ons"])
         frm = f"{views[0]} AS {aliases[0]}"
         for i, on in enumerate(incja["ons"]):
-            frm += f" JOIN {views[i + 1]} AS {aliases[i + 1]} ON {on}"
+            kw = (
+                "LEFT JOIN"
+                if hows[i] == "left" and i != force_inner_at
+                else "JOIN"
+            )
+            frm += f" {kw} {views[i + 1]} AS {aliases[i + 1]} ON {on}"
         return f"SELECT {incja['join_proj']} FROM {frm}"
 
     def _incja_from(self, incja: dict, view: str) -> str:
@@ -6485,7 +6542,10 @@ class SparkEngine:
                 if not has_ins[i]:
                     continue
                 term_views = v_new[:i] + [v_dins[i]] + v_old[i + 1:]
-                term = spark.sql(self._incja_join_stmt(incja, term_views))
+                term = spark.sql(self._incja_join_stmt(
+                    incja, term_views,
+                    force_inner_at=i - 1 if i > 0 else None,
+                ))
                 join_delta = (
                     term if join_delta is None
                     else join_delta.unionByName(term)
@@ -6505,7 +6565,13 @@ class SparkEngine:
                             f"{fc} AS {out}"
                             for fc, out in incja["key_map"]
                         ) + f" FROM {self._incja_from(incja, v_delta)}"
-                        if incja["where"]:
+                        # LEFT plans must NOT narrow touched keys by
+                        # WHERE: an anti-join filter (dim.x IS NULL)
+                        # excludes exactly the groups whose pads this
+                        # delta flips. Over-touching is harmless.
+                        if incja["where"] and "left" not in incja.get(
+                            "hows", []
+                        ):
                             q += f" WHERE {incja['where']}"
                         tkparts.append(
                             spark.sql(q).localCheckpoint(eager=True)
@@ -6604,20 +6670,39 @@ class SparkEngine:
                 if not has_del_i[i]:
                     continue
                 term_views = v_prt[:i] + [v_del[i]] + v_prt[i + 1:]
-                term = spark.sql(self._incja_join_stmt(incja, term_views))
+                term = spark.sql(self._incja_join_stmt(
+                    incja, term_views,
+                    force_inner_at=i - 1 if i > 0 else None,
+                ))
                 del_tuples = (
                     term if del_tuples is None
                     else del_tuples.unionByName(term)
                 )
             del_tuples.createOrReplaceTempView(v_pairs)
             try:
-                touched = (
-                    spark.sql(self._incja_agg_stmt(incja, v_pairs,
-                                                   gate=False))
-                    .select(*incja["keys"])
-                    .distinct()
-                    .localCheckpoint(eager=True)
-                )
+                if "left" in incja.get("hows", []):
+                    # LEFT plans: keys straight off the retracted
+                    # tuples, no WHERE/HAVING narrowing (a pad flip
+                    # may pass the filter only AFTER the retraction —
+                    # see the insert-side comment). Over-touching is
+                    # harmless: untouched groups re-agg to themselves.
+                    touched = (
+                        spark.sql(
+                            "SELECT DISTINCT " + ", ".join(
+                                f"{fc} AS {out}"
+                                for fc, out in incja["key_map"]
+                            ) + f" FROM {self._incja_from(incja, v_pairs)}"
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    touched = (
+                        spark.sql(self._incja_agg_stmt(incja, v_pairs,
+                                                       gate=False))
+                        .select(*incja["keys"])
+                        .distinct()
+                        .localCheckpoint(eager=True)
+                    )
             finally:
                 spark.catalog.dropTempView(v_pairs)
         finally:

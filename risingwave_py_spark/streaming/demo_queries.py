@@ -2483,3 +2483,87 @@ def union_all_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "uid bigint, amount bigint, src string"
     )
+
+
+@register(
+    "left_joinagg_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST('A' AS VARCHAR), CAST(1 AS BIGINT),
+         CAST(100 AS BIGINT)),
+        (2, 'b', 0, NULL),
+        (4, 'd', 2, 11),
+        (5, 'e', 0, NULL)
+    ) AS t(ck, cname, n, total) ORDER BY ck
+    """,
+)
+def left_joinagg_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12: LEFT join+agg MVs stay incremental — the
+    counts-including-zero reporting view (dim LEFT JOIN fact GROUP BY
+    dim keys) arms the recompute-only regime: a fact insert can flip a
+    zero-count pad with no retraction for the merge rule to see, so
+    every batch re-aggregates touched groups wholesale, with touched
+    keys derived through the PRESERVED side (and never narrowed by
+    WHERE — an anti-join filter excludes exactly the groups a pad flip
+    changes). Legs: fact insert flipping a zero group, fact delete
+    restoring it, dim insert creating a zero group, dim group-key
+    UPDATE, dim DELETE killing a group, and a multi-side flush.
+    Padded-side GROUP BY keys refuse."""
+    conn, eng = _fresh_conn(spark, "rwdemo_lja")
+    conn.execute("CREATE TABLE rwdemo_lja.c (ck BIGINT, cname STRING)")
+    conn.execute(
+        "CREATE TABLE rwdemo_lja.o (ok BIGINT, ck BIGINT, amt BIGINT)"
+    )
+    conn.insert(pd.DataFrame({"ck": [1, 2, 3], "cname": ["a", "b", "c"]}),
+                table_name="c", schema_name="rwdemo_lja", force_flush=True)
+    conn.insert(pd.DataFrame({"ok": [10], "ck": [1], "amt": [100]}),
+                table_name="o", schema_name="rwdemo_lja", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_lja.m AS "
+        "SELECT c.ck AS ck, c.cname AS cname, count(o.ok) AS n, "
+        "sum(o.amt) AS total FROM rwdemo_lja.c c "
+        "LEFT JOIN rwdemo_lja.o o ON c.ck = o.ck GROUP BY c.ck, c.cname"
+    )
+    st = eng.mvs["rwdemo_lja.m"]
+    assert st.inc_joinagg is not None and st.inc_joinagg["recompute_only"], (
+        "LEFT join+agg MV must arm the recompute-only regime"
+    )
+    # zero-count pad flip: ck=2 gains its first order
+    conn.insert(pd.DataFrame({"ok": [20], "ck": [2], "amt": [200]}),
+                table_name="o", schema_name="rwdemo_lja", force_flush=True)
+    assert st.inc_joinagg is not None, "pad-flip leg demoted the MV"
+    # back to a zero group on delete
+    conn.execute("DELETE FROM rwdemo_lja.o WHERE ok = 20")
+    conn.execute("FLUSH")
+    # new dim row: zero group appears
+    conn.insert(pd.DataFrame({"ck": [4], "cname": ["d"]}),
+                table_name="c", schema_name="rwdemo_lja", force_flush=True)
+    # group-key update and group death
+    conn.execute("UPDATE rwdemo_lja.c SET cname = 'A' WHERE ck = 1")
+    conn.execute("FLUSH")
+    conn.execute("DELETE FROM rwdemo_lja.c WHERE ck = 3")
+    conn.execute("FLUSH")
+    assert st.inc_joinagg is not None, "DML demoted the LEFT join+agg MV"
+    # multi-side flush: two orders for ck=4 plus a fresh zero group
+    conn.insert(pd.DataFrame({"ok": [30, 31], "ck": [4, 4],
+                              "amt": [5, 6]}),
+                table_name="o", schema_name="rwdemo_lja", force_flush=False)
+    conn.insert(pd.DataFrame({"ck": [5], "cname": ["e"]}),
+                table_name="c", schema_name="rwdemo_lja", force_flush=True)
+    assert st.inc_joinagg is not None, "multi-side flush demoted the MV"
+    # padded-side GROUP BY key must refuse (sound fallback)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_lja.mg AS "
+        "SELECT o.ck AS ck, count(*) AS n FROM rwdemo_lja.c c "
+        "LEFT JOIN rwdemo_lja.o o ON c.ck = o.ck GROUP BY o.ck"
+    )
+    assert eng.mvs["rwdemo_lja.mg"].inc_joinagg is None
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_lja.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT ck, cname, n, total FROM rwdemo_lja.m ORDER BY ck"
+    )
+    return spark.createDataFrame(
+        rows, "ck bigint, cname string, n bigint, total bigint"
+    )

@@ -1847,3 +1847,104 @@ def test_union_all_mv_matches_recompute(spark):
         "UNION ALL SELECT uid FROM unm.store"
     )
     assert eng2.mvs["unm.mg"].inc_union is None
+
+
+def test_left_joinagg_mv_matches_recompute(spark):
+    """LEFT join+agg (counts-including-zero) arms recompute-only and
+    matches a recompute through pad flips, zero-group churn, an
+    anti-join WHERE (o IS NULL), a 3-way LEFT chain, and restart;
+    padded-side GROUP BY keys refuse."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS lja CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/lja.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="lja")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE lja.c (ck BIGINT, cname STRING)")
+    conn.execute("CREATE TABLE lja.o (ok BIGINT, ck BIGINT, amt BIGINT)")
+    conn.insert(pd.DataFrame({"ck": [1, 2], "cname": ["a", "b"]}),
+                table_name="c", schema_name="lja", force_flush=True)
+    conn.insert(pd.DataFrame({"ok": [10], "ck": [1], "amt": [100]}),
+                table_name="o", schema_name="lja", force_flush=True)
+    sel = ("SELECT c.ck AS ck, count(o.ok) AS n, sum(o.amt) AS total "
+           "FROM lja.c c LEFT JOIN lja.o o ON c.ck = o.ck GROUP BY c.ck")
+    conn.execute(f"CREATE MATERIALIZED VIEW lja.m AS {sel}")
+    st = eng.mvs["lja.m"]
+    assert st.inc_joinagg is not None
+    assert st.inc_joinagg["recompute_only"]
+    assert st.inc_joinagg["hows"] == ["left"]
+
+    def check(s=None, q=sel, mv="lja.m"):
+        s = s if s is not None else eng.mvs["lja.m"]
+        assert sorted(
+            conn._dispatch(f"SELECT * FROM {mv}")[1], key=str
+        ) == sorted(conn._dispatch(q)[1], key=str)
+        assert s.inc_joinagg is not None
+
+    # zero-count pad flip and back
+    conn.insert(pd.DataFrame({"ok": [20], "ck": [2], "amt": [200]}),
+                table_name="o", schema_name="lja", force_flush=True)
+    check()
+    conn.execute("DELETE FROM lja.o WHERE ok = 20")
+    conn.execute("FLUSH")
+    check()
+    # dim churn
+    conn.insert(pd.DataFrame({"ck": [3], "cname": ["c"]}),
+                table_name="c", schema_name="lja", force_flush=True)
+    check()
+    conn.execute("DELETE FROM lja.c WHERE ck = 1")
+    conn.execute("FLUSH")
+    check()
+
+    # anti-join: WHERE o.ok IS NULL — touched keys must NOT be
+    # narrowed by the filter
+    sel2 = ("SELECT c.ck AS ck, count(*) AS n FROM lja.c c "
+            "LEFT JOIN lja.o o ON c.ck = o.ck "
+            "WHERE o.ok IS NULL GROUP BY c.ck")
+    conn.execute(f"CREATE MATERIALIZED VIEW lja.manti AS {sel2}")
+    st2 = eng.mvs["lja.manti"]
+    assert st2.inc_joinagg is not None
+    conn.insert(pd.DataFrame({"ok": [40], "ck": [3], "amt": [1]}),
+                table_name="o", schema_name="lja", force_flush=True)
+    check(st2, sel2, "lja.manti")
+    conn.execute("DELETE FROM lja.o WHERE ok = 40")
+    conn.execute("FLUSH")
+    check(st2, sel2, "lja.manti")
+
+    # 3-way chain: the deep side binds o, not c
+    conn.execute("CREATE TABLE lja.s (ok BIGINT, carrier STRING)")
+    conn.insert(pd.DataFrame({"ok": [10], "carrier": ["ups"]}),
+                table_name="s", schema_name="lja", force_flush=True)
+    sel3 = ("SELECT c.ck AS ck, count(o.ok) AS n, count(s.carrier) AS ns "
+            "FROM lja.c c LEFT JOIN lja.o o ON c.ck = o.ck "
+            "LEFT JOIN lja.s s ON o.ok = s.ok GROUP BY c.ck")
+    conn.execute(f"CREATE MATERIALIZED VIEW lja.m3 AS {sel3}")
+    st3 = eng.mvs["lja.m3"]
+    assert st3.inc_joinagg is not None
+    conn.execute("DELETE FROM lja.s WHERE ok = 10")
+    conn.execute("FLUSH")
+    check(st3, sel3, "lja.m3")
+
+    # padded-side GROUP BY key refuses
+    conn.execute(
+        "CREATE MATERIALIZED VIEW lja.mg AS SELECT o.ck AS ck, "
+        "count(*) AS n FROM lja.c c LEFT JOIN lja.o o ON c.ck = o.ck "
+        "GROUP BY o.ck"
+    )
+    assert eng.mvs["lja.mg"].inc_joinagg is None
+
+    # restart re-arm
+    eng2 = SparkEngine(spark=spark, default_schema="lja")
+    conn2 = RisingWaveConnection(eng2)
+    st_r = eng2.mvs["lja.m"]
+    assert st_r.inc_joinagg is None
+    conn2.insert(pd.DataFrame({"ok": [60], "ck": [2], "amt": [7]}),
+                 table_name="o", schema_name="lja", force_flush=True)
+    assert st_r.inc_joinagg is not None
+    assert sorted(
+        conn2._dispatch("SELECT * FROM lja.m")[1], key=str
+    ) == sorted(conn2._dispatch(sel)[1], key=str)
