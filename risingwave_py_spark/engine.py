@@ -105,6 +105,10 @@ class MVState:
         # exactly, per-branch projections/filters applied to each
         # branch's own delta; None → snapshot-diff.
         self.inc_union: dict | None = None
+        # Incremental plan for SELECT DISTINCT MVs: touched-value
+        # membership recompute — the stored result IS the pre-batch
+        # membership set; None → snapshot-diff.
+        self.inc_distinct: dict | None = None
         # Incremental plan for (grouped) Top-N MVs — row_number()
         # over a derived table, outer rank filter; None → snapshot-diff.
         self.inc_topn: dict | None = None
@@ -5189,6 +5193,175 @@ class SparkEngine:
         state.last_epoch = m1
         return self._publish_nway_net(state, netins, netdel)
 
+    # -- SELECT DISTINCT MVs: touched-value membership recompute --------
+
+    # Same discipline as _INCU_BLOCKERS minus DISTINCT (which is the
+    # shape itself — nested DISTINCT is rejected separately) plus
+    # UNION (any set-op demotes).
+    _INCD_BLOCKERS = re.compile(
+        r"\b(GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|JOIN|OVER|LATERAL"
+        r"|UNION|INTERSECT|EXCEPT|TUMBLE|HOP|SESSION_WINDOW"
+        r"|CURRENT_TIMESTAMP|CURRENT_DATE)\b"
+        r"|\b(?:NOW|RANDN?|RANDOM|UUID|UNIX_TIMESTAMP)\s*\("
+        r"|\(\s*SELECT",
+        re.I,
+    )
+    _INCD_BRANCH = re.compile(
+        r"^\s*SELECT\s+DISTINCT\s+(?P<sel>.+?)\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        re.I | re.S,
+    )
+
+    def _parse_distinct(self, stmt: str) -> dict | None:
+        """Incremental plan for ``SELECT DISTINCT exprs FROM t
+        [WHERE …]`` — the dimension-extraction view (the reference's
+        MV surface is arbitrary SELECT text,
+        /root/reference/risingwave/core.py:453-455).
+
+        Delta rule: a value tuple's MEMBERSHIP depends only on the
+        base rows that project to it, and every row of this batch
+        projects into π(σ_WHERE(Δ⁺ ∪ Δ⁻)) — the TOUCHED values. The
+        stored result is exactly the pre-batch membership set, so the
+        refresh needs no old-state reconstruction at all:
+
+            present_new = distinct(π(σ_WHERE(t_post)) ⋉ touched)
+            netins = present_new ∖ (stored ⋉ touched)
+            netdel = (stored ⋉ touched) ∖ present_new
+
+        SCALE: one projection scan of the base with the touched
+        probe semi-joined BELOW the distinct (broadcast hash semi —
+        the distinct then runs over matching rows only, no full
+        distinct shuffle), plus two diffs over touched-sized sets.
+
+        Armable: single table, deterministic select list (volatile
+        functions blocked by regex; aggregates rejected structurally —
+        the analyzed plan must carry no Aggregate/Window beyond the
+        DISTINCT's own), no joins/set-ops/GROUP BY."""
+        if self._INCD_BLOCKERS.search(stmt):
+            return None
+        bm = self._INCD_BRANCH.match(stmt)
+        if not bm:
+            return None
+        if re.search(r"\bDISTINCT\b", bm.group("sel"), re.I):
+            return None  # nested DISTINCT: not this shape
+        tbl = bm.group("tbl")
+        alias = bm.group("alias") or tbl.split(".")[-1]
+        if alias.upper() in self._RESERVED_ALIASES or alias.upper() in (
+            "UNION", "ALL", "SELECT", "FROM", "DISTINCT"
+        ):
+            return None
+        plan = {
+            "sel": bm.group("sel").strip(),
+            "tbl_fq": self.qualify(tbl),
+            "alias": alias,
+            "where": (bm.group("where") or "").strip() or None,
+        }
+        try:
+            df = self.spark.sql(self._incd_stmt(plan, plan["tbl_fq"]))
+            pstr = df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return None
+        # The Deduplicate node is the DISTINCT itself; any Aggregate/
+        # Window means an expression this rule cannot maintain.
+        if "Aggregate" in pstr or "Window" in pstr:
+            return None
+        if len(set(df.columns)) != len(df.columns):
+            return None  # duplicate output names: ambiguous semi join
+        return plan
+
+    def _incd_stmt(
+        self, plan: dict, view: str, distinct: bool = True
+    ) -> str:
+        kw = "DISTINCT " if distinct else ""
+        q = (
+            f"SELECT {kw}{plan['sel']} FROM {view} AS {plan['alias']}"
+        )
+        if plan["where"]:
+            q += f" WHERE {plan['where']}"
+        return q
+
+    def _refresh_incremental_distinct(self, state: MVState) -> bool:
+        with self._lock:
+            return self._refresh_incremental_distinct_locked(state)
+
+    def _refresh_incremental_distinct_locked(self, state: MVState) -> bool:
+        plan = state.inc_distinct
+        spark = self.spark
+        fq = state.fq
+        last = state.last_epoch
+        cl = self.changelog_name(plan["tbl_fq"])
+        if self.vacuum_floor.get(cl, 0) > last:
+            state.inc_distinct = None  # unconsumed epochs vacuumed
+            return False
+        m1 = self._changelog_max_epoch(cl) or 0
+        if m1 <= last:
+            self.next_epoch()
+            return True
+        spark.catalog.refreshTable(cl)
+        d = (
+            spark.table(cl)
+            .filter(
+                (F.col("rw_timestamp") > last)
+                & (F.col("rw_timestamp") <= m1)
+            )
+            .drop("op", "rw_timestamp")
+            .localCheckpoint(eager=True)
+        )
+        tag = "_".join(_split_fq(fq))
+        v_d = f"__rw_dx_d_{tag}"
+        v_t = f"__rw_dx_t_{tag}"
+        d.createOrReplaceTempView(v_d)
+        try:
+            touched = (
+                spark.sql(self._incd_stmt(plan, v_d))
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.catalog.dropTempView(v_d)
+        if touched.isEmpty():
+            state.last_epoch = m1
+            self.next_epoch()
+            return True
+        out_cols = touched.columns
+
+        def restrict(df: DataFrame) -> DataFrame:
+            probe = touched.select(
+                *[F.col(c).alias(f"__rw_dxp_{i}")
+                  for i, c in enumerate(out_cols)]
+            ).dropDuplicates()
+            cond = None
+            for i, c in enumerate(out_cols):
+                e = F.col(c).eqNullSafe(F.col(f"__rw_dxp_{i}"))
+                cond = e if cond is None else cond & e
+            return df.join(probe, cond, "left_semi")
+
+        spark.catalog.refreshTable(plan["tbl_fq"])
+        base = spark.table(plan["tbl_fq"])
+        base.createOrReplaceTempView(v_t)
+        try:
+            # π(σ_WHERE(t)) WITHOUT the distinct, semi-restricted to
+            # touched values BEFORE deduplicating — the distinct then
+            # runs over matching rows only.
+            present_new = (
+                restrict(
+                    spark.sql(self._incd_stmt(plan, v_t, distinct=False))
+                )
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.catalog.dropTempView(v_t)
+        present_old = restrict(spark.table(fq))
+        netins = present_new.exceptAll(present_old).localCheckpoint(
+            eager=True
+        )
+        netdel = present_old.exceptAll(present_new).localCheckpoint(
+            eager=True
+        )
+        state.last_epoch = m1
+        return self._publish_nway_net(state, netins, netdel)
+
     def create_mv(
         self,
         name: str,
@@ -5405,6 +5578,35 @@ class SparkEngine:
                     snaps_u[b] = self.spark.table(b).localCheckpoint(
                         eager=True
                     )
+        incd = None
+        if (
+            inc is None and direct is None and inctop is None
+            and incj is None and incja is None and incjn is None
+            and incs is None and incu is None and not emit_on_close
+        ):
+            incd = self._parse_distinct(rewritten)
+            if incd is not None and (
+                incd["tbl_fq"] in self.upsert_meta
+                or not self.spark.catalog.tableExists(
+                    self.changelog_name(incd["tbl_fq"])
+                )
+            ):
+                incd = None
+        m0d = 0
+        snap_d = None
+        if incd is not None:
+            with self._lock:
+                cl_d = self.changelog_name(incd["tbl_fq"])
+                self.spark.catalog.refreshTable(cl_d)
+                m0d = max(
+                    self.spark.table(cl_d)
+                    .agg(F.max("rw_timestamp")).first()[0] or 0,
+                    self.vacuum_floor.get(cl_d, 0),
+                )
+                self.spark.catalog.refreshTable(incd["tbl_fq"])
+                snap_d = self.spark.table(
+                    incd["tbl_fq"]
+                ).localCheckpoint(eager=True)
         if incj is not None:
             cla = self.changelog_name(incj["a_fq"])
             clb = self.changelog_name(incj["b_fq"])
@@ -5491,6 +5693,10 @@ class SparkEngine:
                     for br in incu["branches"]
                 )
             )
+        elif incd is not None:
+            base_view = "__rw_dx_base_" + "_".join(_split_fq(fq))
+            snap_d.createOrReplaceTempView(base_view)
+            df = self.spark.sql(self._incd_stmt(incd, base_view))
         elif incj is not None or incja is not None or incjn is not None:
             tag = "_".join(_split_fq(fq))
             join_views = []
@@ -5577,6 +5783,10 @@ class SparkEngine:
             # delta — no key_cols contract to satisfy
             state.inc_union = incu
             state.last_epoch = m0u
+        elif incd is not None:
+            # DISTINCT MV: the stored set is its own membership state
+            state.inc_distinct = incd
+            state.last_epoch = m0d
         if direct is not None and (
             not state.key_cols or set(state.key_cols) == set(direct["keys"])
         ):
@@ -7276,11 +7486,48 @@ class SparkEngine:
             else self._parse_join_nway(stmt)
         )
         incu = None
+        incd = None
         if incj is None and incja is None and incjn is None:
             incu = self._parse_union_all(stmt)
-        if incj is None and incja is None and incjn is None and incu is None:
+            if incu is None:
+                incd = self._parse_distinct(stmt)
+        if (
+            incj is None and incja is None and incjn is None
+            and incu is None and incd is None
+        ):
             state.fastpath_blocked = True
             return None
+        if incd is not None:
+            base_d = incd["tbl_fq"]
+            cl_d = self.changelog_name(base_d)
+            if base_d in self.upsert_meta:
+                state.fastpath_blocked = True
+                return None
+            if not spark.catalog.tableExists(cl_d):
+                return None  # may appear after the first insert
+            with self._lock:
+                spark.catalog.refreshTable(cl_d)
+                m0d = max(
+                    spark.table(cl_d).agg(F.max("rw_timestamp"))
+                    .first()[0] or 0,
+                    self.vacuum_floor.get(cl_d, 0),
+                )
+                spark.catalog.refreshTable(base_d)
+                snap_d = spark.table(base_d).localCheckpoint(eager=True)
+            view_d = f"__rw_rearm_dx_{tag}"
+            snap_d.createOrReplaceTempView(view_d)
+            try:
+                df = spark.sql(
+                    self._incd_stmt(incd, view_d)
+                ).localCheckpoint(eager=True)
+            finally:
+                spark.catalog.dropTempView(view_d)
+
+            def finalize_distinct():
+                state.inc_distinct = incd
+                state.last_epoch = m0d
+
+            return df, finalize_distinct
         if incu is not None:
             ufqs = sorted({br["tbl_fq"] for br in incu["branches"]})
             if any(b in self.upsert_meta for b in ufqs):
@@ -7514,6 +7761,18 @@ class SparkEngine:
                 )
                 state.inc_union = None
                 state.fastpath_blocked = True
+        if state.inc_distinct is not None:
+            try:
+                if self._refresh_incremental_distinct(state):
+                    return
+            except Exception:  # pragma: no cover - defensive demotion
+                logger.exception(
+                    "incremental DISTINCT refresh of %s failed; "
+                    "demoting to snapshot-diff",
+                    state.fq,
+                )
+                state.inc_distinct = None
+                state.fastpath_blocked = True
         spark = self.spark
         spark.catalog.setCurrentDatabase(self.default_schema)
         fq = state.fq
@@ -7532,6 +7791,7 @@ class SparkEngine:
             and state.inc_join_nway is None
             and state.inc_session is None
             and state.inc_union is None
+            and state.inc_distinct is None
         ):
             try:
                 rearm = self._prepare_fastpath_rearm(state)

@@ -57,13 +57,13 @@ def load_all() -> None:
 # order ``__spark_entry__.queries()`` yields them. Rounds 1-11
 # sampled eleven windows — cumulative driver coverage 209/209, all
 # green at the r11 verdict. Round 12's window leads with:
-#   1. the NEW queries (never driver-sampled): the eight r12
+#   1. the NEW queries (never driver-sampled): the nine r12
 #      scenarios — expression-group-key IVM (single-table AND
 #      join+agg), the N-way plain-join signed-telescoping MV, the
 #      session-window touched-span MV, the outer interval-join
 #      forced-retraction MV, the star LEFT-join touched-fact MV, the
-#      UNION ALL linear bag-sum MV, and the LEFT join+agg
-#      recompute-only MV;
+#      UNION ALL linear bag-sum MV, the LEFT join+agg recompute-only
+#      MV, and the SELECT DISTINCT membership MV;
 #   2. queries whose machinery changed this round: the k-means
 #      cluster count now derives k≈√n from the corpus (the oracle
 #      computes the same formula) — the whole kmeans-dependent
@@ -81,7 +81,7 @@ PRIORITY: list[str] = [
     "session_inc_mv_scenario", "datetrunc_join_inc_mv_scenario",
     "outer_interval_join_inc_mv_scenario",
     "star_left_join_inc_mv_scenario", "union_all_inc_mv_scenario",
-    "left_joinagg_inc_mv_scenario",
+    "left_joinagg_inc_mv_scenario", "select_distinct_inc_mv_scenario",
     # changed this round: KMEANS_K now derives k≈√n from the corpus
     # count (oracle computes the same formula) — drive the whole
     # kmeans-dependent ANN/SemDeDup family through the grader
@@ -95,7 +95,7 @@ PRIORITY: list[str] = [
     "scalar_regexp_funcs", "map_struct_access",
     # set-operation battery
     "setop_union_all", "setop_intersect",
-    "setop_except", "setop_except_all", "setop_bag_semantics",
+    "setop_except", "setop_except_all",
     # OVER battery
     "window_rank_lag", "window_range_frame", "gapfill_locf",
     "window_first_last_nth", "window_ntile_percentrank",

@@ -2567,3 +2567,76 @@ def left_joinagg_inc_mv_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ck bigint, cname string, n bigint, total bigint"
     )
+
+
+@register(
+    "select_distinct_inc_mv_scenario",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST('c' AS VARCHAR)),
+        (3, 'v'),
+        (4, NULL)
+    ) AS t(uid, etype) ORDER BY uid
+    """,
+)
+def select_distinct_inc_mv_scenario(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-12: SELECT DISTINCT MVs stay incremental — the
+    dimension-extraction view arms the touched-value membership plan:
+    a value's membership depends only on rows projecting to it, every
+    batch row projects into the touched set, and the STORED result is
+    exactly the pre-batch membership — so the refresh is one
+    semi-restricted projection scan plus set diffs, with no full
+    distinct shuffle and no old-state reconstruction. Legs: duplicate
+    insert (no change), partial delete (membership survives), last-row
+    delete (membership dies), a value-moving UPDATE, and NULL-valued
+    membership. Aggregates under DISTINCT refuse structurally."""
+    conn, eng = _fresh_conn(spark, "rwdemo_dx")
+    conn.execute(
+        "CREATE TABLE rwdemo_dx.ev (uid BIGINT, etype STRING, amt BIGINT)"
+    )
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "etype": ["c", "c", "v"],
+                              "amt": [5, 6, 7]}),
+                table_name="ev", schema_name="rwdemo_dx", force_flush=True)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dx.m AS "
+        "SELECT DISTINCT uid AS uid, etype AS etype FROM rwdemo_dx.ev "
+        "WHERE amt > 0"
+    )
+    st = eng.mvs["rwdemo_dx.m"]
+    assert st.inc_distinct is not None, (
+        "SELECT DISTINCT MV must arm the membership plan"
+    )
+    # duplicate insert: no membership change, still incremental
+    conn.insert(pd.DataFrame({"uid": [1], "etype": ["c"], "amt": [9]}),
+                table_name="ev", schema_name="rwdemo_dx", force_flush=True)
+    conn.insert(pd.DataFrame({"uid": [3], "etype": ["c"], "amt": [1]}),
+                table_name="ev", schema_name="rwdemo_dx", force_flush=True)
+    # partial delete: (1,'c') keeps two backing rows
+    conn.execute("DELETE FROM rwdemo_dx.ev WHERE amt = 5")
+    conn.execute("FLUSH")
+    # last-row delete: (2,'v') dies
+    conn.execute("DELETE FROM rwdemo_dx.ev WHERE uid = 2")
+    conn.execute("FLUSH")
+    # value-moving update: (3,'c') -> (3,'v')
+    conn.execute("UPDATE rwdemo_dx.ev SET etype = 'v' WHERE uid = 3")
+    conn.execute("FLUSH")
+    assert st.inc_distinct is not None, "DML demoted the DISTINCT MV"
+    # NULL membership
+    conn.insert(pd.DataFrame({"uid": [4], "etype": [None], "amt": [2]}),
+                table_name="ev", schema_name="rwdemo_dx", force_flush=True)
+    assert st.inc_distinct is not None
+    # aggregate under DISTINCT refuses (structural check)
+    conn.execute(
+        "CREATE MATERIALIZED VIEW rwdemo_dx.mg AS "
+        "SELECT DISTINCT max(amt) AS m FROM rwdemo_dx.ev"
+    )
+    assert eng.mvs["rwdemo_dx.mg"].inc_distinct is None
+    ops = [r["op"] for r in eng.spark.table(eng.changelog_name("rwdemo_dx.m"))
+           .orderBy("rw_timestamp").collect()]
+    assert "Insert" in ops and "Delete" in ops
+    cols, rows = conn._dispatch(
+        "SELECT uid, etype FROM rwdemo_dx.m ORDER BY uid"
+    )
+    return spark.createDataFrame(rows, "uid bigint, etype string")

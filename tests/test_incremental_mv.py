@@ -1948,3 +1948,83 @@ def test_left_joinagg_mv_matches_recompute(spark):
     assert sorted(
         conn2._dispatch("SELECT * FROM lja.m")[1], key=str
     ) == sorted(conn2._dispatch(sel)[1], key=str)
+
+
+def test_select_distinct_mv_matches_recompute(spark):
+    """SELECT DISTINCT arms the touched-value membership plan and
+    matches a recompute through duplicate churn, partial/last-row
+    deletes, value-moving and WHERE-crossing updates, NULLs,
+    expression projections, and restart; aggregates refuse."""
+    import shutil
+
+    from risingwave_py_spark.core import RisingWaveConnection
+    from risingwave_py_spark.engine import SparkEngine
+
+    spark.sql("DROP DATABASE IF EXISTS dxm CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/dxm.db", ignore_errors=True)
+    eng = SparkEngine(spark=spark, default_schema="dxm")
+    conn = RisingWaveConnection(eng)
+    conn.execute("CREATE TABLE dxm.ev (uid BIGINT, etype STRING, amt BIGINT)")
+    conn.insert(pd.DataFrame({"uid": [1, 1, 2], "etype": ["c", "c", "v"],
+                              "amt": [5, 6, 7]}),
+                table_name="ev", schema_name="dxm", force_flush=True)
+    sel = "SELECT DISTINCT uid AS uid, etype AS etype FROM dxm.ev WHERE amt > 0"
+    conn.execute(f"CREATE MATERIALIZED VIEW dxm.m AS {sel}")
+    st = eng.mvs["dxm.m"]
+    assert st.inc_distinct is not None
+
+    def check(c=conn, s=None):
+        s = s or st
+        assert sorted(
+            c._dispatch("SELECT * FROM dxm.m")[1], key=str
+        ) == sorted(c._dispatch(sel)[1], key=str)
+        assert s.inc_distinct is not None
+
+    conn.insert(pd.DataFrame({"uid": [1], "etype": ["c"], "amt": [9]}),
+                table_name="ev", schema_name="dxm", force_flush=True)
+    check()
+    conn.execute("DELETE FROM dxm.ev WHERE amt = 5")
+    conn.execute("FLUSH")
+    check()  # partial delete: membership survives
+    conn.execute("DELETE FROM dxm.ev WHERE uid = 2")
+    conn.execute("FLUSH")
+    check()  # last-row delete: membership dies
+    conn.execute("UPDATE dxm.ev SET etype = 'v' WHERE uid = 1")
+    conn.execute("FLUSH")
+    check()  # value-moving update
+    conn.execute("UPDATE dxm.ev SET amt = 0 WHERE uid = 1")
+    conn.execute("FLUSH")
+    check()  # WHERE-crossing update
+    conn.insert(pd.DataFrame({"uid": [4], "etype": [None], "amt": [2]}),
+                table_name="ev", schema_name="dxm", force_flush=True)
+    check()  # NULL membership
+
+    # expression projection arms too
+    sel2 = "SELECT DISTINCT upper(etype) AS e FROM dxm.ev"
+    conn.execute(f"CREATE MATERIALIZED VIEW dxm.m2 AS {sel2}")
+    st2 = eng.mvs["dxm.m2"]
+    assert st2.inc_distinct is not None
+    conn.insert(pd.DataFrame({"uid": [9], "etype": ["x"], "amt": [3]}),
+                table_name="ev", schema_name="dxm", force_flush=True)
+    assert sorted(
+        conn._dispatch("SELECT * FROM dxm.m2")[1], key=str
+    ) == sorted(conn._dispatch(sel2)[1], key=str)
+    assert st2.inc_distinct is not None
+
+    # restart re-arm
+    eng2 = SparkEngine(spark=spark, default_schema="dxm")
+    conn2 = RisingWaveConnection(eng2)
+    st_r = eng2.mvs["dxm.m"]
+    assert st_r.inc_distinct is None
+    conn2.insert(pd.DataFrame({"uid": [5], "etype": ["z"], "amt": [8]}),
+                 table_name="ev", schema_name="dxm", force_flush=True)
+    assert st_r.inc_distinct is not None
+    check(conn2, st_r)
+
+    # guard: aggregate under DISTINCT refuses
+    conn2.execute(
+        "CREATE MATERIALIZED VIEW dxm.mg AS "
+        "SELECT DISTINCT max(amt) AS m FROM dxm.ev"
+    )
+    assert eng2.mvs["dxm.mg"].inc_distinct is None
