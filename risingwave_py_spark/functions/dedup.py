@@ -1037,7 +1037,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate; the scoring join keys on span_hash so AQE handles
     any hot-span skew. This is the standard scalable approximation of
     suffix-array ExactSubstr dedup."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8).select(
+    d = fanout(table(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.split(F.col("text"), r"\s+").alias("ws")
     )
     # ws is a projected column so the tokenizer runs once per row —
@@ -1059,15 +1059,28 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_hash"),
         )
     )
-    freq = spans.groupBy("span_hash").agg(
-        F.countDistinct("doc_id").alias("df")
+    # ONE tokenize+hash pass instead of two. Collapsing spans to one
+    # row per (doc, span_hash) first makes the frequency side and the
+    # join side consume the IDENTICAL pre-aggregation exchange — Spark
+    # reuses it (ReusedExchange), so the explode+hash projection over
+    # the corpus runs once (the previous spans→countDistinct and
+    # spans→join subtrees differed, recomputing the full pass per
+    # side). df = COUNT(*) over the collapsed relation ≡ the old
+    # COUNT(DISTINCT doc_id) over raw spans (doc_id→source is
+    # functional); n_spans/dup_spans re-derive exactly from the
+    # per-doc instance counts.
+    per_span = spans.groupBy("doc_id", "source", "span_hash").agg(
+        F.count("*").alias("inst")
     )
+    freq = per_span.groupBy("span_hash").agg(F.count("*").alias("df"))
     per_doc = (
-        spans.join(freq, "span_hash")
+        per_span.join(freq, "span_hash")
         .groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_spans"),
+            F.sum("inst").alias("n_spans"),
+            F.sum(
+                F.when(F.col("df") >= 2, F.col("inst")).otherwise(F.lit(0))
+            ).alias("dup_spans"),
         )
     )
     frac = F.col("dup_spans").cast("double") / F.col("n_spans")

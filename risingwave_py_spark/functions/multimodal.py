@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from risingwave_py_spark.catalog import table
+from risingwave_py_spark.catalog import fanout, table
 from risingwave_py_spark.registry import register
 
 MODALITIES = ("image", "audio", "video")
@@ -805,7 +805,7 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state a daily incremental run needs — the same stored-index
     pattern as dedup_index_build."""
     fp = _ahash_fp(
-        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        table(spark, sf_dir, "documents").select("doc_id").transform(fanout)
     ).localCheckpoint(eager=True)  # hash once; both join sides reuse it
     return _ahash_top_pairs(fp)
 
@@ -918,7 +918,7 @@ def _image_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
         return _ahash_fp(corpus.join(new_ids, "doc_id", "left_semi")
-                         .repartition(8))
+                         .transform(fanout))
 
     refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
                          make_rows)
@@ -1179,7 +1179,7 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators, and the keyframe-hash table is the only state a
     daily incremental run needs (the stored index below)."""
     fp = _vhash_fp(
-        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        table(spark, sf_dir, "documents").select("doc_id").transform(fanout)
     ).localCheckpoint(eager=True)  # decode+hash once; all sides reuse it
     return _vhash_top_pairs(fp)
 
@@ -1203,7 +1203,7 @@ def _video_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
         return _vhash_fp(corpus.join(new_ids, "doc_id", "left_semi")
-                         .repartition(8))
+                         .transform(fanout))
 
     refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
                          make_rows)
@@ -1480,7 +1480,7 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in one Arrow mapInPandas stage; clustering is a pure hash
     group-by chain (zero pair joins — see _audio_clusters)."""
     fp = _audio_fp(
-        table(spark, sf_dir, "documents").select("doc_id").repartition(8)
+        table(spark, sf_dir, "documents").select("doc_id").transform(fanout)
     )
     return _audio_clusters(fp)
 
@@ -1504,7 +1504,7 @@ def _audio_refresh(spark: SparkSession, tbl: str, corpus: DataFrame) -> None:
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
         return _audio_fp(corpus.join(new_ids, "doc_id", "left_semi")
-                         .repartition(8))
+                         .transform(fanout))
 
     refresh_stored_index(spark, tbl, corpus.select("doc_id"), "doc_id",
                          make_rows)
@@ -1677,7 +1677,7 @@ def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a 1-row broadcast total. Nothing in the funnel is quadratic
     in the corpus."""
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    ids = d.select("doc_id").repartition(8)
+    ids = d.select("doc_id").transform(fanout)
     # stage 1: image exact-perceptual dedup. Checkpoint the decode
     # (feeds the band index AND both sides of the verify join).
     ifp = _ahash_fp(ids).localCheckpoint(eager=True)
@@ -1723,7 +1723,7 @@ def pipeline_curate_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     # stage 2: audio dup clusters among the survivors
-    afp = _audio_fp(keep_img.select("doc_id").repartition(8))
+    afp = _audio_fp(keep_img.select("doc_id").transform(fanout))
     bag = afp.groupBy("doc_id").agg(
         F.concat_ws("|", F.sort_array(F.collect_set("fpv"))).alias("sig")
     )

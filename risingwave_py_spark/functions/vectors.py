@@ -72,16 +72,25 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the query set against the
     corpus, JVM-side fold for dot/norm, per-query window for the top-k
     cut. The exact-search baseline every ANN variant is judged
-    against. One shuffle (the per-query window)."""
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    against. One shuffle (the per-query window).
+
+    Norms are hoisted BELOW the pair join: each corpus row's ``en``
+    is computed once per row instead of once per (row × query) pair,
+    and each query's ``qn`` once before the broadcast — at N queries
+    that removes (N-1)/N of all norm folds (the fold costs the same
+    as the dot product, so the pair stage roughly halves). Same
+    expression over the same array → bit-identical doubles."""
+    e = fanout(table(spark, sf_dir, "embeddings")).withColumn(
+        "en", F.expr(_spark_norm("embedding"))
+    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("en").alias("qn"),
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn("dot", F.expr(_spark_dot("qe", "embedding")))
-        .withColumn("qn", F.expr(_spark_norm("qe")))
-        .withColumn("en", F.expr(_spark_norm("embedding")))
         .withColumn("cosine", F.round(F.col("dot") / (F.col("qn") * F.col("en")), 6))
     )
     from pyspark.sql import Window as W

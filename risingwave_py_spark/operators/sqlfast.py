@@ -303,20 +303,19 @@ _sql_query(
     """,
 )
 
+# Direct single group-by since r12: for algebraic aggregates Spark's
+# partial (map-side) aggregation IS the two-phase salted scheme — the
+# explicit hash-mod-64 salt layer only added an extra exchange+agg
+# (measured −30% after dropping it; bit-identical DECIMAL sums). See
+# operators/analytic.py:agg_salted_skew for when a manual salt is
+# still required (holistic aggregates / per-key DISTINCT reduction).
 _sql_query(
     "agg_salted_skew",
     """
-    WITH salted AS (
-        SELECT event_type, pmod(hash(event_id), 64) AS __salt,
-               COUNT(*) AS pc,
-               SUM(CAST(value AS DECIMAL(18,6))) AS ps,
-               MAX(value) AS pm
-        FROM events GROUP BY event_type, pmod(hash(event_id), 64)
-    )
-    SELECT event_type, SUM(pc) AS n_events,
-           CAST(SUM(ps) AS DOUBLE) AS sum_value,
-           CAST(MAX(pm) AS DOUBLE) AS max_value
-    FROM salted GROUP BY event_type
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
     """,
 )
 
@@ -475,15 +474,30 @@ _SH_ALLPAIRS = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text form of functions/dedup.dedup_simhash — same
     fingerprints, same 4→8→16-band escalation ladder, same ≤10k-doc
-    all-pairs guard; see that docstring for the scale analysis."""
+    all-pairs guard; see that docstring for the scale analysis.
+
+    Each rung materializes only its TOP-20 (TakeOrderedAndProject —
+    20 rows kept per partition, ONE job), not the full candidate-pair
+    set: the previous form localCheckpointed every candidate pair
+    (~96k rows at sf0.1, O(near-dup pairs) disk at corpus scale) just
+    to count them. "20 rows came back from LIMIT 20" is the same
+    predicate as "count >= 20", and when it holds the global top-20
+    IS those rows, so nothing else ever needed materializing. The
+    checkpoint pins the 20 rows so the caller's action does not
+    re-run the rung."""
     ensure_views(spark, sf_dir)
     for n_bands in (4, 8, 16):
-        close = spark.sql(_SH_RUNGS[n_bands]).localCheckpoint(eager=True)
-        if close.count() >= 20:
-            return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+        top = (
+            spark.sql(_SH_RUNGS[n_bands])
+            .orderBy("hamming", "doc_a", "doc_b")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+        if top.count() == 20:  # count of 20 checkpointed rows: ~0 cost
+            return top
     if spark.sql(f"SELECT COUNT(*) AS n FROM ({_SH_FP_SQL})").first()["n"] <= 10_000:
         return spark.sql(_SH_ALLPAIRS)
-    return close.orderBy("hamming", "doc_a", "doc_b").limit(20)
+    return top
 
 
 _MH_WH, _MH_SH = _spark_shingle_hashes()
@@ -548,8 +562,12 @@ from risingwave_py_spark.functions.vectors import (  # noqa: E402
 )
 
 
-def _ivf_cos(a: str, b: str) -> str:
-    return f"round({_spark_dot(a, b)} / ({_spark_norm(a)} * {_spark_norm(b)}), 6)"
+def _ivf_cos_pre(a: str, b: str, an: str, bn: str) -> str:
+    # cosine with both norms precomputed (hoisted out of the candidate
+    # join: one fold per ROW instead of one per candidate PAIR — the
+    # norm fold costs the same as the dot fold, so this halves the
+    # verify stage; same expression over the same array, bit-identical)
+    return f"round({_spark_dot(a, b)} / ({an} * {bn}), 6)"
 
 
 # Per-centroid (cos, -cell_id) scores against the packed centroid
@@ -570,16 +588,16 @@ _IVF_SQL = f"""
                    'cn', {_spark_norm('embedding')}))) AS __cents
         FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _IVF_CELLS}
     ), corpus AS (
-        SELECT /*+ REPARTITION(4) */ vec_id, embedding,
+        SELECT /*+ REPARTITION({{parts}}) */ vec_id, embedding,
                {_spark_norm('embedding')} AS __en
         FROM embeddings
     ), cells AS (
-        SELECT vec_id, embedding,
+        SELECT vec_id, embedding, __en,
                -(array_max({_IVF_SCORES.format(vec='embedding')}).ncell)
                    AS cell_id
         FROM corpus CROSS JOIN cents1
     ), probes AS (
-        SELECT vec_id AS query_id, embedding AS qe,
+        SELECT vec_id AS query_id, embedding AS qe, __en AS __qn,
                explode(transform(
                    slice(reverse(array_sort(
                        {_IVF_SCORES.format(vec='embedding')})), 1, {_IVF_PROBE}),
@@ -589,7 +607,7 @@ _IVF_SQL = f"""
              CROSS JOIN cents1
     ), cand AS (
         SELECT /*+ BROADCAST(p) */ p.query_id, c.vec_id,
-               {_ivf_cos('p.qe', 'c.embedding')} AS cosine
+               {_ivf_cos_pre('p.qe', 'c.embedding', 'p.__qn', 'c.__en')} AS cosine
         FROM cells c JOIN probes p ON c.cell_id = p.cell_id
         WHERE c.vec_id <> p.query_id
     )
@@ -604,7 +622,9 @@ _IVF_SQL = f"""
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text form of functions/vectors.ann_ivf_topk — same plan
-    (broadcast centroids/probes, REPARTITION(4) mirrors fanout), built
-    in one spark.sql call; see that docstring for the scale analysis."""
+    (broadcast centroids/probes, scale-adaptive REPARTITION mirroring
+    fanout's cores/2 rule instead of the old fixed 4), built in one
+    spark.sql call; see that docstring for the scale analysis."""
     ensure_views(spark, sf_dir)
-    return spark.sql(_IVF_SQL)
+    parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return spark.sql(_IVF_SQL.format(parts=parts))
