@@ -1072,7 +1072,18 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_span = spans.groupBy("doc_id", "source", "span_hash").agg(
         F.count("*").alias("inst")
     )
-    freq = per_span.groupBy("span_hash").agg(F.count("*").alias("df"))
+    # df ≡ count(*) (inst is a per-group count, always >= 1), written
+    # as a sum over a LIVE reference to inst: with count(*) — or
+    # count(inst), which NullPropagation folds back to count(1) —
+    # column pruning narrows this branch's partial aggregate below
+    # the exchange, the two per_span subtrees stop being identical,
+    # and the corpus-wide explode+hash pass runs once PER BRANCH.
+    # Keeping inst referenced makes both branches carry the identical
+    # partial-aggregate exchange, so Spark's exchange reuse computes
+    # the span relation once (plan-asserted in test_plan_quality).
+    freq = per_span.groupBy("span_hash").agg(
+        F.sum(F.when(F.col("inst") >= 1, 1).otherwise(0)).alias("df")
+    )
     per_doc = (
         per_span.join(freq, "span_hash")
         .groupBy("doc_id", "source")

@@ -201,6 +201,36 @@ def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
         assert "text" not in m.group(1), m.group(0)
 
 
+def test_span_dedup_single_tokenize_pass(spark, sf_dir):
+    """The corpus-wide explode+hash projection must run ONCE: the
+    frequency branch and the scoring-join branch share the per-span
+    pre-aggregation exchange (ReusedExchange), so the plan has exactly
+    one Generate node. A regression here (e.g. column pruning
+    narrowing one branch's partial aggregate — see the freq comment
+    in functions/dedup.py) doubles the tokenize pass at any scale.
+
+    Asserted with AQE off (the bench session's mode), where reuse is
+    static and visible in the plan string; under AQE the same two
+    canonically-equal exchanges share one materialized stage via the
+    runtime stage cache."""
+    import re
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["dedup_span_exact"](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    generates = re.findall(r"^\(\d+\) Generate", plan, flags=re.M)
+    assert len(generates) == 1, plan[:2000]
+    assert "ReusedExchange" in plan
+
+
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
     """The corpus-total (1 row) side must broadcast; the token join
     may shuffle but carries no text column."""
