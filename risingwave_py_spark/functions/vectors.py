@@ -83,10 +83,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fanout(table(spark, sf_dir, "embeddings")).withColumn(
         "en", F.expr(_spark_norm("embedding"))
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    # the broadcast side reads the raw scan (vec_id < N pushes into
+    # parquet) instead of going through e's fan-out exchange — the
+    # broadcast-build job is then a pruned scan, nothing more
+    q = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.col("en").alias("qn"),
+        F.expr(_spark_norm("embedding")).alias("qn"),
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))

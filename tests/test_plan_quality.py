@@ -231,6 +231,43 @@ def test_span_dedup_single_tokenize_pass(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_salted_skew_single_exchange(spark, sf_dir):
+    """agg_salted_skew runs as ONE two-phase hash aggregate (partial
+    map-side combine is the implicit salt for algebraic aggregates) —
+    a reintroduced manual salt layer shows up as a second Exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_salted_skew")
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_ex == 1, plan[:1500]
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_simhash_rung_returns_global_top20(spark, sf_dir):
+    """The r12 ladder materializes only each rung's TakeOrdered
+    top-20 instead of the full candidate-pair set; those 20 rows must
+    BE the global top-20 of the rung's pair relation (same rows the
+    pre-r12 checkpoint-all form returned)."""
+    from risingwave_py_spark.catalog import ensure_views
+    from risingwave_py_spark.operators import sqlfast
+
+    ensure_views(spark, sf_dir)
+    got = registry.QUERIES["dedup_simhash"](spark, sf_dir).toPandas()
+    assert len(got) <= 20
+    # independently: full rung-1 relation, sorted driver-side
+    full = (
+        spark.sql(sqlfast._SH_RUNGS[4])
+        .toPandas()
+        .sort_values(["hamming", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    if len(full) >= 20:  # rung 1 satisfied the ladder
+        exp = full.head(20).reset_index(drop=True)
+        assert got.sort_values(["hamming", "doc_a", "doc_b"]).reset_index(
+            drop=True
+        ).equals(exp)
+
+
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
     """The corpus-total (1 row) side must broadcast; the token join
     may shuffle but carries no text column."""
