@@ -446,10 +446,9 @@ def _sh_rung_sql(n_bands: int) -> str:
         for i in range(n_bands)
     )
     return f"""
-    WITH fp AS ({_SH_FP_SQL}),
-    bands AS (
+    WITH bands AS (
         SELECT doc_id, simhash, band, val
-        FROM fp LATERAL VIEW posexplode(array({arr})) AS band, val
+        FROM __sqlfast_sh_fp LATERAL VIEW posexplode(array({arr})) AS band, val
     )
     SELECT DISTINCT doc_a, doc_b, hamming FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -461,11 +460,10 @@ def _sh_rung_sql(n_bands: int) -> str:
 
 
 _SH_RUNGS = {n: _sh_rung_sql(n) for n in (4, 8, 16)}
-_SH_ALLPAIRS = f"""
-    WITH fp AS ({_SH_FP_SQL})
+_SH_ALLPAIRS = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    FROM __sqlfast_sh_fp a JOIN __sqlfast_sh_fp b ON a.doc_id < b.doc_id
     ORDER BY hamming, doc_a, doc_b LIMIT 20
 """
 
@@ -484,8 +482,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate as "count >= 20", and when it holds the global top-20
     IS those rows, so nothing else ever needed materializing. The
     checkpoint pins the 20 rows so the caller's action does not
-    re-run the rung."""
+    re-run the rung.
+
+    The fingerprint relation (one full tokenize+hash pass over the
+    corpus — the dominant cost at scale) is computed ONCE and
+    localCheckpointed; every rung, the all-pairs guard, and the
+    all-pairs fallback read the checkpoint. The previous form inlined
+    the fp CTE per statement, so an escalating ladder re-tokenized
+    the whole corpus per rung (up to 5 passes on near-dup-poor
+    corpora)."""
     ensure_views(spark, sf_dir)
+    fp = spark.sql(_SH_FP_SQL).localCheckpoint(eager=True)
+    fp.createOrReplaceTempView("__sqlfast_sh_fp")
     for n_bands in (4, 8, 16):
         top = (
             spark.sql(_SH_RUNGS[n_bands])
@@ -495,7 +503,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if top.count() == 20:  # count of 20 checkpointed rows: ~0 cost
             return top
-    if spark.sql(f"SELECT COUNT(*) AS n FROM ({_SH_FP_SQL})").first()["n"] <= 10_000:
+    if fp.count() <= 10_000:  # count of checkpointed fp: no recompute
         return spark.sql(_SH_ALLPAIRS)
     return top
 
