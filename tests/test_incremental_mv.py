@@ -1420,8 +1420,11 @@ def test_nway_join_mv_matches_recompute_through_dml(spark):
 
 
 def test_nway_join_guards_reject_outer_and_nonequi(spark):
-    """Outer N-way joins and equi-free ON clauses must NOT arm the
-    telescoping plan (pads / nested loops break the rule)."""
+    """RIGHT/FULL N-way joins and equi-free ON clauses must NOT arm
+    (pads that flip from the non-preserved side / nested loops break
+    both delta rules). INNER+LEFT star mixes DO arm — on the "star"
+    touched-fact plan, never the telescoping one (the correctness leg
+    is test_star_left_nway_join_mv_matches_recompute)."""
     import shutil
 
     from risingwave_py_spark.core import RisingWaveConnection
@@ -1442,7 +1445,22 @@ def test_nway_join_guards_reject_outer_and_nonequi(spark):
         "FROM jng.a a JOIN jng.b b ON a.k = b.k "
         "LEFT JOIN jng.c c ON a.k = c.k"
     )
-    assert eng.mvs["jng.mo"].inc_join_nway is None
+    nw = eng.mvs["jng.mo"].inc_join_nway
+    assert nw is not None and nw["mode"] == "star"  # never telescoping
+    conn.execute(
+        "CREATE MATERIALIZED VIEW jng.mr AS "
+        "SELECT a.k AS k, b.v AS bv, c.v AS cv "
+        "FROM jng.a a JOIN jng.b b ON a.k = b.k "
+        "RIGHT JOIN jng.c c ON a.k = c.k"
+    )
+    assert eng.mvs["jng.mr"].inc_join_nway is None
+    conn.execute(
+        "CREATE MATERIALIZED VIEW jng.mf AS "
+        "SELECT a.k AS k, b.v AS bv, c.v AS cv "
+        "FROM jng.a a JOIN jng.b b ON a.k = b.k "
+        "FULL JOIN jng.c c ON a.k = c.k"
+    )
+    assert eng.mvs["jng.mf"].inc_join_nway is None
     conn.execute(
         "CREATE MATERIALIZED VIEW jng.mq AS "
         "SELECT a.k AS k, b.v AS bv, c.v AS cv "
