@@ -334,6 +334,9 @@ def main() -> None:
     total = 0.0
     for name in runnable:
         fn = registry.QUERIES[name]
+        # §1.5: label the timed jobs so the UI/event log attributes
+        # stages to queries (set outside the timed region).
+        spark.sparkContext.setJobDescription(f"bench {name}")
         runs = []
         try:
             for _ in range(3):
@@ -347,10 +350,12 @@ def main() -> None:
             print(f"bench {name} FAILED: {exc}", file=sys.stderr)
             continue
         el = round(sorted(runs)[1], 3)
+        spark.sparkContext.setJobDescription(None)
         timings[name] = el
         total += el
         print(f"bench {name}: {el:.2f}s ({n} rows)", file=sys.stderr)
 
+    spark.sparkContext.setJobDescription(None)  # clear failure-path label
     # Dispatch floor: the SELECT-1 round-trip through the identical
     # toPandas materialization path — the fixed per-query cost every
     # benched number includes (warm x3, median of 5).

@@ -358,9 +358,13 @@ def test_interval_join_mv_incremental(eng_conn):
     )
 
 
-def test_interval_join_outer_never_arms(eng_conn):
-    """Residual ON terms + outer join: pad maintenance is key-set
-    based, so the plan must refuse (snapshot-diff handles it)."""
+def test_interval_join_outer_arms_forced_retraction(eng_conn):
+    """Residual ON terms + outer join: the insert-only pad rule is
+    unsound here (a pad can flip without a key-set change), so the
+    plan arms ONLY with force_retract — every batch takes the
+    touched-key retraction branch, which is exact for pads under
+    residuals (correctness leg:
+    test_outer_interval_join_mv_matches_recompute)."""
     conn, eng = eng_conn
     conn.execute(
         "CREATE TABLE winc.ev (event_id BIGINT, user_id BIGINT, "
@@ -372,7 +376,8 @@ def test_interval_join_outer_never_arms(eng_conn):
         "FROM winc.ev c LEFT JOIN winc.ev p ON c.user_id = p.user_id "
         "AND p.ts >= c.ts"
     )
-    assert eng.mvs["winc.mo"].inc_join is None
+    ij = eng.mvs["winc.mo"].inc_join
+    assert ij is not None and ij["force_retract"]
 
 
 JAHD_SEL = (
