@@ -404,7 +404,7 @@ class RisingWaveConnection:
         key = f"{schema_name}.{table_name}"
         if key in self._insert_ctx:
             self._insert_ctx[key].flush()
-        sdf = self.engine.spark.createDataFrame(data)
+        sdf = self._pandas_to_spark(data, table_name, schema_name)
         fq = self.engine.qualify(table_name, schema_name)
         if self.engine.spark.catalog.tableExists(fq):
             # insert_df appends POSITIONALLY (insertInto); a pandas
@@ -416,6 +416,47 @@ class RisingWaveConnection:
         self.engine.insert_df(table_name, sdf, schema_name)
         if force_flush:
             self.engine.flush()
+
+    def _pandas_to_spark(self, data: pd.DataFrame, table_name: str,
+                         schema_name: str):
+        """Create a Spark DataFrame from a pandas frame without relying
+        on type inference for columns it cannot infer.
+
+        ``createDataFrame(pdf)`` with no schema raises
+        CANNOT_DETERMINE_TYPE on an all-None object column whenever the
+        session takes the non-Arrow inference path — and the Arrow conf
+        belongs to the caller's session, so the public insert path must
+        not depend on it.  Those columns get an explicit type: the
+        target table's column type by name when the table exists,
+        StringType otherwise.  Every other column keeps plain inference
+        so previously-working inserts behave identically.
+        """
+        spark = self.engine.spark
+        cols = list(data.columns)
+        untyped = [c for c in cols
+                   if data[c].dtype == object and data[c].isna().all()]
+        if not untyped:
+            return spark.createDataFrame(data)
+        from pyspark.sql import types as T
+
+        by_name: dict = {}
+        fq = self.engine.qualify(table_name, schema_name)
+        if spark.catalog.tableExists(fq):
+            by_name = {
+                f.name: f.dataType
+                for f in self.engine.table_schema(table_name, schema_name).fields
+            }
+        typed = data.drop(columns=untyped)
+        inferred = (
+            {f.name: f for f in spark.createDataFrame(typed).schema.fields}
+            if len(typed.columns) else {}
+        )
+        fields = [
+            inferred[c] if c in inferred
+            else T.StructField(c, by_name.get(c, T.StringType()), True)
+            for c in cols
+        ]
+        return spark.createDataFrame(data, schema=T.StructType(fields))
 
     def insert_row(self, table_name: str, schema_name: str = "public",
                    force_flush: bool = False, **cols) -> None:

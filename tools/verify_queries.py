@@ -137,6 +137,12 @@ def main() -> int:
         "--no-pandas", dest="pandas", action="store_false", default=True,
         help="skip the strict pandas-path (driver-representation) check",
     )
+    ap.add_argument(
+        "--no-arrow", action="store_true",
+        help="disable Arrow pandas conversion on the session — replica of "
+             "the driver environment where createDataFrame(pandas) takes "
+             "the row-inference path (r12 select_distinct oracle fail)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -146,6 +152,8 @@ def main() -> int:
     from risingwave_py_spark.session import build_session
 
     spark = build_session("verify")
+    if args.no_arrow:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
