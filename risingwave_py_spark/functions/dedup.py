@@ -269,25 +269,13 @@ def _minhash_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", *[F.expr(_spark_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
         )
-        # The signature relation feeds 6 plan branches (4 band
-        # projections + both sides of the verify join); materialize it
-        # once — it's k+1 ints per doc, ~70 B/row, vs re-running the
-        # md5 signature pass per branch.
+        # The signature relation feeds 4 plan branches (band explode
+        # per join side + both sides of the verify join); materialize
+        # it once — it's k+1 ints per doc, ~70 B/row, vs re-running
+        # the md5 signature pass per branch.
         .localCheckpoint(eager=True)
     )
-    band_frames = []
-    for b in range(N_BANDS):
-        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_frames.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
-            )
-        )
-    bands = band_frames[0]
-    for f in band_frames[1:]:
-        bands = bands.union(f)
+    bands = _bands_from_sigs(sigs)
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -779,21 +767,20 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) from a signature relation — 16
-    md5s per doc, no document text involved."""
-    band_frames = []
-    for b in range(N_BANDS):
-        cols = [f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_frames.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_hash"),
-            )
-        )
-    bands = band_frames[0]
-    for fr in band_frames[1:]:
-        bands = bands.union(fr)
-    return bands
+    md5s per doc, no document text involved. All bands come from ONE
+    posexplode pass (pos == band_id) instead of an N_BANDS-way UNION
+    ALL that re-scans the signature relation per band — at corpus
+    scale that was N_BANDS re-reads of an O(n) materialization. Row
+    set is identical."""
+    band_hashes = [
+        F.md5(F.concat_ws(
+            ",", *[f"s{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        ))
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_id", "band_hash")
+    )
 
 
 def _probe_new_against_old(sigs: DataFrame) -> DataFrame:

@@ -510,11 +510,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_WH, _MH_SH = _spark_shingle_hashes()
 _MH_SIG_SELECT = [f"{_spark_sig_expr(i)} AS s{i}" for i in range(_MH_K)]
-_MH_BAND_ROWS = "\n        UNION ALL\n".join(
-    f"        SELECT doc_id, {b} AS band_id, "
+# All 4 band hashes in ONE pass over the signature relation
+# (posexplode: pos == band_id), not a 4-way UNION ALL that re-reads
+# the checkpoint per band — at corpus scale that was 4 re-reads of an
+# O(n) materialization per join side. Same (doc_id, band_id,
+# band_hash) rows, same result.
+_MH_BAND_EXPRS = ", ".join(
     f"md5(concat_ws(',', {', '.join(f's{b * _MH_RPB + r}' for r in range(_MH_RPB))}))"
-    f" AS band_hash FROM __sqlfast_mh_sigs"
     for b in range(_MH_BANDS)
+)
+_MH_BAND_ROWS = (
+    "        SELECT doc_id, band_id, band_hash FROM __sqlfast_mh_sigs\n"
+    f"        LATERAL VIEW posexplode(array({_MH_BAND_EXPRS}))"
+    " AS band_id, band_hash"
 )
 _MH_EQ = " + ".join(
     f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)

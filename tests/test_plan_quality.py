@@ -231,6 +231,21 @@ def test_span_dedup_single_tokenize_pass(spark, sf_dir):
     assert "ReusedExchange" in plan
 
 
+def test_minhash_bands_single_pass_no_union(spark, sf_dir):
+    """The minhash band relation must come from ONE posexplode pass
+    over the signature checkpoint per join side (a Generate node), not
+    an N_BANDS-way UNION ALL that re-scans the checkpoint per band —
+    at corpus scale that was 4 re-reads of an O(n) materialization per
+    side. Plan: 0 Union nodes, exactly 2 Generate nodes (band explode
+    per self-join side)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert not re.search(r"^\(\d+\) Union", plan, flags=re.M), plan[:1500]
+    generates = re.findall(r"^\(\d+\) Generate", plan, flags=re.M)
+    assert len(generates) == 2, plan[:2000]
+
+
 def test_salted_skew_single_exchange(spark, sf_dir):
     """agg_salted_skew runs as ONE two-phase hash aggregate (partial
     map-side combine is the implicit salt for algebraic aggregates) —
