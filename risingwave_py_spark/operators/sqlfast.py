@@ -459,6 +459,9 @@ def _sh_rung_sql(n_bands: int) -> str:
     """
 
 
+# Templates reference the placeholder name __sqlfast_sh_fp; each
+# invocation rewrites it to a unique per-call view name (two
+# concurrent invocations in one session must not race on the view).
 _SH_RUNGS = {n: _sh_rung_sql(n) for n in (4, 8, 16)}
 _SH_ALLPAIRS = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -491,21 +494,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fp CTE per statement, so an escalating ladder re-tokenized
     the whole corpus per rung (up to 5 passes on near-dup-poor
     corpora)."""
+    import uuid
+
     ensure_views(spark, sf_dir)
+    view = f"__sqlfast_sh_fp_{uuid.uuid4().hex[:8]}"  # per-call scope
     fp = spark.sql(_SH_FP_SQL).localCheckpoint(eager=True)
-    fp.createOrReplaceTempView("__sqlfast_sh_fp")
-    for n_bands in (4, 8, 16):
-        top = (
-            spark.sql(_SH_RUNGS[n_bands])
-            .orderBy("hamming", "doc_a", "doc_b")
-            .limit(20)
-            .localCheckpoint(eager=True)
-        )
-        if top.count() == 20:  # count of 20 checkpointed rows: ~0 cost
-            return top
-    if fp.count() <= 10_000:  # count of checkpointed fp: no recompute
-        return spark.sql(_SH_ALLPAIRS)
-    return top
+    fp.createOrReplaceTempView(view)
+    try:
+        for n_bands in (4, 8, 16):
+            top = (
+                spark.sql(_SH_RUNGS[n_bands].replace("__sqlfast_sh_fp", view))
+                .orderBy("hamming", "doc_a", "doc_b")
+                .limit(20)
+                .localCheckpoint(eager=True)
+            )
+            if top.count() == 20:  # count of 20 checkpointed rows: ~0 cost
+                # explicit ordering on the returned frame — the rows
+                # are the checkpointed 20, the sort is free and
+                # restores the ordering contract
+                return top.orderBy("hamming", "doc_a", "doc_b")
+        if fp.count() <= 10_000:  # count of checkpointed fp: no recompute
+            # analyzed against the view HERE; execution reads the
+            # checkpoint RDD, so the finally-drop below is safe
+            return spark.sql(_SH_ALLPAIRS.replace("__sqlfast_sh_fp", view))
+        return top.orderBy("hamming", "doc_a", "doc_b")
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _MH_WH, _MH_SH = _spark_shingle_hashes()
@@ -555,6 +569,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds 6 plan branches), then the band/candidate/verify stage is a
     single SQL statement over the temp view. Identical plan and
     results; ~0.5 s less per-invocation py4j construction."""
+    import uuid
+
     from risingwave_py_spark.catalog import fanout, table
 
     d = fanout(table(spark, sf_dir, "documents"))
@@ -564,8 +580,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", *_MH_SIG_SELECT)
         .localCheckpoint(eager=True)
     )
-    sigs.createOrReplaceTempView("__sqlfast_mh_sigs")
-    return spark.sql(_MH_PAIRS_SQL)
+    view = f"__sqlfast_mh_sigs_{uuid.uuid4().hex[:8]}"  # per-call scope
+    sigs.createOrReplaceTempView(view)
+    try:
+        # analyzed HERE (view resolved into the plan); execution reads
+        # the checkpoint RDD, so the immediate drop below is safe
+        return spark.sql(_MH_PAIRS_SQL.replace("__sqlfast_mh_sigs", view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 from risingwave_py_spark.functions.vectors import (  # noqa: E402

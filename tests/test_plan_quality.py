@@ -269,13 +269,18 @@ def test_simhash_rung_returns_global_top20(spark, sf_dir):
     ensure_views(spark, sf_dir)
     got = registry.QUERIES["dedup_simhash"](spark, sf_dir).toPandas()
     assert len(got) <= 20
-    # independently: full rung-1 relation, sorted driver-side
-    full = (
-        spark.sql(sqlfast._SH_RUNGS[4])
-        .toPandas()
-        .sort_values(["hamming", "doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
+    # independently: full rung-1 relation over an own fp view (the
+    # query's view is per-invocation and dropped), sorted driver-side
+    spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp")
+    try:
+        full = (
+            spark.sql(sqlfast._SH_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp"))
+            .toPandas()
+            .sort_values(["hamming", "doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.catalog.dropTempView("__t_sh_fp")
     if len(full) >= 20:  # rung 1 satisfied the ladder
         exp = full.head(20).reset_index(drop=True)
         assert got.sort_values(["hamming", "doc_a", "doc_b"]).reset_index(
