@@ -346,7 +346,7 @@ def sample_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = corpus_mixture_plan(spark, sf_dir).select(
         "source", "target_tokens", F.col("sample_rate").alias("rate")
     )
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    d = fanout(table(spark, sf_dir, "documents"))
     h = F.expr(spark_hash32("CAST(doc_id AS STRING)"))
     frac = F.col("rate") - F.floor(F.col("rate"))
     copies = (

@@ -582,7 +582,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-word head is hot — AQE skew-join splits it, and the join
     carries only (doc_id, w) + an 8-byte count, never text. The
     total-count side is a 1-row broadcast."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    d = fanout(table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id",
         "source",
@@ -635,7 +635,7 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine collapses each partition's duplicates before the single
     shuffle; the top-k cut runs per source partition. Deterministic
     tie-break (count DESC, bigram ASC)."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8).select(
+    d = fanout(table(spark, sf_dir, "documents")).select(
         "source", F.split(F.lower(F.col("text")), r"\s+").alias("ws")
     )
     # ws is a projected column: the split runs ONCE per row — putting
@@ -699,7 +699,7 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row broadcast total; KL folds per source in the final
     aggregate. Token text never leaves the (source, w, count)
     relation."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    d = fanout(table(spark, sf_dir, "documents"))
     tok = d.select(
         "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     )
@@ -760,7 +760,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, 1 char) and the per-(doc, char) count collapses it with
     map-side combine before the single shuffle; alphabet size bounds
     the reduced relation at ~100 rows per doc."""
-    d = fanout(table(spark, sf_dir, "documents"), parts=8)
+    d = fanout(table(spark, sf_dir, "documents"))
     chars = d.select(
         "doc_id",
         F.explode(

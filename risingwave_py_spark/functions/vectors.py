@@ -140,7 +140,7 @@ def ann_lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) search into a bucket-local join. Returns the bucket
     histogram (the partition-balance view an operator would monitor).
     """
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    e = fanout(table(spark, sf_dir, "embeddings"))
     proj_terms = []
     for p in range(N_PLANES):
         sign_hash = _plane_sign_spark(p)
@@ -343,7 +343,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     raw = table(spark, sf_dir, "embeddings")
-    e = fanout(raw, parts=4)  # full corpus: parallelize the per-row argmax
+    e = fanout(raw)  # full corpus: parallelize the per-row argmax
     cents1 = _cents_packed(raw)  # 8 rows — no fanout
     cells = _assign_cells(e, cents1)
     probes = _probe_cells(
@@ -502,7 +502,7 @@ def _kmeans_train(e: DataFrame, k: int) -> DataFrame:
 
 
 def _kmeans_final_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
+    e = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
     return _kmeans_assign(e, _kmeans_train(e, corpus_kmeans_k(spark, sf_dir)))
@@ -599,7 +599,7 @@ def _ensure_trained_cents(
     from risingwave_py_spark.catalog import clear_stale_location
 
     clear_stale_location(spark, cfq)
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).select(
+    e = fanout(table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
     _kmeans_train(e, k).write.saveAsTable(cfq)
@@ -665,7 +665,7 @@ def _ivf_refresh(
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
         new = corpus.join(new_ids, "vec_id", "left_semi")
-        return _assign_cells_trained(fanout(new, parts=4), tcents1)
+        return _assign_cells_trained(fanout(new), tcents1)
 
     refresh_stored_index(spark, tbl, corpus.select("vec_id"), "vec_id", make_rows)
 
@@ -862,7 +862,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    e = fanout(raw, parts=4)
+    e = fanout(raw)
     pairs = (
         e.withColumn("__en", F.expr(_spark_norm("embedding")))
         .join(
@@ -970,7 +970,7 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 elements are widened to double before arithmetic; the
     8-element head sum is rounded at 6 dp (both engines fold
     left-to-right; see module docstring on the 1e-13 agreement)."""
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4).filter(F.col("vec_id") < 800)
+    e = fanout(table(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 800)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -1137,7 +1137,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the plan); at warehouse scale you would materialize it instead,
     as `dedup_minhash_lsh` does.
     """
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    e = fanout(table(spark, sf_dir, "embeddings"))
 
     proj_cols = []
     for p in range(_N_PLANES_TOTAL):
@@ -1336,7 +1336,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition/row-group pruning applies when the corpus is laid out
     by the filter column); the rest is the broadcast-query brute
     force that anchors recall for the LSH/IVF variants."""
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    e = fanout(table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -1420,7 +1420,7 @@ def ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     raw = table(spark, sf_dir, "embeddings")
-    e = fanout(raw, parts=4)
+    e = fanout(raw)
     cents1 = _cents_packed(raw)
     is_new = (F.col("vec_id") % INC_NEW_MOD) >= 8
     # norms are per-ROW quantities: compute each side's ONCE before
@@ -1496,7 +1496,7 @@ def ann_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.split("text", r"\s+")) >= QF_MIN_TOKENS)
         .select("doc_id")
     )
-    e = fanout(table(spark, sf_dir, "embeddings"), parts=4)
+    e = fanout(table(spark, sf_dir, "embeddings"))
     corpus = e.join(docs_ok, e.vec_id == docs_ok.doc_id, "left_semi")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -1590,7 +1590,7 @@ def _sq8_refresh(
 
     def make_rows(new_ids: DataFrame) -> DataFrame:
         new = corpus.join(new_ids, "vec_id", "left_semi")
-        return _sq8_rows(fanout(new, parts=4), tcents1)
+        return _sq8_rows(fanout(new), tcents1)
 
     refresh_stored_index(spark, tbl, corpus.select("vec_id"), "vec_id", make_rows)
 
@@ -1795,7 +1795,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    e = fanout(raw, parts=4)
+    e = fanout(raw)
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).withColumn(
         "cosine",
         F.round(
