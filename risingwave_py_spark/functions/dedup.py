@@ -1046,40 +1046,35 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span_hash"),
         )
     )
-    # ONE tokenize+hash pass instead of two. Collapsing spans to one
-    # row per (doc, span_hash) first makes the frequency side and the
-    # join side consume the IDENTICAL pre-aggregation exchange — Spark
-    # reuses it (ReusedExchange), so the explode+hash projection over
-    # the corpus runs once (the previous spans→countDistinct and
-    # spans→join subtrees differed, recomputing the full pass per
-    # side). df = COUNT(*) over the collapsed relation ≡ the old
-    # COUNT(DISTINCT doc_id) over raw spans (doc_id→source is
-    # functional); n_spans/dup_spans re-derive exactly from the
-    # per-doc instance counts.
-    per_span = spans.groupBy("doc_id", "source", "span_hash").agg(
-        F.count("*").alias("inst")
+    # ONE tokenize+hash pass AND one shuffle of the span relation:
+    # repartition by span_hash up front, then let that single exchange
+    # serve every downstream distribution requirement —
+    # HashPartitioning(span_hash) satisfies the (doc, source,
+    # span_hash) aggregate's clustering AND the span_hash window's, so
+    # neither adds an exchange. Document frequency is a window count
+    # over the collapsed relation (each (doc, span_hash) group is one
+    # row, so COUNT(*) OVER (PARTITION BY span_hash) ≡ the oracle's
+    # COUNT(DISTINCT doc_id): doc_id→source is functional). The
+    # previous shape aggregated frequencies in a separate branch and
+    # joined it back, which shuffled the span relation a second time
+    # (exchange-reuse covered the branches, not the join side) and
+    # needed an anti-column-pruning idiom to keep the branches
+    # identical; the window form has one consumer, so nothing to
+    # defeat. n_spans/dup_spans re-derive exactly from the per-doc
+    # instance counts.
+    from pyspark.sql import Window as W
+
+    per_span = (
+        spans.repartition("span_hash")
+        .groupBy("doc_id", "source", "span_hash")
+        .agg(F.count("*").alias("inst"))
+        .withColumn("df", F.count("*").over(W.partitionBy("span_hash")))
     )
-    # df ≡ count(*) (inst is a per-group count, always >= 1), written
-    # as a sum over a LIVE reference to inst: with count(*) — or
-    # count(inst), which NullPropagation folds back to count(1) —
-    # column pruning narrows this branch's partial aggregate below
-    # the exchange, the two per_span subtrees stop being identical,
-    # and the corpus-wide explode+hash pass runs once PER BRANCH.
-    # Keeping inst referenced makes both branches carry the identical
-    # partial-aggregate exchange, so Spark's exchange reuse computes
-    # the span relation once (plan-asserted in test_plan_quality).
-    freq = per_span.groupBy("span_hash").agg(
-        F.sum(F.when(F.col("inst") >= 1, 1).otherwise(0)).alias("df")
-    )
-    per_doc = (
-        per_span.join(freq, "span_hash")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.sum("inst").alias("n_spans"),
-            F.sum(
-                F.when(F.col("df") >= 2, F.col("inst")).otherwise(F.lit(0))
-            ).alias("dup_spans"),
-        )
+    per_doc = per_span.groupBy("doc_id", "source").agg(
+        F.sum("inst").alias("n_spans"),
+        F.sum(
+            F.when(F.col("df") >= 2, F.col("inst")).otherwise(F.lit(0))
+        ).alias("dup_spans"),
     )
     frac = F.col("dup_spans").cast("double") / F.col("n_spans")
     return per_doc.select(

@@ -202,17 +202,16 @@ def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
 
 
 def test_span_dedup_single_tokenize_pass(spark, sf_dir):
-    """The corpus-wide explode+hash projection must run ONCE: the
-    frequency branch and the scoring-join branch share the per-span
-    pre-aggregation exchange (ReusedExchange), so the plan has exactly
-    one Generate node. A regression here (e.g. column pruning
-    narrowing one branch's partial aggregate — see the freq comment
-    in functions/dedup.py) doubles the tokenize pass at any scale.
+    """The corpus-wide explode+hash projection must run ONCE and its
+    output must cross the network ONCE (r13): the plan has exactly one
+    Generate node, exactly one hashpartitioning exchange on span_hash
+    (serving both the per-span aggregate and the document-frequency
+    window — HashPartitioning(span_hash) satisfies both clusterings),
+    and NO join (frequency comes from a window count, not a
+    freq-aggregate joined back, which re-shuffled the span relation).
 
-    Asserted with AQE off (the bench session's mode), where reuse is
-    static and visible in the plan string; under AQE the same two
-    canonically-equal exchanges share one materialized stage via the
-    runtime stage cache."""
+    Asserted with AQE off (the bench session's mode) so the exchange
+    structure is static and visible in the plan string."""
     import re
 
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -228,7 +227,13 @@ def test_span_dedup_single_tokenize_pass(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     generates = re.findall(r"^\(\d+\) Generate", plan, flags=re.M)
     assert len(generates) == 1, plan[:2000]
-    assert "ReusedExchange" in plan
+    span_hash_exchanges = re.findall(
+        r"hashpartitioning\(span_hash", plan
+    )
+    assert len(span_hash_exchanges) == 1, plan[:2000]
+    assert not re.search(r"^\(\d+\) \w*(SortMerge|Hash)Join", plan, flags=re.M), (
+        plan[:2000]
+    )
 
 
 def test_minhash_bands_single_pass_no_union(spark, sf_dir):
