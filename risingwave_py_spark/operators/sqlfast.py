@@ -445,17 +445,32 @@ def _sh_rung_sql(n_bands: int) -> str:
         f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
         for i in range(n_bands)
     )
+    # The rung only ever feeds a top-20 cut, and a (doc_a, doc_b) pair
+    # occurs AT MOST n_bands times in the raw collision stream (per
+    # band each doc carries exactly one val, so a pair matches once
+    # per colliding band). Hence the top-20 DISTINCT pairs are always
+    # contained in the top-(20 * n_bands) RAW rows under the same
+    # total order: each distinct pair occupies at most n_bands slots.
+    # Taking that bounded prefix FIRST (TakeOrderedAndProject — a
+    # 20*n_bands-row heap per partition, one tiny merge) replaces a
+    # full partial-agg + exchange + final-agg DISTINCT over the whole
+    # candidate-pair stream — O(near-dup pairs) shuffled rows at
+    # corpus scale — with O(20 * n_bands * partitions) rows. The
+    # DISTINCT then runs over <= 20*n_bands rows.
     return f"""
     WITH bands AS (
         SELECT doc_id, simhash, band, val
         FROM __sqlfast_sh_fp LATERAL VIEW posexplode(array({arr})) AS band, val
+    ), raw_top AS (
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        ) WHERE hamming <= {n_bands - 1}
+        ORDER BY hamming, doc_a, doc_b LIMIT {20 * n_bands}
     )
-    SELECT DISTINCT doc_a, doc_b, hamming FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-    ) WHERE hamming <= {n_bands - 1}
+    SELECT DISTINCT doc_a, doc_b, hamming FROM raw_top
     """
 
 

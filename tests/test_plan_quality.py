@@ -263,23 +263,50 @@ def test_salted_skew_single_exchange(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
 
 
+def _sh_full_rung_sql(n_bands: int, fp_view: str) -> str:
+    """The PRE-r13 rung shape — the complete DISTINCT candidate-pair
+    relation with no top-k prefix — rebuilt independently so the
+    equivalence check below does not compare the pruned SQL against
+    itself."""
+    from risingwave_py_spark.functions.dedup import SIMHASH_BITS
+
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    arr = ", ".join(
+        f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH bands AS (
+        SELECT doc_id, simhash, band, val
+        FROM {fp_view} LATERAL VIEW posexplode(array({arr})) AS band, val
+    )
+    SELECT DISTINCT doc_a, doc_b, hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {n_bands - 1}
+    """
+
+
 def test_simhash_rung_returns_global_top20(spark, sf_dir):
-    """The r12 ladder materializes only each rung's TakeOrdered
-    top-20 instead of the full candidate-pair set; those 20 rows must
-    BE the global top-20 of the rung's pair relation (same rows the
-    pre-r12 checkpoint-all form returned)."""
+    """The rung materializes only a bounded TakeOrdered prefix (r13:
+    top-(20*n_bands) RAW collision rows, then DISTINCT — a pair occurs
+    at most once per colliding band, so the top-20 distinct pairs are
+    always inside that prefix); the engine's 20 rows must BE the
+    global top-20 of the FULL unpruned distinct pair relation (the
+    pre-r12 checkpoint-all form, rebuilt independently here)."""
     from risingwave_py_spark.catalog import ensure_views
     from risingwave_py_spark.operators import sqlfast
 
     ensure_views(spark, sf_dir)
     got = registry.QUERIES["dedup_simhash"](spark, sf_dir).toPandas()
     assert len(got) <= 20
-    # independently: full rung-1 relation over an own fp view (the
-    # query's view is per-invocation and dropped), sorted driver-side
     spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp")
     try:
         full = (
-            spark.sql(sqlfast._SH_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp"))
+            spark.sql(_sh_full_rung_sql(4, "__t_sh_fp"))
             .toPandas()
             .sort_values(["hamming", "doc_a", "doc_b"])
             .reset_index(drop=True)
@@ -291,6 +318,32 @@ def test_simhash_rung_returns_global_top20(spark, sf_dir):
         assert got.sort_values(["hamming", "doc_a", "doc_b"]).reset_index(
             drop=True
         ).equals(exp)
+
+
+def test_simhash_rung_no_full_pair_shuffle(spark, sf_dir):
+    """The rung's DISTINCT must run over the bounded TakeOrdered
+    prefix, not the full candidate-pair stream: the plan has a
+    TakeOrderedAndProject and NO exchange hash-partitioned on the
+    pair keys (the pre-r13 shape shuffled every distinct candidate
+    pair to dedup it)."""
+    from risingwave_py_spark.catalog import ensure_views
+    from risingwave_py_spark.operators import sqlfast
+
+    ensure_views(spark, sf_dir)
+    spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp2")
+    try:
+        df = spark.sql(
+            sqlfast._SH_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp2")
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.catalog.dropTempView("__t_sh_fp2")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "hashpartitioning(doc_a" not in plan, plan[:2000]
 
 
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
