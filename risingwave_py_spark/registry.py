@@ -54,63 +54,52 @@ def load_all() -> None:
 
 
 # The driver's correctness gate samples the FIRST 50 queries in the
-# order ``__spark_entry__.queries()`` yields them. Rounds 1-11
-# sampled eleven windows — cumulative driver coverage 209/209, all
-# green at the r11 verdict. Round 12's window leads with:
-#   1. the NEW queries (never driver-sampled): the nine r12
-#      scenarios — expression-group-key IVM (single-table AND
-#      join+agg), the N-way plain-join signed-telescoping MV, the
-#      session-window touched-span MV, the outer interval-join
-#      forced-retraction MV, the star LEFT-join touched-fact MV, the
-#      UNION ALL linear bag-sum MV, the LEFT join+agg recompute-only
-#      MV, and the SELECT DISTINCT membership MV;
-#   2. queries whose machinery changed this round: the k-means
-#      cluster count now derives k≈√n from the corpus (the oracle
-#      computes the same formula) — the whole kmeans-dependent
-#      ANN/SemDeDup/IVF family re-graded;
-#   3. regression re-samples ordered by oldest driver verdict — the
-#      scalar/setop/OVER batteries, text/sampling families, the
-#      image/video index families (all judge-only since r9), and the
-#      stalest TPC-H queries (last driver-sampled r7).
+# order ``__spark_entry__.queries()`` yields them. Rounds 1-12
+# sampled twelve windows — cumulative driver coverage 218/218
+# (histogram of last-graded round per query computed from the
+# CORRECTNESS_r*.json artifacts). Round 13's window leads with:
+#   1. the ONE r12 driver failure (core.insert schema inference on an
+#      all-None pandas column, fixed in 1857f05) — re-graded first;
+#   2. every query whose physical computation changed in this
+#      optimization round: the span dedup single-exchange window form,
+#      the simhash TakeOrdered-prefix rungs, the minhash single-pass
+#      band family (benched LSH + every _bands_from_sigs user:
+#      components, curation pipelines, cross-corpus, dedup index);
+#   3. the fanout-width-affected queries whose driver verdict is
+#      stalest (ANN/embedding/SQ8 and text/sampling paths, r2-r5);
+#   4. regression re-samples ordered by oldest driver verdict — the
+#      r1/r2 aggregate battery and the r4-r5 window/event stragglers.
 # Local backstops: tools/verify_queries.py and
 # tests/test_driver_hash_contract.py (sf0.001 per-query).
 PRIORITY: list[str] = [
-    # new this round (r12): expression-group-key IVM, N-way plain-join
-    # telescoping, session-window touched-span recompute
-    "datetrunc_inc_mv_scenario", "nway_join_inc_mv_scenario",
-    "session_inc_mv_scenario", "datetrunc_join_inc_mv_scenario",
-    "outer_interval_join_inc_mv_scenario",
-    "star_left_join_inc_mv_scenario", "union_all_inc_mv_scenario",
-    "left_joinagg_inc_mv_scenario", "select_distinct_inc_mv_scenario",
-    # changed this round: KMEANS_K now derives k≈√n from the corpus
-    # count (oracle computes the same formula) — drive the whole
-    # kmeans-dependent ANN/SemDeDup family through the grader
-    "cluster_kmeans_embeddings", "dedup_semantic_clusters",
-    "embedding_label_outliers", "ann_ivf_topk", "ann_ivf_recall",
-    "ann_index_build", "ann_index_probe", "ann_index_dml",
-    "ann_incremental_probe",
-    # stalest driver verdicts (judge-only since r9 or earlier):
-    # scalar battery
-    "scalar_string_funcs", "scalar_date_funcs",
-    "scalar_regexp_funcs", "map_struct_access",
-    # set-operation battery
-    "setop_union_all", "setop_intersect",
-    "setop_except", "setop_except_all",
-    # OVER battery
-    "window_rank_lag", "window_range_frame", "gapfill_locf",
-    "window_first_last_nth", "window_ntile_percentrank",
-    "window_filtered_agg",
-    # text-analysis family
-    "text_quality_scores", "text_langid_markers", "text_token_count_bpe",
-    "text_unigram_logprob", "text_pii_redact",
-    # sampling family
-    "sample_uniform_hash", "sample_stratified_quota",
-    # image/video index families
-    "image_index_build", "image_index_probe", "image_index_dml",
-    "video_index_build", "video_index_probe", "video_index_dml",
-    # stalest TPC-H (last driver-sampled r7)
-    "q4_order_priority", "q5_local_supplier_volume", "q8_market_share",
-    "q11_important_stock", "q20_promotion_suppliers",
+    # 1. the r12 correctness-gate failure, fixed this round
+    "select_distinct_inc_mv_scenario",
+    # 2. computation changed this round (r13): span window form,
+    # simhash prefix rungs, minhash posexplode band family
+    "dedup_span_exact", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_components", "pipeline_curate_corpus",
+    "pipeline_curate_corpus_v2", "dedup_cross_corpus",
+    "dedup_index_build", "dedup_index_probe", "dedup_index_dml",
+    # 3. fanout-width-affected, stalest first (ANN/embedding family
+    # last graded r2-r3; text/sampling paths r5-r8)
+    "ann_cosine_topk", "ann_filtered_topk", "ann_lsh_signatures",
+    "embedding_blocked_pairs", "dedup_embedding_cosine",
+    "ann_quality_filtered", "ann_sq8_build", "ann_sq8_probe",
+    "ann_sq8_recall", "ann_sq8_dml", "heavy_hitter_bigrams",
+    "corpus_source_drift", "text_char_entropy", "sample_mixture_apply",
+    # 4. stalest driver verdicts: the r1 aggregate/set battery
+    "agg_basic_stats", "agg_group_having", "agg_rollup", "agg_cube",
+    "agg_distinct_multi", "orderby_limit_topk", "distinct_rows",
+    "agg_bool_every_any", "agg_listagg_status", "unnest_word_counts",
+    "agg_grouping_marker", "array_agg_ops",
+    # r2 stragglers
+    "tumble_events_15m", "dedup_exact_docs", "dedup_ngram_jaccard",
+    "dedup_exact_normalized",
+    # r3-r5 stragglers
+    "sketch_error_bounds", "agg_filtered_conditional",
+    "events_json_extract", "monthly_revenue_trend",
+    "window_running_sum", "window_topk_per_group", "agg_salted_skew",
+    "agg_percentile_disc", "profile_lineitem",
 ]
 
 
