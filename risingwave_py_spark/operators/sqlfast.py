@@ -438,46 +438,73 @@ _SH_FP_SQL = f"""
 """
 
 
-def _sh_rung_sql(n_bands: int) -> str:
+def _sh_cand_sql(n_bands: int) -> str:
+    """Candidate VALUE pairs for one rung: (va, vb, hamming, n_pairs).
+
+    r13: the band self-join runs over DISTINCT FINGERPRINT VALUES,
+    not documents. Exact-duplicate clusters (the very thing dedup
+    corpora are full of) make the doc-level join quadratic in cluster
+    size: at the sf1 profile (~10 identical copies per text, 50k docs
+    / 4,682 distinct fingerprints) generating the doc-level collision
+    rows was 86% of the query wall (tools/simhash_probe.py).
+    Collapsing first (g: one row per value + its doc count) shrinks
+    both join sides by the dup factor and the collision output by its
+    square; banding stays exact by the same pigeonhole argument
+    applied to values. Same-value candidates (hamming 0, cnt >= 2)
+    come straight from g without touching the band join. n_pairs is
+    each candidate's exact doc-pair expansion count (cnt*(cnt-1)/2
+    same-value, cnt_a*cnt_b cross-value) — the caller uses it to cut
+    expansion to the hamming levels the global top-20 can reach."""
     band_bits = _SH_BITS // n_bands
     mask = (1 << band_bits) - 1
     arr = ", ".join(
         f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
         for i in range(n_bands)
     )
-    # The rung only ever feeds a top-20 cut, and a (doc_a, doc_b) pair
-    # occurs AT MOST n_bands times in the raw collision stream (per
-    # band each doc carries exactly one val, so a pair matches once
-    # per colliding band). Hence the top-20 DISTINCT pairs are always
-    # contained in the top-(20 * n_bands) RAW rows under the same
-    # total order: each distinct pair occupies at most n_bands slots.
-    # Taking that bounded prefix FIRST (TakeOrderedAndProject — a
-    # 20*n_bands-row heap per partition, one tiny merge) replaces a
-    # full partial-agg + exchange + final-agg DISTINCT over the whole
-    # candidate-pair stream — O(near-dup pairs) shuffled rows at
-    # corpus scale — with O(20 * n_bands * partitions) rows. The
-    # DISTINCT then runs over <= 20*n_bands rows.
     return f"""
-    WITH bands AS (
-        SELECT doc_id, simhash, band, val
-        FROM __sqlfast_sh_fp LATERAL VIEW posexplode(array({arr})) AS band, val
-    ), raw_top AS (
-        SELECT doc_a, doc_b, hamming FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH g AS (
+        SELECT simhash, COUNT(*) AS cnt FROM __sqlfast_sh_fp GROUP BY simhash
+    ), bands AS (
+        SELECT simhash, band, val
+        FROM g LATERAL VIEW posexplode(array({arr})) AS band, val
+    ), vp AS (
+        SELECT va, vb, hamming FROM (
+            SELECT DISTINCT a.simhash AS va, b.simhash AS vb,
                    CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
             FROM bands a JOIN bands b
-              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+              ON a.band = b.band AND a.val = b.val AND a.simhash < b.simhash
         ) WHERE hamming <= {n_bands - 1}
-        ORDER BY hamming, doc_a, doc_b LIMIT {20 * n_bands}
     )
-    SELECT DISTINCT doc_a, doc_b, hamming FROM raw_top
+    SELECT simhash AS va, simhash AS vb, 0 AS hamming,
+           cnt * (cnt - 1) DIV 2 AS n_pairs
+    FROM g WHERE cnt >= 2
+    UNION ALL
+    SELECT vp.va, vp.vb, vp.hamming, ga.cnt * gb.cnt AS n_pairs
+    FROM vp JOIN g ga ON vp.va = ga.simhash
+            JOIN g gb ON vp.vb = gb.simhash
     """
 
 
-# Templates reference the placeholder name __sqlfast_sh_fp; each
-# invocation rewrites it to a unique per-call view name (two
-# concurrent invocations in one session must not race on the view).
-_SH_RUNGS = {n: _sh_rung_sql(n) for n in (4, 8, 16)}
+# Expansion of the kept candidates back to doc pairs: two joins
+# against the fp checkpoint; same-value candidates enumerate each
+# unordered doc pair once, cross-value candidates every cross combo
+# (each doc carries exactly one fingerprint, so no pair repeats).
+_SH_EXPAND = """
+    SELECT LEAST(fa.doc_id, fb.doc_id) AS doc_a,
+           GREATEST(fa.doc_id, fb.doc_id) AS doc_b, k.hamming
+    FROM (SELECT * FROM __sqlfast_sh_cand WHERE hamming <= {hstar}) k
+    JOIN __sqlfast_sh_fp fa ON fa.simhash = k.va
+    JOIN __sqlfast_sh_fp fb ON fb.simhash = k.vb
+    WHERE k.va <> k.vb OR fa.doc_id < fb.doc_id
+    ORDER BY hamming, doc_a, doc_b LIMIT 20
+"""
+
+
+# Templates reference the placeholder names __sqlfast_sh_fp /
+# __sqlfast_sh_cand; each invocation rewrites them to unique per-call
+# view names (two concurrent invocations in one session must not race
+# on the views).
+_SH_CANDS = {n: _sh_cand_sql(n) for n in (4, 8, 16)}
 _SH_ALLPAIRS = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
@@ -502,6 +529,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint pins the 20 rows so the caller's action does not
     re-run the rung.
 
+    r13: each rung's band self-join runs over DISTINCT fingerprint
+    VALUES with cluster counts (_sh_cand_sql docstring) — doc-level
+    collision generation was 86% of the sf1 wall and grows
+    quadratically in duplicate-cluster size. Per rung: the candidate
+    relation is checkpointed (it is tiny — value pairs, not doc
+    pairs), its per-hamming-level doc-pair expansion counts (<=
+    n_bands rows) are collected, hstar = the smallest level whose
+    cumulative count reaches 20 (the deepest level when the total
+    stays under 20 — then the rung returns every pair in radius and
+    the ladder escalates exactly as before), and only candidates at
+    hamming <= hstar are expanded back to doc pairs.
+
     The fingerprint relation (one full tokenize+hash pass over the
     corpus — the dominant cost at scale) is computed ONCE and
     localCheckpointed; every rung, the all-pairs guard, and the
@@ -512,13 +551,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ensure_views(spark, sf_dir)
-    view = f"__sqlfast_sh_fp_{uuid.uuid4().hex[:8]}"  # per-call scope
+    tag = uuid.uuid4().hex[:8]  # per-call scope for every temp view
+    view = f"__sqlfast_sh_fp_{tag}"
     fp = spark.sql(_SH_FP_SQL).localCheckpoint(eager=True)
     fp.createOrReplaceTempView(view)
+    cviews: list[str] = []
     try:
         for n_bands in (4, 8, 16):
+            cview = f"__sqlfast_sh_cand_{tag}_{n_bands}"
+            cand = spark.sql(
+                _SH_CANDS[n_bands].replace("__sqlfast_sh_fp", view)
+            ).localCheckpoint(eager=True)
+            cand.createOrReplaceTempView(cview)
+            cviews.append(cview)
+            # <= n_bands rows to the driver: per-hamming-level doc-pair
+            # expansion counts. hstar = smallest level whose cumulative
+            # count reaches 20; deepest level when the total stays
+            # under 20 (rung then returns every pair in radius, and
+            # the ladder escalates exactly as before); -1 when there
+            # are no candidates at all (empty expansion).
+            levels = sorted(
+                (r["hamming"], r["np"])
+                for r in spark.sql(
+                    f"SELECT hamming, SUM(n_pairs) AS np "
+                    f"FROM {cview} GROUP BY hamming"
+                ).collect()
+            )
+            hstar, cum = -1, 0
+            for h, np_ in levels:
+                hstar, cum = h, cum + np_
+                if cum >= 20:
+                    break
             top = (
-                spark.sql(_SH_RUNGS[n_bands].replace("__sqlfast_sh_fp", view))
+                spark.sql(
+                    _SH_EXPAND.format(hstar=hstar)
+                    .replace("__sqlfast_sh_cand", cview)
+                    .replace("__sqlfast_sh_fp", view)
+                )
                 .orderBy("hamming", "doc_a", "doc_b")
                 .limit(20)
                 .localCheckpoint(eager=True)
@@ -535,6 +604,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return top.orderBy("hamming", "doc_a", "doc_b")
     finally:
         spark.catalog.dropTempView(view)
+        for cv in cviews:
+            spark.catalog.dropTempView(cv)
 
 
 _MH_WH, _MH_SH = _spark_shingle_hashes()

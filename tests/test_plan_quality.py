@@ -320,30 +320,47 @@ def test_simhash_rung_returns_global_top20(spark, sf_dir):
         ).equals(exp)
 
 
-def test_simhash_rung_no_full_pair_shuffle(spark, sf_dir):
-    """The rung's DISTINCT must run over the bounded TakeOrdered
-    prefix, not the full candidate-pair stream: the plan has a
-    TakeOrderedAndProject and NO exchange hash-partitioned on the
-    pair keys (the pre-r13 shape shuffled every distinct candidate
-    pair to dedup it)."""
+def test_simhash_rung_candidates_are_value_level(spark, sf_dir):
+    """The rung's band self-join must run over DISTINCT fingerprint
+    VALUES (aggregated with cluster counts), never over documents —
+    the doc-level join is quadratic in duplicate-cluster size. Guard:
+    the candidate statement's plan produces no doc pairs (no doc_a)
+    and aggregates fp by simhash before banding; the expansion
+    statement ends in a TakeOrderedAndProject (top-20 heap, no full
+    sort of the expanded pairs)."""
+    import re
+
     from risingwave_py_spark.catalog import ensure_views
     from risingwave_py_spark.operators import sqlfast
 
-    ensure_views(spark, sf_dir)
-    spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp2")
-    try:
-        df = spark.sql(
-            sqlfast._SH_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp2")
-        )
-        plan = df._jdf.queryExecution().explainString(
+    def _fmt(df):
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
+
+    ensure_views(spark, sf_dir)
+    spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp2")
+    try:
+        cand = spark.sql(
+            sqlfast._SH_CANDS[4].replace("__sqlfast_sh_fp", "__t_sh_fp2")
+        )
+        cand_plan = _fmt(cand)
+        cand.createOrReplaceTempView("__t_sh_cand2")
+        exp_plan = _fmt(
+            spark.sql(
+                sqlfast._SH_EXPAND.format(hstar=0)
+                .replace("__sqlfast_sh_cand", "__t_sh_cand2")
+                .replace("__sqlfast_sh_fp", "__t_sh_fp2")
+            )
+        )
     finally:
+        spark.catalog.dropTempView("__t_sh_cand2")
         spark.catalog.dropTempView("__t_sh_fp2")
-    assert "TakeOrderedAndProject" in plan, plan[:2000]
-    assert "hashpartitioning(doc_a" not in plan, plan[:2000]
+    assert "doc_a" not in cand_plan, cand_plan[:2000]
+    assert re.search(r"Keys \[1\]: \[simhash", cand_plan), cand_plan[:2000]
+    assert "TakeOrderedAndProject" in exp_plan, exp_plan[:2000]
 
 
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
