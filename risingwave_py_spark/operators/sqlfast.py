@@ -500,11 +500,45 @@ _SH_EXPAND = """
 """
 
 
+def _sh_doc_rung_sql(n_bands: int) -> str:
+    """Doc-level rung for corpora WITHOUT duplicate clusters (collapse
+    factor < 2, measured on the fp checkpoint): the value-level form's
+    candidate checkpoint + expansion joins are pure overhead when
+    every cluster has one doc, while the doc-level join's output is
+    only collapse² larger. The rung's DISTINCT runs over a bounded
+    TakeOrdered prefix of the raw collision stream: a pair occurs at
+    most once per colliding band, so the top-20 distinct pairs always
+    sit inside the top-(20*n_bands) raw rows under the same total
+    order — no O(pairs) hash-aggregate state at any scale."""
+    band_bits = _SH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    arr = ", ".join(
+        f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH bands AS (
+        SELECT doc_id, simhash, band, val
+        FROM __sqlfast_sh_fp LATERAL VIEW posexplode(array({arr})) AS band, val
+    ), raw_top AS (
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        ) WHERE hamming <= {n_bands - 1}
+        ORDER BY hamming, doc_a, doc_b LIMIT {20 * n_bands}
+    )
+    SELECT DISTINCT doc_a, doc_b, hamming FROM raw_top
+    """
+
+
 # Templates reference the placeholder names __sqlfast_sh_fp /
 # __sqlfast_sh_cand; each invocation rewrites them to unique per-call
 # view names (two concurrent invocations in one session must not race
 # on the views).
 _SH_CANDS = {n: _sh_cand_sql(n) for n in (4, 8, 16)}
+_SH_DOC_RUNGS = {n: _sh_doc_rung_sql(n) for n in (4, 8, 16)}
 _SH_ALLPAIRS = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
@@ -529,17 +563,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint pins the 20 rows so the caller's action does not
     re-run the rung.
 
-    r13: each rung's band self-join runs over DISTINCT fingerprint
-    VALUES with cluster counts (_sh_cand_sql docstring) — doc-level
-    collision generation was 86% of the sf1 wall and grows
-    quadratically in duplicate-cluster size. Per rung: the candidate
-    relation is checkpointed (it is tiny — value pairs, not doc
-    pairs), its per-hamming-level doc-pair expansion counts (<=
-    n_bands rows) are collected, hstar = the smallest level whose
-    cumulative count reaches 20 (the deepest level when the total
-    stays under 20 — then the rung returns every pair in radius and
-    the ladder escalates exactly as before), and only candidates at
-    hamming <= hstar are expanded back to doc pairs.
+    r13: when the corpus has duplicate clusters (collapse factor >= 2,
+    one count over the fp checkpoint), each rung's band self-join runs
+    over DISTINCT fingerprint VALUES with cluster counts
+    (_sh_cand_sql docstring) — doc-level collision generation was 86%
+    of the sf1 wall and grows quadratically in duplicate-cluster
+    size. Per rung: the candidate relation is checkpointed (it is
+    tiny — value pairs, not doc pairs), its per-hamming-level doc-pair
+    expansion counts (<= n_bands rows) are collected, hstar = the
+    smallest level whose cumulative count reaches 20 (the deepest
+    level when the total stays under 20 — then the rung returns every
+    pair in radius and the ladder escalates exactly as before), and
+    only candidates at hamming <= hstar are expanded back to doc
+    pairs. Cluster-free corpora keep the doc-level rung (bounded
+    TakeOrdered prefix before the DISTINCT — _sh_doc_rung_sql), where
+    the value form's extra joins would be pure overhead; both forms
+    return identical rows (equivalence-tested).
 
     The fingerprint relation (one full tokenize+hash pass over the
     corpus — the dominant cost at scale) is computed ONCE and
@@ -555,9 +594,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"__sqlfast_sh_fp_{tag}"
     fp = spark.sql(_SH_FP_SQL).localCheckpoint(eager=True)
     fp.createOrReplaceTempView(view)
+    # Physical-form choice the planner cannot make (it has no idea the
+    # fingerprints cluster): when duplicate clusters exist (collapse
+    # factor >= 2, one tiny count over the checkpoint), run rungs at
+    # the VALUE level — the doc-level collision stream grows with the
+    # SQUARE of cluster size. A cluster-free corpus (factor ~1) skips
+    # the value form's candidate checkpoint + expansion joins, which
+    # would be pure overhead there. Both forms return identical rows
+    # (equivalence-tested), so this mirrors the ladder's existing
+    # data-dependent escalation, not a semantic branch.
+    n_docs = fp.count()
+    n_vals = fp.select("simhash").distinct().count()
+    use_values = n_vals * 2 <= n_docs
     cviews: list[str] = []
     try:
         for n_bands in (4, 8, 16):
+            if not use_values:
+                top = (
+                    spark.sql(
+                        _SH_DOC_RUNGS[n_bands].replace("__sqlfast_sh_fp", view)
+                    )
+                    .orderBy("hamming", "doc_a", "doc_b")
+                    .limit(20)
+                    .localCheckpoint(eager=True)
+                )
+                if top.count() == 20:
+                    return top.orderBy("hamming", "doc_a", "doc_b")
+                continue
             cview = f"__sqlfast_sh_cand_{tag}_{n_bands}"
             cand = spark.sql(
                 _SH_CANDS[n_bands].replace("__sqlfast_sh_fp", view)

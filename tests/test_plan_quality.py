@@ -363,6 +363,64 @@ def test_simhash_rung_candidates_are_value_level(spark, sf_dir):
     assert "TakeOrderedAndProject" in exp_plan, exp_plan[:2000]
 
 
+def test_simhash_value_and_doc_rungs_agree_on_dup_clusters(spark, sf_dir):
+    """The two rung forms the adaptive caller chooses between must
+    return identical rows. Exercised on a dup-rich fp (every cluster
+    size 2: the real fp unioned with a doc_id-shifted copy — the shape
+    that routes the engine to the VALUE-level form), driving the full
+    cand → level-count → hstar → expansion sequence exactly as the
+    caller does."""
+    from risingwave_py_spark.catalog import ensure_views
+    from risingwave_py_spark.operators import sqlfast
+
+    ensure_views(spark, sf_dir)
+    fp = spark.sql(sqlfast._SH_FP_SQL)
+    dup = fp.union(
+        fp.selectExpr("doc_id + 1000000 AS doc_id", "simhash")
+    ).localCheckpoint(eager=True)
+    dup.createOrReplaceTempView("__t_sh_fp3")
+    try:
+        doc_rows = (
+            spark.sql(
+                sqlfast._SH_DOC_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp3")
+            )
+            .orderBy("hamming", "doc_a", "doc_b")
+            .limit(20)
+            .collect()
+        )
+        cand = spark.sql(
+            sqlfast._SH_CANDS[4].replace("__sqlfast_sh_fp", "__t_sh_fp3")
+        ).localCheckpoint(eager=True)
+        cand.createOrReplaceTempView("__t_sh_cand3")
+        levels = sorted(
+            (r["hamming"], r["np"])
+            for r in spark.sql(
+                "SELECT hamming, SUM(n_pairs) AS np "
+                "FROM __t_sh_cand3 GROUP BY hamming"
+            ).collect()
+        )
+        hstar, cum = -1, 0
+        for h, np_ in levels:
+            hstar, cum = h, cum + np_
+            if cum >= 20:
+                break
+        val_rows = (
+            spark.sql(
+                sqlfast._SH_EXPAND.format(hstar=hstar)
+                .replace("__sqlfast_sh_cand", "__t_sh_cand3")
+                .replace("__sqlfast_sh_fp", "__t_sh_fp3")
+            )
+            .orderBy("hamming", "doc_a", "doc_b")
+            .limit(20)
+            .collect()
+        )
+    finally:
+        spark.catalog.dropTempView("__t_sh_cand3")
+        spark.catalog.dropTempView("__t_sh_fp3")
+    assert [tuple(r) for r in val_rows] == [tuple(r) for r in doc_rows]
+    assert len(val_rows) == 20  # the doubled corpus has >= 20 dup pairs
+
+
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):
     """The corpus-total (1 row) side must broadcast; the token join
     may shuffle but carries no text column."""
