@@ -19,6 +19,10 @@ import os
 import sys
 
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 

@@ -9,6 +9,10 @@ import uuid
 
 import pandas as pd
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 from risingwave_py_spark import RisingWave
 from risingwave_py_spark.core import RisingWaveConnection

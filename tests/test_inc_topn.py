@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 
 @pytest.fixture()

@@ -12,6 +12,10 @@ against the DuckDB oracle.
 from __future__ import annotations
 
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from risingwave_py_spark.functions import index_store as ixs

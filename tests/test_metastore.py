@@ -23,6 +23,11 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 def _run(tmp_path, body: str) -> str:
     script = textwrap.dedent(

@@ -5,6 +5,10 @@ is tools/verify_queries.py (and the driver's gate)."""
 from __future__ import annotations
 
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 from risingwave_py_spark import registry
 

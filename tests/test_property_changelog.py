@@ -19,6 +19,10 @@ from collections import Counter
 
 import pandas as pd
 import pytest
+# Long-running sweep: excluded from the default fast lane (pyproject addopts
+# -m "not slow"); the full suite runs it via -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
 
 try:
     from hypothesis import HealthCheck, given, settings
