@@ -438,75 +438,10 @@ _SH_FP_SQL = f"""
 """
 
 
-def _sh_cand_sql(n_bands: int) -> str:
-    """Candidate VALUE pairs for one rung: (va, vb, hamming, n_pairs).
+def _sh_rung_sql(n_bands: int) -> str:
+    """One rung: all candidate pairs within the band radius, top-20.
 
-    r13: the band self-join runs over DISTINCT FINGERPRINT VALUES,
-    not documents. Exact-duplicate clusters (the very thing dedup
-    corpora are full of) make the doc-level join quadratic in cluster
-    size: at the sf1 profile (~10 identical copies per text, 50k docs
-    / 4,682 distinct fingerprints) generating the doc-level collision
-    rows was 86% of the query wall (tools/simhash_probe.py).
-    Collapsing first (g: one row per value + its doc count) shrinks
-    both join sides by the dup factor and the collision output by its
-    square; banding stays exact by the same pigeonhole argument
-    applied to values. Same-value candidates (hamming 0, cnt >= 2)
-    come straight from g without touching the band join. n_pairs is
-    each candidate's exact doc-pair expansion count (cnt*(cnt-1)/2
-    same-value, cnt_a*cnt_b cross-value) — the caller uses it to cut
-    expansion to the hamming levels the global top-20 can reach."""
-    band_bits = _SH_BITS // n_bands
-    mask = (1 << band_bits) - 1
-    arr = ", ".join(
-        f"(shiftrightunsigned(simhash, {band_bits * i}) & {mask})"
-        for i in range(n_bands)
-    )
-    return f"""
-    WITH g AS (
-        SELECT simhash, COUNT(*) AS cnt FROM __sqlfast_sh_fp GROUP BY simhash
-    ), bands AS (
-        SELECT simhash, band, val
-        FROM g LATERAL VIEW posexplode(array({arr})) AS band, val
-    ), vp AS (
-        SELECT va, vb, hamming FROM (
-            SELECT DISTINCT a.simhash AS va, b.simhash AS vb,
-                   CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.val = b.val AND a.simhash < b.simhash
-        ) WHERE hamming <= {n_bands - 1}
-    )
-    SELECT simhash AS va, simhash AS vb, 0 AS hamming,
-           cnt * (cnt - 1) DIV 2 AS n_pairs
-    FROM g WHERE cnt >= 2
-    UNION ALL
-    SELECT vp.va, vp.vb, vp.hamming, ga.cnt * gb.cnt AS n_pairs
-    FROM vp JOIN g ga ON vp.va = ga.simhash
-            JOIN g gb ON vp.vb = gb.simhash
-    """
-
-
-# Expansion of the kept candidates back to doc pairs: two joins
-# against the fp checkpoint; same-value candidates enumerate each
-# unordered doc pair once, cross-value candidates every cross combo
-# (each doc carries exactly one fingerprint, so no pair repeats).
-_SH_EXPAND = """
-    SELECT LEAST(fa.doc_id, fb.doc_id) AS doc_a,
-           GREATEST(fa.doc_id, fb.doc_id) AS doc_b, k.hamming
-    FROM (SELECT * FROM __sqlfast_sh_cand WHERE hamming <= {hstar}) k
-    JOIN __sqlfast_sh_fp fa ON fa.simhash = k.va
-    JOIN __sqlfast_sh_fp fb ON fb.simhash = k.vb
-    WHERE k.va <> k.vb OR fa.doc_id < fb.doc_id
-    ORDER BY hamming, doc_a, doc_b LIMIT 20
-"""
-
-
-def _sh_doc_rung_sql(n_bands: int) -> str:
-    """Doc-level rung for corpora WITHOUT duplicate clusters (collapse
-    factor < 2, measured on the fp checkpoint): the value-level form's
-    candidate checkpoint + expansion joins are pure overhead when
-    every cluster has one doc, while the doc-level join's output is
-    only collapse² larger. The rung's DISTINCT runs over a bounded
-    TakeOrdered prefix of the raw collision stream: a pair occurs at
+    The rung's DISTINCT runs over a bounded TakeOrdered prefix of the raw collision stream: a pair occurs at
     most once per colliding band, so the top-20 distinct pairs always
     sit inside the top-(20*n_bands) raw rows under the same total
     order — no O(pairs) hash-aggregate state at any scale."""
@@ -533,12 +468,20 @@ def _sh_doc_rung_sql(n_bands: int) -> str:
     """
 
 
-# Templates reference the placeholder names __sqlfast_sh_fp /
-# __sqlfast_sh_cand; each invocation rewrites them to unique per-call
-# view names (two concurrent invocations in one session must not race
-# on the views).
-_SH_CANDS = {n: _sh_cand_sql(n) for n in (4, 8, 16)}
-_SH_DOC_RUNGS = {n: _sh_doc_rung_sql(n) for n in (4, 8, 16)}
+# Templates reference the placeholder name __sqlfast_sh_fp; each
+# invocation rewrites it to a unique per-call view name (two
+# concurrent invocations in one session must not race on the view).
+#
+# A VALUE-level rung (band join over DISTINCT fingerprints + counted
+# expansion) was implemented, verified result-identical at 4 scales,
+# and MEASURED WORSE on quiet interleaved A/B at BOTH sf0.1 (+33%,
+# collapse factor 1.07) and sf1 (+20-25% despite collapse 10.7): the
+# candidate checkpoint, level collect, and two expansion joins cost
+# more than the collision rows they avoid, because the doc-level
+# stream is generated inside one codegen pipeline straight into a
+# bounded TakeOrdered heap (~100ns/row). Rejected with measurements —
+# see OPTIMIZATION_r13.md (dedup_simhash).
+_SH_RUNGS = {n: _sh_rung_sql(n) for n in (4, 8, 16)}
 _SH_ALLPAIRS = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
@@ -563,22 +506,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint pins the 20 rows so the caller's action does not
     re-run the rung.
 
-    r13: when the corpus has duplicate clusters (collapse factor >= 2,
-    one count over the fp checkpoint), each rung's band self-join runs
-    over DISTINCT fingerprint VALUES with cluster counts
-    (_sh_cand_sql docstring) — doc-level collision generation was 86%
-    of the sf1 wall and grows quadratically in duplicate-cluster
-    size. Per rung: the candidate relation is checkpointed (it is
-    tiny — value pairs, not doc pairs), its per-hamming-level doc-pair
-    expansion counts (<= n_bands rows) are collected, hstar = the
-    smallest level whose cumulative count reaches 20 (the deepest
-    level when the total stays under 20 — then the rung returns every
-    pair in radius and the ladder escalates exactly as before), and
-    only candidates at hamming <= hstar are expanded back to doc
-    pairs. Cluster-free corpora keep the doc-level rung (bounded
-    TakeOrdered prefix before the DISTINCT — _sh_doc_rung_sql), where
-    the value form's extra joins would be pure overhead; both forms
-    return identical rows (equivalence-tested).
+    r13: each rung's DISTINCT consumes a bounded TakeOrdered prefix of
+    the raw collision stream instead of the whole stream
+    (_sh_rung_sql docstring) — no O(pairs) hash-aggregate state at any
+    scale. A value-level rung variant was measured and rejected (see
+    the note above _SH_RUNGS).
 
     The fingerprint relation (one full tokenize+hash pass over the
     corpus — the dominant cost at scale) is computed ONCE and
@@ -590,67 +522,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     ensure_views(spark, sf_dir)
-    tag = uuid.uuid4().hex[:8]  # per-call scope for every temp view
-    view = f"__sqlfast_sh_fp_{tag}"
+    view = f"__sqlfast_sh_fp_{uuid.uuid4().hex[:8]}"  # per-call scope
     fp = spark.sql(_SH_FP_SQL).localCheckpoint(eager=True)
     fp.createOrReplaceTempView(view)
-    # Physical-form choice the planner cannot make (it has no idea the
-    # fingerprints cluster): when duplicate clusters exist (collapse
-    # factor >= 2, one tiny count over the checkpoint), run rungs at
-    # the VALUE level — the doc-level collision stream grows with the
-    # SQUARE of cluster size. A cluster-free corpus (factor ~1) skips
-    # the value form's candidate checkpoint + expansion joins, which
-    # would be pure overhead there. Both forms return identical rows
-    # (equivalence-tested), so this mirrors the ladder's existing
-    # data-dependent escalation, not a semantic branch.
-    n_docs = fp.count()
-    n_vals = fp.select("simhash").distinct().count()
-    use_values = n_vals * 2 <= n_docs
-    cviews: list[str] = []
     try:
         for n_bands in (4, 8, 16):
-            if not use_values:
-                top = (
-                    spark.sql(
-                        _SH_DOC_RUNGS[n_bands].replace("__sqlfast_sh_fp", view)
-                    )
-                    .orderBy("hamming", "doc_a", "doc_b")
-                    .limit(20)
-                    .localCheckpoint(eager=True)
-                )
-                if top.count() == 20:
-                    return top.orderBy("hamming", "doc_a", "doc_b")
-                continue
-            cview = f"__sqlfast_sh_cand_{tag}_{n_bands}"
-            cand = spark.sql(
-                _SH_CANDS[n_bands].replace("__sqlfast_sh_fp", view)
-            ).localCheckpoint(eager=True)
-            cand.createOrReplaceTempView(cview)
-            cviews.append(cview)
-            # <= n_bands rows to the driver: per-hamming-level doc-pair
-            # expansion counts. hstar = smallest level whose cumulative
-            # count reaches 20; deepest level when the total stays
-            # under 20 (rung then returns every pair in radius, and
-            # the ladder escalates exactly as before); -1 when there
-            # are no candidates at all (empty expansion).
-            levels = sorted(
-                (r["hamming"], r["np"])
-                for r in spark.sql(
-                    f"SELECT hamming, SUM(n_pairs) AS np "
-                    f"FROM {cview} GROUP BY hamming"
-                ).collect()
-            )
-            hstar, cum = -1, 0
-            for h, np_ in levels:
-                hstar, cum = h, cum + np_
-                if cum >= 20:
-                    break
             top = (
-                spark.sql(
-                    _SH_EXPAND.format(hstar=hstar)
-                    .replace("__sqlfast_sh_cand", cview)
-                    .replace("__sqlfast_sh_fp", view)
-                )
+                spark.sql(_SH_RUNGS[n_bands].replace("__sqlfast_sh_fp", view))
                 .orderBy("hamming", "doc_a", "doc_b")
                 .limit(20)
                 .localCheckpoint(eager=True)
@@ -667,8 +545,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return top.orderBy("hamming", "doc_a", "doc_b")
     finally:
         spark.catalog.dropTempView(view)
-        for cv in cviews:
-            spark.catalog.dropTempView(cv)
 
 
 _MH_WH, _MH_SH = _spark_shingle_hashes()

@@ -320,105 +320,31 @@ def test_simhash_rung_returns_global_top20(spark, sf_dir):
         ).equals(exp)
 
 
-def test_simhash_rung_candidates_are_value_level(spark, sf_dir):
-    """The rung's band self-join must run over DISTINCT fingerprint
-    VALUES (aggregated with cluster counts), never over documents —
-    the doc-level join is quadratic in duplicate-cluster size. Guard:
-    the candidate statement's plan produces no doc pairs (no doc_a)
-    and aggregates fp by simhash before banding; the expansion
-    statement ends in a TakeOrderedAndProject (top-20 heap, no full
-    sort of the expanded pairs)."""
-    import re
-
+def test_simhash_rung_no_full_pair_shuffle(spark, sf_dir):
+    """The rung's DISTINCT must consume the bounded TakeOrdered prefix
+    of the raw collision stream, not the whole stream: the rung plan
+    contains a TakeOrderedAndProject (a 20*n_bands-row heap per
+    partition) BELOW the distinct aggregate — the pre-r13 shape
+    hash-aggregated every candidate pair (O(near-dup pairs) state at
+    corpus scale) before the top-20 cut."""
     from risingwave_py_spark.catalog import ensure_views
     from risingwave_py_spark.operators import sqlfast
-
-    def _fmt(df):
-        return df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "formatted"
-            )
-        )
 
     ensure_views(spark, sf_dir)
     spark.sql(sqlfast._SH_FP_SQL).createOrReplaceTempView("__t_sh_fp2")
     try:
-        cand = spark.sql(
-            sqlfast._SH_CANDS[4].replace("__sqlfast_sh_fp", "__t_sh_fp2")
+        df = spark.sql(
+            sqlfast._SH_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp2")
         )
-        cand_plan = _fmt(cand)
-        cand.createOrReplaceTempView("__t_sh_cand2")
-        exp_plan = _fmt(
-            spark.sql(
-                sqlfast._SH_EXPAND.format(hstar=0)
-                .replace("__sqlfast_sh_cand", "__t_sh_cand2")
-                .replace("__sqlfast_sh_fp", "__t_sh_fp2")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
             )
         )
     finally:
-        spark.catalog.dropTempView("__t_sh_cand2")
         spark.catalog.dropTempView("__t_sh_fp2")
-    assert "doc_a" not in cand_plan, cand_plan[:2000]
-    assert re.search(r"Keys \[1\]: \[simhash", cand_plan), cand_plan[:2000]
-    assert "TakeOrderedAndProject" in exp_plan, exp_plan[:2000]
-
-
-def test_simhash_value_and_doc_rungs_agree_on_dup_clusters(spark, sf_dir):
-    """The two rung forms the adaptive caller chooses between must
-    return identical rows. Exercised on a dup-rich fp (every cluster
-    size 2: the real fp unioned with a doc_id-shifted copy — the shape
-    that routes the engine to the VALUE-level form), driving the full
-    cand → level-count → hstar → expansion sequence exactly as the
-    caller does."""
-    from risingwave_py_spark.catalog import ensure_views
-    from risingwave_py_spark.operators import sqlfast
-
-    ensure_views(spark, sf_dir)
-    fp = spark.sql(sqlfast._SH_FP_SQL)
-    dup = fp.union(
-        fp.selectExpr("doc_id + 1000000 AS doc_id", "simhash")
-    ).localCheckpoint(eager=True)
-    dup.createOrReplaceTempView("__t_sh_fp3")
-    try:
-        doc_rows = (
-            spark.sql(
-                sqlfast._SH_DOC_RUNGS[4].replace("__sqlfast_sh_fp", "__t_sh_fp3")
-            )
-            .orderBy("hamming", "doc_a", "doc_b")
-            .limit(20)
-            .collect()
-        )
-        cand = spark.sql(
-            sqlfast._SH_CANDS[4].replace("__sqlfast_sh_fp", "__t_sh_fp3")
-        ).localCheckpoint(eager=True)
-        cand.createOrReplaceTempView("__t_sh_cand3")
-        levels = sorted(
-            (r["hamming"], r["np"])
-            for r in spark.sql(
-                "SELECT hamming, SUM(n_pairs) AS np "
-                "FROM __t_sh_cand3 GROUP BY hamming"
-            ).collect()
-        )
-        hstar, cum = -1, 0
-        for h, np_ in levels:
-            hstar, cum = h, cum + np_
-            if cum >= 20:
-                break
-        val_rows = (
-            spark.sql(
-                sqlfast._SH_EXPAND.format(hstar=hstar)
-                .replace("__sqlfast_sh_cand", "__t_sh_cand3")
-                .replace("__sqlfast_sh_fp", "__t_sh_fp3")
-            )
-            .orderBy("hamming", "doc_a", "doc_b")
-            .limit(20)
-            .collect()
-        )
-    finally:
-        spark.catalog.dropTempView("__t_sh_cand3")
-        spark.catalog.dropTempView("__t_sh_fp3")
-    assert [tuple(r) for r in val_rows] == [tuple(r) for r in doc_rows]
-    assert len(val_rows) == 20  # the doubled corpus has >= 20 dup pairs
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "hashpartitioning(doc_a" not in plan, plan[:2000]
 
 
 def test_unigram_logprob_total_is_broadcast(spark, sf_dir):

@@ -63,30 +63,10 @@ def main() -> None:
     fp = spark.sql(sqlfast._SH_FP_SQL).localCheckpoint(eager=True)
     fp.createOrReplaceTempView("__probe_sh_fp")
 
-    # Phase 2: the 4-band rung top-20 over the pre-built fp —
-    # candidate checkpoint + level collect + expansion, exactly the
-    # caller's sequence (r13 two-statement form).
+    # Phase 2: the 4-band rung top-20 over the pre-built fp.
     def rung(n_bands):
         def run():
-            cand = spark.sql(
-                sqlfast._SH_CANDS[n_bands]
-                .replace("__sqlfast_sh_fp", "__probe_sh_fp")
-            ).localCheckpoint(eager=True)
-            cand.createOrReplaceTempView("__probe_sh_cand")
-            levels = sorted(
-                (r["hamming"], r["np"])
-                for r in spark.sql(
-                    "SELECT hamming, SUM(n_pairs) AS np "
-                    "FROM __probe_sh_cand GROUP BY hamming"
-                ).collect()
-            )
-            hstar, cum = -1, 0
-            for h, np_ in levels:
-                hstar, cum = h, cum + np_
-                if cum >= 20:
-                    break
-            (spark.sql(sqlfast._SH_EXPAND.format(hstar=hstar)
-                       .replace("__sqlfast_sh_cand", "__probe_sh_cand")
+            (spark.sql(sqlfast._SH_RUNGS[n_bands]
                        .replace("__sqlfast_sh_fp", "__probe_sh_fp"))
              .orderBy("hamming", "doc_a", "doc_b").limit(20)
              .write.format("noop").mode("overwrite").save())
